@@ -1,0 +1,53 @@
+"""Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]; print ONE
+JSON line with per-query wall times.
+
+Execution is forced with the noop sink (full computation, zero
+driver-side collect) — the number measures the distributed plan, not
+result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from fink_joiner_spark.queries import queries
+from fink_joiner_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark("fink_joiner_spark-bench")
+    fns = queries()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, fn in fns.items():
+        t0 = time.perf_counter()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — record failures, keep benching
+            dt = round(time.perf_counter() - t0, 3)
+            print(f"FAILED {name}: {exc}", file=sys.stderr)
+        timings[name] = dt
+        total += dt
+
+    print(json.dumps({
+        "metric": "total_query_wall_time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,65 @@
+"""Query registry — the declared capability surface of the engine.
+
+Every implemented operator from SURVEY.md §2 (plus the large-scale
+extension operators) is exposed here as a named query over the driver
+test tables, paired with an ANSI-SQL oracle that DuckDB can run on the
+same parquet. The driver (and our pytest suite) compares the two.
+
+Conventions:
+* every computed column is aliased identically in Spark and oracle SQL;
+* timestamps are emitted as epoch microseconds (BIGINT) — avoids
+  tz/precision drift between Spark and DuckDB;
+* floating aggregates are rounded (2-6 dp) so summation order can't
+  flip the value hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: QueryFn
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+    note: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, note: str = "") -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, note=note)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    _ensure_loaded()
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    _ensure_loaded()
+    return {n: s.oracle for n, s in REGISTRY.items() if s.oracle is not None}
+
+
+_LOADED = False
+
+
+def _ensure_loaded() -> None:
+    """Import all query modules so their @register calls run."""
+    global _LOADED
+    if _LOADED:
+        return
+    from fink_joiner_spark.queries_ref import core  # noqa: F401
+    from fink_joiner_spark.queries_ref import extensions  # noqa: F401
+
+    _LOADED = True
