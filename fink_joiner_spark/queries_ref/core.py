@@ -156,3 +156,418 @@ def flagship_dedup_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r_name").alias("region_name"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# P1/P2 — JSON envelope projection + nested-array extraction
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p1_envelope_projection",
+    """
+    SELECT CAST(user_id AS VARCHAR) AS uc_pk,
+           epoch_us(ts) AS uc_created_ts,
+           event_type AS uc_type,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k
+    FROM events
+    """,
+    "Kafka-topic simulation: wrap events in the 9-field change-log envelope, "
+    "parse with from_json, extract payload key (CRMLSJoiner.scala:118-155)",
+)
+def p1_envelope_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import projections
+
+    ev = table(spark, sf_dir, "events")
+    # Simulate the raw topic: one JSON string per record carrying the envelope.
+    raw = ev.select(
+        F.to_json(
+            F.struct(
+                F.col("props").alias("data"),
+                F.col("user_id").cast("string").alias("uc_pk"),
+                F.col("user_id").cast("string").alias("uc_update_ts"),
+                F.lit("v1").alias("uc_version"),
+                F.unix_micros("ts").alias("uc_created_ts"),
+                F.lit("row").alias("uc_row_type"),
+                F.col("event_type").alias("uc_type"),
+                (F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long").alias("uc_valid_day"),
+                F.unix_micros("ts").alias("uc_valid_ts"),
+            )
+        ).alias("value")
+    )
+    parsed = projections.parse_envelope(raw, "value", payload_keys={"k_str": "$.k"})
+    return parsed.select(
+        "uc_pk",
+        "uc_created_ts",
+        "uc_type",
+        F.col("k_str").cast("int").alias("k"),
+    )
+
+
+@register(
+    "p2_nested_array_json",
+    """
+    SELECT event_id, CAST(user_id AS VARCHAR) AS agent_id FROM events
+    """,
+    "index into a JSON array inside the payload (FlinkJoiner.scala:186-190)",
+)
+def p2_nested_array_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import projections
+
+    ev = table(spark, sf_dir, "events")
+    nested = ev.select(
+        "event_id",
+        F.concat(
+            F.lit('{"ActiveAgent:Agent":[{"Agent ID":"'),
+            F.col("user_id").cast("string"),
+            F.lit('"}]}'),
+        ).alias("payload"),
+    )
+    out = projections.extract_nested_array(
+        nested, "payload", "$['ActiveAgent:Agent'][0]['Agent ID']", "agent_id"
+    )
+    return out.select("event_id", "agent_id")
+
+
+# ---------------------------------------------------------------------------
+# P4 — flatMap tokenize + word count (WordCount.scala:40-48)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p4_wordcount",
+    """
+    SELECT word, COUNT(*) AS cnt
+    FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    """,
+    "explode(split()) word count over documents",
+)
+def p4_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import projections
+
+    docs = table(spark, sf_dir, "documents")
+    words = projections.flatmap_tokens(docs, "text", "word")
+    return words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# P6/P7/P8 — identity view, positional rename, scalar expression
+# ---------------------------------------------------------------------------
+
+
+@register("p6_select_star_view", "SELECT * FROM region",
+          "pass-through view registration (FlinkJoiner.scala:237-241)")
+def p6_select_star_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = table(spark, sf_dir, "region")
+    region.createOrReplaceTempView("region_view_p6")
+    return spark.sql("SELECT * FROM region_view_p6")
+
+
+@register(
+    "p7_rename_columns",
+    "SELECT n_nationkey AS nation_key, n_name AS nation_name, "
+    "n_regionkey AS region_key FROM nation",
+    "positional field naming at registration (CRMLSJoiner.scala:159-178)",
+)
+def p7_rename_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import projections
+
+    nation = table(spark, sf_dir, "nation")
+    return projections.rename_columns(nation, ["nation_key", "nation_name", "region_key"])
+
+
+@register(
+    "p8_upper_scalar",
+    "SELECT c_custkey, UPPER(c_mktsegment) AS seg_upper FROM customer",
+    "scalar string function in select (FlinkJoiner_backup.txt:670)",
+)
+def p8_upper_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    return customer.select("c_custkey", F.upper("c_mktsegment").alias("seg_upper"))
+
+
+# ---------------------------------------------------------------------------
+# A3/A4 — global count over join result; keyed ordered reduce
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a3_count_over_join",
+    f"SELECT COUNT(*) AS cnt FROM ({_FLAGSHIP_ORACLE})",
+    "COUNT(*) over the updating join result (CRMLSJoiner.scala:493-496)",
+)
+def a3_count_over_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import aggregates
+
+    return aggregates.global_count(flagship_dedup_left_join(spark, sf_dir), alias="cnt")
+
+
+@register(
+    "a4_keyed_reduce_concat",
+    """
+    SELECT user_id, string_agg(event_type, '|' ORDER BY ts, event_id) AS event_seq
+    FROM events GROUP BY user_id
+    """,
+    "keyed incremental reduce by concatenation (FlinkJoiner_backup.txt:185-193)",
+)
+def a4_keyed_reduce_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import aggregates
+
+    ev = table(spark, sf_dir, "events")
+    return aggregates.keyed_ordered_concat(
+        ev, ["user_id"], "event_type", ["ts", "event_id"], sep="|", alias="event_seq"
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5/A6 — tumbling windows (5 s word-count window; 20 min SQL TUMBLE)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a5_tumbling_window_5s",
+    """
+    SELECT (epoch_us(ts) // 5000000) * 5000000 AS window_start_us,
+           COUNT(*) AS cnt
+    FROM events GROUP BY 1
+    """,
+    "5 s tumbling count (WordCount.scala:43-48); epoch-aligned like TUMBLE",
+)
+def a5_tumbling_window_5s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import aggregates
+
+    ev = table(spark, sf_dir, "events")
+    win = aggregates.tumbling_window_agg(ev, "ts", "5 seconds")
+    return win.select(F.unix_micros("window_start").alias("window_start_us"), "cnt")
+
+
+@register(
+    "a6_tumbling_window_20min",
+    """
+    SELECT (epoch_us(ts) // 1200000000) * 1200000000 AS window_start_us,
+           event_type,
+           COUNT(*) AS cnt,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    "20 min SQL TUMBLE with keyed agg (FlinkJoiner_backup.txt:653-665)",
+)
+def a6_tumbling_window_20min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import aggregates
+
+    ev = table(spark, sf_dir, "events")
+    win = aggregates.tumbling_window_agg(
+        ev,
+        "ts",
+        "20 minutes",
+        keys=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        ],
+    )
+    return win.select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        "event_type",
+        "cnt",
+        "sum_value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1/J5 — 11-way LEFT OUTER star join with aliased dimension roles
+# (leftJoinQuery2, CRMLSJoiner.scala:471-488)
+# ---------------------------------------------------------------------------
+
+_J1_ORACLE = """
+WITH latest_li AS (
+  SELECT li.* FROM lineitem li
+  JOIN (SELECT l_orderkey, MAX(l_shipdate) AS l_shipdate
+        FROM lineitem GROUP BY l_orderkey) m
+    USING (l_orderkey, l_shipdate)
+)
+SELECT o.o_orderkey,
+       c1.c_name AS c1_name, c2.c_name AS c2_name,
+       c3.c_name AS c3_name, c4.c_name AS c4_name,
+       li.l_partkey, li.l_suppkey, epoch_us(li.l_shipdate) AS ship_us,
+       s1.s_name AS s1_name, s2.s_name AS s2_name,
+       s3.s_name AS s3_name, s4.s_name AS s4_name,
+       n.n_name AS nation_name, r.r_name AS region_name
+FROM orders o
+LEFT JOIN customer c1 ON o.o_custkey = c1.c_custkey
+LEFT JOIN customer c2 ON o.o_custkey + 1 = c2.c_custkey
+LEFT JOIN customer c3 ON o.o_custkey + 2 = c3.c_custkey
+LEFT JOIN customer c4 ON o.o_custkey + 3 = c4.c_custkey
+LEFT JOIN latest_li li ON o.o_orderkey = li.l_orderkey
+LEFT JOIN supplier s1 ON li.l_suppkey = s1.s_suppkey
+LEFT JOIN supplier s2 ON li.l_suppkey + 1 = s2.s_suppkey
+LEFT JOIN supplier s3 ON li.l_suppkey + 2 = s3.s_suppkey
+LEFT JOIN supplier s4 ON li.l_suppkey + 3 = s4.s_suppkey
+LEFT JOIN nation n ON c1.c_nationkey = n.n_nationkey
+LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+"""
+
+
+@register(
+    "j1_multiway_left_join",
+    _J1_ORACLE,
+    "11-way LEFT JOIN star fan-out with 4 customer roles, FK-keyed latest "
+    "child (lineitem), 4 supplier roles, nation, region",
+)
+def j1_multiway_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark plan notes: one deduped lineitem snapshot reused; customer and
+    supplier each loaded once and re-aliased per FK role (J5) so a single
+    scan feeds 4 join edges; nation/region broadcast. The fact's hash
+    partitioning on o_orderkey survives the c*-joins (they key on
+    o_custkey-derived values → AQE picks broadcast at small SF; at large
+    scale they shuffle once each, unavoidable for genuinely huge dims)."""
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    supplier = table(spark, sf_dir, "supplier")
+    lineitem = table(spark, sf_dir, "lineitem")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+
+    latest_li = dedup.latest_per_key_all_ties(lineitem, ["l_orderkey"], "l_shipdate").alias("li")
+    o = orders.alias("o")
+    out = (
+        o.join(customer.alias("c1"), F.expr("o.o_custkey = c1.c_custkey"), "left")
+        .join(customer.alias("c2"), F.expr("o.o_custkey + 1 = c2.c_custkey"), "left")
+        .join(customer.alias("c3"), F.expr("o.o_custkey + 2 = c3.c_custkey"), "left")
+        .join(customer.alias("c4"), F.expr("o.o_custkey + 3 = c4.c_custkey"), "left")
+        .join(latest_li, F.expr("o.o_orderkey = li.l_orderkey"), "left")
+        .join(supplier.alias("s1"), F.expr("li.l_suppkey = s1.s_suppkey"), "left")
+        .join(supplier.alias("s2"), F.expr("li.l_suppkey + 1 = s2.s_suppkey"), "left")
+        .join(supplier.alias("s3"), F.expr("li.l_suppkey + 2 = s3.s_suppkey"), "left")
+        .join(supplier.alias("s4"), F.expr("li.l_suppkey + 3 = s4.s_suppkey"), "left")
+        .join(F.broadcast(nation).alias("n"), F.expr("c1.c_nationkey = n.n_nationkey"), "left")
+        .join(F.broadcast(region).alias("r"), F.expr("n.n_regionkey = r.r_regionkey"), "left")
+    )
+    return out.select(
+        F.col("o.o_orderkey").alias("o_orderkey"),
+        F.col("c1.c_name").alias("c1_name"),
+        F.col("c2.c_name").alias("c2_name"),
+        F.col("c3.c_name").alias("c3_name"),
+        F.col("c4.c_name").alias("c4_name"),
+        F.col("li.l_partkey").alias("l_partkey"),
+        F.col("li.l_suppkey").alias("l_suppkey"),
+        # l_shipdate is TIMESTAMP_NTZ (parquet isAdjustedToUTC=false);
+        # cast under the UTC session TZ so epoch matches DuckDB's epoch_us.
+        F.unix_micros(F.col("li.l_shipdate").cast("timestamp")).alias("ship_us"),
+        F.col("s1.s_name").alias("s1_name"),
+        F.col("s2.s_name").alias("s2_name"),
+        F.col("s3.s_name").alias("s3_name"),
+        F.col("s4.s_name").alias("s4_name"),
+        F.col("n.n_name").alias("nation_name"),
+        F.col("r.r_name").alias("region_name"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4 — join-after-join via derived-table subquery (TestJoiner.scala:311-327)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j4_nested_join",
+    """
+    SELECT sub.o_orderkey, sub.c_name, n.n_name AS nation_name
+    FROM (
+      SELECT o.o_orderkey, c.c_name, c.c_nationkey
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    ) sub
+    LEFT JOIN nation n ON sub.c_nationkey = n.n_nationkey
+    """,
+    "nested/derived-table join through spark.sql",
+)
+def j4_nested_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_j4")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer_j4")
+    table(spark, sf_dir, "nation").createOrReplaceTempView("nation_j4")
+    return spark.sql(
+        """
+        SELECT sub.o_orderkey, sub.c_name, n.n_name AS nation_name
+        FROM (
+          SELECT o.o_orderkey, c.c_name, c.c_nationkey
+          FROM orders_j4 o LEFT JOIN customer_j4 c ON o.o_custkey = c.c_custkey
+        ) sub
+        LEFT JOIN nation_j4 n ON sub.c_nationkey = n.n_nationkey
+        """
+    )
+
+
+@register(
+    "j5_self_role_join",
+    """
+    SELECT o.o_orderkey, ca.c_name AS primary_name, cb.c_name AS alt_name
+    FROM orders o
+    LEFT JOIN customer ca ON o.o_custkey = ca.c_custkey
+    LEFT JOIN customer cb ON o.o_custkey + 1 = cb.c_custkey
+    """,
+    "same deduped dimension joined under multiple FK roles "
+    "(agents aa/ab/ac/ad, CRMLSJoiner.scala:475-478)",
+)
+def j5_self_role_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").alias("o")
+    customer = table(spark, sf_dir, "customer")
+    return (
+        orders.join(customer.alias("ca"), F.expr("o.o_custkey = ca.c_custkey"), "left")
+        .join(customer.alias("cb"), F.expr("o.o_custkey + 1 = cb.c_custkey"), "left")
+        .select(
+            F.col("o.o_orderkey").alias("o_orderkey"),
+            F.col("ca.c_name").alias("primary_name"),
+            F.col("cb.c_name").alias("alt_name"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# S4 — in-memory fixture pipeline (FlinkJoiner.scala:279-313, FIXTURES.md §5):
+# dedup each tiny stream to latest-per-key, 3-way left join (TestJoiner shape)
+# ---------------------------------------------------------------------------
+
+_S4_ORACLE = """
+WITH listings(id, data, ts_ms) AS (VALUES
+  (1, 'listing 1.0', 60000), (2, 'listing 2.0', 60000), (3, 'listing 3.0', 60000),
+  (4, 'listing 4.0', 60000), (2, 'listing 2.1', 180000), (1, 'listing 1.1', 240000),
+  (2, 'listing 2.1', 600000)),
+images(id, data, ts_ms) AS (VALUES
+  (1, 'Image 1.0', 60000), (1, 'Image 1.1', 120000), (1, 'Image 1.2', 180000),
+  (2, 'Image 2.0', 180000)),
+open_houses(id, data, ts_ms) AS (VALUES
+  (1, 'OH 1.0', 60000), (1, 'OH 1.1', 120000), (2, 'OH 2.0', 120000)),
+l AS (SELECT a.* FROM listings a
+      JOIN (SELECT id, MAX(ts_ms) AS ts_ms FROM listings GROUP BY id) m USING (id, ts_ms)),
+i AS (SELECT a.* FROM images a
+      JOIN (SELECT id, MAX(ts_ms) AS ts_ms FROM images GROUP BY id) m USING (id, ts_ms)),
+o AS (SELECT a.* FROM open_houses a
+      JOIN (SELECT id, MAX(ts_ms) AS ts_ms FROM open_houses GROUP BY id) m USING (id, ts_ms))
+SELECT l.id, l.data AS listing_data, l.ts_ms AS listing_ts_ms,
+       i.data AS image_data, o.data AS oh_data
+FROM l LEFT JOIN i ON l.id = i.id LEFT JOIN o ON l.id = o.id
+"""
+
+
+@register("s4_memory_fixture_pipeline", _S4_ORACLE,
+          "bounded in-memory source → dedup ×3 → 3-way left join "
+          "(TestJoiner.scala:298-305 over FlinkJoiner static fixtures)")
+def s4_memory_fixture_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.sources import batch as mem
+
+    t = mem.fixture_tables(spark)
+    l = dedup.latest_per_key_all_ties(t["listings"], ["id"], "ts_ms").alias("l")
+    i = dedup.latest_per_key_all_ties(t["images"], ["id"], "ts_ms").alias("i")
+    o = dedup.latest_per_key_all_ties(t["open_houses"], ["id"], "ts_ms").alias("o")
+    return (
+        l.join(i, F.expr("l.id = i.id"), "left")
+        .join(o, F.expr("l.id = o.id"), "left")
+        .select(
+            F.col("l.id").cast("int").alias("id"),
+            F.col("l.data").alias("listing_data"),
+            F.col("l.ts_ms").cast("int").alias("listing_ts_ms"),
+            F.col("i.data").alias("image_data"),
+            F.col("o.data").alias("oh_data"),
+        )
+    )

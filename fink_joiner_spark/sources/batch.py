@@ -1,0 +1,56 @@
+"""Bounded sources (SURVEY.md §2.1 S4): in-memory fixtures.
+
+The reference's ``env.fromCollection(listingData)`` static streams
+(``FlinkJoiner.scala:279-313``) become ``spark.createDataFrame``. The
+canonical tiny fixture (FIXTURES.md §5) is reproduced here verbatim —
+re-versioned keys + a late-looking update — because it exercises dedup,
+as-of and late-data semantics in a handful of rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_FIXTURE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("data", T.StringType(), False),
+        T.StructField("ts_ms", T.LongType(), False),  # minute-granularity epoch ms
+    ]
+)
+
+# FlinkJoiner.scala:279-297 static data; ts = minute * 60000 ms.
+LISTINGS_FIXTURE = [
+    (1, "listing 1.0", 1 * 60000),
+    (2, "listing 2.0", 1 * 60000),
+    (3, "listing 3.0", 1 * 60000),
+    (4, "listing 4.0", 1 * 60000),
+    (2, "listing 2.1", 3 * 60000),
+    (1, "listing 1.1", 4 * 60000),
+    (2, "listing 2.1", 10 * 60000),
+]
+IMAGES_FIXTURE = [
+    (1, "Image 1.0", 1 * 60000),
+    (1, "Image 1.1", 2 * 60000),
+    (1, "Image 1.2", 3 * 60000),
+    (2, "Image 2.0", 3 * 60000),
+]
+OPEN_HOUSES_FIXTURE = [
+    (1, "OH 1.0", 1 * 60000),
+    (1, "OH 1.1", 2 * 60000),
+    (2, "OH 2.0", 2 * 60000),
+]
+
+
+def memory_source(spark: SparkSession, rows, schema=_FIXTURE_SCHEMA) -> DataFrame:
+    """S4 — bounded in-memory source (``env.fromCollection``)."""
+    return spark.createDataFrame(rows, schema)
+
+
+def fixture_tables(spark: SparkSession) -> dict[str, DataFrame]:
+    return {
+        "listings": memory_source(spark, LISTINGS_FIXTURE),
+        "images": memory_source(spark, IMAGES_FIXTURE),
+        "open_houses": memory_source(spark, OPEN_HOUSES_FIXTURE),
+    }
