@@ -1,0 +1,134 @@
+"""Temporal (as-of) join — J3, the reference's hardest live operator.
+
+Reference semantics (``FlinkJoiner.scala:231-257``): a temporal table
+function over the versioned side (key = ``agent_id``, version time =
+``rowtime``); each probe row joins the version with the greatest
+version-ts **<= probe-ts** for its key.
+
+Spark has no native as-of join, so two batch strategies:
+
+* :func:`asof_join` — **union-tag + last ignoreNulls window** (the
+  scalable default). Union probe and build rows into one stream tagged
+  by side, sort within key by (ts, build-first), and carry the latest
+  build values forward with ``last(..., ignoreNulls=True)`` over an
+  unbounded-preceding row frame. Cost: ONE hash shuffle on the key +
+  a within-partition sort — no row-pair explosion, skew-safe with AQE.
+  This is the 100 TB plan: per-key state is a running scalar, the same
+  memory contract as Flink's temporal-function state.
+* :func:`asof_join_rangejoin` — non-equi join + rank-1 filter; can
+  explode within hot keys, kept for tiny builds and cross-checks.
+
+Tie semantics: a build version at exactly probe-ts IS visible (``<=``),
+matching Flink's temporal table function and DuckDB ``ASOF JOIN``. If
+several build rows share (key, ts), the *last one in build order* wins
+under the window form — pre-dedup the build side (A1) for determinism,
+exactly as the reference joins deduped ``*_tbl_ts`` views.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str,
+    probe_ts: str,
+    build_ts: str,
+    build_cols: Sequence[str],
+    how: str = "inner",
+    tolerance: float | None = None,
+) -> DataFrame:
+    """Union-tag as-of join. Output: all probe columns + ``build_cols``.
+
+    ``tolerance``: optional max staleness (probe_ts − version_ts) in the
+    ts column's native numeric unit (seconds for timestamps — casts to
+    double — or the raw unit for numeric ts). Older versions are treated
+    as absent, the analog of Flink state TTL.
+    """
+    probe_cols = probe.columns
+    b = build.select(
+        F.col(on).alias("__k"),
+        F.col(build_ts).alias("__ts"),
+        F.lit(0).alias("__side"),  # build sorts before probe at equal ts → visible at ==
+        *[F.col(c).alias(f"__b_{c}") for c in build_cols],
+        *[F.lit(None).cast(probe.schema[c].dataType).alias(f"__p_{c}") for c in probe_cols],
+    )
+    p = probe.select(
+        F.col(on).alias("__k"),
+        F.col(probe_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(build.schema[c].dataType).alias(f"__b_{c}") for c in build_cols],
+        *[F.col(c).alias(f"__p_{c}") for c in probe_cols],
+    )
+    unioned = b.unionByName(p)
+
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(F.col(f"__b_{c}"), ignorenulls=True).over(w).alias(f"__v_{c}")
+            for c in build_cols
+        ],
+        F.last(
+            F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True
+        ).over(w).alias("__v_ts"),
+    )
+    out = carried.filter(F.col("__side") == 1)
+
+    matched = F.col("__v_ts").isNotNull()
+    if tolerance is not None:
+        fresh = (
+            F.col("__ts").cast("double") - F.col("__v_ts").cast("double")
+        ) <= F.lit(float(tolerance))
+        matched = matched & fresh
+
+    if how == "inner":
+        out = out.filter(matched)
+        return out.select(
+            *[F.col(f"__p_{c}").alias(c) for c in probe_cols],
+            *[F.col(f"__v_{c}").alias(c) for c in build_cols],
+        )
+    # left: keep probe rows, null out stale/absent versions
+    return out.select(
+        *[F.col(f"__p_{c}").alias(c) for c in probe_cols],
+        *[F.when(matched, F.col(f"__v_{c}")).alias(c) for c in build_cols],
+    )
+
+
+def asof_join_rangejoin(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str,
+    probe_ts: str,
+    build_ts: str,
+    build_cols: Sequence[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Cross-check implementation via non-equi join + rank-1 filter.
+
+    Exact but can pair every probe row with every earlier version of its
+    key — O(versions) per probe row. Use for small builds or tests.
+    """
+    p = probe.withColumn("__pid", F.monotonically_increasing_id()).alias("p")
+    b = build.alias("b")
+    cond = (F.col(f"p.{on}") == F.col(f"b.{on}")) & (
+        F.col(f"b.{build_ts}") <= F.col(f"p.{probe_ts}")
+    )
+    joined = p.join(b, cond, "left")
+    w = Window.partitionBy("p.__pid").orderBy(F.col(f"b.{build_ts}").desc_nulls_last())
+    ranked = joined.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    out = ranked.select(
+        *[F.col(f"p.{c}").alias(c) for c in probe.columns if c != "__pid"],
+        *[F.col(f"b.{c}").alias(c) for c in build_cols],
+    )
+    if how == "inner":
+        out = out.filter(F.col(build_cols[0]).isNotNull())
+    return out

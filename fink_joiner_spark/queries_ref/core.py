@@ -571,3 +571,108 @@ def s4_memory_fixture_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o.data").alias("oh_data"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# J3 — temporal (as-of) join (FlinkJoiner.scala:231-257): each 'click'
+# event joins the latest 'error' event of the same user with ts <= its ts.
+# U1 (temporal table function registration) is this same operator — the
+# reference's only UDF-like object is system-generated from the versioned
+# table; here the versioned side is an ordinary DataFrame argument.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j3_asof_join_inner",
+    """
+    SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+           b.event_id AS err_event_id, epoch_us(b.ts) AS err_ts_us,
+           ROUND(b.value, 2) AS err_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') p
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'error') b
+      ON p.user_id = b.user_id AND b.ts <= p.ts
+    """,
+    "event-time as-of join, union-tag + last-ignoreNulls window plan",
+)
+def j3_asof_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import asof
+
+    ev = table(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "click")
+    build = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("err_event_id"),
+            F.unix_micros("ts").alias("err_ts_us"),
+            F.round("value", 2).alias("err_value"),
+        )
+    )
+    out = asof.asof_join(
+        probe, build, on="user_id", probe_ts="ts", build_ts="ts",
+        build_cols=["err_event_id", "err_ts_us", "err_value"], how="inner",
+    )
+    return out.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"),
+        "err_event_id", "err_ts_us", "err_value",
+    )
+
+
+@register(
+    "j3_asof_join_left",
+    """
+    SELECT p.event_id, p.user_id,
+           b.event_id AS err_event_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') b
+      ON p.user_id = b.user_id AND b.ts <= p.ts
+    """,
+    "left-outer as-of variant (probes with no prior version keep NULLs)",
+)
+def j3_asof_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import asof
+
+    ev = table(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "click")
+    build = (
+        ev.filter(F.col("event_type") == "error")
+        .select("user_id", "ts", F.col("event_id").alias("err_event_id"))
+    )
+    out = asof.asof_join(
+        probe, build, on="user_id", probe_ts="ts", build_ts="ts",
+        build_cols=["err_event_id"], how="left",
+    )
+    return out.select("event_id", "user_id", "err_event_id")
+
+
+@register(
+    "j3_asof_join_tolerance",
+    """
+    SELECT p.event_id, p.user_id, l.err_event_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') p
+    LEFT JOIN LATERAL (
+      SELECT b.event_id AS err_event_id
+      FROM events b
+      WHERE b.event_type = 'error' AND b.user_id = p.user_id
+        AND b.ts <= p.ts
+        AND epoch_us(p.ts) - epoch_us(b.ts) <= 3600000000
+      ORDER BY b.ts DESC LIMIT 1
+    ) l ON true
+    """,
+    "as-of with 1 h staleness bound — the Flink state-TTL / watermark analog",
+)
+def j3_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import asof
+
+    ev = table(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "click")
+    build = (
+        ev.filter(F.col("event_type") == "error")
+        .select("user_id", "ts", F.col("event_id").alias("err_event_id"))
+    )
+    out = asof.asof_join(
+        probe, build, on="user_id", probe_ts="ts", build_ts="ts",
+        build_cols=["err_event_id"], how="left", tolerance=3600.0,
+    )
+    return out.select("event_id", "user_id", "err_event_id")

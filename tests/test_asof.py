@@ -1,0 +1,65 @@
+"""As-of join (J3) semantics tests: window-plan vs range-join cross-check,
+equal-timestamp visibility, and the canonical FIXTURES.md §5 tiny case."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fink_joiner_spark.catalog import table
+from fink_joiner_spark.operators import asof
+from fink_joiner_spark.sources import batch as mem
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_window_plan_matches_rangejoin(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    build = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", F.col("event_id").alias("b_id"))
+    )
+    a = asof.asof_join(probe, build, "user_id", "ts", "ts", ["b_id"], how="left")
+    b = asof.asof_join_rangejoin(probe, build, "user_id", "ts", "ts", ["b_id"], how="left")
+    assert _rows(a, "event_id", "b_id") == _rows(b, "event_id", "b_id")
+
+
+def test_equal_ts_version_visible(spark):
+    """A build version at exactly probe-ts must be joined (<= semantics,
+    Flink temporal table function contract)."""
+    probe = spark.createDataFrame([(1, 100), (1, 50)], "k long, ts long")
+    build = spark.createDataFrame(
+        [(1, 100, "v100"), (1, 60, "v60")], "k long, ts long, val string"
+    )
+    out = asof.asof_join(probe, build, "k", "ts", "ts", ["val"], how="left")
+    got = {r["ts"]: r["val"] for r in out.collect()}
+    assert got == {100: "v100", 50: None}
+
+
+def test_fixture_listing_asof_image(spark):
+    """FIXTURES.md §5: listings as-of images (FlinkJoiner static data).
+    listing(1, ts=4m) sees Image 1.2 (3m); listing(2, ts=3m) sees
+    Image 2.0 (3m, equal-ts); listing(3/4) see nothing."""
+    t = mem.fixture_tables(spark)
+    probe = t["listings"].select(F.col("id"), F.col("data"), F.col("ts_ms"))
+    build = t["images"].select(
+        F.col("id"), F.col("ts_ms"), F.col("data").alias("image")
+    )
+    out = asof.asof_join(probe, build, "id", "ts_ms", "ts_ms", ["image"], how="left")
+    got = {(r["id"], r["ts_ms"]): r["image"] for r in out.collect()}
+    assert got[(1, 240000)] == "Image 1.2"
+    assert got[(2, 180000)] == "Image 2.0"  # equal-ts visibility
+    assert got[(2, 600000)] == "Image 2.0"
+    assert got[(3, 60000)] is None
+    assert got[(4, 60000)] is None
+
+
+def test_tolerance_bounds_staleness(spark):
+    probe = spark.createDataFrame([(1, 1000.0)], "k long, ts double")
+    build = spark.createDataFrame([(1, 10.0, "old")], "k long, ts double, val string")
+    fresh = asof.asof_join(probe, build, "k", "ts", "ts", ["val"], how="left", tolerance=2000.0)
+    stale = asof.asof_join(probe, build, "k", "ts", "ts", ["val"], how="left", tolerance=100.0)
+    assert fresh.collect()[0]["val"] == "old"
+    assert stale.collect()[0]["val"] is None
