@@ -676,3 +676,39 @@ def j3_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_cols=["err_event_id"], how="left", tolerance=3600.0,
     )
     return out.select("event_id", "user_id", "err_event_id")
+
+
+# ---------------------------------------------------------------------------
+# Streaming dedup exposed to the correctness gate: a real Structured
+# Streaming job (file drip-feed, AvailableNow, foreachBatch snapshot
+# upserts) whose FINAL SNAPSHOT must hash-match the batch dedup oracle —
+# the strongest possible claim that streaming and batch agree (A1/T6).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_dedup_snapshot",
+    _A1_ORACLE,
+    "Structured Streaming incremental snapshot maintenance; final "
+    "snapshot == batch latest-per-key (CRMLSJoiner dedup, streaming mode)",
+)
+def stream_dedup_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from fink_joiner_spark.sources.streaming import file_drip_feed
+    from fink_joiner_spark.streaming.dedup_stream import SnapshotStore, run_dedup_stream
+
+    ev = table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="fjs_stream_dedup_")
+    stream = file_drip_feed(spark, ev, f"{work}/stage", "ts", n_files=4)
+    store = SnapshotStore(f"{work}/snap", ["user_id"], "ts", ["event_id"])
+    run_dedup_stream(stream, store).awaitTermination()
+    snap = store.read(spark)
+    return snap.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        "props",
+    )

@@ -1,0 +1,68 @@
+"""Sinks + checkpointing (SURVEY.md §2.1 S7/S8/S9).
+
+The reference's output surface is a retract stream printed to stdout
+(``toRetractStream.print()``, ``CRMLSJoiner.scala:489``) and a
+(dead-code) Kafka JSON sink (``FlinkJoiner_backup.txt:626-665``). Spark
+equivalents below; exactly-once (S9) = checkpointed offsets + state +
+an idempotent sink, configured per-query via ``checkpoint_location``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import DataStreamWriter
+
+
+def console_sink(
+    df: DataFrame,
+    output_mode: str = "update",
+    checkpoint_location: str | None = None,
+    trigger_available_now: bool = False,
+) -> DataStreamWriter:
+    """S7 — ``stream.print()`` analog."""
+    w = df.writeStream.format("console").outputMode(output_mode)
+    if checkpoint_location:
+        w = w.option("checkpointLocation", checkpoint_location)
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w
+
+
+def kafka_json_sink(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint_location: str,
+    output_mode: str = "update",
+) -> DataStreamWriter:
+    """S8 — publish rows as JSON to a Kafka topic
+    (``registerTableSink`` + ``sqlUpdate("insert into …")``,
+    ``FlinkJoiner_backup.txt:626-665``). Exactly-once via Kafka
+    transactions is a cluster concern; the checkpoint gives at-least-
+    once with idempotent downstream consumption."""
+    payload = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    return (
+        payload.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_location)
+        .outputMode(output_mode)
+    )
+
+
+def memory_sink(df: DataFrame, query_name: str, output_mode: str = "append") -> DataStreamWriter:
+    """Test sink: accumulate results in an in-memory table."""
+    return df.writeStream.format("memory").queryName(query_name).outputMode(output_mode)
+
+
+def parquet_sink(
+    df: DataFrame, path: str, checkpoint_location: str
+) -> DataStreamWriter:
+    """Append-mode parquet sink — the durable changelog surface."""
+    return (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_location)
+        .outputMode("append")
+    )

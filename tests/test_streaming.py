@@ -1,0 +1,132 @@
+"""Streaming semantics tests (SURVEY.md §5.2 item 3):
+
+(a) streaming dedup final snapshot == batch dedup answer;
+(b) the retract changelog replays to the same snapshot;
+(c) rows later than the watermark are dropped from windowed counts;
+(d) the multi-stream snapshot-join pipeline equals the batch join.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from fink_joiner_spark.catalog import table
+from fink_joiner_spark.operators import dedup
+from fink_joiner_spark.sources.streaming import file_drip_feed
+from fink_joiner_spark.streaming.dedup_stream import SnapshotStore, run_dedup_stream
+from fink_joiner_spark.streaming.pipeline import StreamDef, run_snapshot_join_pipeline
+from fink_joiner_spark.streaming.windows import windowed_count
+
+
+def _sorted_rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_stream_dedup_snapshot_equals_batch(spark, sf_dir, tmp_path):
+    ev = table(spark, sf_dir, "events")
+    stream = file_drip_feed(spark, ev, str(tmp_path / "stage"), "ts", n_files=5)
+    store = SnapshotStore(str(tmp_path / "snap"), ["user_id"], "ts", ["event_id"])
+    q = run_dedup_stream(stream, store, changelog_dir=str(tmp_path / "log"))
+    q.awaitTermination()
+
+    got = store.read(spark)
+    want = dedup.latest_per_key(ev, ["user_id"], "ts", ["event_id"])
+    cols = ev.columns
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+
+def test_retract_changelog_replays_to_snapshot(spark, sf_dir, tmp_path):
+    ev = table(spark, sf_dir, "events")
+    stream = file_drip_feed(spark, ev, str(tmp_path / "stage"), "ts", n_files=4)
+    store = SnapshotStore(str(tmp_path / "snap"), ["user_id"], "ts", ["event_id"])
+    q = run_dedup_stream(stream, store, changelog_dir=str(tmp_path / "log"))
+    q.awaitTermination()
+
+    log = spark.read.parquet(str(tmp_path / "log"))
+    # multiset replay: snapshot == all inserts minus all retracts
+    adds = log.filter(~F.col("is_retract")).drop("is_retract", "batch")
+    dels = log.filter(F.col("is_retract")).drop("is_retract", "batch")
+    replayed = adds.exceptAll(dels)
+    snap = store.read(spark)
+    cols = [c for c in snap.columns]
+    assert _sorted_rows(replayed, cols) == _sorted_rows(snap, cols)
+    # at least one retraction must have occurred (users re-version)
+    assert dels.count() > 0
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """A row arriving 10 min behind the watermark must not appear in
+    append-mode window output (T2 contract, 100 s bound)."""
+    rows = (
+        [(i, i, 1_000_000 + i * 30_000) for i in range(20)]  # advancing: 1000s..1570s
+        + [(20, 99, 100_000)]  # very late row: 100s, watermark far past
+        + [(21, 100, 2_000_000)]  # push watermark further
+    )
+    # drip in ARRIVAL order (seq), not event-time order — lateness only
+    # exists when arrival and event time disagree
+    df = spark.createDataFrame(rows, "seq long, id long, ts_ms long")
+    stream = file_drip_feed(spark, df, str(tmp_path / "stage"), "seq", n_files=6)
+    stream = stream.withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+    out = windowed_count(stream, "ts", "1 minute", lateness="100 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wm_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = {
+        r["window_start"].timestamp(): r["cnt"]
+        for r in spark.sql("SELECT * FROM wm_test").collect()
+    }
+    # the late row's window (t=60s..120s) must be absent or not count it
+    assert emitted.get(60.0) is None
+    # early windows from the advancing sequence were finalized and emitted
+    assert emitted.get(1020.0, 0) >= 1
+
+
+def test_snapshot_join_pipeline_matches_batch(spark, sf_dir, tmp_path):
+    """TestJoiner 3-way shape: two drip-fed versioned streams, snapshot
+    join == batch dedup+join."""
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user_id"),
+        F.col("ts").alias("e_ts"),
+        F.col("event_id").alias("e_event_id"),
+    )
+    streams = [
+        StreamDef(
+            "clicks",
+            file_drip_feed(spark, clicks, str(tmp_path / "s1"), "ts", 3),
+            ["user_id"], "ts", ["event_id"],
+        ),
+        StreamDef(
+            "errors",
+            file_drip_feed(spark, errors, str(tmp_path / "s2"), "e_ts", 3),
+            ["e_user_id"], "e_ts", ["e_event_id"],
+        ),
+    ]
+
+    def join_fn(snaps):
+        c, e = snaps["clicks"], snaps["errors"]
+        return c.join(e, c.user_id == e.e_user_id, "left").select(
+            "event_id", "user_id", "e_event_id"
+        )
+
+    stores = run_snapshot_join_pipeline(
+        spark, streams, join_fn, str(tmp_path / "work")
+    )
+    got = stores["result"].read(spark)
+
+    bc = dedup.latest_per_key(clicks, ["user_id"], "ts", ["event_id"])
+    be = dedup.latest_per_key(errors, ["e_user_id"], "e_ts", ["e_event_id"])
+    want = bc.join(be, bc.user_id == be.e_user_id, "left").select(
+        "event_id", "user_id", "e_event_id"
+    )
+    cols = ["event_id", "user_id", "e_event_id"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
