@@ -712,3 +712,87 @@ def stream_dedup_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 2).alias("value"),
         "props",
     )
+
+
+# ---------------------------------------------------------------------------
+# M4 — custom stateful streaming operators exposed to the correctness
+# gate. Both run real applyInPandasWithState jobs over an event-ordered
+# drip feed, so their results are SQL-checkable: streaming as-of ==
+# batch as-of; streaming running-reduce final == batch ordered fold.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_asof_stateful",
+    """
+    SELECT p.event_id, b.event_id AS err_event_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') b
+      ON p.user_id = b.user_id AND b.ts <= p.ts
+    """,
+    "streaming as-of via per-key version-history state "
+    "(applyInPandasWithState), event-ordered replay",
+)
+def stream_asof_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from fink_joiner_spark.sources.streaming import file_drip_feed
+    from fink_joiner_spark.streaming import stateful
+
+    ev = table(spark, sf_dir, "events").withColumn("ts_s", F.col("ts").cast("double"))
+    probe = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts_s")
+    build = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts_s", F.col("event_id").alias("b_id")
+    )
+    tagged = stateful.tag_streams(
+        probe, build, on="user_id", probe_ts="ts_s", build_ts="ts_s", build_cols=["b_id"]
+    )
+    work = tempfile.mkdtemp(prefix="fjs_stream_asof_")
+    stream = file_drip_feed(spark, tagged, f"{work}/stage", "ts", n_files=4)
+    out = stateful.streaming_asof_join(stream)
+    q = (
+        out.writeStream.format("memory").queryName("q_stream_asof")
+        .outputMode("append")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.sql("SELECT * FROM q_stream_asof").select(
+        F.get_json_object("probe_json", "$.event_id").cast("long").alias("event_id"),
+        F.get_json_object("build_json", "$.b_id").cast("long").alias("err_event_id"),
+    )
+
+
+@register(
+    "stream_keyed_reduce",
+    """
+    SELECT user_id AS k, string_agg(event_type, '|' ORDER BY ts, event_id) AS reduced
+    FROM events GROUP BY user_id
+    """,
+    "streaming running per-key fold (applyInPandasWithState, update mode); "
+    "final accumulator == batch ordered concat",
+)
+def stream_keyed_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from fink_joiner_spark.sources.streaming import file_drip_feed
+    from fink_joiner_spark.streaming import stateful
+
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    work = tempfile.mkdtemp(prefix="fjs_stream_reduce_")
+    stream = file_drip_feed(spark, ev, f"{work}/stage", "ts", n_files=3)
+    out = stateful.streaming_keyed_reduce(
+        stream, "user_id", "event_type", ["ts", "event_id"], sep="|"
+    )
+    q = (
+        out.writeStream.format("memory").queryName("q_stream_reduce")
+        .outputMode("update")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        """SELECT k, reduced FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY n_items DESC) rn
+             FROM q_stream_reduce) WHERE rn = 1"""
+    )

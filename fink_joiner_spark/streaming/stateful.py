@@ -1,0 +1,195 @@
+"""Custom stateful streaming operators (SURVEY.md §7 M4):
+
+* :func:`streaming_asof_join` — J3 in streaming mode: per-key version
+  history kept in Arrow-batched grouped state
+  (``applyInPandasWithState``), each probe row joined to the latest
+  build version with ts <= probe-ts. The streaming analog of Flink's
+  temporal table function state (``FlinkJoiner.scala:231-257``).
+* :func:`streaming_keyed_reduce` — A4: running per-key fold
+  (``keyBy().reduce``, ``FlinkJoiner_backup.txt:185-193``) emitting the
+  updated accumulator every micro-batch (update-mode retract analog).
+
+State GC: version history older than ``keep_versions_s`` below the
+newest version is pruned each batch, keeping the newest older-than-
+cutoff version so as-of lookups stay correct — the bounded-state
+contract Flink gets from state TTL + watermarks (SURVEY.md §7.3 #3).
+
+Scale notes: state is per-key and Arrow-batched; the shuffle is the
+single groupBy(key) exchange. Version values cross the Python boundary
+as JSON strings — schema-agnostic, and only the changed keys' state is
+(de)serialized per batch with RocksDB state store enabled.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.ArrayType(T.DoubleType())),
+        T.StructField("vals", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def tag_streams(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str,
+    probe_ts: str,
+    build_ts: str,
+    build_cols: Sequence[str],
+) -> DataFrame:
+    """Union-tag probe and build streams into the single keyed stream
+    the stateful operator consumes (same shape as the batch plan)."""
+    p = probe.select(
+        F.col(on).alias("k"),
+        F.col(probe_ts).cast("double").alias("ts"),
+        F.lit(1).alias("side"),
+        F.to_json(F.struct(*probe.columns)).alias("payload"),
+    )
+    b = build.select(
+        F.col(on).alias("k"),
+        F.col(build_ts).cast("double").alias("ts"),
+        F.lit(0).alias("side"),
+        F.to_json(F.struct(*[F.col(c) for c in build_cols])).alias("payload"),
+    )
+    return b.unionByName(p)
+
+
+def streaming_asof_join(
+    tagged: DataFrame,
+    keep_versions_s: float = 3600.0,
+) -> DataFrame:
+    """Stateful as-of join over a tagged stream (see :func:`tag_streams`).
+
+    Emits one row per probe: (k, ts, probe_json, build_json) where
+    build_json is the latest version with version-ts <= probe-ts (NULL
+    if none). Parse the JSON columns downstream with ``from_json``.
+
+    Within a micro-batch, rows are processed in (ts, build-first)
+    order, so equal-ts versions are visible — identical tie semantics
+    to the batch operator.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("ts", T.DoubleType()),
+            T.StructField("probe_json", T.StringType()),
+            T.StructField("build_json", T.StringType()),
+        ]
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import bisect
+
+        if state.exists:
+            ts_arr, val_arr = list(state.get[0]), list(state.get[1])
+        else:
+            ts_arr, val_arr = [], []  # kept sorted by ts
+        out_rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "side"])
+            for row in pdf.itertuples(index=False):
+                t = float(row.ts)
+                if row.side == 0:
+                    i = bisect.bisect_right(ts_arr, t)
+                    ts_arr.insert(i, t)
+                    val_arr.insert(i, row.payload)
+                else:
+                    i = bisect.bisect_right(ts_arr, t) - 1
+                    match = val_arr[i] if i >= 0 else None
+                    out_rows.append((key[0], t, row.payload, match))
+        # GC: drop versions older than cutoff, keeping the newest such
+        # version (still the valid as-of answer for future probes).
+        if ts_arr:
+            cutoff = ts_arr[-1] - keep_versions_s
+            first_kept = bisect.bisect_left(ts_arr, cutoff)
+            start = max(0, first_kept - 1)  # retain newest older version
+            ts_arr, val_arr = ts_arr[start:], val_arr[start:]
+        state.update((ts_arr, val_arr))
+        yield pd.DataFrame(out_rows, columns=["k", "ts", "probe_json", "build_json"])
+
+    return tagged.groupBy("k").applyInPandasWithState(
+        fn, out_schema, _STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def streaming_keyed_reduce(
+    stream: DataFrame,
+    key_col: str,
+    value_col: str,
+    order_cols: Sequence[str] = (),
+    sep: str = "",
+) -> DataFrame:
+    """A4 streaming: per-key running concat, emitted per micro-batch.
+
+    ``order_cols`` fix the fold order *within* each micro-batch (batches
+    themselves arrive in stream order), making the accumulated value
+    deterministic. Output: (k, reduced, n_items); the row with the max
+    ``n_items`` per key is the final accumulator (update-mode semantics).
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("reduced", T.StringType()),
+            T.StructField("n_items", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("acc", T.StringType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    ocols = [f"o{i}" for i in range(len(order_cols))]
+    tagged = stream.select(
+        F.col(key_col).cast("long").alias("k"),
+        F.col(value_col).cast("string").alias("v"),
+        *[F.col(c).alias(a) for c, a in zip(order_cols, ocols)],
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        acc, n = state.get if state.exists else ("", 0)
+        for pdf in pdfs:
+            if ocols:
+                pdf = pdf.sort_values(ocols)
+            for v in pdf["v"]:
+                acc = v if n == 0 else f"{acc}{sep}{v}"
+                n += 1
+        state.update((acc, n))
+        yield pd.DataFrame([(key[0], acc, n)], columns=["k", "reduced", "n_items"])
+
+    return tagged.groupBy("k").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def parse_asof_output(
+    out: DataFrame, probe_schema: T.StructType, build_schema: T.StructType
+) -> DataFrame:
+    """Rehydrate typed columns from the stateful operator's JSON output."""
+    return out.select(
+        F.from_json("probe_json", probe_schema).alias("p"),
+        F.from_json("build_json", build_schema).alias("b"),
+    ).select("p.*", "b.*")
+
+
+# NOTE on ordering across batches: like any streaming as-of, a build
+# version that ARRIVES after a probe was already emitted cannot
+# retroactively re-match it (append mode emits once). When input is
+# drip-fed in event-time order — the reference's Kafka topics are
+# approximately so — the streaming result equals the batch as-of join;
+# the equivalence test pins exactly that. Out-of-order builds within
+# the same micro-batch ARE handled (per-batch sort + state).
