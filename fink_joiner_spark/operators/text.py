@@ -1,0 +1,106 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+tokenization, token counting, quality scoring, language ID,
+fingerprinting.
+
+All are pure column expressions (whole-stage codegen, no Python in the
+hot path) and scale linearly: no shuffles except the final aggregates
+callers add. Every function has an exact DuckDB-SQL equivalent so the
+correctness gate can hash-match results.
+
+Hashing note: cross-engine-deterministic hashes use a polynomial fold
+over unicode codepoints (``acc*31 + codepoint mod 1e9+7``) — the one
+hash family expressible identically in Spark SQL and DuckDB SQL.
+Spark-only paths may use ``xxhash64`` (faster, JVM-side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+MOD = 1_000_000_007
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Order = tie-break precedence.
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "is", "in", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "para", "en", "que"],
+}
+CJK_PATTERN = "[\\u4e00-\\u9fff]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of lowercased text (split + filter)."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """BPE-ish tokenization: word pieces OR single non-space symbols —
+    the regex analog of a byte-pair pretokenizer's coarse pass."""
+    return F.regexp_extract_all(F.lower(text), F.lit(r"(\w+|[^\w\s])"), 1)
+
+
+def token_count(text: Column) -> Column:
+    return F.size(bpe_ish_tokens(text))
+
+
+def char_poly_hash(s: Column) -> Column:
+    """Cross-engine rolling hash: fold codepoints, acc*31+c mod 1e9+7.
+
+    O(len²) as substring indexing — acceptable for document-sized
+    strings; the Spark-only fast path is ``xxhash64``.
+    """
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(s)), lambda i: F.ascii(s.substr(i, F.lit(1)))
+    )
+    fold = F.aggregate(codes, F.lit(0).cast("long"), lambda acc, c: (acc * 31 + c) % MOD)
+    # guard: sequence(1, 0) would be DESCENDING [1,0] in Spark, not empty
+    return F.when(F.length(s) > 0, fold).otherwise(F.lit(0).cast("long"))
+
+
+def stopword_hits(toks: Column, lang: str) -> Column:
+    words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(words, t)))
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: CJK chars → zh, else argmax of stopword
+    hits with fixed precedence (en > de > fr > es), 'und' if no hits."""
+    toks = tokens(text)
+    s = {lang: stopword_hits(toks, lang) for lang in STOPWORDS}
+    best = F.greatest(*s.values())
+    out = F.when(text.rlike(CJK_PATTERN), F.lit("zh")).when(best == 0, F.lit("und"))
+    for lang in STOPWORDS:  # dict order == tie-break precedence
+        out = out.when(s[lang] == best, F.lit(lang))
+    return out.otherwise(F.lit("und"))
+
+
+def quality_features(df: DataFrame, text_col: str, out_prefix: str = "") -> DataFrame:
+    """Quality-scoring features: token count, mean token length,
+    punctuation ratio, stopword ratio — the standard cheap filters of a
+    pretraining data pipeline. Ratios rounded to 4dp (cross-engine
+    float parity)."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    chars_nospace = F.length(F.regexp_replace(t, r"\s", ""))
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    p = out_prefix
+    return df.select(
+        "*",
+        n_tok.alias(f"{p}n_tokens"),
+        F.round(chars_nospace / n_tok, 4).alias(f"{p}mean_token_len"),
+        F.round(n_punct / F.length(t), 4).alias(f"{p}punct_ratio"),
+        F.round(stopword_hits(toks, "en") / n_tok, 4).alias(f"{p}stopword_ratio"),
+    )
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Content fingerprint: md5 of whitespace-normalized lowercase text."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))
+
+
+def fingerprint_rolling(text: Column) -> Column:
+    """Order-sensitive rolling fingerprint (polynomial over codepoints)."""
+    return char_poly_hash(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))

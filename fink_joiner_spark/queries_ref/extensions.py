@@ -1,5 +1,465 @@
-"""Large-scale training-data-pipeline extension queries.
+"""Large-scale training-data-pipeline extension queries (SURVEY.md §7
+M5): dedup families, similarity search, text analysis, multimodal
+plumbing — each a registry entry with a DuckDB oracle wherever the
+semantics are SQL-expressible (everything except the mapInPandas
+feature extractor and the approximate LSH ANN, which get rows-only
+checks plus dedicated pytest recall bounds).
 
-Populated in M5 (dedup families, similarity search, text analysis,
-multimodal plumbing).
+The oracles replicate the engine's cross-engine-deterministic hashes
+(polynomial codepoint folds) in DuckDB SQL, so even the MinHash-LSH
+banding pipeline hash-matches bit-for-bit.
 """
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from fink_joiner_spark.catalog import table
+from fink_joiner_spark.queries import register
+
+# ---------------------------------------------------------------------------
+# shared DuckDB SQL fragments (mirrors of operators.text / .similarity)
+# ---------------------------------------------------------------------------
+
+# polynomial codepoint hash of string s (mirror of text.char_poly_hash)
+_DD_POLY = (
+    "list_reduce(list_prepend(0::BIGINT, "
+    "[ascii({s}[i:i])::BIGINT FOR i IN generate_series(1, length({s}))]), "
+    "(a, c) -> (a * 31 + c) % 1000000007)"
+)
+
+_DD_TOKS = "list_filter(string_split_regex(lower({t}), '\\s+'), x -> x <> '')"
+
+# distinct 3-word shingles over toks
+_DD_SHINGLES = (
+    "list_distinct(CASE WHEN len(toks) >= 3 THEN "
+    "[array_to_string(toks[i:i+2], ' ') FOR i IN generate_series(1, len(toks) - 2)] "
+    "ELSE [] END)"
+)
+
+# strict left-fold double cosine between lists a and b (mirror of similarity.cosine)
+def _dd_cosine(a: str, b: str) -> str:
+    return (
+        f"(list_reduce(list_prepend(0.0, [({a}[i]::DOUBLE) * ({b}[i]::DOUBLE) "
+        f"FOR i IN generate_series(1, len({a}))]), (x, y) -> x + y) / "
+        f"(sqrt(list_reduce(list_prepend(0.0, [({a}[i]::DOUBLE) * ({a}[i]::DOUBLE) "
+        f"FOR i IN generate_series(1, len({a}))]), (x, y) -> x + y)) * "
+        f"sqrt(list_reduce(list_prepend(0.0, [({b}[i]::DOUBLE) * ({b}[i]::DOUBLE) "
+        f"FOR i IN generate_series(1, len({b}))]), (x, y) -> x + y))))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    )
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
+           MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+    FROM corpus GROUP BY 1
+    """,
+    "exact content dedup via md5 hash-groupBy; corpus doubled with "
+    "offset ids so every doc has exactly one duplicate to collapse",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import dedup
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    normalized = corpus.select(
+        "doc_id", F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias("text")
+    )
+    return dedup.exact_dedup(normalized, ["text"], "doc_id", normalize=False)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs (exact, inverted-index join)
+# ---------------------------------------------------------------------------
+
+_JACCARD_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {_DD_TOKS.format(t='text')} AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id, {_DD_SHINGLES} AS shingles FROM tok
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_filter(a.shingles, s -> list_contains(b.shingles, s))) AS inter,
+         len(a.shingles) AS na, len(b.shingles) AS nb
+  FROM sh a JOIN sh b
+    ON a.doc_id < b.doc_id
+   AND len(list_filter(a.shingles, s -> list_contains(b.shingles, s))) > 0
+)
+SELECT id_a, id_b, ROUND(inter::DOUBLE / (na + nb - inter), 4) AS jaccard
+FROM pairs
+WHERE ROUND(inter::DOUBLE / (na + nb - inter), 4) >= 0.8
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    _JACCARD_ORACLE,
+    "exact 3-gram Jaccard near-dup pairs (threshold 0.8) via "
+    "inverted-index shingle join — no all-pairs cross join",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import similarity
+
+    docs = table(spark, sf_dir, "documents")
+    return similarity.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding (k=16 perms, 4 bands × 4 rows)
+# ---------------------------------------------------------------------------
+
+_MINHASH_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {_DD_TOKS.format(t='text')} AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id, {_DD_SHINGLES} AS shingles FROM tok
+),
+shh AS (
+  SELECT doc_id, shingles,
+         [{_DD_POLY.format(s='s')} FOR s IN shingles] AS hh
+  FROM sh
+),
+sig AS (
+  SELECT doc_id, shingles,
+         [list_min([(h * (2*j + 1) + 97*j + 13) % 1000000007 FOR h IN hh])
+          FOR j IN generate_series(0, 15)] AS sig
+  FROM shh WHERE len(shingles) > 0
+),
+banded AS (
+  SELECT doc_id, shingles, bands.band,
+         array_to_string(sig[bands.band*4 + 1 : bands.band*4 + 4], '_') AS bucket
+  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) bands
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.id_a, c.id_b,
+         len(list_filter(sa.shingles, s -> list_contains(sb.shingles, s))) AS inter,
+         len(sa.shingles) AS na, len(sb.shingles) AS nb
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b, ROUND(inter::DOUBLE / (na + nb - inter), 4) AS jaccard
+FROM verified
+WHERE ROUND(inter::DOUBLE / (na + nb - inter), 4) >= 0.8
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    _MINHASH_ORACLE,
+    "MinHash(16)+LSH(4×4) candidate banding + exact Jaccard verify — "
+    "the sub-quadratic text-dedup scale path; oracle replicates the "
+    "signature pipeline bit-for-bit",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import similarity
+
+    docs = table(spark, sf_dir, "documents")
+    return similarity.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, k=16, bands=4, threshold=0.8
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup pairs
+# ---------------------------------------------------------------------------
+
+_SIMHASH_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {_DD_TOKS.format(t='text')} AS toks FROM documents
+),
+th AS (
+  SELECT doc_id, [{_DD_POLY.format(s='t')} FOR t IN toks] AS hh FROM tok
+),
+sh AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(0::BIGINT,
+           [CASE WHEN 2 * len(list_filter(hh, h -> (h >> i) & 1 = 1)) - len(hh) > 0
+                 THEN (1::BIGINT << i) ELSE 0 END
+            FOR i IN generate_series(0, 31)]),
+           (a, x) -> a + x) AS sh
+  FROM th
+),
+halves AS (
+  SELECT doc_id, sh, p.part,
+         CASE WHEN p.part = 0 THEN sh % 65536 ELSE sh >> 16 END AS v
+  FROM sh CROSS JOIN (SELECT unnest([0, 1]) AS part) p
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+  FROM halves a JOIN halves b
+    ON a.part = b.part AND a.v = b.v AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+"""
+
+
+@register(
+    "dedup_simhash",
+    _SIMHASH_ORACLE,
+    "32-bit SimHash near-dup pairs (hamming ≤ 3) with half-block "
+    "candidate generation — banded exact search, no cross join",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import similarity
+
+    docs = table(spark, sf_dir, "documents")
+    return similarity.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup pairs (cell-blocked) + top-k search
+# ---------------------------------------------------------------------------
+
+_EMB_PAIRS_ORACLE = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND({_dd_cosine('a.embedding', 'b.embedding')}, 4) AS cos
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND({_dd_cosine('a.embedding', 'b.embedding')}, 4) >= 0.3
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    _EMB_PAIRS_ORACLE,
+    "embedding near-dup pairs within coarse cells (label = IVF-cell "
+    "analog); candidate volume Σ|cell|², never |all|²",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.embedding_dup_pairs(
+        emb, "vec_id", "embedding", "label", threshold=0.3
+    )
+
+
+_TOPK_ORACLE = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.qid, c.vec_id AS nid,
+         ROUND({_dd_cosine('q.qvec', 'c.embedding')}, 4) AS score
+  FROM q CROSS JOIN embeddings c WHERE q.qid <> c.vec_id
+),
+ranked AS (
+  SELECT qid, nid, score,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rank
+  FROM scored
+)
+SELECT qid, nid, score, rank FROM ranked WHERE rank <= 10
+"""
+
+
+@register(
+    "simsearch_topk_bruteforce",
+    _TOPK_ORACLE,
+    "exact cosine top-10 per query (broadcast query set, one corpus "
+    "scan, per-query rank) — the ANN baseline",
+)
+def simsearch_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return similarity.topk_bruteforce(
+        emb, queries, "vec_id", "embedding", "vec_id", "embedding", k=10
+    )
+
+
+@register(
+    "simsearch_topk_lsh",
+    None,  # approximate: recall bound pinned in tests/test_similarity.py
+    "ANN top-10 via deterministic sign-LSH bucketing (rows-only check; "
+    "recall vs brute force asserted in pytest)",
+)
+def simsearch_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return similarity.topk_sign_lsh(
+        emb, queries, "vec_id", "embedding", "vec_id", "embedding", k=10, n_planes=6
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = {
+    "en": "['the','a','and','of','to','is','in','that','it','for']",
+    "de": "['der','die','das','und','ist','nicht','ein','mit','für','auf']",
+    "fr": "['le','la','les','et','est','un','une','pour','dans','que']",
+    "es": "['el','la','los','y','es','un','una','para','en','que']",
+}
+
+_LANGID_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, lang, text, {_DD_TOKS.format(t='text')} AS toks FROM documents
+),
+hits AS (
+  SELECT doc_id, lang, text,
+         len(list_filter(toks, t -> list_contains({_STOP_SQL['en']}, t))) AS s_en,
+         len(list_filter(toks, t -> list_contains({_STOP_SQL['de']}, t))) AS s_de,
+         len(list_filter(toks, t -> list_contains({_STOP_SQL['fr']}, t))) AS s_fr,
+         len(list_filter(toks, t -> list_contains({_STOP_SQL['es']}, t))) AS s_es
+  FROM tok
+)
+SELECT doc_id, lang AS labeled_lang,
+       CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+            WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+            WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+            WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+            WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+            ELSE 'es' END AS pred_lang
+FROM hits
+"""
+
+
+@register(
+    "text_langid",
+    _LANGID_ORACLE,
+    "stopword/CJK-heuristic language ID (deterministic argmax with "
+    "fixed precedence)",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import text as txt
+
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        txt.lang_id(F.col("text")).alias("pred_lang"),
+    )
+
+
+_QUALITY_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, text, {_DD_TOKS.format(t='text')} AS toks FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       ROUND(length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE / len(toks), 4)
+         AS mean_token_len,
+       ROUND((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+             / length(text), 4) AS punct_ratio,
+       ROUND(len(list_filter(toks, t -> list_contains({_STOP_SQL['en']}, t)))::DOUBLE
+             / len(toks), 4) AS stopword_ratio
+FROM tok
+"""
+
+
+@register(
+    "text_quality",
+    _QUALITY_ORACLE,
+    "quality-score features: token count, mean token length, "
+    "punctuation ratio, stopword ratio",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import text as txt
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return txt.quality_features(docs, "text").drop("text")
+
+
+@register(
+    "text_token_count",
+    """
+    SELECT source,
+           SUM(len(regexp_extract_all(lower(text), '(\\w+|[^\\w\\s])', 1)))::BIGINT AS total_tokens,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY source
+    """,
+    "BPE-ish regex token counting aggregated per source",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import text as txt
+
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.sum(txt.token_count(F.col("text"))).alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+_NORM_TEXT = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+@register(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id,
+           md5({_NORM_TEXT}) AS fp_md5,
+           {_DD_POLY.format(s=_NORM_TEXT)} AS fp_rolling
+    FROM documents
+    """,
+    "document fingerprinting: md5 + order-sensitive rolling polynomial",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import text as txt
+
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        txt.fingerprint_md5(F.col("text")).alias("fp_md5"),
+        txt.fingerprint_rolling(F.col("text")).alias("fp_rolling"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_metadata",
+    """
+    SELECT doc_id AS id, strlen(text) AS n_bytes, sha256(text) AS sha256,
+           substr(text, 1, 4) AS magic
+    FROM documents
+    """,
+    "opaque binary payload + typed metadata (byte length, content "
+    "hash, magic bytes) — the multimodal column model",
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import multimodal
+
+    docs = table(spark, sf_dir, "documents")
+    return multimodal.binarize(docs, "text", "doc_id").drop("payload")
+
+
+@register(
+    "multimodal_features",
+    None,  # mapInPandas stub decode: rows-only; shape pinned in pytest
+    "Arrow-batched mapInPandas feature extraction over binary payloads "
+    "(decode stubbed: deterministic byte-histogram features)",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import multimodal
+
+    docs = table(spark, sf_dir, "documents")
+    bin_df = multimodal.binarize(docs, "text", "doc_id")
+    return multimodal.extract_features(bin_df, fake=True)

@@ -1,0 +1,72 @@
+"""Extension-operator quality bounds that the SQL oracles can't express:
+LSH recall vs exact baselines, multimodal feature shape, langid accuracy."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fink_joiner_spark.catalog import table
+from fink_joiner_spark.operators import multimodal, similarity
+
+
+def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
+    """LSH(4×4) over MinHash(16) must catch most J≥0.9 pairs
+    (P(candidate|0.9) ≈ 0.97) and produce NO pair below the verify
+    threshold (exact verification guarantees precision=1)."""
+    docs = table(spark, sf_dir, "documents")
+    exact = similarity.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.9)
+    lsh = similarity.minhash_lsh_pairs(docs, "doc_id", "text", n=3, k=16, bands=4,
+                                       threshold=0.9)
+    e = {(r.id_a, r.id_b) for r in exact.collect()}
+    l = {(r.id_a, r.id_b) for r in lsh.collect()}
+    assert l <= e, "LSH must never emit a pair the exact verify rejects"
+    if e:
+        assert len(l) / len(e) >= 0.8, f"recall {len(l)}/{len(e)} too low"
+
+
+def test_sign_lsh_ann_recall(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    brute = similarity.topk_bruteforce(
+        emb, queries, "vec_id", "embedding", "vec_id", "embedding", k=10
+    )
+    ann = similarity.topk_sign_lsh(
+        emb, queries, "vec_id", "embedding", "vec_id", "embedding", k=10, n_planes=6
+    )
+    b = {(r.qid, r.nid) for r in brute.collect()}
+    a = {(r.qid, r.nid) for r in ann.collect()}
+    # sign-LSH with 6 planes: same-bucket recall on random data is modest;
+    # assert it found a nontrivial fraction and every query got answers
+    assert len(a & b) / len(b) >= 0.2
+    assert ann.select("qid").distinct().count() == 8
+
+
+def test_multimodal_feature_shape(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    bin_df = multimodal.binarize(docs, "text", "doc_id")
+    feats = multimodal.extract_features(bin_df, fake=True)
+    rows = feats.collect()
+    assert len(rows) == docs.count()
+    for r in rows[:5]:
+        assert len(r.features) == multimodal.FEATURE_DIM
+        assert abs(sum(r.features) - 1.0) < 0.01  # histogram normalized
+        assert r.n_bytes > 0
+
+
+def test_multimodal_decode_stub_gates_real_path():
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_stub(b"bytes", fake=False)
+
+
+def test_langid_accuracy_on_en(spark, sf_dir):
+    """The corpus text is English word-soup regardless of label; the
+    heuristic must call it en (or und for stopword-free docs), never a
+    spurious other language."""
+    from fink_joiner_spark.operators import text as txt
+
+    docs = table(spark, sf_dir, "documents")
+    preds = docs.select(txt.lang_id(F.col("text")).alias("p")).groupBy("p").count()
+    langs = {r.p for r in preds.collect()}
+    assert langs <= {"en", "und", "es"}  # 'es' shares stopwords a/en with en-soup
