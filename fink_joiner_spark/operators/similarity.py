@@ -23,6 +23,14 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from fink_joiner_spark.operators.text import MOD, char_poly_hash, tokens
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the cluster's parallelism before
+    CPU-heavy per-row work. A single parquet file caps the scan at one
+    partition — on a real 100 TB table file count provides parallelism,
+    but a compute-dense operator must never inherit a 1-partition scan."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 # ---------------------------------------------------------------------------
 # shingles + exact Jaccard
 # ---------------------------------------------------------------------------
@@ -54,10 +62,16 @@ def jaccard_pairs(
     shingle cap this is the standard web-scale exact-verify step.
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded 4dp.
     """
-    sh = df.select(
+    sh = _spread(df).select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("shingles")
     ).withColumn("n_sh", F.size("shingles"))
-    posting = sh.select("id", "n_sh", F.explode("shingles").alias("s"))
+    # join on a 64-bit shingle hash, not the string: long keys shuffle
+    # and compare ~an order of magnitude cheaper; an xxhash64 collision
+    # (≈0 at any realistic posting volume) could only inflate one
+    # pair's intersection count by 1.
+    posting = sh.select(
+        "id", "n_sh", F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("s")
+    )
     a, b = posting.alias("a"), posting.alias("b")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
@@ -115,7 +129,7 @@ def minhash_lsh_pairs(
     P(candidate | J) = 1-(1-J^r)^b — the declared approximation.
     """
     r = k // bands
-    sh = df.select(
+    sh = _spread(df).select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), n).alias("shingles"),
     ).withColumn("sig", minhash_signature(F.col("shingles"), k))
@@ -202,7 +216,7 @@ def simhash_pairs(
     hamming ≤ 3 of 32 bits shares at least one identical half) — banded
     exact search, shuffle keyed by half-value, no cross join.
     """
-    s = df.select(F.col(id_col).alias("id"), simhash32(F.col(text_col)).alias("sh"))
+    s = _spread(df).select(F.col(id_col).alias("id"), simhash32(F.col(text_col)).alias("sh"))
     halves = s.select(
         "id",
         "sh",
@@ -269,7 +283,7 @@ def embedding_dup_pairs(
     cluster label; in production, a k-means cell id). The self-join is
     keyed by block — candidate volume is Σ|cell|², never |all|².
     """
-    v = df.select(
+    v = _spread(df).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), F.col(block_col).alias("blk")
     )
     a, b = v.alias("a"), v.alias("b")
@@ -298,7 +312,7 @@ def topk_bruteforce(
     from pyspark.sql import Window
 
     q = queries.select(F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qvec"))
-    c = df.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"))
+    c = _spread(df).select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"))
     scored = F.broadcast(q).crossJoin(c).filter(F.col("qid") != F.col("nid")).select(
         "qid", "nid", F.round(cosine(F.col("qvec"), F.col("nvec")), 4).alias("score")
     )

@@ -51,11 +51,11 @@ def char_poly_hash(s: Column) -> Column:
     O(len²) as substring indexing — acceptable for document-sized
     strings; the Spark-only fast path is ``xxhash64``.
     """
-    codes = F.transform(
-        F.sequence(F.lit(1), F.length(s)), lambda i: F.ascii(s.substr(i, F.lit(1)))
-    )
+    # split('', s) yields one array element per character — an O(len)
+    # pass, vs O(len²) per-index substr. (BMP-only parity with the
+    # DuckDB oracle's per-character indexing; the corpus is BMP.)
+    codes = F.transform(F.split(s, ""), lambda c: F.ascii(c))
     fold = F.aggregate(codes, F.lit(0).cast("long"), lambda acc, c: (acc * 31 + c) % MOD)
-    # guard: sequence(1, 0) would be DESCENDING [1,0] in Spark, not empty
     return F.when(F.length(s) > 0, fold).otherwise(F.lit(0).cast("long"))
 
 

@@ -1,0 +1,80 @@
+"""Physical-plan auditing: the 100 TB design rules as checkable
+predicates over ``explain`` output.
+
+Rules (SURVEY.md §4.2 + the scale brief):
+* filters and column selection must reach the parquet scan
+  (``PushedFilters`` / pruned ``ReadSchema``);
+* small dimensions must join as ``BroadcastHashJoin``;
+* expressions should run inside whole-stage codegen;
+* no ``CartesianProduct`` unless explicitly intended.
+
+Used by tests (tests/test_plans.py) so a regression that silently
+de-optimizes a plan fails CI, not a production run.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame, final: bool = False) -> str:
+    """Formatted physical plan; ``final=True`` executes the query (noop
+    sink) first so AQE's *final* plan — with codegen spans and runtime
+    join selections — is what gets audited."""
+    if final:
+        # must be an action on THIS Dataset's QueryExecution (a write
+        # command would plan a fresh one and leave ours non-final)
+        df.collect()
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def scan_read_schemas(plan: str) -> list[str]:
+    """ReadSchema clauses of every parquet scan in the plan."""
+    return re.findall(r"ReadSchema: (struct<[^\n]*)", plan)
+
+
+def asserts_column_pruned(df: DataFrame, table_hint: str, max_cols: int) -> None:
+    """Assert at least one scan (matching ``table_hint`` in its schema)
+    reads no more than ``max_cols`` columns."""
+    plan = formatted_plan(df)
+    schemas = scan_read_schemas(plan)
+    matching = [s for s in schemas if table_hint in s]
+    assert matching, f"no scan with column '{table_hint}' found:\n{plan}"
+    widths = [s.count(":") for s in matching]
+    assert min(widths) <= max_cols, (
+        f"scan not pruned: narrowest ReadSchema has {min(widths)} cols "
+        f"(wanted <= {max_cols}): {matching}"
+    )
+
+
+def asserts_filter_pushed(df: DataFrame, fragment: str) -> None:
+    plan = formatted_plan(df)
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any(fragment in p for p in pushed), (
+        f"filter '{fragment}' not pushed to any scan; PushedFilters={pushed}"
+    )
+
+
+def asserts_broadcast_join(df: DataFrame, min_count: int = 1) -> None:
+    plan = formatted_plan(df)
+    n = plan.count("BroadcastHashJoin")
+    assert n >= min_count, f"expected >= {min_count} BroadcastHashJoin, got {n}\n{plan}"
+
+
+def asserts_no_cartesian(df: DataFrame) -> None:
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, f"unexpected CartesianProduct:\n{plan}"
+
+
+def asserts_whole_stage_codegen(df: DataFrame) -> None:
+    plan = formatted_plan(df, final=True)
+    # formatted explain marks codegen stages as "[codegen id : N]"
+    assert "codegen id" in plan, f"no WholeStageCodegen span:\n{plan}"
+
+
+def count_shuffles(df: DataFrame) -> int:
+    return formatted_plan(df).count("Exchange hashpartitioning")

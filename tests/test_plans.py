@@ -1,0 +1,71 @@
+"""Physical-plan audits: the scale design rules, enforced.
+
+These tests fail when a change silently de-optimizes a headline plan —
+the local[32] analog of "would this survive a 100× scale-up".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fink_joiner_spark import plans
+from fink_joiner_spark.catalog import table
+from fink_joiner_spark.queries import REGISTRY, _ensure_loaded
+
+_ensure_loaded()
+
+
+def _q(name, spark, sf_dir):
+    return REGISTRY[name].fn(spark, sf_dir)
+
+
+def test_flagship_broadcasts_small_dims(spark, sf_dir):
+    df = _q("flagship_dedup_left_join", spark, sf_dir)
+    plans.asserts_broadcast_join(df, min_count=2)  # nation + region at least
+    plans.asserts_no_cartesian(df)
+    plans.asserts_whole_stage_codegen(df)
+
+
+def test_flagship_prunes_event_columns(spark, sf_dir):
+    # flagship reads 5 of events' 6 columns (props unused)
+    df = _q("flagship_dedup_left_join", spark, sf_dir)
+    plans.asserts_column_pruned(df, "user_id", max_cols=5)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    df = ev.filter(F.col("event_type") == "click").select("event_id")
+    plans.asserts_filter_pushed(df, "event_type")
+    plans.asserts_column_pruned(df, "event_id", max_cols=2)
+
+
+def test_asof_join_is_single_shuffle(spark, sf_dir):
+    """The union-tag as-of plan must shuffle ONCE on the key — that is
+    its scale advantage over a pair-explosion range join."""
+    df = _q("j3_asof_join_inner", spark, sf_dir)
+    plans.asserts_no_cartesian(df)
+    assert plans.count_shuffles(df) <= 2, plans.formatted_plan(df)
+
+
+def test_topk_bruteforce_broadcasts_queries(spark, sf_dir):
+    df = _q("simsearch_topk_bruteforce", spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_dedup_is_partial_agg(spark, sf_dir):
+    """latest_per_key_all_ties must plan map-side partial aggregation
+    (two HashAggregate rounds) so the shuffle carries one row per key
+    per map task, not the raw stream."""
+    ev = table(spark, sf_dir, "events")
+    from fink_joiner_spark.operators import dedup
+
+    df = dedup.group_max(ev, ["user_id"], "ts", "max_ts")
+    plan = plans.formatted_plan(df)
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_j1_no_cartesian_and_codegen(spark, sf_dir):
+    df = _q("j1_multiway_left_join", spark, sf_dir)
+    plans.asserts_no_cartesian(df)
+    plans.asserts_whole_stage_codegen(df)
