@@ -796,3 +796,129 @@ def stream_keyed_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
              SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY n_items DESC) rn
              FROM q_stream_reduce) WHERE rn = 1"""
     )
+
+
+# ---------------------------------------------------------------------------
+# The complete CRMLS pipeline analog, batch and streaming — P1 envelope
+# parse → A1 dedup by uc_pk → J1 left-join — the reference's production
+# job (CRMLSJoiner.scala:93-489) end-to-end through the envelope path.
+# ---------------------------------------------------------------------------
+
+_E2E_ORACLE = """
+WITH latest AS (
+  SELECT e.* FROM events e
+  JOIN (SELECT user_id, MAX(ts) AS ts FROM events GROUP BY user_id) m
+    USING (user_id, ts)
+)
+SELECT CAST(l.user_id AS VARCHAR) AS uc_pk,
+       epoch_us(l.ts) AS uc_created_ts,
+       l.event_type AS uc_type,
+       CAST(json_extract_string(l.props, '$.k') AS INT) AS k,
+       c.c_name, n.n_name AS nation_name
+FROM latest l
+LEFT JOIN customer c ON l.user_id = c.c_custkey
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+"""
+
+
+@register(
+    "crmls_envelope_e2e",
+    _E2E_ORACLE,
+    "full production-pipeline analog: raw JSON topic → envelope parse "
+    "(P1) → latest-per-uc_pk dedup (A1) → dimension left joins (J1)",
+)
+def crmls_envelope_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import projections
+
+    ev = table(spark, sf_dir, "events")
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+
+    # 1. simulate the raw Kafka topic: JSON envelope string per record
+    raw = ev.select(
+        F.to_json(
+            F.struct(
+                F.col("props").alias("data"),
+                F.col("user_id").cast("string").alias("uc_pk"),
+                F.col("user_id").cast("string").alias("uc_update_ts"),
+                F.lit("v1").alias("uc_version"),
+                F.unix_micros("ts").alias("uc_created_ts"),
+                F.lit("row").alias("uc_row_type"),
+                F.col("event_type").alias("uc_type"),
+                (F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long").alias("uc_valid_day"),
+                F.unix_micros("ts").alias("uc_valid_ts"),
+            )
+        ).alias("value")
+    )
+    # 2. P1: envelope projection with payload key extraction
+    parsed = projections.parse_envelope(raw, "value", payload_keys={"k_str": "$.k"})
+    # 3. A1: latest version per primary key (reference tie semantics)
+    latest = dedup.latest_per_key_all_ties(parsed, ["uc_pk"], "uc_created_ts")
+    # 4. J1: left-join the latest snapshot against dimensions
+    return (
+        latest.join(
+            customer, latest.uc_pk.cast("long") == customer.c_custkey, "left"
+        )
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left")
+        .select(
+            "uc_pk",
+            "uc_created_ts",
+            "uc_type",
+            F.col("k_str").cast("int").alias("k"),
+            "c_name",
+            F.col("n_name").alias("nation_name"),
+        )
+    )
+
+
+@register(
+    "stream_snapshot_join_pipeline",
+    """
+    WITH lc AS (
+      SELECT e.* FROM events e
+      JOIN (SELECT user_id, MAX(ts) AS ts FROM events
+            WHERE event_type = 'click' GROUP BY user_id) m USING (user_id, ts)
+      WHERE e.event_type = 'click'
+    ),
+    le AS (
+      SELECT e.* FROM events e
+      JOIN (SELECT user_id, MAX(ts) AS ts FROM events
+            WHERE event_type = 'error' GROUP BY user_id) m USING (user_id, ts)
+      WHERE e.event_type = 'error'
+    )
+    SELECT lc.event_id, lc.user_id, le.event_id AS err_event_id
+    FROM lc LEFT JOIN le ON lc.user_id = le.user_id
+    """,
+    "streaming CRMLS job shape: two drip-fed versioned streams → "
+    "incremental snapshot maintenance → snapshot left join; final "
+    "result == batch dedup+join",
+)
+def stream_snapshot_join_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from fink_joiner_spark.sources.streaming import file_drip_feed
+    from fink_joiner_spark.streaming.pipeline import StreamDef, run_snapshot_join_pipeline
+
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user_id"),
+        F.col("ts").alias("e_ts"),
+        F.col("event_id").alias("e_event_id"),
+    )
+    work = tempfile.mkdtemp(prefix="fjs_pipe_")
+    streams = [
+        StreamDef("clicks", file_drip_feed(spark, clicks, f"{work}/s1", "ts", 3),
+                  ["user_id"], "ts", ["event_id"]),
+        StreamDef("errors", file_drip_feed(spark, errors, f"{work}/s2", "e_ts", 3),
+                  ["e_user_id"], "e_ts", ["e_event_id"]),
+    ]
+
+    def join_fn(snaps):
+        c, e = snaps["clicks"], snaps["errors"]
+        return c.join(e, c.user_id == e.e_user_id, "left").select(
+            "event_id", "user_id", F.col("e_event_id").alias("err_event_id")
+        )
+
+    stores = run_snapshot_join_pipeline(spark, streams, join_fn, work)
+    return stores["result"].read(spark)
