@@ -23,6 +23,29 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def scoped_conf(spark: SparkSession, key: str, value: str):
+    """Temporarily set a runtime SQL conf for the duration of a query
+    body. The driver's vanilla session defaults to 200 shuffle
+    partitions — a 6× task-overhead tax on 150-key stateful streaming
+    ops; queries that run a full streaming job scope it down."""
+    try:
+        old = spark.conf.get(key)
+    except Exception:  # noqa: BLE001 — unset conf
+        old = None
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
 @dataclass(frozen=True)
 class QuerySpec:
     fn: QueryFn

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from fink_joiner_spark.catalog import table
 from fink_joiner_spark.operators import dedup
-from fink_joiner_spark.queries import register
+from fink_joiner_spark.queries import register, scoped_conf
 
 # ---------------------------------------------------------------------------
 # A1/A2 — latest-version-per-key dedup (CRMLSJoiner.scala:182)
@@ -700,9 +700,10 @@ def stream_dedup_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     work = tempfile.mkdtemp(prefix="fjs_stream_dedup_")
-    stream = file_drip_feed(spark, ev, f"{work}/stage", "ts", n_files=4)
-    store = SnapshotStore(f"{work}/snap", ["user_id"], "ts", ["event_id"])
-    run_dedup_stream(stream, store).awaitTermination()
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", "32"):
+        stream = file_drip_feed(spark, ev, f"{work}/stage", "ts", n_files=4)
+        store = SnapshotStore(f"{work}/snap", ["user_id"], "ts", ["event_id"])
+        run_dedup_stream(stream, store).awaitTermination()
     snap = store.read(spark)
     return snap.select(
         "event_id",
@@ -748,15 +749,16 @@ def stream_asof_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe, build, on="user_id", probe_ts="ts_s", build_ts="ts_s", build_cols=["b_id"]
     )
     work = tempfile.mkdtemp(prefix="fjs_stream_asof_")
-    stream = file_drip_feed(spark, tagged, f"{work}/stage", "ts", n_files=4)
-    out = stateful.streaming_asof_join(stream)
-    q = (
-        out.writeStream.format("memory").queryName("q_stream_asof")
-        .outputMode("append")
-        .option("checkpointLocation", f"{work}/ckpt")
-        .trigger(availableNow=True).start()
-    )
-    q.awaitTermination()
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", "32"):
+        stream = file_drip_feed(spark, tagged, f"{work}/stage", "ts", n_files=4)
+        out = stateful.streaming_asof_join(stream)
+        q = (
+            out.writeStream.format("memory").queryName("q_stream_asof")
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
     return spark.sql("SELECT * FROM q_stream_asof").select(
         F.get_json_object("probe_json", "$.event_id").cast("long").alias("event_id"),
         F.get_json_object("build_json", "$.b_id").cast("long").alias("err_event_id"),
@@ -780,17 +782,18 @@ def stream_keyed_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
     work = tempfile.mkdtemp(prefix="fjs_stream_reduce_")
-    stream = file_drip_feed(spark, ev, f"{work}/stage", "ts", n_files=3)
-    out = stateful.streaming_keyed_reduce(
-        stream, "user_id", "event_type", ["ts", "event_id"], sep="|"
-    )
-    q = (
-        out.writeStream.format("memory").queryName("q_stream_reduce")
-        .outputMode("update")
-        .option("checkpointLocation", f"{work}/ckpt")
-        .trigger(availableNow=True).start()
-    )
-    q.awaitTermination()
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", "32"):
+        stream = file_drip_feed(spark, ev, f"{work}/stage", "ts", n_files=3)
+        out = stateful.streaming_keyed_reduce(
+            stream, "user_id", "event_type", ["ts", "event_id"], sep="|"
+        )
+        q = (
+            out.writeStream.format("memory").queryName("q_stream_reduce")
+            .outputMode("update")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
     return spark.sql(
         """SELECT k, reduced FROM (
              SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY n_items DESC) rn
@@ -920,5 +923,6 @@ def stream_snapshot_join_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
             "event_id", "user_id", F.col("e_event_id").alias("err_event_id")
         )
 
-    stores = run_snapshot_join_pipeline(spark, streams, join_fn, work)
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", "32"):
+        stores = run_snapshot_join_pipeline(spark, streams, join_fn, work)
     return stores["result"].read(spark)
