@@ -26,6 +26,11 @@ def main() -> None:
     spark = get_spark("fink_joiner_spark-bench")
     fns = queries()
 
+    # warmup: JVM + parquet footer caches, so the first timed query
+    # isn't charged session startup
+    for t in ("events", "orders", "lineitem", "customer", "documents", "embeddings"):
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in fns.items():

@@ -926,3 +926,75 @@ def stream_snapshot_join_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
     with scoped_conf(spark, "spark.sql.shuffle.partitions", "32"):
         stores = run_snapshot_join_pipeline(spark, streams, join_fn, work)
     return stores["result"].read(spark)
+
+
+# ---------------------------------------------------------------------------
+# T5 extensions — sliding and session windows ("free extensions" per
+# SURVEY §2.5: window(dur, slide) / session_window). Oracles rebuild the
+# same window assignment arithmetic / gap-islands in ANSI SQL.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t5_sliding_window",
+    """
+    WITH assigned AS (
+      SELECT e.event_type,
+             ((epoch_us(e.ts) // 300000000) * 300000000 - i.i * 300000000)
+               AS window_start_us,
+             epoch_us(e.ts) AS t
+      FROM events e
+      CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS i) i
+    )
+    SELECT window_start_us, event_type, COUNT(*) AS cnt
+    FROM assigned
+    WHERE t < window_start_us + 600000000 AND t >= window_start_us
+    GROUP BY 1, 2
+    """,
+    "sliding window (10 min length / 5 min slide) keyed count — "
+    "window(ts, dur, slide), epoch-aligned like Flink SLIDE",
+)
+def t5_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    out = ev.groupBy(
+        F.window(F.col("ts"), "10 minutes", "5 minutes"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return out.select(
+        F.unix_micros(F.col("window.start")).alias("window_start_us"),
+        "event_type",
+        "cnt",
+    )
+
+
+@register(
+    "t5_session_window",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 600000000
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    )
+    SELECT user_id, epoch_us(MIN(ts)) AS session_start_us, COUNT(*) AS cnt
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    "session windows (10 min inactivity gap) per user — "
+    "session_window(); oracle via gap-islands SQL",
+)
+def t5_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    out = ev.groupBy(
+        F.session_window(F.col("ts"), "10 minutes"), F.col("user_id")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return out.select(
+        F.col("user_id"),
+        F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+        "cnt",
+    )

@@ -130,3 +130,48 @@ def test_snapshot_join_pipeline_matches_batch(spark, sf_dir, tmp_path):
     )
     cols = ["event_id", "user_id", "e_event_id"]
     assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+
+def test_checkpoint_resume_processes_only_new_files(spark, sf_dir, tmp_path):
+    """S9/T6: stop after a partial run, add data, restart with the SAME
+    checkpoint — the query resumes from recorded offsets and the final
+    snapshot equals the batch answer over all data."""
+    import os
+
+    ev = table(spark, sf_dir, "events")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage, exist_ok=True)
+    first.coalesce(1).write.mode("overwrite").parquet(f"{stage}/f0000")
+
+    store = SnapshotStore(str(tmp_path / "snap"), ["user_id"], "ts", ["event_id"])
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{stage}/f*")
+        )
+        q = run_dedup_stream(stream, store)
+        q.awaitTermination()
+
+    run_once()
+    v1 = store.current_version()
+    # add the second half and restart from the same checkpoint
+    second.coalesce(1).write.mode("overwrite").parquet(f"{stage}/f0001")
+    run_once()
+    assert store.current_version() > v1
+
+    got = store.read(spark)
+    want = dedup.latest_per_key(ev, ["user_id"], "ts", ["event_id"])
+    cols = ev.columns
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+    # restart once more with NO new data: checkpoint replays nothing,
+    # snapshot unchanged (idempotent recovery)
+    v2 = store.current_version()
+    run_once()
+    got2 = store.read(spark)
+    assert _sorted_rows(got2, cols) == _sorted_rows(want, cols)
