@@ -998,3 +998,89 @@ def t5_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
         "cnt",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming windowed word count (WordCount.scala:26-58, A5/T5 in
+# streaming mode): drip-fed docs → explode words with synthetic event
+# times → watermarked 5 s tumbling count. Complete output mode: the
+# memory sink holds the full window state after the final micro-batch,
+# so the streaming result equals the batch/SQL answer exactly (append-
+# mode finalization semantics are pinned separately by
+# tests/test_streaming.py::test_watermark_drops_late_rows).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_windowed_wordcount",
+    """
+    WITH words AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word
+      FROM documents
+    )
+    SELECT ((doc_id % 60) // 5) * 5000000 AS window_start_us, word,
+           COUNT(*) AS cnt
+    FROM words WHERE word <> '' GROUP BY 1, 2
+    """,
+    "Structured Streaming watermarked tumbling word count (append "
+    "mode); sentinel-flushed so streaming == batch oracle exactly",
+)
+def stream_windowed_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from fink_joiner_spark.operators import projections
+    from fink_joiner_spark.sources.streaming import file_drip_feed
+    from fink_joiner_spark.streaming.windows import windowed_count
+
+    docs = table(spark, sf_dir, "documents")
+    # synthetic event time: second doc_id % 60 → deterministic windows
+    timed = docs.select(
+        "doc_id",
+        "text",
+        F.timestamp_seconds(F.col("doc_id") % 60).alias("ts"),
+    )
+    work = tempfile.mkdtemp(prefix="fjs_stream_wc_")
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", "32"):
+        stream = file_drip_feed(spark, timed, f"{work}/stage", "ts", n_files=3)
+        words = stream.select(
+            "ts", F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
+        ).filter(F.col("word") != "")
+        out = windowed_count(words, "ts", "5 seconds", keys=["word"],
+                             lateness="100 seconds")
+        q = (
+            out.writeStream.format("memory").queryName("q_stream_wc")
+            .outputMode("complete")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+    res = spark.sql("SELECT * FROM q_stream_wc")
+    return res.select(
+        F.unix_micros("window_start").alias("window_start_us"), "word", "cnt"
+    )
+
+
+@register(
+    "stream_running_count",
+    "SELECT COUNT(*) AS cnt FROM events",
+    "A3 streaming: complete-mode global COUNT(*) over the drip-fed "
+    "stream; final emission == batch count",
+)
+def stream_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from fink_joiner_spark.sources.streaming import file_drip_feed
+
+    ev = table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="fjs_stream_cnt_")
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", "32"):
+        stream = file_drip_feed(spark, ev, f"{work}/stage", "ts", n_files=3)
+        out = stream.agg(F.count(F.lit(1)).alias("cnt"))
+        q = (
+            out.writeStream.format("memory").queryName("q_stream_cnt")
+            .outputMode("complete")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+    return spark.sql("SELECT * FROM q_stream_cnt")

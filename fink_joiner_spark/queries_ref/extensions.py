@@ -463,3 +463,117 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     bin_df = multimodal.binarize(docs, "text", "doc_id")
     return multimodal.extract_features(bin_df, fake=True)
+
+
+# ---------------------------------------------------------------------------
+# Pretraining-pipeline text filters: PII scrubbing, repetition ratio,
+# percentile length filter.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_pii_scrub",
+    """
+    WITH dirty AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com or +1 555 000 '
+                  || (1000 + doc_id % 9000) AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\+?[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g') AS clean_text
+    FROM dirty
+    """,
+    "PII redaction (emails, phone numbers) — deterministic dirt "
+    "injected per doc, then scrubbed; pure regexp_replace, codegen-side",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555 000 "),
+            (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        ).alias("text"),
+    )
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\+?[0-9][0-9 -]{7,}[0-9]"
+    return dirty.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), email, "<EMAIL>"), phone, "<PHONE>"
+        ).alias("clean_text"),
+    )
+
+
+@register(
+    "text_repetition_ratio",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, {_DD_TOKS.format(t='text')} AS toks FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 2 THEN
+               [array_to_string(toks[i:i+1], ' ')
+                FOR i IN generate_series(1, len(toks) - 1)]
+             ELSE [] END AS bigrams
+      FROM tok
+    )
+    SELECT doc_id,
+           ROUND(1.0 - len(list_distinct(bigrams))::DOUBLE / len(bigrams), 4)
+             AS rep_ratio
+    FROM bg WHERE len(bigrams) > 0
+    """,
+    "n-gram repetition ratio (1 - distinct/total bigrams) — the "
+    "standard boilerplate/spam quality filter",
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators.text import tokens
+
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    out = docs.select("doc_id", bigrams.alias("bigrams")).filter(F.size("bigrams") > 0)
+    return out.select(
+        "doc_id",
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct("bigrams")) / F.size("bigrams"), 4
+        ).alias("rep_ratio"),
+    )
+
+
+@register(
+    "text_length_filter_percentile",
+    """
+    WITH ranked AS (
+      SELECT doc_id, lang, n_chars,
+             PERCENT_RANK() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS pr
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars FROM ranked WHERE pr >= 0.5
+    """,
+    "keep docs at/above the per-language median length — exact "
+    "percentile via window rank (no approx_percentile drift)",
+)
+def text_length_filter_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") >= 0.5)
+        .select("doc_id", "lang", "n_chars")
+    )
