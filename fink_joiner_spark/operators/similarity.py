@@ -37,16 +37,16 @@ def _spread(df: DataFrame) -> DataFrame:
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct n-word shingles of lowercased whitespace tokens."""
+    """Distinct n-word shingles of lowercased whitespace tokens.
+
+    Built by zipping the token array against its own shifted slices —
+    O(tokens) total, vs O(tokens²) for per-index slicing."""
     toks = tokens(text)
-    shingled = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        )
-    )
-    # guard: Spark sequence(1, x) with x < 1 is DESCENDING, not empty
-    return F.when(F.size(toks) >= n, shingled).otherwise(
+    m = F.size(toks) - (n - 1)
+    acc = F.slice(toks, 1, m)
+    for k in range(2, n + 1):
+        acc = F.zip_with(acc, F.slice(toks, k, m), lambda a, b: F.concat_ws(" ", a, b))
+    return F.when(F.size(toks) >= n, F.array_distinct(acc)).otherwise(
         F.array().cast("array<string>")
     )
 

@@ -1084,3 +1084,114 @@ def stream_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.sql("SELECT * FROM q_stream_cnt")
+
+
+# ---------------------------------------------------------------------------
+# Free-extension SQL surface (SURVEY §2.4 notes these are absent from
+# the reference but come free with Spark SQL — declared + gated here so
+# the engine's surface is a strict superset): top-k per group, set
+# operations, CUBE/ROLLUP, pivot.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_topk_per_group",
+    """
+    SELECT c_mktsegment, o_orderkey, ROUND(o_totalprice, 2) AS total_price, rk
+    FROM (
+      SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                                ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rk
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ) WHERE rk <= 3
+    """,
+    "top-3 orders per market segment (window rank, deterministic ties)",
+)
+def ext_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    j = orders.join(customer, orders.o_custkey == customer.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "c_mktsegment",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "rk",
+        )
+    )
+
+
+@register(
+    "ext_set_ops",
+    """
+    SELECT user_id, 'both' AS src FROM (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+      INTERSECT
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+    )
+    UNION ALL
+    SELECT user_id, 'click_only' AS src FROM (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+      EXCEPT
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+    )
+    """,
+    "set operations (INTERSECT / EXCEPT / UNION ALL) over user sets",
+)
+def ext_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    erring = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    both = clickers.intersect(erring).withColumn("src", F.lit("both"))
+    only = clickers.exceptAll(erring).withColumn("src", F.lit("click_only"))
+    return both.unionByName(only)
+
+
+@register(
+    "ext_cube_count",
+    """
+    SELECT event_type,
+           CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_num,
+           COUNT(*) AS cnt
+    FROM events
+    GROUP BY CUBE (event_type, CAST(epoch_us(ts) // 86400000000 AS BIGINT))
+    """,
+    "CUBE grouping sets over (event_type, day)",
+)
+def ext_cube_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    day = (F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long").alias("day_num")
+    return ev.select("event_type", day).cube("event_type", "day_num").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+@register(
+    "ext_pivot_counts",
+    """
+    SELECT user_id,
+           COUNT(*) FILTER (event_type = 'click') AS click,
+           COUNT(*) FILTER (event_type = 'view') AS view,
+           COUNT(*) FILTER (event_type = 'error') AS error,
+           COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (event_type = 'signup') AS signup
+    FROM events GROUP BY user_id
+    """,
+    "pivot: per-user event-type count matrix",
+)
+def ext_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    kinds = ["click", "view", "error", "purchase", "signup"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, kinds)
+    )

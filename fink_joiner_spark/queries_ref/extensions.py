@@ -536,13 +536,18 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fink_joiner_spark.operators.text import tokens
 
-    docs = table(spark, sf_dir, "documents")
+    from fink_joiner_spark.operators.similarity import _spread
+
+    docs = _spread(table(spark, sf_dir, "documents"))
     toks = tokens(F.col("text"))
+    # zip the token array against itself shifted by one — O(n), vs the
+    # O(n²) per-index slice form
     bigrams = F.when(
         F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
         ),
     ).otherwise(F.array().cast("array<string>"))
     out = docs.select("doc_id", bigrams.alias("bigrams")).filter(F.size("bigrams") > 0)
