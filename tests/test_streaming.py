@@ -175,3 +175,26 @@ def test_checkpoint_resume_processes_only_new_files(spark, sf_dir, tmp_path):
     run_once()
     got2 = store.read(spark)
     assert _sorted_rows(got2, cols) == _sorted_rows(want, cols)
+
+
+def test_retract_fidelity_single_reversion(spark, tmp_path):
+    """SURVEY §7.3 #3 — exact toRetractStream fidelity: when one key is
+    re-versioned in a later batch, that batch's changelog contains
+    exactly one retract (the superseded row) and one insert (the new
+    row), and nothing else."""
+    schema = "k long, ts long, v string"
+    b1 = spark.createDataFrame([(1, 10, "v1"), (2, 10, "w1")], schema)
+    b2 = spark.createDataFrame([(1, 20, "v2")], schema)
+
+    store = SnapshotStore(str(tmp_path / "snap"), ["k"], "ts")
+    i1, r1 = store.upsert(b1)
+    assert sorted(tuple(r) for r in i1.collect()) == [(1, 10, "v1"), (2, 10, "w1")]
+    assert r1.count() == 0
+
+    i2, r2 = store.upsert(b2)
+    assert [tuple(r) for r in i2.collect()] == [(1, 20, "v2")]
+    assert [tuple(r) for r in r2.collect()] == [(1, 10, "v1")]
+
+    # out-of-date version arriving later: no-op delta (idempotent)
+    i3, r3 = store.upsert(spark.createDataFrame([(1, 15, "stale")], schema))
+    assert i3.count() == 0 and r3.count() == 0
