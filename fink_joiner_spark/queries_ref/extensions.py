@@ -582,3 +582,74 @@ def text_length_filter_percentile(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("pr") >= 0.5)
         .select("doc_id", "lang", "n_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative-algorithm capability: one k-means step over the embedding
+# table (assignment by cosine to k=8 deterministic seed centroids +
+# centroid update summary). The full loop is this step iterated with
+# the same shuffle shape: broadcast centroids, one pass over vectors,
+# one groupBy(centroid) — the canonical Spark ML pattern.
+# ---------------------------------------------------------------------------
+
+_KMEANS_ORACLE = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8
+),
+scored AS (
+  SELECT v.vec_id, c.cid,
+         {_dd_cosine('v.embedding', 'c.cvec')} AS cos,
+         list_reduce(list_prepend(0.0,
+           [v.embedding[i]::DOUBLE FOR i IN generate_series(1, len(v.embedding))]),
+           (x, y) -> x + y) AS vecsum,
+         v.embedding[1]::DOUBLE AS c0
+  FROM embeddings v CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, cid, vecsum, c0,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rk
+  FROM scored
+)
+SELECT cid AS centroid_id, COUNT(*) AS n_assigned,
+       ROUND(AVG(c0), 4) AS mean_c0, ROUND(AVG(vecsum), 4) AS mean_vecsum
+FROM assigned WHERE rk = 1 GROUP BY cid
+"""
+
+
+@register(
+    "kmeans_step",
+    _KMEANS_ORACLE,
+    "one k-means iteration (k=8, cosine assignment, centroid-update "
+    "summary): broadcast centroids + single corpus pass + one groupBy",
+)
+def kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from fink_joiner_spark.operators.similarity import cosine
+
+    emb = table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    vecsum = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "cid",
+            cosine(F.col("embedding"), F.col("cvec")).alias("cos"),
+            vecsum.alias("vecsum"),
+            F.element_at("embedding", 1).cast("double").alias("c0"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    assigned = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return assigned.groupBy(F.col("cid").alias("centroid_id")).agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        F.round(F.avg("c0"), 4).alias("mean_c0"),
+        F.round(F.avg("vecsum"), 4).alias("mean_vecsum"),
+    )

@@ -66,3 +66,14 @@ def parquet_sink(
         .option("checkpointLocation", checkpoint_location)
         .outputMode("append")
     )
+
+
+def write_partitioned(df, path: str, partition_cols, mode: str = "overwrite") -> None:
+    """Batch partitioned-parquet writer — the training-data lake layout.
+
+    Partitioning by low-cardinality curation columns (lang, source,
+    date) makes downstream scans partition-prunable: a reader filtering
+    on the partition column touches only matching directories
+    (PartitionFilters in the scan, zero data read elsewhere).
+    """
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)

@@ -69,3 +69,18 @@ def test_j1_no_cartesian_and_codegen(spark, sf_dir):
     df = _q("j1_multiway_left_join", spark, sf_dir)
     plans.asserts_no_cartesian(df)
     plans.asserts_whole_stage_codegen(df)
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Lake layout: write documents partitioned by lang; a lang-filtered
+    read must show PartitionFilters and scan only that partition."""
+    from fink_joiner_spark.sources.sinks import write_partitioned
+
+    docs = table(spark, sf_dir, "documents")
+    out = str(tmp_path / "lake")
+    write_partitioned(docs, out, ["lang"])
+
+    back = spark.read.parquet(out).filter(F.col("lang") == "en").select("doc_id")
+    plan = plans.formatted_plan(back)
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:200], plan
+    assert back.count() == docs.filter(F.col("lang") == "en").count()
