@@ -1195,3 +1195,45 @@ def ext_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
         .na.fill(0, kinds)
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-static join: the streaming fact joins a STATIC dimension
+# snapshot inside the streaming query — stateless (no join state at
+# all), and the production-correct shape for slowly-changing dims.
+# This is the third join execution mode next to batch (J1) and
+# snapshot-join (stream_snapshot_join_pipeline).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_static_join",
+    """
+    SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    """,
+    "stream-static left join (stateless dimension enrichment in-stream); "
+    "appended output == batch join",
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from fink_joiner_spark.sources.streaming import file_drip_feed
+
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    customer = table(spark, sf_dir, "customer")
+    work = tempfile.mkdtemp(prefix="fjs_stream_static_")
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", "32"):
+        stream = file_drip_feed(spark, ev, f"{work}/stage", "ts", n_files=3)
+        joined = stream.join(
+            F.broadcast(customer), stream.user_id == customer.c_custkey, "left"
+        ).select("event_id", "user_id", "c_name", "c_mktsegment")
+        q = (
+            joined.writeStream.format("memory").queryName("q_stream_static")
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+    return spark.sql("SELECT * FROM q_stream_static")

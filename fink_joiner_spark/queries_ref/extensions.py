@@ -653,3 +653,27 @@ def kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("c0"), 4).alias("mean_c0"),
         F.round(F.avg("vecsum"), 4).alias("mean_vecsum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate aggregates (HLL distinct, approximate quantiles) — absent
+# from the reference, essential at 100 TB (exact distinct on a hot
+# column is a full shuffle; the sketch is one pass, mergeable).
+# Approximation ≠ oracle-hashable → rows-only check; error bounds are
+# pinned in tests/test_similarity.py.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_approx_aggregates",
+    None,
+    "approx_count_distinct (HLL) + percentile_approx per event_type; "
+    "error vs exact pinned in pytest (±5% / ±1 bucket)",
+)
+def ext_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5).alias("approx_median_value"),
+        F.count(F.lit(1)).alias("cnt"),
+    )

@@ -70,3 +70,32 @@ def test_langid_accuracy_on_en(spark, sf_dir):
     preds = docs.select(txt.lang_id(F.col("text")).alias("p")).groupBy("p").count()
     langs = {r.p for r in preds.collect()}
     assert langs <= {"en", "und", "es"}  # 'es' shares stopwords a/en with en-soup
+
+
+def test_approx_aggregates_within_bounds(spark, sf_dir):
+    """HLL distinct within 5% of exact; approx median within the
+    [p40, p60] exact band."""
+    from fink_joiner_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    approx = {
+        r.event_type: r
+        for r in REGISTRY["ext_approx_aggregates"].fn(spark, sf_dir).collect()
+    }
+    from fink_joiner_spark.catalog import table as tbl
+
+    ev = tbl(spark, sf_dir, "events")
+    exact = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.4)").alias("p40"),
+            F.expr("percentile(value, 0.6)").alias("p60"),
+        )
+        .collect()
+    }
+    for et, a in approx.items():
+        e = exact[et]
+        assert abs(a.approx_users - e.users) <= max(2, 0.05 * e.users), (et, a, e)
+        assert e.p40 <= a.approx_median_value <= e.p60, (et, a, e)
