@@ -801,6 +801,51 @@ def stream_keyed_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_dedup_tws_retract",
+    """
+    SELECT user_id AS k, epoch_us(ts) AS ts_us, event_id AS seq,
+           event_type AS payload
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) rn
+          FROM events) WHERE rn = 1
+    """,
+    "latest-per-key dedup with retract changelog on the Spark 4 "
+    "transformWithState API (ValueState + TTL; auto-falls back to "
+    "applyInPandasWithState where protobuf is absent, e.g. this "
+    "container); replayed changelog == batch latest-per-key snapshot",
+)
+def stream_dedup_tws_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from fink_joiner_spark.sources.streaming import file_drip_feed
+    from fink_joiner_spark.streaming import stateful
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id", "event_type"
+    )
+    work = tempfile.mkdtemp(prefix="fjs_stream_tws_")
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", "32"):
+        stream = file_drip_feed(spark, ev, f"{work}/stage", "ts_us", n_files=3)
+        out = stateful.streaming_dedup_retract(
+            stream, "user_id", "ts_us", "event_id", "event_type"
+        )
+        q = (
+            out.writeStream.format("memory").queryName("q_stream_tws")
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+    # replay the changelog: rows whose inserts outnumber retracts form
+    # the final snapshot (proves retract fidelity, not just the winner).
+    return spark.sql(
+        """SELECT k, ts_us, seq, payload FROM q_stream_tws
+           GROUP BY k, ts_us, seq, payload
+           HAVING SUM(CASE WHEN is_retract THEN -1 ELSE 1 END) > 0"""
+    )
+
+
 # ---------------------------------------------------------------------------
 # The complete CRMLS pipeline analog, batch and streaming — P1 envelope
 # parse → A1 dedup by uc_pk → J1 left-join — the reference's production

@@ -176,6 +176,132 @@ def streaming_keyed_reduce(
     )
 
 
+class _LatestVersionProcessor:
+    """``StatefulProcessor`` keeping the max-(ts, seq) version per key and
+    emitting a retract (+insert) pair whenever a newer version supersedes
+    the current one — the reference's dedup + ``toRetractStream``
+    (``CRMLSJoiner.scala:182,489``) on Spark 4's ``transformWithState``
+    API (ValueState + optional TTL), the modern analog of Flink's
+    RocksDB keyed state with state TTL.
+    """
+
+    def __init__(self, ttl_ms: int | None = None):
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState(
+            "latest", "ts_us BIGINT, seq BIGINT, payload STRING", self._ttl_ms
+        )
+
+    def handleInputRows(self, key, rows, timer_values) -> Iterator[pd.DataFrame]:
+        cur = self._state.get() if self._state.exists() else None
+        cur_ts, cur_seq, cur_pl = cur if cur is not None else (-1, -1, None)
+        out: list[tuple] = []
+        for pdf in rows:
+            for row in pdf.sort_values(["ts_us", "seq"]).itertuples(index=False):
+                if (row.ts_us, row.seq) <= (cur_ts, cur_seq):
+                    continue  # superseded version: no output, no state change
+                if cur_pl is not None:
+                    out.append((key[0], cur_ts, cur_seq, cur_pl, True))
+                out.append((key[0], row.ts_us, row.seq, row.payload, False))
+                cur_ts, cur_seq, cur_pl = row.ts_us, row.seq, row.payload
+        if cur_pl is not None:
+            self._state.update((cur_ts, cur_seq, cur_pl))
+        yield pd.DataFrame(
+            out, columns=["k", "ts_us", "seq", "payload", "is_retract"]
+        )
+
+    def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+def tws_available() -> bool:
+    """``transformWithStateInPandas`` needs the protobuf wire format for
+    its state-server protocol; gate on it (import-try, per environment).
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+_RETRACT_OUT_DDL = "k BIGINT, ts_us BIGINT, seq BIGINT, payload STRING, is_retract BOOLEAN"
+
+
+def streaming_dedup_retract(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    seq_col: str,
+    payload_col: str,
+    ttl_ms: int | None = None,
+    api: str = "auto",
+) -> DataFrame:
+    """A1 + retract output as a custom stateful streaming operator.
+
+    Input: any stream with a long key, bigint ``ts_col`` (ordering),
+    bigint ``seq_col`` (tie-break), string ``payload_col``. Output: an
+    append changelog (k, ts_us, seq, payload, is_retract); replaying it
+    (net insert−retract count per row) yields exactly the latest-per-key
+    snapshot. ``ttl_ms`` bounds state like Flink's state TTL.
+
+    ``api``: "tws" = Spark 4 ``transformWithStateInPandas`` (ValueState
+    + TTL; needs protobuf), "apws" = ``applyInPandasWithState``
+    (identical semantics/output), "auto" = tws when available.
+    """
+    tagged = stream.select(
+        F.col(key_col).cast("long").alias("k"),
+        F.col(ts_col).cast("long").alias("ts_us"),
+        F.col(seq_col).cast("long").alias("seq"),
+        F.col(payload_col).cast("string").alias("payload"),
+    )
+    if api == "auto":
+        api = "tws" if tws_available() else "apws"
+    if api == "tws":
+        from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+        proc = type(
+            "LatestVersionProcessor", (_LatestVersionProcessor, StatefulProcessor), {}
+        )(ttl_ms)
+        return tagged.groupBy("k").transformWithStateInPandas(
+            statefulProcessor=proc,
+            outputStructType=_RETRACT_OUT_DDL,
+            outputMode="Append",
+            timeMode="ProcessingTime" if ttl_ms is not None else "None",
+        )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        cur_ts, cur_seq, cur_pl = state.get if state.exists else (-1, -1, None)
+        out: list[tuple] = []
+        for pdf in pdfs:
+            for row in pdf.sort_values(["ts_us", "seq"]).itertuples(index=False):
+                if (row.ts_us, row.seq) <= (cur_ts, cur_seq):
+                    continue
+                if cur_pl is not None:
+                    out.append((key[0], cur_ts, cur_seq, cur_pl, True))
+                out.append((key[0], row.ts_us, row.seq, row.payload, False))
+                cur_ts, cur_seq, cur_pl = row.ts_us, row.seq, row.payload
+        state.update((cur_ts, cur_seq, cur_pl))
+        yield pd.DataFrame(
+            out, columns=["k", "ts_us", "seq", "payload", "is_retract"]
+        )
+
+    return tagged.groupBy("k").applyInPandasWithState(
+        fn,
+        T._parse_datatype_string(_RETRACT_OUT_DDL),
+        "ts_us BIGINT, seq BIGINT, payload STRING",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def parse_asof_output(
     out: DataFrame, probe_schema: T.StructType, build_schema: T.StructType
 ) -> DataFrame:

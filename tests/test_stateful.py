@@ -98,3 +98,60 @@ def test_streaming_keyed_reduce_matches_batch(spark, sf_dir, tmp_path):
     g = sorted(tuple(r) for r in final.collect())
     w = sorted(tuple(r) for r in want.collect())
     assert g == w and len(g) > 0
+
+
+def test_streaming_dedup_retract_changelog(spark, tmp_path):
+    """Out-of-order + duplicate versions: superseded versions are
+    retracted, stale arrivals ignored, replay == latest-per-key."""
+    rows = [
+        # (key, ts_us, seq, payload) drip order = list order (1 file each)
+        (1, 100, 1, "a"),
+        (1, 300, 3, "c"),   # supersedes a -> retract a, insert c
+        (1, 200, 2, "b"),   # stale (ts < current): no output at all
+        (2, 100, 1, "x"),
+        (2, 100, 2, "y"),   # equal ts, higher seq wins -> retract x
+    ]
+    src = spark.createDataFrame(
+        [(i, *r) for i, r in enumerate(rows)],
+        "drip long, k long, ts_us long, seq long, payload string",
+    )
+    stream = file_drip_feed(spark, src, str(tmp_path / "stage"), "drip", n_files=5)
+    out = stateful.streaming_dedup_retract(stream, "k", "ts_us", "seq", "payload")
+    q = (
+        out.writeStream.format("memory").queryName("tws_retract")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    log = [
+        (r.k, r.ts_us, r.seq, r.payload, r.is_retract)
+        for r in spark.sql(
+            "SELECT * FROM tws_retract ORDER BY k, ts_us, seq, is_retract"
+        ).collect()
+    ]
+    assert log == [
+        (1, 100, 1, "a", False),
+        (1, 100, 1, "a", True),
+        (1, 300, 3, "c", False),
+        (2, 100, 1, "x", False),
+        (2, 100, 1, "x", True),
+        (2, 100, 2, "y", False),
+    ]
+    snapshot = {
+        (r.k, r.payload)
+        for r in spark.sql(
+            """SELECT k, payload FROM tws_retract GROUP BY k, ts_us, seq, payload
+               HAVING SUM(CASE WHEN is_retract THEN -1 ELSE 1 END) > 0"""
+        ).collect()
+    }
+    assert snapshot == {(1, "c"), (2, "y")}
+
+
+def test_tws_gate_reflects_environment(spark):
+    """The auto api picks the modern path only when protobuf exists."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        assert stateful.tws_available()
+    except ImportError:
+        assert not stateful.tws_available()
