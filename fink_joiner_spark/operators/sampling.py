@@ -1,0 +1,97 @@
+"""Deterministic sampling / split operators for training-data pipelines.
+
+The reference has no sampling surface; these are the standard
+large-corpus operations layered on the same engine: reproducible
+train/val/test assignment and per-stratum downsampling, both as pure
+column expressions (no UDF, no shuffle — evaluated inside the scan's
+codegen stage, so they cost ~nothing at 100 TB and never materialize a
+random state).
+
+Determinism contract: the bucket is a function of the row's stable id
+(+ salt), never of partitioning, task order, or a seeded RNG — the same
+row lands in the same split on any cluster size, which is what makes
+the split reproducible across reruns and engines (the DuckDB oracles
+compute the identical md5-prefix bucket).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: buckets granularity for split assignment (percent-style weights)
+N_BUCKETS = 100
+
+
+def hash_bucket(col: Column | str, n_buckets: int = N_BUCKETS, salt: str = "") -> Column:
+    """Deterministic bucket in [0, n_buckets) from a stable id.
+
+    Uses the first 8 hex digits of md5 (cross-engine reproducible —
+    DuckDB: ``CAST(CONCAT('0x', substr(md5(x),1,8)) AS UBIGINT)``),
+    not ``xxhash64`` (Spark-specific seed/variant).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.conv(F.substring(F.md5(F.concat(c.cast("string"), F.lit(salt))), 1, 8), 16, 10)
+    return (h.cast("long") % n_buckets).alias("bucket")
+
+
+def with_split(
+    df: DataFrame,
+    id_col: str,
+    weights: Mapping[str, int] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Add a ``split`` column: deterministic train/val/test assignment.
+
+    ``weights`` maps split name -> integer percent, summing to 100;
+    default 80/10/10. Assignment is by contiguous bucket ranges so the
+    oracle is a plain CASE expression.
+    """
+    weights = dict(weights or {"train": 80, "val": 10, "test": 10})
+    if sum(weights.values()) != N_BUCKETS:
+        raise ValueError(f"weights must sum to {N_BUCKETS}: {weights}")
+    b = hash_bucket(id_col, salt=salt)
+    expr = F.lit(None).cast("string")
+    hi = N_BUCKETS
+    for name, w in reversed(list(weights.items())):
+        lo = hi - w
+        expr = F.when((b >= lo) & (b < hi), F.lit(name)).otherwise(expr)
+        hi = lo
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-stratum sample: keep a row iff its hash bucket
+    falls below the stratum's fraction (in percent granularity).
+
+    Unlike ``df.sampleBy`` (seeded Bernoulli per partition — different
+    rows on re-shuffle), this is stable under any repartitioning.
+    """
+    b = hash_bucket(id_col, salt=salt)
+    thresh = F.lit(int(default_fraction * N_BUCKETS))
+    for k, frac in fractions.items():
+        thresh = F.when(F.col(strata_col) == k, F.lit(int(frac * N_BUCKETS))).otherwise(
+            thresh
+        )
+    return df.filter(b < thresh)
+
+
+def split_oracle_case(id_expr: str, weights: Sequence[tuple[str, int]], salt: str = "") -> str:
+    """DuckDB CASE expression mirroring :func:`with_split` bit-for-bit."""
+    bucket = (
+        f"(CAST(CONCAT('0x', substr(md5(CAST({id_expr} AS VARCHAR) || '{salt}'), 1, 8)) "
+        f"AS UBIGINT) % {N_BUCKETS})"
+    )
+    clauses, lo = [], 0
+    for name, w in weights:
+        clauses.append(f"WHEN {bucket} >= {lo} AND {bucket} < {lo + w} THEN '{name}'")
+        lo += w
+    return "CASE " + " ".join(clauses) + " END"

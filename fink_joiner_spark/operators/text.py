@@ -104,3 +104,40 @@ def fingerprint_md5(text: Column) -> Column:
 def fingerprint_rolling(text: Column) -> Column:
     """Order-sensitive rolling fingerprint (polynomial over codepoints)."""
     return char_poly_hash(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))
+
+
+def chunk_text(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int = 200,
+    stride: int = 150,
+) -> DataFrame:
+    """Split documents into overlapping character chunks (RAG/training
+    prep): chunk k covers ``[k*stride, k*stride + size)``; the final
+    chunk may be shorter; empty docs yield no chunks.
+
+    Fully declarative — ``sequence`` + ``explode`` + ``substring`` stay
+    in codegen, and the explode multiplies rows *after* the scan so
+    column pruning still reaches parquet. At 100 TB the output is
+    ~len/stride× the input: chunk immediately before a repartition on
+    the downstream key so the fan-out never concentrates on one task.
+    """
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    n_last = F.floor((F.length(text_col) - 1) / stride).cast("int")
+    return (
+        df.filter(F.length(text_col) > 0)
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(0), n_last)).alias("chunk_idx"),
+            F.col(text_col),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.substring(
+                F.col(text_col), F.col("chunk_idx") * stride + 1, size
+            ).alias("chunk"),
+        )
+    )

@@ -677,3 +677,78 @@ def ext_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.5).alias("approx_median_value"),
         F.count(F.lit(1)).alias("cnt"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic splits / sampling / chunking — corpus-prep operators a
+# training pipeline needs around the dedup/similarity family. All pure
+# column expressions (codegen, no UDF, no shuffle); determinism comes
+# from md5-prefix buckets over stable ids, mirrored exactly in DuckDB.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_train_val_test_split",
+    f"""
+    SELECT doc_id,
+           {__import__('fink_joiner_spark.operators.sampling', fromlist=['split_oracle_case']).split_oracle_case('doc_id', [('train', 80), ('val', 10), ('test', 10)])} AS split
+    FROM documents
+    """,
+    "deterministic 80/10/10 train/val/test assignment from md5-prefix "
+    "hash buckets of doc_id; stable under repartitioning/rerun",
+)
+def ext_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators.sampling import with_split
+
+    docs = table(spark, sf_dir, "documents")
+    return with_split(docs, "doc_id").select("doc_id", "split")
+
+
+@register(
+    "ext_stratified_sample",
+    """
+    SELECT event_id, event_type
+    FROM events
+    WHERE (CAST(CONCAT('0x', substr(md5(CAST(event_id AS VARCHAR) || ''), 1, 8))
+           AS UBIGINT) % 100)
+          < (CASE WHEN event_type = 'click' THEN 5
+                  WHEN event_type = 'view' THEN 10
+                  ELSE 50 END)
+    """,
+    "deterministic per-stratum downsample (5% clicks, 10% views, 50% "
+    "rest) by hash threshold — stable under any repartitioning, unlike "
+    "seeded sampleBy",
+)
+def ext_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators.sampling import stratified_sample
+
+    ev = table(spark, sf_dir, "events")
+    return stratified_sample(
+        ev, "event_id", "event_type", {"click": 0.05, "view": 0.10},
+        default_fraction=0.50,
+    ).select("event_id", "event_type")
+
+
+@register(
+    "ext_doc_chunks",
+    """
+    SELECT doc_id, k AS chunk_idx,
+           length(substr(text, k * 150 + 1, 200)) AS chunk_len,
+           md5(substr(text, k * 150 + 1, 200)) AS chunk_md5
+    FROM documents, UNNEST(generate_series(0, CAST((length(text) - 1) // 150 AS INT))) AS t(k)
+    WHERE length(text) > 0
+    """,
+    "overlapping character chunking (size 200, stride 150) via "
+    "sequence+explode+substring — declarative, codegen-resident RAG/"
+    "training chunker",
+)
+def ext_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators.text import chunk_text
+
+    docs = table(spark, sf_dir, "documents")
+    return chunk_text(docs, "doc_id", "text", size=200, stride=150).select(
+        "doc_id",
+        "chunk_idx",
+        F.length("chunk").alias("chunk_len"),
+        F.md5("chunk").alias("chunk_md5"),
+    )
