@@ -1282,3 +1282,158 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.sql("SELECT * FROM q_stream_static")
+
+
+@register(
+    "ext_semi_anti_join",
+    """
+    SELECT 'with_orders' AS kind, COUNT(*) AS cnt FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT 'without_orders' AS kind, COUNT(*) AS cnt FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "LEFT SEMI + LEFT ANTI joins (existence filters without row "
+    "duplication — the scalable EXISTS/NOT EXISTS plan)",
+)
+def ext_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    cond = customer.c_custkey == orders.o_custkey
+    semi = customer.join(orders, cond, "left_semi").agg(
+        F.lit("with_orders").alias("kind"), F.count(F.lit(1)).alias("cnt")
+    )
+    anti = customer.join(orders, cond, "left_anti").agg(
+        F.lit("without_orders").alias("kind"), F.count(F.lit(1)).alias("cnt")
+    )
+    return semi.select("kind", "cnt").unionByName(anti.select("kind", "cnt"))
+
+
+@register(
+    "ext_rollup_totals",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(SUM(l_quantity) AS BIGINT) AS sum_qty, COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "ROLLUP hierarchy totals (complements ext_cube_count's full cube)",
+)
+def ext_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "cnt",
+        )
+    )
+
+
+@register(
+    "ext_window_analytics",
+    """
+    SELECT event_id, user_id,
+           epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us,
+           LEAD(event_type) OVER w AS next_type,
+           CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents,
+           ROUND(AVG(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma3_cents
+    FROM (SELECT *, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "analytic window functions (lag/lead/running sum/moving average) — "
+    "one shuffle on user_id serves all four frames",
+)
+def ext_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events").withColumn(
+        # exact integer cents: window sums/averages are then bitwise
+        # reproducible across engines (float frame arithmetic is not —
+        # incremental-subtract vs recompute differs in the last ulp)
+        "cents",
+        F.round(F.col("value") * 100, 0).cast("long"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.sum("cents")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("running_cents"),
+        F.round(F.avg("cents").over(w.rowsBetween(-2, 0)), 4).alias("ma3_cents"),
+    )
+
+
+@register(
+    "ext_global_sort_topn",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount), 2) AS revenue
+    FROM lineitem
+    ORDER BY revenue DESC, l_orderkey, l_linenumber LIMIT 100
+    """,
+    "global ORDER BY + LIMIT: planner uses TakeOrderedAndProject "
+    "(per-partition top-N + driver merge — no total sort, no full "
+    "range-partition exchange at any scale)",
+)
+def ext_global_sort_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+@register(
+    "ext_tpch_q1_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "TPC-H Q1 pricing summary: the canonical scan-heavy partial-agg "
+    "benchmark (map-side combine; 6 aggregates in one pass)",
+)
+def ext_tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
