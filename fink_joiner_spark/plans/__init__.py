@@ -77,4 +77,10 @@ def asserts_whole_stage_codegen(df: DataFrame) -> None:
 
 
 def count_shuffles(df: DataFrame) -> int:
-    return formatted_plan(df).count("Exchange hashpartitioning")
+    """Number of shuffle exchanges in the plan (broadcast exchanges are
+    deliberately NOT counted — they're the cheap alternative we audit
+    FOR). Formatted explain puts the partitioning on a detail line
+    (``Arguments: hashpartitioning/rangepartitioning(...)``), so count
+    those, not the tree label."""
+    plan = formatted_plan(df)
+    return len(re.findall(r"Arguments: (?:hash|range)partitioning", plan))

@@ -84,3 +84,43 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     plan = plans.formatted_plan(back)
     assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:200], plan
     assert back.count() == docs.filter(F.col("lang") == "en").count()
+
+
+def test_global_topn_avoids_total_sort(spark, sf_dir):
+    """ORDER BY + LIMIT must plan as TakeOrderedAndProject (per-
+    partition top-N + merge), never a full range-partition sort."""
+    df = _q("ext_global_sort_topn", spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_window_analytics_single_shuffle(spark, sf_dir):
+    """Four analytic frames over the same (partition, order) must share
+    ONE hash exchange on user_id."""
+    df = _q("ext_window_analytics", spark, sf_dir)
+    assert plans.count_shuffles(df) == 1, plans.formatted_plan(df)
+
+
+def test_tpch_q1_partial_agg_and_pushdown(spark, sf_dir):
+    """Q1: shipdate filter reaches the scan; one shuffle (partial agg
+    map-side, final agg after a single exchange on the group keys)."""
+    df = _q("ext_tpch_q1_pricing", spark, sf_dir)
+    plans.asserts_filter_pushed(df, "l_shipdate")
+    assert plans.count_shuffles(df) == 1, plans.formatted_plan(df)
+    plans.asserts_whole_stage_codegen(df)
+
+
+def test_split_and_sample_are_scan_resident(spark, sf_dir):
+    """Split/sample are pure expressions: zero shuffles, codegen."""
+    for name in ("ext_train_val_test_split", "ext_stratified_sample"):
+        df = _q(name, spark, sf_dir)
+        assert plans.count_shuffles(df) == 0, (name, plans.formatted_plan(df))
+        plans.asserts_whole_stage_codegen(df)
+
+
+def test_chunking_prunes_columns(spark, sf_dir):
+    """The chunker reads only (doc_id, text) of documents' 5 columns."""
+    df = _q("ext_doc_chunks", spark, sf_dir)
+    plans.asserts_column_pruned(df, "doc_id", max_cols=2)
+    assert plans.count_shuffles(df) == 0, plans.formatted_plan(df)
