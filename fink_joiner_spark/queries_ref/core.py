@@ -1437,3 +1437,32 @@ def ext_tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
     )
+
+
+@register(
+    "ext_interval_join_banded",
+    """
+    SELECT a.event_id AS err_id, b.event_id AS click_id,
+           epoch_us(a.ts) - epoch_us(b.ts) AS delta_us
+    FROM events a JOIN events b
+      ON a.event_type = 'error' AND b.event_type = 'click'
+     AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 30000000
+    """,
+    "pure range-predicate (interval) join via bin-banding: 3x bin "
+    "replication + equi-join + exact refilter — no cartesian product "
+    "(Spark has no native range-join strategy; plan-audited)",
+)
+def ext_interval_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators.rangejoin import banded_interval_join
+
+    ev = table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), F.unix_micros("ts").alias("err_us")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.unix_micros("ts").alias("click_us")
+    )
+    joined = banded_interval_join(errors, clicks, "err_us", "click_us", 30_000_000)
+    return joined.select(
+        "err_id", "click_id", (F.col("err_us") - F.col("click_us")).alias("delta_us")
+    )

@@ -124,3 +124,11 @@ def test_chunking_prunes_columns(spark, sf_dir):
     df = _q("ext_doc_chunks", spark, sf_dir)
     plans.asserts_column_pruned(df, "doc_id", max_cols=2)
     assert plans.count_shuffles(df) == 0, plans.formatted_plan(df)
+
+
+def test_interval_join_no_cartesian(spark, sf_dir):
+    """The banded plan must be an equi-join on the bin — a plain range
+    predicate would fall back to BroadcastNestedLoop/Cartesian."""
+    df = _q("ext_interval_join_banded", spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
