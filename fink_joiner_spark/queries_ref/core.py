@@ -1466,3 +1466,29 @@ def ext_interval_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "err_id", "click_id", (F.col("err_us") - F.col("click_us")).alias("delta_us")
     )
+
+
+@register(
+    "ext_udtf_lateral_shingles",
+    r"""
+    SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle,
+           CAST(i - 1 AS INT) AS pos
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+          FROM documents WHERE doc_id < 25),
+         UNNEST(generate_series(1, len(toks) - 2)) AS t(i)
+    """,
+    "Python UDTF (@udtf) invoked through SQL LATERAL — the generic "
+    "table-function surface the reference's LATERAL TABLE(JoinAgents) "
+    "belongs to (FlinkJoiner.scala:246)",
+)
+def ext_udtf_lateral_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.functions import register_all
+
+    register_all(spark)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents_udtf")
+    return spark.sql(
+        """SELECT d.doc_id, s.shingle, s.pos
+           FROM documents_udtf d, LATERAL shingles(d.text) s
+           WHERE d.doc_id < 25"""
+    )

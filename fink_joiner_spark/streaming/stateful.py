@@ -162,18 +162,63 @@ def streaming_keyed_reduce(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         acc, n = state.get if state.exists else ("", 0)
+        # O(total length) join, not O(n^2) repeated concat
+        parts = [acc] if n else []
         for pdf in pdfs:
             if ocols:
                 pdf = pdf.sort_values(ocols)
-            for v in pdf["v"]:
-                acc = v if n == 0 else f"{acc}{sep}{v}"
-                n += 1
+            parts.extend(pdf["v"])
+            n += len(pdf)
+        acc = sep.join(parts)
         state.update((acc, n))
         yield pd.DataFrame([(key[0], acc, n)], columns=["k", "reduced", "n_items"])
 
     return tagged.groupBy("k").applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def _dedup_retract_batch(
+    key, pdfs: Iterator[pd.DataFrame], cur: tuple
+) -> tuple[pd.DataFrame, tuple | None]:
+    """Shared vectorized core of the dedup-retract operator: given the
+    current state (ts, seq, payload|None) and this batch's rows, return
+    (output changelog frame, new state or None-if-unchanged).
+
+    Sorted ascending by (ts_us, seq), every surviving row supersedes
+    the previous one — so inserts are the suffix of rows beating the
+    state, and retracts are all inserts but the last, plus the prior
+    state row. No per-row Python loop.
+    """
+    cur_ts, cur_seq, cur_pl = cur
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    batch = batch.sort_values(["ts_us", "seq"]).drop_duplicates(
+        ["ts_us", "seq"], keep="first"
+    )
+    beats = (batch["ts_us"] > cur_ts) | (
+        (batch["ts_us"] == cur_ts) & (batch["seq"] > cur_seq)
+    )
+    valid = batch[beats]
+    cols = ["k", "ts_us", "seq", "payload", "is_retract"]
+    if valid.empty:
+        return pd.DataFrame(columns=cols), None
+    inserts = valid[["ts_us", "seq", "payload"]].assign(is_retract=False)
+    retracts = valid[["ts_us", "seq", "payload"]].iloc[:-1].assign(is_retract=True)
+    if cur_pl is not None:
+        retracts = pd.concat(
+            [
+                pd.DataFrame(
+                    [(cur_ts, cur_seq, cur_pl, True)],
+                    columns=["ts_us", "seq", "payload", "is_retract"],
+                ),
+                retracts,
+            ],
+            ignore_index=True,
+        )
+    out = pd.concat([inserts, retracts], ignore_index=True)
+    out.insert(0, "k", key[0])
+    last = valid.iloc[-1]
+    return out[cols], (int(last.ts_us), int(last.seq), last.payload)
 
 
 class _LatestVersionProcessor:
@@ -194,22 +239,11 @@ class _LatestVersionProcessor:
         )
 
     def handleInputRows(self, key, rows, timer_values) -> Iterator[pd.DataFrame]:
-        cur = self._state.get() if self._state.exists() else None
-        cur_ts, cur_seq, cur_pl = cur if cur is not None else (-1, -1, None)
-        out: list[tuple] = []
-        for pdf in rows:
-            for row in pdf.sort_values(["ts_us", "seq"]).itertuples(index=False):
-                if (row.ts_us, row.seq) <= (cur_ts, cur_seq):
-                    continue  # superseded version: no output, no state change
-                if cur_pl is not None:
-                    out.append((key[0], cur_ts, cur_seq, cur_pl, True))
-                out.append((key[0], row.ts_us, row.seq, row.payload, False))
-                cur_ts, cur_seq, cur_pl = row.ts_us, row.seq, row.payload
-        if cur_pl is not None:
-            self._state.update((cur_ts, cur_seq, cur_pl))
-        yield pd.DataFrame(
-            out, columns=["k", "ts_us", "seq", "payload", "is_retract"]
-        )
+        cur = self._state.get() if self._state.exists() else (-1, -1, None)
+        out, new_state = _dedup_retract_batch(key, rows, tuple(cur))
+        if new_state is not None:
+            self._state.update(new_state)
+        yield out
 
     def handleExpiredTimer(self, key, timer_values, expired_timer_info):
         return iter(())
@@ -278,20 +312,11 @@ def streaming_dedup_retract(
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        cur_ts, cur_seq, cur_pl = state.get if state.exists else (-1, -1, None)
-        out: list[tuple] = []
-        for pdf in pdfs:
-            for row in pdf.sort_values(["ts_us", "seq"]).itertuples(index=False):
-                if (row.ts_us, row.seq) <= (cur_ts, cur_seq):
-                    continue
-                if cur_pl is not None:
-                    out.append((key[0], cur_ts, cur_seq, cur_pl, True))
-                out.append((key[0], row.ts_us, row.seq, row.payload, False))
-                cur_ts, cur_seq, cur_pl = row.ts_us, row.seq, row.payload
-        state.update((cur_ts, cur_seq, cur_pl))
-        yield pd.DataFrame(
-            out, columns=["k", "ts_us", "seq", "payload", "is_retract"]
-        )
+        cur = tuple(state.get) if state.exists else (-1, -1, None)
+        out, new_state = _dedup_retract_batch(key, pdfs, cur)
+        if new_state is not None:
+            state.update(new_state)
+        yield out
 
     return tagged.groupBy("k").applyInPandasWithState(
         fn,
