@@ -1492,3 +1492,61 @@ def ext_udtf_lateral_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM documents_udtf d, LATERAL shingles(d.text) s
            WHERE d.doc_id < 25"""
     )
+
+
+@register(
+    "stream_stream_interval_join",
+    """
+    SELECT c.event_id AS click_id, e.event_id AS err_id,
+           epoch_us(e.ts) - epoch_us(c.ts) AS delta_us
+    FROM events c JOIN events e
+      ON c.event_type = 'click' AND e.event_type = 'error'
+     AND c.user_id = e.user_id
+     AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+    "true stream-stream inner join with watermarks on both sides and a "
+    "time-range condition (join state GC'd by watermark - the "
+    "Structured Streaming native path, complementing the snapshot-join "
+    "architecture); appended result == batch interval join",
+)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from fink_joiner_spark.sources.streaming import file_drip_feed
+
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+    )
+    work = tempfile.mkdtemp(prefix="fjs_ss_join_")
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", "32"):
+        sc = file_drip_feed(spark, clicks, f"{work}/c", "c_ts", n_files=3).withWatermark(
+            "c_ts", "1 hour"
+        )
+        se = file_drip_feed(spark, errors, f"{work}/e", "e_ts", n_files=3).withWatermark(
+            "e_ts", "1 hour"
+        )
+        joined = sc.join(
+            se,
+            F.expr(
+                "c_user = e_user AND e_ts >= c_ts "
+                "AND e_ts <= c_ts + INTERVAL 30 MINUTES"
+            ),
+            "inner",
+        ).select(
+            "click_id", "err_id",
+            (F.unix_micros("e_ts") - F.unix_micros("c_ts")).alias("delta_us"),
+        )
+        q = (
+            joined.writeStream.format("memory").queryName("q_ss_join")
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+    return spark.sql("SELECT * FROM q_ss_join")
