@@ -752,3 +752,21 @@ def ext_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("chunk").alias("chunk_len"),
         F.md5("chunk").alias("chunk_md5"),
     )
+
+
+@register(
+    "simsearch_topk_ivf",
+    None,  # approximate: recall bound pinned in tests/test_similarity.py
+    "ANN top-10 via IVF coarse quantization (deterministic seed "
+    "centroids, nprobe-cell probing; rows-only check, recall vs brute "
+    "force asserted in pytest) — the shuffle-light alternative to LSH",
+)
+def simsearch_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return similarity.topk_ivf(
+        emb, queries, "vec_id", "embedding", "vec_id", "embedding",
+        k=10, n_cells=16, nprobe=4,
+    )

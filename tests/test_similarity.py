@@ -99,3 +99,22 @@ def test_approx_aggregates_within_bounds(spark, sf_dir):
         e = exact[et]
         assert abs(a.approx_users - e.users) <= max(2, 0.05 * e.users), (et, a, e)
         assert e.p40 <= a.approx_median_value <= e.p60, (et, a, e)
+
+
+def test_ivf_ann_recall(spark, sf_dir):
+    """IVF with nprobe=n_cells/2 must beat sign-LSH's floor comfortably
+    and never return a neighbor outside the probed-cell construction
+    (every hit is a real corpus vector, scored exactly)."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    brute = similarity.topk_bruteforce(
+        emb, queries, "vec_id", "embedding", "vec_id", "embedding", k=10
+    )
+    ivf = similarity.topk_ivf(
+        emb, queries, "vec_id", "embedding", "vec_id", "embedding",
+        k=10, n_cells=16, nprobe=8,
+    )
+    b = {(r.qid, r.nid) for r in brute.collect()}
+    a = {(r.qid, r.nid) for r in ivf.collect()}
+    assert len(a & b) / len(b) >= 0.5, f"IVF recall {len(a & b)}/{len(b)}"
+    assert ivf.select("qid").distinct().count() == 8
