@@ -1,0 +1,83 @@
+"""Lake-maintenance operators: small-file compaction + data clustering.
+
+At 100 TB the dominant cost of every query is the scan, and two layout
+pathologies destroy scan performance long before any operator runs:
+
+* **Small files.** A streaming writer (our changelog parquet sink, any
+  micro-batch ingest) emits one file per partition per batch; after a
+  day that is millions of KB-sized files, and a scan pays an open +
+  footer-read per file. :func:`compact` rewrites a dataset into
+  ~``target_file_mb`` files.
+* **No value locality.** Parquet row-group min/max pruning (and page
+  indexes) only skip data when values are clustered — a filter on
+  ``lang='fr'`` reads everything if every file holds every language.
+  :func:`compact` with ``cluster_by`` range-partitions + sorts so each
+  output file covers a narrow value range, making selective scans read
+  a small fraction of files (the poor man's Z-order for one key
+  hierarchy).
+
+This is the batch analog of the reference keeping RocksDB compacted
+behind its state backend (``CRMLSJoiner.scala:57-59``): the engine owns
+storage hygiene, not the user. Both operators are pure Spark writes —
+no driver-side data movement; ``repartitionByRange`` samples the
+cluster key(s) to build balanced ranges, so skewed keys still yield
+even file sizes.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def dataset_bytes(df: DataFrame) -> int:
+    """Total on-disk size of the files backing a (file-sourced) frame.
+
+    Uses the file list the scan already resolved — no extra listing.
+    Only local paths are sized here; on a cluster this would go through
+    the Hadoop FileSystem API (same information, same cost).
+    """
+    total = 0
+    for f in df.inputFiles():
+        p = f.removeprefix("file:")
+        if os.path.exists(p):
+            total += os.path.getsize(p)
+    return total
+
+
+def compact(
+    df: DataFrame,
+    dest_path: str,
+    target_file_mb: float = 128,
+    cluster_by: Sequence[str] = (),
+    sort_within: Sequence[str] = (),
+) -> int:
+    """Rewrite ``df``'s data as ~``target_file_mb`` parquet files at
+    ``dest_path``; returns the number of output files requested.
+
+    * plain compaction: ``repartition(n)`` — round-robin, even sizes;
+    * clustered compaction: ``repartitionByRange(n, *cluster_by)`` +
+      ``sortWithinPartitions`` — each file covers a narrow range of the
+      cluster key(s), so row-group min/max statistics prune selective
+      scans down to the few matching files.
+
+    ``n`` is computed from the *source* size; parquet re-encodes with
+    the same encodings so output sizes track input sizes closely.
+    """
+    n = max(1, math.ceil(dataset_bytes(df) / (target_file_mb * 1024 * 1024)))
+    if cluster_by:
+        out = df.repartitionByRange(n, *cluster_by).sortWithinPartitions(
+            *(sort_within or cluster_by)
+        )
+    else:
+        out = df.repartition(n)
+    out.write.mode("overwrite").parquet(dest_path)
+    return n
+
+
+def file_count(spark: SparkSession, path: str) -> int:
+    """Number of data files in a parquet dataset (hygiene metric)."""
+    return len(spark.read.parquet(path).inputFiles())

@@ -26,12 +26,25 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 from contextlib import contextmanager  # noqa: E402
 
 
+# Shuffle-partition count for queries that run a full streaming job.
+# Streaming state is partitioned by this number at the FIRST checkpoint
+# and every micro-batch pays a per-partition state-store open+commit
+# (with RocksDB: instance open, WAL, checkpoint upload) regardless of
+# data volume — so unlike batch shuffles (where AQE coalesces), this
+# must be sized to STATE volume, not cluster width. 8 partitions carry
+# the sf0.1 state comfortably (measured 6× over 32 on the stream-stream
+# interval join); a 1000-executor deployment sizes it to keys/partition
+# ≈ state-store sweet spot, not to 1000.
+STREAM_SHUFFLE_PARTITIONS = "8"
+
+
 @contextmanager
 def scoped_conf(spark: SparkSession, key: str, value: str):
     """Temporarily set a runtime SQL conf for the duration of a query
     body. The driver's vanilla session defaults to 200 shuffle
-    partitions — a 6× task-overhead tax on 150-key stateful streaming
-    ops; queries that run a full streaming job scope it down."""
+    partitions — a 25× per-batch state-store-overhead tax on the
+    stateful streaming ops; queries that run a full streaming job scope
+    it down to ``STREAM_SHUFFLE_PARTITIONS``."""
     try:
         old = spark.conf.get(key)
     except Exception:  # noqa: BLE001 — unset conf

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from fink_joiner_spark.catalog import table
 from fink_joiner_spark.operators import dedup
-from fink_joiner_spark.queries import register, scoped_conf
+from fink_joiner_spark.queries import STREAM_SHUFFLE_PARTITIONS, register, scoped_conf
 
 # ---------------------------------------------------------------------------
 # A1/A2 — latest-version-per-key dedup (CRMLSJoiner.scala:182)
@@ -700,7 +700,7 @@ def stream_dedup_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     work = tempfile.mkdtemp(prefix="fjs_stream_dedup_")
-    with scoped_conf(spark, "spark.sql.shuffle.partitions", "32"):
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS):
         stream = file_drip_feed(spark, ev, f"{work}/stage", "ts", n_files=4)
         store = SnapshotStore(f"{work}/snap", ["user_id"], "ts", ["event_id"])
         run_dedup_stream(stream, store).awaitTermination()
@@ -749,7 +749,7 @@ def stream_asof_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe, build, on="user_id", probe_ts="ts_s", build_ts="ts_s", build_cols=["b_id"]
     )
     work = tempfile.mkdtemp(prefix="fjs_stream_asof_")
-    with scoped_conf(spark, "spark.sql.shuffle.partitions", "32"):
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS):
         stream = file_drip_feed(spark, tagged, f"{work}/stage", "ts", n_files=4)
         out = stateful.streaming_asof_join(stream)
         q = (
@@ -782,7 +782,7 @@ def stream_keyed_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
     work = tempfile.mkdtemp(prefix="fjs_stream_reduce_")
-    with scoped_conf(spark, "spark.sql.shuffle.partitions", "32"):
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS):
         stream = file_drip_feed(spark, ev, f"{work}/stage", "ts", n_files=3)
         out = stateful.streaming_keyed_reduce(
             stream, "user_id", "event_type", ["ts", "event_id"], sep="|"
@@ -825,7 +825,7 @@ def stream_dedup_tws_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.unix_micros("ts").alias("ts_us"), "event_id", "event_type"
     )
     work = tempfile.mkdtemp(prefix="fjs_stream_tws_")
-    with scoped_conf(spark, "spark.sql.shuffle.partitions", "32"):
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS):
         stream = file_drip_feed(spark, ev, f"{work}/stage", "ts_us", n_files=3)
         out = stateful.streaming_dedup_retract(
             stream, "user_id", "ts_us", "event_id", "event_type"
@@ -968,7 +968,7 @@ def stream_snapshot_join_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
             "event_id", "user_id", F.col("e_event_id").alias("err_event_id")
         )
 
-    with scoped_conf(spark, "spark.sql.shuffle.partitions", "32"):
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS):
         stores = run_snapshot_join_pipeline(spark, streams, join_fn, work)
     return stores["result"].read(spark)
 
@@ -1085,7 +1085,7 @@ def stream_windowed_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_seconds(F.col("doc_id") % 60).alias("ts"),
     )
     work = tempfile.mkdtemp(prefix="fjs_stream_wc_")
-    with scoped_conf(spark, "spark.sql.shuffle.partitions", "32"):
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS):
         stream = file_drip_feed(spark, timed, f"{work}/stage", "ts", n_files=3)
         words = stream.select(
             "ts", F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
@@ -1118,7 +1118,7 @@ def stream_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     work = tempfile.mkdtemp(prefix="fjs_stream_cnt_")
-    with scoped_conf(spark, "spark.sql.shuffle.partitions", "32"):
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS):
         stream = file_drip_feed(spark, ev, f"{work}/stage", "ts", n_files=3)
         out = stream.agg(F.count(F.lit(1)).alias("cnt"))
         q = (
@@ -1269,7 +1269,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     customer = table(spark, sf_dir, "customer")
     work = tempfile.mkdtemp(prefix="fjs_stream_static_")
-    with scoped_conf(spark, "spark.sql.shuffle.partitions", "32"):
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS):
         stream = file_drip_feed(spark, ev, f"{work}/stage", "ts", n_files=3)
         joined = stream.join(
             F.broadcast(customer), stream.user_id == customer.c_custkey, "left"
@@ -1524,7 +1524,7 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("e_ts"),
     )
     work = tempfile.mkdtemp(prefix="fjs_ss_join_")
-    with scoped_conf(spark, "spark.sql.shuffle.partitions", "32"):
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS):
         sc = file_drip_feed(spark, clicks, f"{work}/c", "c_ts", n_files=3).withWatermark(
             "c_ts", "1 hour"
         )

@@ -770,3 +770,74 @@ def simsearch_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, "vec_id", "embedding", "vec_id", "embedding",
         k=10, n_cells=16, nprobe=4,
     )
+
+
+@register(
+    "ext_lake_compact_clustered",
+    """
+    SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+    FROM documents
+    """,
+    "lake maintenance: 64-small-file aftermath -> compact() into "
+    "range-clustered files (cluster_by lang, doc_id) -> read back; "
+    "oracle proves the rewrite is lossless while the layout becomes "
+    "min/max-prunable",
+)
+def ext_lake_compact_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from fink_joiner_spark.operators import lake
+
+    docs = table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="fjs_lake_")
+    # simulate a micro-batch writer's aftermath: 64 tiny files
+    docs.repartition(64).write.mode("overwrite").parquet(f"{work}/small")
+    small = spark.read.parquet(f"{work}/small")
+    lake.compact(
+        small, f"{work}/compacted", target_file_mb=0.25,
+        cluster_by=("lang", "doc_id"),
+    )
+    back = spark.read.parquet(f"{work}/compacted")
+    return back.select(
+        "doc_id", "lang", "source", "n_chars", F.md5("text").alias("text_md5")
+    )
+
+
+@register(
+    "ext_format_relay_json",
+    """
+    SELECT event_type, COUNT(*) AS n_events,
+           MAX(epoch_us(ts)) AS max_ts_us,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    "format relay (load_poc_data_topic.py analog): events -> JSON-lines "
+    "files with epoch-long timestamps -> schema-pinned json read "
+    "(read_files; no inference pass) -> aggregate matches the parquet "
+    "original",
+)
+def ext_format_relay_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from fink_joiner_spark.sources.batch import read_files
+
+    ev = table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="fjs_relay_")
+    # epoch-long timestamps in transit (the reference envelope's own
+    # convention, CRMLSJoiner.scala:132-134) — JSON's default
+    # millisecond timestampFormat would silently truncate micros
+    relay = ev.select(
+        "event_id", F.unix_micros("ts").alias("ts_us"), "user_id",
+        "event_type", "value", "props",
+    )
+    relay.write.mode("overwrite").json(f"{work}/json")
+    back = read_files(
+        spark, f"{work}/json", "json",
+        schema="event_id BIGINT, ts_us BIGINT, user_id BIGINT, "
+               "event_type STRING, value DOUBLE, props STRING",
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("ts_us").alias("max_ts_us"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
