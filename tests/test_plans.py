@@ -132,3 +132,22 @@ def test_interval_join_no_cartesian(spark, sf_dir):
     df = _q("ext_interval_join_banded", spark, sf_dir)
     plan = plans.formatted_plan(df)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
+def test_dynamic_partition_pruning_from_join(spark, sf_dir, tmp_path):
+    """DPP: a join against a selectively-filtered dim must prune the
+    partitioned fact scan at RUNTIME (dynamicpruningexpression in
+    PartitionFilters) — at 100 TB this is what keeps 'join facts to this
+    week's dim slice' from scanning every date partition. Static
+    partition pruning (literal filters) is audited separately above."""
+    ev = table(spark, sf_dir, "events")
+    out = str(tmp_path / "ev_by_type")
+    ev.write.partitionBy("event_type").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("click", "keep"), ("view", "drop"), ("error", "drop")],
+        "event_type string, tag string",
+    ).filter(F.col("tag") == "keep")
+    joined = fact.join(F.broadcast(dim), "event_type").select("event_id", "tag")
+    plan = plans.formatted_plan(joined)
+    assert "dynamicpruning" in plan.lower(), f"no DPP in plan:\n{plan}"
