@@ -841,3 +841,31 @@ def ext_format_relay_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts_us").alias("max_ts_us"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+@register(
+    "ext_embedding_mean_pool",
+    """
+    SELECT vec_id % 16 AS group_id, CAST(i - 1 AS INT) AS pos,
+           ROUND(AVG(embedding[i]::DOUBLE), 4) + 0.0 AS avg_v,
+           COUNT(*) AS n
+    FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+    GROUP BY 1, 2
+    """,
+    "element-wise mean-pooling of embedding vectors per group (chunk->"
+    "doc pooling shape): posexplode + ONE partial-agg shuffle carrying "
+    "O(groups x dims) rows — the scalable alternative to collecting "
+    "arrays per group and averaging driver-side",
+)
+def ext_embedding_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        (F.col("vec_id") % 16).alias("group_id"),
+        F.posexplode("embedding").alias("pos", "v"),
+    )
+    return ex.groupBy("group_id", "pos").agg(
+        # + 0.0 normalizes IEEE negative zero (ROUND(-1e-6, 4) is -0.0
+        # in Spark but 0.0 in DuckDB; they hash differently)
+        (F.round(F.avg(F.col("v").cast("double")), 4) + F.lit(0.0)).alias("avg_v"),
+        F.count(F.lit(1)).alias("n"),
+    )
