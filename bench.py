@@ -43,14 +43,38 @@ def main() -> None:
             print(f"FAILED {name}: {exc}", file=sys.stderr)
         timings[name] = dt
         total += dt
+        # per-query progress to stderr so the final stdout line stays short
+        print(f"bench {name}: {dt}s", file=sys.stderr)
 
-    print(json.dumps({
+    summary = {
         "metric": "total_query_wall_time",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+        "n_queries": len(timings),
+    }
+    # Full detail to a sidecar file (survives any stdout truncation).
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(summary, fh, indent=1)
+
+    # The driver tail-captures stdout and parses the LAST line; round 1's
+    # single ~3 KB line was head-truncated and unparseable.  Emit the full
+    # dict first (parsers reading whole stdout still see it), then a
+    # compact line capped well under typical tail windows: headline totals
+    # plus only the slowest queries, budgeted to ~1.5 KB.
+    print(json.dumps(summary))
+    top = {}
+    compact = dict(summary)
+    for name, dt in sorted(timings.items(), key=lambda kv: -kv[1]):
+        top[name] = dt
+        compact["queries"] = top
+        if len(json.dumps(compact)) > 1500:
+            del top[name]
+            break
+    compact["queries"] = top
+    print(json.dumps(compact))
     spark.stop()
 
 

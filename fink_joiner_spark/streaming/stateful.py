@@ -90,34 +90,59 @@ def streaming_asof_join(
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        import bisect
+        # Vectorized: one stable merge of (state versions ++ batch builds)
+        # plus one np.searchsorted over all probes — no per-row Python.
+        # Equivalent to interleaved (ts, build-first) processing because
+        # in that order a probe at ts t sees exactly the builds with
+        # ts <= t (equal-ts builds sort before the probe), which is
+        # searchsorted(side="right") over the merged version array.
+        import numpy as np
 
         if state.exists:
-            ts_arr, val_arr = list(state.get[0]), list(state.get[1])
+            ver_ts = np.asarray(state.get[0], dtype=np.float64)
+            ver_val = np.asarray(state.get[1], dtype=object)
         else:
-            ts_arr, val_arr = [], []  # kept sorted by ts
-        out_rows = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "side"])
-            for row in pdf.itertuples(index=False):
-                t = float(row.ts)
-                if row.side == 0:
-                    i = bisect.bisect_right(ts_arr, t)
-                    ts_arr.insert(i, t)
-                    val_arr.insert(i, row.payload)
-                else:
-                    i = bisect.bisect_right(ts_arr, t) - 1
-                    match = val_arr[i] if i >= 0 else None
-                    out_rows.append((key[0], t, row.payload, match))
+            ver_ts = np.empty(0, dtype=np.float64)
+            ver_val = np.empty(0, dtype=object)
+
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        builds = batch[batch["side"] == 0].sort_values("ts", kind="stable")
+        probes = batch[batch["side"] == 1].sort_values("ts", kind="stable")
+
+        if len(builds):
+            all_ts = np.concatenate([ver_ts, builds["ts"].to_numpy(np.float64)])
+            all_val = np.concatenate([ver_val, builds["payload"].to_numpy(object)])
+            # stable: state entries stay before same-ts batch builds, so
+            # the later-arriving build wins ties — insertion-order parity
+            order = np.argsort(all_ts, kind="stable")
+            ver_ts, ver_val = all_ts[order], all_val[order]
+
+        if len(probes):
+            p_ts = probes["ts"].to_numpy(np.float64)
+            if len(ver_ts):
+                idx = np.searchsorted(ver_ts, p_ts, side="right") - 1
+                match = np.where(idx >= 0, ver_val[np.clip(idx, 0, None)], None)
+            else:
+                match = np.full(len(p_ts), None, dtype=object)
+            out = pd.DataFrame(
+                {
+                    "k": key[0],
+                    "ts": p_ts,
+                    "probe_json": probes["payload"].to_numpy(object),
+                    "build_json": match,
+                }
+            )
+        else:
+            out = pd.DataFrame(columns=["k", "ts", "probe_json", "build_json"])
+
         # GC: drop versions older than cutoff, keeping the newest such
         # version (still the valid as-of answer for future probes).
-        if ts_arr:
-            cutoff = ts_arr[-1] - keep_versions_s
-            first_kept = bisect.bisect_left(ts_arr, cutoff)
-            start = max(0, first_kept - 1)  # retain newest older version
-            ts_arr, val_arr = ts_arr[start:], val_arr[start:]
-        state.update((ts_arr, val_arr))
-        yield pd.DataFrame(out_rows, columns=["k", "ts", "probe_json", "build_json"])
+        if len(ver_ts):
+            cutoff = ver_ts[-1] - keep_versions_s
+            start = max(0, int(np.searchsorted(ver_ts, cutoff, side="left")) - 1)
+            ver_ts, ver_val = ver_ts[start:], ver_val[start:]
+        state.update((ver_ts.tolist(), ver_val.tolist()))
+        yield out
 
     return tagged.groupBy("k").applyInPandasWithState(
         fn, out_schema, _STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout

@@ -177,6 +177,48 @@ def test_checkpoint_resume_processes_only_new_files(spark, sf_dir, tmp_path):
     assert _sorted_rows(got2, cols) == _sorted_rows(want, cols)
 
 
+def test_bucketed_upsert_leaves_untouched_buckets_alone(spark, tmp_path):
+    """The poor-man's-MERGE contract: an upsert touching one key-hash
+    bucket must rewrite ONLY that bucket — every other bucket's current
+    data directory stays the same path with byte-identical files, and
+    per-batch I/O is O(touched buckets), not O(snapshot)."""
+    import hashlib
+
+    def bucket_files(store):
+        out = {}
+        for b, v in store._state()["buckets"].items():
+            d = store._bucket_dir(int(v), b)
+            out[b] = {
+                f: hashlib.sha256(open(os.path.join(d, f), "rb").read()).hexdigest()
+                for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            }, d
+        return out
+
+    store = SnapshotStore(str(tmp_path / "snap"), ["k"], "ts", n_buckets=8)
+    b1 = spark.createDataFrame([(k, 10, f"v{k}") for k in range(64)], "k long, ts long, v string")
+    store.upsert(b1)
+    before = bucket_files(store)
+    assert len(before) == 8  # 64 keys cover all 8 buckets
+
+    i2, r2 = store.upsert(
+        spark.createDataFrame([(5, 20, "v5b")], "k long, ts long, v string")
+    )
+    assert i2.count() == 1 and r2.count() == 1
+    after = bucket_files(store)
+
+    changed = [b for b in after if after[b] != before[b]]
+    assert len(changed) == 1  # exactly the bucket k=5 hashes into
+    for b in after:
+        if b not in changed:
+            assert after[b] == before[b]  # same dir, byte-identical files
+
+    # snapshot content is still the correct latest-per-key answer
+    got = sorted(tuple(r) for r in store.read(spark).collect())
+    want = sorted([(k, 10, f"v{k}") for k in range(64) if k != 5] + [(5, 20, "v5b")])
+    assert got == want
+
+
 def test_retract_fidelity_single_reversion(spark, tmp_path):
     """SURVEY §7.3 #3 — exact toRetractStream fidelity: when one key is
     re-versioned in a later batch, that batch's changelog contains
