@@ -71,7 +71,15 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> Sna
         raw = kafka_json_source(spark, args.bootstrap_server, topic)
         parsed = projections.parse_envelope(raw, "value")
         store = SnapshotStore(f"{args.state_path}/listings", ["uc_pk"], "uc_created_ts")
-        run_dedup_stream(parsed, store, changelog_dir=f"{args.state_path}/changelog")
+        # continuous mode: micro-batches on a processing-time cadence,
+        # block until externally stopped (the reference's env.execute())
+        q = run_dedup_stream(
+            parsed,
+            store,
+            changelog_dir=f"{args.state_path}/changelog",
+            trigger={"processingTime": "10 seconds"},
+        )
+        q.awaitTermination()
         return store
 
     # file mode: replay a parquet table as the versioned stream

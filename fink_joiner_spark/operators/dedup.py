@@ -99,7 +99,11 @@ def exact_dedup(
     cols = [F.col(c).cast("string") for c in content_cols]
     if normalize:
         cols = [F.lower(F.trim(c)) for c in cols]
-    fingerprint = F.md5(F.concat_ws("", *cols))
+    # \x1f unit separator + \x00 NULL sentinel: multi-column contents
+    # can't collide across column boundaries (('ab','c') vs ('a','bc'))
+    # and ('x', NULL) hashes differently from ('x', '')
+    cols = [F.coalesce(c, F.lit("\x00")) for c in cols]
+    fingerprint = F.md5(F.concat_ws("\x1f", *cols))
     return (
         df.withColumn("__fp", fingerprint)
         .groupBy("__fp")

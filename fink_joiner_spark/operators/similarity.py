@@ -210,20 +210,36 @@ def simhash32(text: Column) -> Column:
 def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
 ) -> DataFrame:
-    """SimHash near-dup pairs with hamming ≤ ``max_hamming``.
+    """SimHash near-dup pairs with hamming ≤ ``max_hamming`` — EXACT.
 
-    Candidate generation blocks on 16-bit simhash halves (a pair within
-    hamming ≤ 3 of 32 bits shares at least one identical half) — banded
-    exact search, shuffle keyed by half-value, no cross join.
+    Candidate generation blocks on the four disjoint 8-bit bytes of the
+    32-bit simhash: by pigeonhole, any pair differing in ≤ 3 bits leaves
+    at least one of the 4 blocks untouched, so every qualifying pair
+    shares an identical byte in the same position (exactness needs
+    n_blocks > max_hamming; 2 half-blocks would silently drop pairs
+    whose 2-3 differing bits span both halves). Banded exact search —
+    shuffle keyed by (block, byte), no cross join. At production scale
+    you'd widen to a 64-bit simhash with 16-bit blocks for the same
+    guarantee at 256× the bucket selectivity.
     """
+    if max_hamming > 3:
+        raise ValueError(
+            "4-byte blocking is exact only for max_hamming <= 3 "
+            f"(need n_blocks > max_hamming); got {max_hamming}"
+        )
     s = _spread(df).select(F.col(id_col).alias("id"), simhash32(F.col(text_col)).alias("sh"))
     halves = s.select(
         "id",
         "sh",
         F.explode(
             F.array(
-                F.struct(F.lit(0).alias("part"), (F.col("sh") % 65536).alias("v")),
-                F.struct(F.lit(1).alias("part"), (F.shiftright("sh", 16)).alias("v")),
+                *[
+                    F.struct(
+                        F.lit(i).alias("part"),
+                        F.shiftright("sh", 8 * i).bitwiseAND(F.lit(255)).alias("v"),
+                    )
+                    for i in range(4)
+                ]
             )
         ).alias("h"),
     ).select("id", "sh", "h.part", "h.v")

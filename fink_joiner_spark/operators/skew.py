@@ -37,7 +37,18 @@ def salted_join(
 
     Build-side cost: ×``n_salts`` rows through the shuffle — use for
     small/medium build sides only (for tiny ones just broadcast).
+
+    Only probe-preserving join types are allowed: with the build side
+    replicated per salt, right/full-outer would emit each unmatched
+    build row ``n_salts`` times.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports probe-preserving joins only {sorted(allowed)}; "
+            f"got {how!r} (build side is replicated per salt)"
+        )
     salt = (F.abs(F.xxhash64(*probe.columns)) % n_salts).alias("__salt")
     p = probe.select("*", salt)
     b = build.select(

@@ -202,14 +202,13 @@ sh AS (
            (a, x) -> a + x) AS sh
   FROM th
 ),
-halves AS (
-  SELECT doc_id, sh, p.part,
-         CASE WHEN p.part = 0 THEN sh % 65536 ELSE sh >> 16 END AS v
-  FROM sh CROSS JOIN (SELECT unnest([0, 1]) AS part) p
+blocks AS (
+  SELECT doc_id, sh, p.part, (sh >> (8 * p.part)) & 255 AS v
+  FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS part) p
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
-  FROM halves a JOIN halves b
+  FROM blocks a JOIN blocks b
     ON a.part = b.part AND a.v = b.v AND a.doc_id < b.doc_id
 )
 SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
@@ -220,8 +219,9 @@ FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
 @register(
     "dedup_simhash",
     _SIMHASH_ORACLE,
-    "32-bit SimHash near-dup pairs (hamming ≤ 3) with half-block "
-    "candidate generation — banded exact search, no cross join",
+    "32-bit SimHash near-dup pairs (hamming ≤ 3) with 4×8-bit block "
+    "candidate generation (n_blocks > max_hamming ⇒ exact by "
+    "pigeonhole) — banded exact search, no cross join",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fink_joiner_spark.operators import similarity

@@ -191,6 +191,7 @@ def run_dedup_stream(
     stream_df: DataFrame,
     store: SnapshotStore,
     changelog_dir: str | None = None,
+    trigger: dict | None = None,
 ) -> "StreamingQuery":
     """Wire a streaming DataFrame into snapshot maintenance.
 
@@ -198,6 +199,11 @@ def run_dedup_stream(
     retract delta as parquet under ``changelog_dir/batch=<id>`` with an
     ``is_retract`` flag — the durable ``toRetractStream`` analog.
     Overwrite-per-batch-dir keeps replays idempotent (S9/T6).
+
+    ``trigger``: kwargs for ``DataStreamWriter.trigger`` — defaults to
+    ``{"availableNow": True}`` (drain-and-stop, right for file replay);
+    a continuous deployment passes e.g. ``{"processingTime": "10
+    seconds"}`` and the query runs until stopped.
     """
     from pyspark.sql import functions as F
 
@@ -213,7 +219,7 @@ def run_dedup_stream(
 
     query = (
         stream_df.writeStream.foreachBatch(process)
-        .trigger(availableNow=True)
+        .trigger(**(trigger if trigger is not None else {"availableNow": True}))
         .option("checkpointLocation", os.path.join(store.path, "_checkpoint"))
         .start()
     )

@@ -35,3 +35,16 @@ def test_entry_contract(spark):
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) >= 1
+
+
+def test_exact_dedup_multicolumn_framing(spark):
+    """Column-boundary and NULL framing: ('ab','c') vs ('a','bc') and
+    ('x', NULL) vs ('x', '') are DISTINCT contents and must not merge."""
+    from fink_joiner_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, "ab", "c"), (2, "a", "bc"), (3, "x", None), (4, "x", "")],
+        "id long, c1 string, c2 string",
+    )
+    out = dedup.exact_dedup(df, ["c1", "c2"], "id", normalize=False)
+    assert out.count() == 4  # four distinct contents, no collisions

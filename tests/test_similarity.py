@@ -118,3 +118,31 @@ def test_ivf_ann_recall(spark, sf_dir):
     a = {(r.qid, r.nid) for r in ivf.collect()}
     assert len(a & b) / len(b) >= 0.5, f"IVF recall {len(a & b)}/{len(b)}"
     assert ivf.select("qid").distinct().count() == 8
+
+
+def test_simhash_block_candidates_are_exact(spark, sf_dir):
+    """4×8-bit blocking must find EVERY pair with hamming <= 3 — compare
+    against a brute-force all-pairs scan over the same simhashes (the
+    failure mode of 2×16-bit half blocking: pairs whose 2-3 differing
+    bits span both halves are silently dropped)."""
+    docs = table(spark, sf_dir, "documents").limit(400)
+    got = {
+        (r.id_a, r.id_b)
+        for r in similarity.simhash_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+    }
+    sh = docs.select(
+        F.col("doc_id").alias("id"), similarity.simhash32(F.col("text")).alias("sh")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    brute = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("h"),
+        )
+        .filter(F.col("h") <= 3)
+        .collect()
+    }
+    assert got == brute

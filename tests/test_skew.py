@@ -52,3 +52,13 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_salted_join_rejects_build_replicating_how(spark):
+    import pytest
+
+    probe = spark.createDataFrame([(1, "x")], "k long, v string")
+    build = spark.createDataFrame([(1, "d")], "k long, d string")
+    for how in ("right", "full", "full_outer", "cross"):
+        with pytest.raises(ValueError, match="probe-preserving"):
+            skew.salted_join(probe, build, "k", how=how)
