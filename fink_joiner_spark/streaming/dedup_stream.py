@@ -119,14 +119,37 @@ class SnapshotStore:
             json.dump(state, f)
         os.replace(tmp, self._pointer)
 
-    def upsert(self, batch_df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    def upsert(
+        self,
+        batch_df: DataFrame,
+        batch_id: int | None = None,
+        on_delta=None,
+    ) -> tuple[DataFrame, DataFrame]:
         """Merge a micro-batch; return (inserts, retracts) — the retract
         stream delta. Idempotent: re-applying the same batch yields an
         empty delta. Reads, merges, diffs, and rewrites ONLY the key-hash
-        buckets present in the batch — O(touched), not O(snapshot)."""
+        buckets present in the batch — O(touched), not O(snapshot).
+
+        Exactly-once contract (S9/T6): the pointer swap is the commit
+        point. ``on_delta(inserts, retracts)`` — e.g. a durable changelog
+        write — runs BEFORE the swap, so a crash at any point replays
+        cleanly: before the swap the batch recomputes byte-identically
+        (same version number, deterministic diff); after the swap the
+        recorded ``batch_id`` marks the batch applied and the replay is
+        a no-op that leaves the already-durable delta untouched (the
+        Delta-Lake txn-app-id idempotent-sink pattern).
+        """
         from pyspark.sql import functions as F
 
         spark = batch_df.sparkSession
+        st = self._state()
+        if (
+            batch_id is not None
+            and st is not None
+            and st.get("last_batch") == batch_id
+        ):  # batch fully committed before a crash: replay is a no-op
+            empty = batch_df.limit(0)
+            return empty, empty
         batch_latest = latest_per_key(
             batch_df, self.keys, self.order_col, self.tie_breakers
         )
@@ -138,8 +161,10 @@ class SnapshotStore:
         )
         if not touched:  # empty batch: no version bump, empty delta
             empty = batch_df.limit(0)
+            if on_delta is not None:
+                on_delta(empty, empty)
             return empty, empty
-        st = self._state() or {"version": 0, "buckets": {}}
+        st = st or {"version": 0, "buckets": {}}
         old = self.read(spark, buckets=touched)
         if old is None:
             new = batch_latest
@@ -164,9 +189,14 @@ class SnapshotStore:
         else:
             inserts = new.exceptAll(old)
             retracts = old.exceptAll(new)
+        if on_delta is not None:  # durable delta BEFORE the commit point
+            on_delta(inserts, retracts)
         buckets = dict(st["buckets"])
         buckets.update({str(b): v for b in touched})
-        self._swap_pointer({"version": v, "buckets": buckets})
+        state = {"version": v, "buckets": buckets}
+        if batch_id is not None:
+            state["last_batch"] = batch_id
+        self._swap_pointer(state)
         self._gc(keep=2)
         return inserts, retracts
 
@@ -208,14 +238,16 @@ def run_dedup_stream(
     from pyspark.sql import functions as F
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        inserts, retracts = store.upsert(batch_df)
-        if changelog_dir is not None:
-            delta = inserts.withColumn("is_retract", F.lit(False)).unionByName(
-                retracts.withColumn("is_retract", F.lit(True))
-            )
-            delta.write.mode("overwrite").parquet(
-                os.path.join(changelog_dir, f"batch={batch_id:06d}")
-            )
+        def write_changelog(inserts: DataFrame, retracts: DataFrame) -> None:
+            if changelog_dir is not None:
+                delta = inserts.withColumn("is_retract", F.lit(False)).unionByName(
+                    retracts.withColumn("is_retract", F.lit(True))
+                )
+                delta.write.mode("overwrite").parquet(
+                    os.path.join(changelog_dir, f"batch={batch_id:06d}")
+                )
+
+        store.upsert(batch_df, batch_id=batch_id, on_delta=write_changelog)
 
     query = (
         stream_df.writeStream.foreachBatch(process)

@@ -66,7 +66,7 @@ def run_snapshot_join_pipeline(
         stores[s.name] = store
 
         def process(batch_df: DataFrame, batch_id: int, _store=store) -> None:
-            _store.upsert(batch_df)
+            _store.upsert(batch_df, batch_id=batch_id)
 
         q = (
             s.stream_df.writeStream.foreachBatch(process)

@@ -177,6 +177,55 @@ def test_checkpoint_resume_processes_only_new_files(spark, sf_dir, tmp_path):
     assert _sorted_rows(got2, cols) == _sorted_rows(want, cols)
 
 
+def test_kill_midrun_restart_equals_uninterrupted(spark, sf_dir, tmp_path):
+    """S9/T6 exactly-once under a real mid-run kill: stop the query
+    after ≥1 committed batch but before the drip-feed drains, restart
+    from the same checkpoint, and require the final snapshot AND the
+    per-batch changelog to equal an uninterrupted run byte-for-row."""
+    import time
+
+    ev = table(spark, sf_dir, "events")
+
+    # uninterrupted reference run
+    ref_stream = file_drip_feed(spark, ev, str(tmp_path / "stage_ref"), "ts", 10)
+    ref_store = SnapshotStore(str(tmp_path / "snap_ref"), ["user_id"], "ts", ["event_id"])
+    run_dedup_stream(ref_stream, ref_store, str(tmp_path / "log_ref")).awaitTermination()
+
+    # interrupted run over identically staged files
+    stream = file_drip_feed(spark, ev, str(tmp_path / "stage"), "ts", 10)
+    store = SnapshotStore(str(tmp_path / "snap"), ["user_id"], "ts", ["event_id"])
+    q = run_dedup_stream(
+        stream, store, str(tmp_path / "log"), trigger={"processingTime": "0 seconds"}
+    )
+    deadline = time.time() + 120
+    while store.current_version() is None and time.time() < deadline:
+        time.sleep(0.02)
+    q.stop()  # kill with ≥1 batch committed and (virtually always) more pending
+    q.awaitTermination()
+    v_at_kill = store.current_version()
+    assert v_at_kill is not None and v_at_kill >= 1
+    assert v_at_kill < 10, "kill happened after the stream drained; not a mid-run test"
+
+    # restart from the same checkpoint over the SAME staged files (no
+    # re-staging: that would write new part-file names the source would
+    # treat as fresh input); drain the rest
+    stream2 = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "stage" / "f*"))
+    )
+    run_dedup_stream(stream2, store, str(tmp_path / "log")).awaitTermination()
+
+    cols = ev.columns
+    assert _sorted_rows(store.read(spark), cols) == _sorted_rows(
+        ref_store.read(spark), cols
+    )
+    log = spark.read.parquet(str(tmp_path / "log"))
+    ref_log = spark.read.parquet(str(tmp_path / "log_ref"))
+    log_cols = [*cols, "is_retract", "batch"]
+    assert _sorted_rows(log, log_cols) == _sorted_rows(ref_log, log_cols)
+
+
 def test_bucketed_upsert_leaves_untouched_buckets_alone(spark, tmp_path):
     """The poor-man's-MERGE contract: an upsert touching one key-hash
     bucket must rewrite ONLY that bucket — every other bucket's current
