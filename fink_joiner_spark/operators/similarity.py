@@ -428,6 +428,98 @@ def topk_sign_lsh(
     )
 
 
+def _nearest_cells(vec: Column, n: int) -> Column:
+    """Array of the n nearest cell_ids to vec (by cosine), read from a
+    broadcast one-row ``_cells`` array of (cell_id, centroid) structs."""
+    scored = F.array_sort(
+        F.transform(
+            F.col("_cells"),
+            lambda s: F.struct(
+                (-cosine(vec, s["centroid"])).alias("neg"),
+                s["cell_id"].alias("cell_id"),
+            ),
+        )
+    )
+    return F.transform(F.slice(scored, 1, n), lambda s: s["cell_id"])
+
+
+def _seed_centroids(c: DataFrame, n_cells: int) -> DataFrame:
+    """Deterministic seed centroids: the ``n_cells`` corpus vectors with
+    the lowest md5-of-id — reproducible, no RNG."""
+    return (
+        c.withColumn("h", F.md5(F.col("nid").cast("string")))
+        .orderBy("h")
+        .limit(n_cells)
+        .select(F.col("nid").alias("cell_id"), F.col("nvec").alias("centroid"))
+    )
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int = 16,
+    n_iters: int = 3,
+) -> DataFrame:
+    """Train an IVF codebook with deterministic Lloyd iterations
+    (spherical k-means shape: cosine assignment, element-wise mean
+    update — the un-normalized mean ranks identically under cosine).
+
+    Per iteration: ONE broadcast assignment pass (no shuffle — the k×d
+    codebook is driver-sized, like MLlib's KMeans) and ONE partial-agg
+    shuffle for the element-wise means (``posexplode`` → per-(cell,pos)
+    avg — never ``collect_list`` of whole vectors). Only the k new
+    centroids are collected per iteration, rounded to 6 dp so float
+    summation order can't leak into assignments; empty cells keep their
+    previous centroid. Seeding is md5-of-id (reproducible, no RNG).
+
+    Returns a (cell_id bigint, centroid array<double>) DataFrame for
+    :func:`topk_ivf`'s ``centroids`` parameter.
+    """
+    spark = df.sparkSession
+    c = _spread(df).select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")
+    ).cache()
+    try:
+        # re-key cells 0..n_cells-1: codebook ids are positional, not ids
+        cents = [
+            (i, [round(float(x), 6) for x in r["centroid"]])
+            for i, r in enumerate(_seed_centroids(c, n_cells).collect())
+        ]
+        for _ in range(n_iters):
+            cells_df = spark.createDataFrame(
+                cents, schema="cell_id bigint, centroid array<double>"
+            )
+            cells_arr = cells_df.agg(
+                F.collect_list(F.struct("cell_id", "centroid")).alias("_cells")
+            )
+            assigned = c.crossJoin(F.broadcast(cells_arr)).select(
+                "nvec",
+                F.element_at(_nearest_cells(F.col("nvec"), 1), 1).alias("cell"),
+            )
+            means = (
+                assigned.select(
+                    "cell", F.posexplode("nvec").alias("pos", "val")
+                )
+                .groupBy("cell", "pos")
+                .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("m"))
+            )
+            new = means.groupBy("cell").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("centroid")
+            )
+            updated = {
+                int(r["cell"]): [float(x) for x in r["centroid"]]
+                for r in new.collect()
+            }
+            cents = [(cid, updated.get(cid, vec)) for cid, vec in cents]
+    finally:
+        c.unpersist()
+    return spark.createDataFrame(cents, schema="cell_id bigint, centroid array<double>")
+
+
 def topk_ivf(
     df: DataFrame,
     queries: DataFrame,
@@ -438,50 +530,40 @@ def topk_ivf(
     k: int = 10,
     n_cells: int = 16,
     nprobe: int = 4,
+    centroids: DataFrame | None = None,
+    train_iters: int = 0,
 ) -> DataFrame:
     """ANN top-k via IVF (inverted-file) coarse quantization — the
     second scale path next to sign-LSH.
 
-    Index: ``n_cells`` deterministic seed centroids (the corpus vectors
-    with the lowest md5-of-id — reproducible, no RNG); every corpus
-    vector is assigned to its nearest centroid's cell (one broadcast
-    pass, one argmax). Search: each query ranks the centroids, probes
-    its ``nprobe`` nearest cells, and ranks only the vectors in those
-    cells. Approximate — recall vs :func:`topk_bruteforce` is pinned in
-    tests.
+    Index: a codebook of ``n_cells`` centroids — md5-seeded corpus
+    vectors by default (reproducible, no RNG), a trained codebook when
+    ``train_iters`` > 0 (:func:`train_ivf_centroids` Lloyd iterations)
+    or when ``centroids`` (cell_id, centroid) is supplied directly;
+    every corpus vector is assigned to its nearest centroid's cell (one
+    broadcast pass, one argmax). Search: each query ranks the
+    centroids, probes its ``nprobe`` nearest cells, and ranks only the
+    vectors in those cells. Approximate — recall vs
+    :func:`topk_bruteforce` is pinned in tests, and the trained
+    codebook's recall gain over the seeded one is asserted there too.
 
     At 100 TB: the assignment pass is a broadcast map (no shuffle); the
     probe is ONE equi-join keyed by cell id, so the comparison count
     drops from |Q|·|corpus| to |Q|·(nprobe/n_cells)·|corpus| with
     ordinary hash-join mechanics. Raise n_cells with corpus size (√n
-    rule) and nprobe for recall.
+    rule), nprobe for recall, and train_iters when cell-balance matters
+    (seeded cells mirror the data distribution only by luck).
     """
     from pyspark.sql import Window
 
     c = _spread(df).select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"))
 
-    # deterministic seed centroids: lowest md5(id) wins — cheap,
-    # reproducible stand-in for a trained codebook (pluggable: swap in
-    # kmeans_step output for trained cells)
-    seeds = (
-        c.withColumn("h", F.md5(F.col("nid").cast("string")))
-        .orderBy("h")
-        .limit(n_cells)
-        .select(F.col("nid").alias("cell_id"), F.col("nvec").alias("centroid"))
-    )
-
-    def nearest_cells(vec: Column, n: int) -> Column:
-        """Array of the n nearest cell_ids to vec (by cosine)."""
-        scored = F.array_sort(
-            F.transform(
-                F.col("_cells"),
-                lambda s: F.struct(
-                    (-cosine(vec, s["centroid"])).alias("neg"),
-                    s["cell_id"].alias("cell_id"),
-                ),
-            )
+    if centroids is None and train_iters > 0:
+        centroids = train_ivf_centroids(
+            df, id_col, vec_col, n_cells=n_cells, n_iters=train_iters
         )
-        return F.transform(F.slice(scored, 1, n), lambda s: s["cell_id"])
+    seeds = centroids if centroids is not None else _seed_centroids(c, n_cells)
+    nearest_cells = _nearest_cells
 
     cells_arr = seeds.agg(
         F.collect_list(F.struct("cell_id", "centroid")).alias("_cells")

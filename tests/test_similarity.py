@@ -120,6 +120,32 @@ def test_ivf_ann_recall(spark, sf_dir):
     assert ivf.select("qid").distinct().count() == 8
 
 
+def test_ivf_trained_codebook_beats_seeded(spark, sf_dir):
+    """Lloyd-trained codebook (train_ivf_centroids) must recall MORE of
+    the brute-force top-10 than the md5-seeded codebook at the same
+    n_cells/nprobe — seeded cells mirror the data's cluster structure
+    only by luck, trained ones by construction. nprobe=2/16 keeps the
+    probed fraction small so codebook quality is what's measured."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    brute = similarity.topk_bruteforce(
+        emb, queries, "vec_id", "embedding", "vec_id", "embedding", k=10
+    )
+    b = {(r.qid, r.nid) for r in brute.collect()}
+    kw = dict(k=10, n_cells=16, nprobe=2)
+    seeded = similarity.topk_ivf(
+        emb, queries, "vec_id", "embedding", "vec_id", "embedding", **kw
+    )
+    trained = similarity.topk_ivf(
+        emb, queries, "vec_id", "embedding", "vec_id", "embedding",
+        train_iters=3, **kw,
+    )
+    r_seed = len({(r.qid, r.nid) for r in seeded.collect()} & b)
+    r_trained = len({(r.qid, r.nid) for r in trained.collect()} & b)
+    assert r_trained > r_seed, f"trained {r_trained} vs seeded {r_seed} of {len(b)}"
+    assert r_trained / len(b) >= 0.3, f"trained recall {r_trained}/{len(b)}"
+
+
 def test_simhash_block_candidates_are_exact(spark, sf_dir):
     """4×8-bit blocking must find EVERY pair with hamming <= 3 — compare
     against a brute-force all-pairs scan over the same simhashes (the
