@@ -1131,6 +1131,46 @@ def stream_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql("SELECT * FROM q_stream_cnt")
 
 
+@register(
+    "stream_proctime_window",
+    "SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type",
+    "T4 proctime: processing-time tumbling pre-aggregation "
+    "(current_timestamp() pinned per micro-batch) rolled up over the "
+    "wall-clock window bounds — the rollup erases the nondeterministic "
+    "boundaries, so the pipeline is oracle-checkable end to end",
+)
+def stream_proctime_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 (`'proctime.proctime`, FlinkJoiner_backup.txt:181,195): the
+    drip-fed events stream gets a processing-time attribute and a 10 s
+    proctime tumbling count per event_type (complete mode, state keyed
+    by wall-clock window); a batch rollup then sums across windows —
+    the standard proctime-window-as-incremental-preagg pattern, with a
+    deterministic final answer (COUNT per event_type) regardless of
+    how the wall clock sliced the batches."""
+    import tempfile
+
+    from fink_joiner_spark.sources.streaming import file_drip_feed
+    from fink_joiner_spark.streaming.windows import proctime_windowed_count
+
+    ev = table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="fjs_stream_proc_")
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS):
+        stream = file_drip_feed(spark, ev, f"{work}/stage", "ts", n_files=3)
+        out = proctime_windowed_count(stream, "10 seconds", keys=["event_type"])
+        q = (
+            out.writeStream.format("memory").queryName("q_stream_proc")
+            .outputMode("complete")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+    return (
+        spark.sql("SELECT * FROM q_stream_proc")
+        .groupBy("event_type")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Free-extension SQL surface (SURVEY §2.4 notes these are absent from
 # the reference but come free with Spark SQL — declared + gated here so

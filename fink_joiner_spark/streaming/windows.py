@@ -23,6 +23,48 @@ def with_event_time(df: DataFrame, ts_col: str, lateness: str = DEFAULT_LATENESS
     return df.withWatermark(ts_col, lateness)
 
 
+def with_proc_time(df: DataFrame, col_name: str = "proctime") -> DataFrame:
+    """T4 — processing-time attribute (``'proctime.proctime``,
+    ``FlinkJoiner_backup.txt:181,195``).
+
+    ``current_timestamp()`` in micro-batch execution is pinned to the
+    micro-batch's start timestamp, so every row of a batch shares one
+    proctime — Flink's proctime contract at micro-batch granularity
+    (the documented semantic gap: sub-batch arrival order is not
+    observable). Proctime is wall-clock by definition: results are not
+    replay-stable, so proctime queries carry rows-only verification
+    unless a downstream rollup erases the window boundaries.
+    """
+    return df.withColumn(col_name, F.current_timestamp())
+
+
+def proctime_windowed_count(
+    df: DataFrame,
+    duration: str,
+    keys: Sequence[str] = (),
+    proc_col: str = "proctime",
+) -> DataFrame:
+    """T4 — processing-time tumbling-window count (the ``GROUP BY
+    TUMBLE(proctime, ...)`` shape, ``FlinkJoiner_backup.txt:653-665``
+    run on default/processing time like ``CRMLSJoiner``).
+
+    No watermark: proctime windows close with the wall clock, so state
+    for past windows is naturally bounded; in complete/update output
+    mode the aggregation is incremental per batch. Emits window bounds
+    so callers can assert alignment or roll the windows up.
+    """
+    p = with_proc_time(df, proc_col)
+    out = p.groupBy(
+        F.window(F.col(proc_col), duration), *[F.col(k) for k in keys]
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *[F.col(k) for k in keys],
+        "cnt",
+    )
+
+
 def windowed_count(
     df: DataFrame,
     ts_col: str,

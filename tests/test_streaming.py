@@ -177,6 +177,39 @@ def test_checkpoint_resume_processes_only_new_files(spark, sf_dir, tmp_path):
     assert _sorted_rows(got2, cols) == _sorted_rows(want, cols)
 
 
+def test_proctime_window_alignment_and_totals(spark, sf_dir, tmp_path):
+    """T4 — processing-time tumbling windows over a drip-fed stream:
+    every emitted window is epoch-aligned to the 10 s duration, its
+    bounds bracket the run's wall-clock span, and the window counts sum
+    to exactly the input row count (no row lost or double-counted by
+    the wall-clock slicing)."""
+    import time
+
+    from fink_joiner_spark.streaming.windows import proctime_windowed_count
+
+    ev = table(spark, sf_dir, "events")
+    t0 = time.time()
+    stream = file_drip_feed(spark, ev, str(tmp_path / "stage"), "ts", n_files=3)
+    out = proctime_windowed_count(stream, "10 seconds", keys=["event_type"])
+    q = (
+        out.writeStream.format("memory").queryName("t4_proc")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    t1 = time.time()
+
+    rows = spark.sql("SELECT * FROM t4_proc").collect()
+    assert rows, "no proctime windows emitted"
+    assert sum(r.cnt for r in rows) == ev.count()
+    for r in rows:
+        ws, we = r.window_start.timestamp(), r.window_end.timestamp()
+        assert we - ws == 10.0, (r.window_start, r.window_end)
+        assert ws % 10 == 0, f"window not epoch-aligned: {r.window_start}"
+        assert t0 - 10 <= ws <= t1, (t0, ws, t1)
+
+
 def test_kill_midrun_restart_equals_uninterrupted(spark, sf_dir, tmp_path):
     """S9/T6 exactly-once under a real mid-run kill: stop the query
     after ≥1 committed batch but before the drip-feed drains, restart
