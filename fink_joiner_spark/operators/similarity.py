@@ -207,6 +207,38 @@ def simhash32(text: Column) -> Column:
     )
 
 
+def simhash32_agg(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, sh) simhash signatures via explode + 32 columnar SUMs.
+
+    Semantically identical to :func:`simhash32` but ~20× faster: the
+    single-expression form nests 32 ``aggregate`` lambdas and falls out
+    of whole-stage codegen into interpreted evaluation; this form
+    explodes token hashes to rows and lets the hash-aggregate engine
+    run 32 plain ``sum((h >> i) & 1)`` columns with map-side partial
+    aggregation — one shuffle keyed by doc id, everything in codegen.
+    """
+    th = _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(
+            F.transform(tokens(F.col(text_col)), lambda t: char_poly_hash(t))
+        ).alias("h"),
+    )
+    votes = th.groupBy("id").agg(
+        F.count("h").alias("n"),
+        *[
+            F.sum(F.coalesce(F.shiftright("h", i).bitwiseAND(F.lit(1)), F.lit(0))).alias(
+                f"b{i}"
+            )
+            for i in range(32)
+        ],
+    )
+    sh = None
+    for i in range(32):
+        term = F.when(2 * F.col(f"b{i}") - F.col("n") > 0, F.lit(1 << i)).otherwise(0)
+        sh = term if sh is None else sh + term
+    return votes.select("id", sh.cast("long").alias("sh"))
+
+
 def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
 ) -> DataFrame:
@@ -227,10 +259,17 @@ def simhash_pairs(
             "4-byte blocking is exact only for max_hamming <= 3 "
             f"(need n_blocks > max_hamming); got {max_hamming}"
         )
-    s = _spread(df).select(F.col(id_col).alias("id"), simhash32(F.col(text_col)).alias("sh"))
-    halves = s.select(
-        "id",
+    s = simhash32_agg(df, id_col, text_col)
+    # Distinct-signature compaction: a near-dup-heavy corpus maps many
+    # docs to the SAME simhash (sf0.1 test corpus: 5000 docs → 2534
+    # sigs, one byte-bucket holding 96% of docs). Joining doc-level
+    # postings there is quadratic in the duplication factor — the
+    # candidate join must run over DISTINCT signatures, with doc-id
+    # lists carried alongside and pairs expanded only at output.
+    sigs = s.groupBy("sh").agg(F.sort_array(F.collect_list("id")).alias("ids"))
+    blocks = sigs.select(
         "sh",
+        "ids",
         F.explode(
             F.array(
                 *[
@@ -242,29 +281,45 @@ def simhash_pairs(
                 ]
             )
         ).alias("h"),
-    ).select("id", "sh", "h.part", "h.v")
-    a, b = halves.alias("a"), halves.alias("b")
-    cand = (
+    ).select("sh", "ids", "h.part", "h.v")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    sig_pairs = (
         a.join(
             b,
             (F.col("a.part") == F.col("b.part"))
             & (F.col("a.v") == F.col("b.v"))
-            & (F.col("a.id") < F.col("b.id")),
+            & (F.col("a.sh") < F.col("b.sh")),
         )
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
             F.col("a.sh").alias("sh_a"),
             F.col("b.sh").alias("sh_b"),
+            F.col("a.ids").alias("ids_a"),
+            F.col("b.ids").alias("ids_b"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        cand.withColumn("hamming", hamming)
+        .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["sh_a", "sh_b"])
     )
+    cross = sig_pairs.select(
+        F.explode("ids_a").alias("ia"), F.col("ids_b").alias("ids_b"), "hamming"
+    ).select(
+        F.col("ia"), F.explode("ids_b").alias("ib"), "hamming"
+    ).select(
+        F.least("ia", "ib").alias("id_a"),
+        F.greatest("ia", "ib").alias("id_b"),
+        "hamming",
+    )
+    # hamming-0 pairs inside one signature group (ids pre-sorted, so
+    # posexplode indices give id_a < id_b directly)
+    intra = (
+        sigs.filter(F.size("ids") > 1)
+        .select(F.posexplode("ids").alias("i", "id_a"), F.col("ids"))
+        .select("i", "id_a", F.posexplode("ids").alias("j", "id_b"))
+        .filter(F.col("i") < F.col("j"))
+        .select("id_a", "id_b", F.lit(0).alias("hamming"))
+    )
+    return cross.unionByName(intra)
 
 
 # ---------------------------------------------------------------------------

@@ -46,6 +46,15 @@ def get_spark(
     cpus = _cpus()
     builder = (
         SparkSession.builder.appName(app_name)
+        # Spark's default driver heap is 1g — in local mode that is the
+        # ENTIRE JVM (driver + all 32 executor threads). Any candidate-
+        # join materialization beyond toy size OOMs it. Honored only
+        # when this builder launches the JVM (i.e. not on getOrCreate
+        # reuse), which is exactly the bench/test path.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
