@@ -1,0 +1,153 @@
+"""Distributed graph operators for dedup-cluster resolution.
+
+Near-dup detection (MinHash-LSH, SimHash, Jaccard — ``similarity.py``)
+emits PAIRS; an actual dedup pipeline must resolve pairs into CLUSTERS
+(connected components) and then keep one canonical document per
+cluster. The reference stops at join maintenance; this is the
+training-data-pipeline extension the corpus-prep family needs.
+
+``connected_components`` implements the alternating Large-Star /
+Small-Star algorithm (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC 2014): each round is two keyed
+groupBy+join passes, and the edge set converges to stars centered at
+each component's minimum id in O(log n) rounds — unlike naive label
+propagation, whose round count is the graph DIAMETER (a 1M-long chain
+of near-dup shards would need 1M rounds; large/small-star needs ~20).
+
+Scale notes:
+* every round is shuffle-keyed by node id — no broadcast of the edge
+  set, no driver-side graph;
+* per-round driver work is one ``count()`` (convergence metric), the
+  same iterative shape as the k-means codebook trainer;
+* lineage is truncated every round with ``localCheckpoint`` so the
+  plan does not grow with iteration count (on a cluster you would
+  point this at a reliable checkpoint dir instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """One Large-Star round: for every node u, connect all strictly
+    LARGER neighbors to m = min(N(u) ∪ {u})."""
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One Small-Star round: orient edges toward the smaller endpoint,
+    then connect every smaller neighbor (and u itself) to the minimum."""
+    oriented = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    leaf_edges = (
+        oriented.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    center_edges = mins.select(F.col("u"), F.col("m").alias("v"))
+    return (
+        leaf_edges.unionByName(center_edges)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Resolve an undirected pair list into connected components.
+
+    Returns ``(id, component)`` for every node appearing in ``edges``,
+    where ``component`` is the smallest node id in the component — a
+    deterministic, join-able cluster key.
+
+    Alternates Large-Star and Small-Star until the edge set reaches a
+    fixpoint (all stars, every node pointing at its component min).
+    Convergence is checked with an exact set comparison (count + one
+    anti-diff) — at 100 TB you would instead track the cheaper
+    "changed labels this round" counter and stop at zero.
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = e.count()
+    for _ in range(max_iters):
+        if n_edges == 0:
+            break
+        e_new = _small_star(_large_star(e)).localCheckpoint()
+        n_new = e_new.count()
+        if n_new == n_edges and e_new.exceptAll(e).isEmpty():
+            e = e_new
+            break
+        e, n_edges = e_new, n_new
+    # final star edges point (member -> center); centers label themselves
+    return (
+        e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+        .unionByName(e.select(F.col("v").alias("id"), F.col("v").alias("component")))
+        .groupBy("id")
+        .agg(F.min("component").alias("component"))
+    )
+
+
+def keep_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    length_col: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Collapse near-dup clusters to one canonical document each.
+
+    Every doc joins its cluster id (docs without any near-dup pair are
+    their own singleton cluster); the canonical member is the LONGEST
+    doc (``length_col`` desc), ties broken by smallest id — the
+    standard "keep the most complete copy" policy.
+
+    Returns ``(component, doc_id, cluster_size)`` — one row per
+    surviving document. Plan: components (keyed shuffles) → one LEFT
+    join docs→labels → one groupBy per cluster; the per-cluster argmax
+    is a ``max_by`` aggregate, not a window over the full corpus.
+    """
+    labels = connected_components(pairs, src=src, dst=dst)
+    labeled = (
+        docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(length_col).cast("long").alias("_len"),
+        )
+        .join(labels, F.col("doc_id") == F.col("id"), "left")
+        .select(
+            "doc_id",
+            "_len",
+            F.coalesce("component", F.col("doc_id")).alias("component"),
+        )
+    )
+    return (
+        labeled.groupBy("component")
+        .agg(
+            # max_by with a (len, -id) sort key: longest doc, then smallest id
+            F.max_by(
+                "doc_id", F.struct(F.col("_len"), (-F.col("doc_id")).alias("nid"))
+            ).alias("doc_id"),
+            F.count(F.lit(1)).alias("cluster_size"),
+        )
+        .select("component", "doc_id", "cluster_size")
+    )

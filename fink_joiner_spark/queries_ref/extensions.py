@@ -124,8 +124,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash + LSH banding (k=16 perms, 4 bands × 4 rows)
 # ---------------------------------------------------------------------------
 
-_MINHASH_ORACLE = f"""
-WITH tok AS (
+# CTE body shared by the minhash pair query and the cluster queries
+# built on top of it (connected components / keep-canonical).
+_MINHASH_CTES = f"""tok AS (
   SELECT doc_id, {_DD_TOKS.format(t='text')} AS toks FROM documents
 ),
 sh AS (
@@ -159,10 +160,16 @@ verified AS (
   FROM cand c
   JOIN sh sa ON sa.doc_id = c.id_a
   JOIN sh sb ON sb.doc_id = c.id_b
-)
-SELECT id_a, id_b, ROUND(inter::DOUBLE / (na + nb - inter), 4) AS jaccard
-FROM verified
-WHERE ROUND(inter::DOUBLE / (na + nb - inter), 4) >= 0.8
+),
+mh_pairs AS (
+  SELECT id_a, id_b, ROUND(inter::DOUBLE / (na + nb - inter), 4) AS jaccard
+  FROM verified
+  WHERE ROUND(inter::DOUBLE / (na + nb - inter), 4) >= 0.8
+)"""
+
+_MINHASH_ORACLE = f"""
+WITH {_MINHASH_CTES}
+SELECT id_a, id_b, jaccard FROM mh_pairs
 """
 
 
@@ -228,6 +235,88 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return similarity.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# pair -> cluster resolution (connected components) + keep-canonical
+# ---------------------------------------------------------------------------
+
+# min-reachable-label per node over the minhash pair graph; DuckDB's
+# recursive CTE is the oracle for the large-star/small-star algorithm
+_CC_CTES = f"""{_MINHASH_CTES},
+cc_edges AS (
+  SELECT id_a AS u, id_b AS v FROM mh_pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM mh_pairs
+),
+reach(id, lab) AS (
+  SELECT u, u FROM cc_edges
+  UNION
+  SELECT e.u, r.lab FROM cc_edges e JOIN reach r ON r.id = e.v
+),
+comp AS (
+  SELECT id, MIN(lab) AS component FROM reach GROUP BY id
+)"""
+
+_CC_ORACLE = f"""
+WITH RECURSIVE {_CC_CTES}
+SELECT id AS doc_id, component FROM comp
+"""
+
+
+@register(
+    "dedup_cc_clusters",
+    _CC_ORACLE,
+    "near-dup pair graph (MinHash-LSH) resolved into clusters via "
+    "alternating large-star/small-star connected components — O(log n) "
+    "keyed-shuffle rounds, no driver-side graph; oracle is a recursive "
+    "min-reachable-label CTE",
+)
+def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import graph, similarity
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = similarity.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, k=16, bands=4, threshold=0.8
+    )
+    return graph.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+
+
+_KEEP_CANONICAL_ORACLE = f"""
+WITH RECURSIVE {_CC_CTES},
+labeled AS (
+  SELECT d.doc_id, d.n_chars, COALESCE(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+)
+SELECT component, doc_id, cluster_size FROM (
+  SELECT component, doc_id,
+         COUNT(*) OVER (PARTITION BY component) AS cluster_size,
+         ROW_NUMBER() OVER (
+           PARTITION BY component ORDER BY n_chars DESC, doc_id ASC
+         ) AS rn
+  FROM labeled
+) WHERE rn = 1
+"""
+
+
+@register(
+    "dedup_keep_canonical",
+    _KEEP_CANONICAL_ORACLE,
+    "end-to-end near-dup dedup: pair graph -> connected components -> "
+    "keep the longest doc per cluster (tie: smallest id); singletons "
+    "survive as their own cluster — per-cluster argmax is a max_by "
+    "aggregate, not a corpus-wide window",
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import graph, similarity
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = similarity.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, k=16, bands=4, threshold=0.8
+    )
+    return graph.keep_canonical(docs, pairs, "doc_id", "n_chars")
 
 
 # ---------------------------------------------------------------------------

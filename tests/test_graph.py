@@ -1,0 +1,92 @@
+"""Connected components (large-star/small-star) + canonical-doc
+selection: correctness vs a union-find reference, convergence on
+pathological shapes (long chains — the case naive label propagation
+can't handle in O(log n) rounds), and determinism under repartition."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from fink_joiner_spark.operators import graph
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical min-label per node
+    return {x: find(x) for x in parent}
+
+
+def _cc_dict(spark, edges):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = graph.connected_components(df).collect()
+    return {r["id"]: r["component"] for r in out}
+
+
+def test_chain_converges_to_min(spark):
+    # a 40-node chain: diameter 39, but star-contraction needs few rounds
+    edges = [(i, i + 1) for i in range(40)]
+    got = _cc_dict(spark, edges)
+    assert got == {i: 0 for i in range(41)}
+
+
+def test_two_components_and_duplicate_reversed_edges(spark):
+    edges = [(5, 3), (3, 9), (9, 5), (20, 21), (21, 20), (7, 7)]
+    got = _cc_dict(spark, edges)
+    # self-loop (7,7) contributes no node; components labeled by min
+    assert got == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20}
+
+
+def test_random_graph_matches_union_find(spark):
+    rng = random.Random(42)
+    nodes = list(range(200))
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(150)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    expect = _union_find(edges)
+    got = _cc_dict(spark, edges)
+    assert got == expect
+
+
+def test_empty_edges(spark):
+    df = spark.createDataFrame([], "id_a long, id_b long")
+    assert graph.connected_components(df).count() == 0
+
+
+def test_keep_canonical_longest_then_smallest_id(spark):
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 5), (9, 99)],
+        "doc_id long, n_chars long",
+    )
+    # cluster {1,2,3}: 2 and 3 tie on length 30 -> keep 2; {4} singleton
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    out = {
+        r["component"]: (r["doc_id"], r["cluster_size"])
+        for r in graph.keep_canonical(docs, pairs, "doc_id", "n_chars").collect()
+    }
+    assert out == {1: (2, 3), 4: (4, 1), 9: (9, 1)}
+
+
+def test_components_stable_under_repartition(spark):
+    rng = random.Random(7)
+    edges = [(rng.randrange(100), rng.randrange(100)) for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    base = sorted(map(tuple, graph.connected_components(df).collect()))
+    shuffled = sorted(
+        map(tuple, graph.connected_components(df.repartition(13)).collect())
+    )
+    assert base == shuffled
