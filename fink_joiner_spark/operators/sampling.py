@@ -84,6 +84,65 @@ def stratified_sample(
     return df.filter(b < thresh)
 
 
+def cap_per_group(
+    df: DataFrame, group_col: str, id_col: str, cap: int
+) -> DataFrame:
+    """Frequency-cap sampling: keep at most ``cap`` rows per group
+    (domain/source caps — the "no single domain dominates the corpus"
+    policy). Which rows survive is deterministic: rank by
+    ``md5(id)`` (an order-free pseudo-random permutation, identical
+    across engines and repartitionings), ties by id.
+
+    Plan: one hash shuffle on ``group_col`` + per-partition rank. Spark
+    plans ``row_number <= cap`` as a running WindowExec, which
+    early-materializes only; for a pathological mega-group the salting
+    pattern in ``skew.py`` applies (two-level cap: salt-group cap then
+    re-cap). Caps are usually small, so output ≈ groups × cap.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
+def assign_packs(
+    df: DataFrame,
+    part_col: str,
+    order_col: str,
+    tokens_col: str,
+    budget: int,
+) -> DataFrame:
+    """Sequence-packing assignment: lay docs end-to-end in a
+    deterministic order inside each partition (shard) and assign each
+    doc the pack (fixed ``budget``-token context window) its LAST token
+    lands in — the bookkeeping step before concatenate-and-split
+    training batch construction.
+
+    Emits the input plus ``cum_tokens`` (running total inclusive) and
+    ``pack_id`` (0-based). Exact-integer window arithmetic only.
+    Partitioned by ``part_col`` so the cumulative sum is a per-shard
+    window, not a global single-task sort — shards are the unit a real
+    packing job parallelizes over.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(tokens_col).cast("long")).over(w)
+    return df.withColumn("cum_tokens", cum).withColumn(
+        "pack_id", F.floor((F.col("cum_tokens") - 1) / budget)
+    )
+
+
 def split_oracle_case(id_expr: str, weights: Sequence[tuple[str, int]], salt: str = "") -> str:
     """DuckDB CASE expression mirroring :func:`with_split` bit-for-bit."""
     bucket = (

@@ -91,6 +91,87 @@ def jaccard_pairs(
     )
 
 
+def ngram_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: per-doc fraction of n-gram shingles
+    that appear anywhere in a benchmark/eval corpus.
+
+    The standard pretraining hygiene step (eval n-gram overlap — e.g.
+    GPT-3 appendix C, PaLM §8): docs whose contamination exceeds a
+    policy threshold are dropped before training. Emits
+    ``(doc_id, n_shingles, n_hits, contamination)`` for every doc with
+    ≥1 overlapping shingle; callers filter at their threshold.
+
+    Scale shape: the benchmark shingle set is eval-suite-sized (MBs) —
+    broadcast it; the corpus side is one explode + broadcast-hash-join
+    + one keyed re-aggregation. No shuffle of the corpus text itself.
+    """
+    b = (
+        benchmark.select(F.explode(word_shingles(F.col(text_col), n)).alias("s"))
+        .distinct()
+    )
+    d = (
+        _spread(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            word_shingles(F.col(text_col), n).alias("sh"),
+        )
+        .select(
+            "doc_id",
+            F.size("sh").cast("long").alias("n_shingles"),
+            F.explode("sh").alias("s"),
+        )
+    )
+    return (
+        d.join(F.broadcast(b), "s")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_shingles"), 4).alias("contamination"),
+        )
+    )
+
+
+def quantize_embeddings_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Per-vector int8 scalar quantization (min/max affine) with
+    reconstruction-error stats — the storage/serving compression step
+    of an embedding pipeline (4× smaller than float32).
+
+    q_i = floor((x_i - min)·254/(max - min) + 0.5) - 127 ∈ [-127, 127];
+    flat vectors (max == min) quantize to all-zero. Emits
+    ``(id, n_dims, scale, q_sum, mae)`` — ``q_sum`` is an exact-integer
+    checksum of the codes, ``mae`` the mean absolute dequantization
+    error. Pure column expressions, zero shuffles; ``floor(x + 0.5)``
+    (not ROUND) keeps half-way cases identical across engines.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    mn, mx = F.array_min(v), F.array_max(v)
+    scale = (mx - mn) / F.lit(254.0)
+    q = F.when(mx == mn, F.transform(v, lambda x: F.lit(0).cast("long"))).otherwise(
+        F.transform(v, lambda x: F.floor((x - mn) / scale + 0.5) - 127)
+    )
+    deq = F.transform(q, lambda c: (c + 127) * scale + mn)
+    abs_err = F.zip_with(v, deq, lambda a, b: F.abs(a - b))
+    mae = (
+        F.aggregate(abs_err, F.lit(0.0), lambda acc, x: acc + x) / F.size(v)
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(v).cast("long").alias("n_dims"),
+        (F.round(scale, 6) + F.lit(0.0)).alias("scale"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda acc, x: acc + x).alias("q_sum"),
+        (F.round(mae, 8) + F.lit(0.0)).alias("mae"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH banding
 # ---------------------------------------------------------------------------

@@ -106,6 +106,81 @@ def fingerprint_rolling(text: Column) -> Column:
     return char_poly_hash(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))
 
 
+def duplicated_segment_stats(
+    df: DataFrame, id_col: str, text_col: str, seg_tokens: int = 10
+) -> DataFrame:
+    """Exact-substring dedup statistics at token-segment granularity.
+
+    Splits each doc into consecutive NON-overlapping ``seg_tokens``-token
+    segments (trailing partial dropped), computes each segment's corpus
+    document-frequency, and reports per doc how much of it is duplicated
+    text — the segment-level analog of suffix-array exact-substring
+    dedup (Lee et al. 2022), whose output drives "drop docs that are
+    mostly boilerplate" filters.
+
+    Emits ``(doc_id, n_segments, n_dup_segments, dup_ratio)`` for every
+    doc with ≥1 full segment. Plan: one explode, ONE groupBy(segment)
+    for doc-frequency (map-side partial agg), one keyed join back, one
+    groupBy(doc). Segments are joined by 64-bit xxhash, not the string.
+    """
+    toks = tokens(F.col(text_col))
+    n_seg = F.floor(F.size(toks) / seg_tokens).cast("int")
+    segs = F.when(
+        n_seg >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_seg),
+                lambda k: F.concat_ws(
+                    " ", F.slice(toks, (k - 1) * seg_tokens + 1, seg_tokens)
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = df.select(F.col(id_col).alias("doc_id"), F.explode(segs).alias("seg")).select(
+        "doc_id", F.xxhash64("seg").alias("seg")
+    )
+    freq = ex.groupBy("seg").agg(F.count(F.lit(1)).alias("doc_freq"))
+    dup = F.sum(F.when(F.col("doc_freq") >= 2, 1).otherwise(0)).cast("long")
+    return (
+        ex.join(freq, "seg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            dup.alias("n_dup_segments"),
+        )
+        .select(
+            "doc_id",
+            "n_segments",
+            "n_dup_segments",
+            F.round(F.col("n_dup_segments") / F.col("n_segments"), 4).alias("dup_ratio"),
+        )
+    )
+
+
+def top_ngrams(df: DataFrame, text_col: str, n: int = 2, k: int = 50) -> DataFrame:
+    """Corpus-wide top-k n-gram frequencies (vocabulary/boilerplate
+    analysis): count every n-gram OCCURRENCE (not per-doc distinct),
+    rank by (count desc, ngram asc) for a deterministic cut.
+
+    Plan: explode → ONE partial-agg groupBy → global top-k, which Spark
+    plans as TakeOrderedAndProject (per-partition heaps + driver merge
+    of k rows), never a full sort of the n-gram table.
+    """
+    toks = tokens(F.col(text_col))
+    m = F.size(toks) - (n - 1)
+    acc = F.slice(toks, 1, m)
+    for j in range(2, n + 1):
+        acc = F.zip_with(acc, F.slice(toks, j, m), lambda a, b: F.concat_ws(" ", a, b))
+    grams = F.when(F.size(toks) >= n, acc).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
+        .limit(k)
+    )
+
+
 def chunk_text(
     df: DataFrame,
     id_col: str,

@@ -320,6 +320,223 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# decontamination, exact-substring stats, corpus stats, packing, caps,
+# embedding quantization
+# ---------------------------------------------------------------------------
+
+# distinct 4-word shingles (decontamination granularity)
+_DD_SHINGLES4 = (
+    "list_distinct(CASE WHEN len(toks) >= 4 THEN "
+    "[array_to_string(toks[i:i+3], ' ') FOR i IN generate_series(1, len(toks) - 3)] "
+    "ELSE [] END)"
+)
+
+_DECONTAM_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {_DD_TOKS.format(t='text')} AS toks FROM documents
+),
+sh AS (SELECT doc_id, {_DD_SHINGLES4} AS sh FROM tok),
+bench AS (
+  SELECT DISTINCT s FROM (
+    SELECT unnest(sh) AS s FROM sh WHERE doc_id % 20 = 0
+  )
+),
+corpus AS (
+  SELECT doc_id, len(sh)::BIGINT AS n_shingles, unnest(sh) AS s
+  FROM sh WHERE doc_id % 20 <> 0
+)
+SELECT c.doc_id, c.n_shingles, COUNT(*)::BIGINT AS n_hits,
+       ROUND(COUNT(*)::DOUBLE / c.n_shingles, 4) AS contamination
+FROM corpus c JOIN bench b ON c.s = b.s
+GROUP BY c.doc_id, c.n_shingles
+"""
+
+
+@register(
+    "text_decontaminate",
+    _DECONTAM_ORACLE,
+    "benchmark decontamination: per-doc 4-gram overlap fraction vs a "
+    "held-out eval subset (doc_id % 20 = 0); eval shingle set is "
+    "broadcast, corpus side is explode + broadcast-join + one keyed "
+    "re-agg — corpus text itself never shuffles",
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import similarity
+
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return similarity.ngram_decontaminate(corpus, bench, "doc_id", "text", n=4)
+
+
+_DUP_SEG_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {_DD_TOKS.format(t='text')} AS toks FROM documents
+),
+segs AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) >= 10 THEN
+           [array_to_string(toks[(k-1)*10+1:(k-1)*10+10], ' ')
+            FOR k IN generate_series(1, (len(toks) // 10)::INT)]
+         ELSE [] END) AS segs
+  FROM tok
+),
+ex AS (SELECT doc_id, unnest(segs) AS seg FROM segs),
+freq AS (SELECT seg, COUNT(*)::BIGINT AS doc_freq FROM ex GROUP BY seg)
+SELECT e.doc_id, COUNT(*)::BIGINT AS n_segments,
+       SUM(CASE WHEN f.doc_freq >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_segments,
+       ROUND(SUM(CASE WHEN f.doc_freq >= 2 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 4)
+         AS dup_ratio
+FROM ex e JOIN freq f ON e.seg = f.seg
+GROUP BY e.doc_id
+"""
+
+
+@register(
+    "text_dup_segments",
+    _DUP_SEG_ORACLE,
+    "exact-substring dedup stats: corpus doc-frequency of 10-token "
+    "non-overlapping segments, per-doc duplicated-text ratio (segment-"
+    "level analog of suffix-array substring dedup); one explode + one "
+    "segment groupBy + one keyed join back",
+)
+def text_dup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import text
+
+    docs = table(spark, sf_dir, "documents")
+    return text.duplicated_segment_stats(docs, "doc_id", "text", seg_tokens=10)
+
+
+_TOP_NGRAMS_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {_DD_TOKS.format(t='text')} AS toks FROM documents
+),
+grams AS (
+  SELECT unnest(CASE WHEN len(toks) >= 2 THEN
+    [array_to_string(toks[i:i+1], ' ') FOR i IN generate_series(1, len(toks) - 1)]
+  ELSE [] END) AS ngram FROM tok
+)
+SELECT ngram, COUNT(*)::BIGINT AS n_occurrences
+FROM grams GROUP BY ngram
+ORDER BY n_occurrences DESC, ngram ASC LIMIT 50
+"""
+
+
+@register(
+    "text_top_ngrams",
+    _TOP_NGRAMS_ORACLE,
+    "corpus-wide top-50 bigram occurrence counts (vocabulary / "
+    "boilerplate analysis); partial-agg groupBy then global top-k "
+    "planned as TakeOrderedAndProject, never a full sort",
+)
+def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import text
+
+    docs = table(spark, sf_dir, "documents")
+    return text.top_ngrams(docs, "text", n=2, k=50)
+
+
+@register(
+    "ext_cap_per_source",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY md5(doc_id::VARCHAR), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 10
+    """,
+    "per-source frequency cap (keep <= 10 docs per source, md5-rank "
+    "deterministic) — the 'no domain dominates' corpus policy; one "
+    "hash shuffle on source + per-group rank",
+)
+def ext_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import sampling
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    return sampling.cap_per_group(docs, "source", "doc_id", cap=10)
+
+
+_PACK_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, source, len({_DD_TOKS.format(t='text')})::BIGINT AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         )::BIGINT AS cum_tokens
+  FROM tok
+)
+SELECT doc_id, source, n_tokens, cum_tokens,
+       (cum_tokens - 1) // 2048 AS pack_id
+FROM cum
+"""
+
+
+@register(
+    "ext_pack_sequences",
+    _PACK_ORACLE,
+    "sequence-packing assignment: docs laid end-to-end per source shard "
+    "in id order, each assigned the 2048-token context window its last "
+    "token lands in; exact-integer per-shard window cumsum — no global "
+    "sort",
+)
+def ext_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import sampling, text
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(text.tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    return sampling.assign_packs(docs, "source", "doc_id", "n_tokens", budget=2048)
+
+
+_QUANT_ORACLE = """
+WITH v AS (
+  SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings
+),
+s AS (
+  SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx,
+         (list_max(v) - list_min(v)) / 254.0 AS scale
+  FROM v
+),
+q AS (
+  SELECT vec_id, v, mn, scale,
+         CASE WHEN mn = mx THEN [0::BIGINT FOR x IN v]
+              ELSE [floor((x - mn) / scale + 0.5)::BIGINT - 127 FOR x IN v]
+         END AS q
+  FROM s
+)
+SELECT vec_id AS id, len(v)::BIGINT AS n_dims,
+       ROUND(scale, 6) + 0.0 AS scale,
+       list_reduce(list_prepend(0::BIGINT, q), (a, b) -> a + b) AS q_sum,
+       ROUND(list_reduce(list_prepend(0.0,
+           [abs(v[i] - ((q[i] + 127) * scale + mn))
+            FOR i IN generate_series(1, len(v))]),
+         (a, b) -> a + b) / len(v), 8) + 0.0 AS mae
+FROM q
+"""
+
+
+@register(
+    "ext_embedding_quantize",
+    _QUANT_ORACLE,
+    "per-vector int8 min/max affine quantization with integer code "
+    "checksum and mean-abs reconstruction error — pure column "
+    "expressions, zero shuffles; floor(x+0.5) keeps halfway cases "
+    "engine-identical",
+)
+def ext_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.quantize_embeddings_int8(emb, "vec_id", "embedding")
+
+
+# ---------------------------------------------------------------------------
 # Embedding cosine near-dup pairs (cell-blocked) + top-k search
 # ---------------------------------------------------------------------------
 
