@@ -151,3 +151,47 @@ def test_dynamic_partition_pruning_from_join(spark, sf_dir, tmp_path):
     joined = fact.join(F.broadcast(dim), "event_type").select("event_id", "tag")
     plan = plans.formatted_plan(joined)
     assert "dynamicpruning" in plan.lower(), f"no DPP in plan:\n{plan}"
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    # the eval shingle set must join as a broadcast — the corpus side
+    # (the 100 TB side) must never shuffle for the membership test
+    df = _q("text_decontaminate", spark, sf_dir)
+    plans.asserts_broadcast_join(df, min_count=1)
+    plans.asserts_no_cartesian(df)
+
+
+def test_top_ngrams_avoids_total_sort(spark, sf_dir):
+    df = _q("text_top_ngrams", spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_cap_per_source_single_shuffle(spark, sf_dir):
+    # one hash shuffle on the group key, nothing else
+    df = _q("ext_cap_per_source", spark, sf_dir)
+    assert plans.count_shuffles(df) == 1
+    plans.asserts_column_pruned(df, "doc_id", max_cols=2)
+
+
+def test_pack_sequences_single_shuffle_no_global_sort(spark, sf_dir):
+    # per-shard window: exactly one hashpartitioning(source) exchange,
+    # and no rangepartitioning (which would mean a global sort)
+    df = _q("ext_pack_sequences", spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_embedding_quantize_scan_resident(spark, sf_dir):
+    # pure column expressions: zero shuffles, runs inside codegen
+    df = _q("ext_embedding_quantize", spark, sf_dir)
+    assert plans.count_shuffles(df) == 0
+    plans.asserts_whole_stage_codegen(df)
+
+
+def test_dup_segments_two_shuffles(spark, sf_dir):
+    # explode -> groupBy(segment) -> join back -> groupBy(doc): the
+    # doc-frequency agg and the per-doc re-agg, nothing more
+    df = _q("text_dup_segments", spark, sf_dir)
+    assert plans.count_shuffles(df) <= 3
