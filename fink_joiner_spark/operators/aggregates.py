@@ -65,3 +65,38 @@ def tumbling_window_agg(
         F.col("window.end").alias("window_end"),
         *[c for c in out.columns if c != "window"],
     )
+
+
+def numeric_histogram(
+    df: DataFrame, value_col: str, width: float, lo: float = 0.0
+) -> DataFrame:
+    """Fixed-width histogram of a numeric column: per-bin count,
+    min/max, and an exact-integer value sum (cents), avoiding a float
+    SUM whose last-ulp value depends on reduction order.
+
+    One partial-agg groupBy keyed by bin — the data-profiling pass a
+    pipeline runs before choosing filter thresholds. ``avg_v`` is
+    derived from the integer cents sum, so it is bit-identical across
+    engines and partitionings.
+    """
+    v = F.col(value_col)
+    bin_id = F.floor((v - lo) / width).cast("long")
+    cents = F.floor(v * 100 + 0.5).cast("long")
+    return (
+        df.select(bin_id.alias("bin"), v.alias("v"), cents.alias("cents"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .select(
+            "bin",
+            "n",
+            "min_v",
+            "max_v",
+            "sum_cents",
+            F.round(F.col("sum_cents") / 100.0 / F.col("n"), 4).alias("avg_v"),
+        )
+    )

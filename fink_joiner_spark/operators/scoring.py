@@ -1,0 +1,142 @@
+"""Document-scoring operators: unigram-LM quality score and BM25
+query relevance — the scoring half of a training-data curation
+pipeline (KenLM-style quality filters, relevance mining for targeted
+corpora).
+
+Cross-engine determinism rules used here:
+* stay in EXACT INTEGERS through every aggregation (counts, integer
+  sums) and divide only at the very end — a float SUM's value depends
+  on reduction order, which differs between engines and between runs;
+* where a per-row float is unavoidable (BM25's idf/tf factor), round
+  it to fixed precision, scale to an integer (micropoints), and SUM
+  the integers — bit-exact under any grouping order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from fink_joiner_spark.operators.text import tokens
+
+
+def unigram_corpus_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc average corpus unigram probability — the rational-
+    arithmetic analog of a unigram LM quality filter (docs made of
+    corpus-typical tokens score high; rare-token noise scores low).
+
+    score(d) = (Σ_{t∈d} count(t)) / (|d| · total_tokens), computed
+    entirely from integer sums (one exact division at the end).
+
+    Plan: one explode, ONE groupBy(token) for corpus counts (the
+    vocabulary — broadcast back, so the corpus side never shuffles for
+    the lookup), one groupBy(doc). Vocabulary tables are ~millions of
+    rows at web scale: still broadcast-sized; fall back to a keyed
+    join if a tokenizer-free corpus pushes it past executor memory.
+    """
+    ex = df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("tok"))
+    freq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("total"))
+    per_doc = (
+        ex.join(F.broadcast(freq), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("cnt").alias("sum_freq"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "n_tokens",
+        "sum_freq",
+        (
+            F.round(F.col("sum_freq") / (F.col("n_tokens") * F.col("total")), 8)
+            + F.lit(0.0)
+        ).alias("score"),
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document to a fixed term set — the
+    standard retrieval score, used in data curation to mine documents
+    relevant to a target domain.
+
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)); per-(doc, term)
+    contribution idf·tf·(k1+1)/(tf + k1·(1 - b + b·dl/avgdl)). Each
+    contribution is rounded to 6 dp and scaled to integer micropoints
+    before the per-doc SUM, so the total is independent of reduction
+    order; the result is reported as ``score = micropoints / 1e6``.
+
+    Plan: term stats (df) and the corpus scalars (N, avgdl) are
+    tiny → broadcast; the corpus side is one scan + one groupBy(doc).
+    Emits ``(doc_id, n_terms_matched, score)`` for docs matching ≥1
+    query term.
+    """
+    terms = [t.lower() for t in query_terms]
+    term_arr = F.array(*[F.lit(t) for t in terms])
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("dl"),
+        F.filter(toks, lambda t: F.array_contains(term_arr, t)).alias("hits"),
+    )
+    # corpus scalars: N docs, average doc length (exact integers)
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    # per-(doc, term) term frequency; only matched terms survive
+    tf = (
+        base.filter(F.size("hits") > 0)
+        .select("doc_id", "dl", F.explode("hits").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # document frequency per term (distinct docs containing it)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1
+                * (
+                    1.0
+                    - b
+                    + b * F.col("dl") * F.col("n_docs") / F.col("sum_dl")
+                )
+            ),
+        )
+        # micropoint integerization: deterministic under any sum order
+        .withColumn("micro", F.floor(F.col("contrib") * 1e6 + 0.5).cast("long"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_matched"),
+            F.sum("micro").alias("micro"),
+        )
+        .select(
+            "doc_id",
+            "n_terms_matched",
+            (F.round(F.col("micro") / 1e6, 6) + F.lit(0.0)).alias("score"),
+        )
+    )

@@ -1175,3 +1175,104 @@ def ext_embedding_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.avg(F.col("v").cast("double")), 4) + F.lit(0.0)).alias("avg_v"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# document scoring (unigram LM, BM25) + data profiling
+# ---------------------------------------------------------------------------
+
+_UNIGRAM_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {_DD_TOKS.format(t='text')} AS toks FROM documents
+),
+ex AS (SELECT doc_id, unnest(toks) AS tok FROM tok),
+freq AS (SELECT tok, COUNT(*)::BIGINT AS cnt FROM ex GROUP BY tok),
+tot AS (SELECT SUM(cnt)::BIGINT AS total FROM freq)
+SELECT e.doc_id, COUNT(*)::BIGINT AS n_tokens, SUM(f.cnt)::BIGINT AS sum_freq,
+       ROUND(SUM(f.cnt)::BIGINT::DOUBLE / (COUNT(*) * (SELECT total FROM tot)), 8)
+         + 0.0 AS score
+FROM ex e JOIN freq f USING (tok)
+GROUP BY e.doc_id
+"""
+
+
+@register(
+    "text_unigram_score",
+    _UNIGRAM_ORACLE,
+    "unigram-LM quality score: per-doc average corpus token "
+    "probability from exact integer sums (one end division) — "
+    "vocabulary broadcast back, corpus side shuffles once per doc agg",
+)
+def text_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import scoring
+
+    docs = table(spark, sf_dir, "documents")
+    return scoring.unigram_corpus_score(docs, "doc_id", "text")
+
+
+_BM25_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {_DD_TOKS.format(t='text')} AS toks FROM documents
+),
+base AS (
+  SELECT doc_id, len(toks)::BIGINT AS dl,
+         list_filter(toks, t -> list_contains(['join', 'filter', 'window'], t)) AS hits
+  FROM tok
+),
+stats AS (SELECT COUNT(*)::BIGINT AS n_docs, SUM(dl)::BIGINT AS sum_dl FROM base),
+tf AS (
+  SELECT doc_id, dl, term, COUNT(*)::BIGINT AS tf FROM (
+    SELECT doc_id, dl, unnest(hits) AS term FROM base WHERE len(hits) > 0
+  ) GROUP BY doc_id, dl, term
+),
+dfreq AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT t.doc_id,
+         floor(((ln(1.0 + ((s.n_docs - d.df) + 0.5) / (d.df + 0.5))
+                 * (t.tf * 2.2))
+                / (t.tf + 1.2 * (0.25 + ((0.75 * t.dl) * s.n_docs) / s.sum_dl)))
+               * 1000000.0 + 0.5)::BIGINT AS micro
+  FROM tf t JOIN dfreq d USING (term) CROSS JOIN stats s
+)
+SELECT doc_id, COUNT(*)::BIGINT AS n_terms_matched,
+       ROUND(SUM(micro)::BIGINT / 1000000.0, 6) + 0.0 AS score
+FROM scored GROUP BY doc_id
+"""
+
+
+@register(
+    "text_bm25_relevance",
+    _BM25_ORACLE,
+    "BM25 relevance of every doc to a fixed query term set (k1=1.2, "
+    "b=0.75) — term stats and corpus scalars broadcast; per-term "
+    "contributions integerized to micropoints before the per-doc SUM "
+    "so the score is reduction-order-independent",
+)
+def text_bm25_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import scoring
+
+    docs = table(spark, sf_dir, "documents")
+    return scoring.bm25_scores(
+        docs, "doc_id", "text", ["join", "filter", "window"], k1=1.2, b=0.75
+    )
+
+
+@register(
+    "ext_value_histogram",
+    """
+    SELECT floor(value / 25.0)::BIGINT AS bin, COUNT(*)::BIGINT AS n,
+           MIN(value) AS min_v, MAX(value) AS max_v,
+           SUM(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS sum_cents,
+           ROUND(SUM(floor(value * 100 + 0.5)::BIGINT)::BIGINT / 100.0 / COUNT(*), 4)
+             AS avg_v
+    FROM events GROUP BY 1
+    """,
+    "fixed-width value histogram (profiling pass): per-bin count/min/"
+    "max plus an exact-integer cents sum — float-SUM reduction order "
+    "can never flip the hash; one partial-agg shuffle",
+)
+def ext_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import aggregates
+
+    ev = table(spark, sf_dir, "events").select("value")
+    return aggregates.numeric_histogram(ev, "value", width=25.0)

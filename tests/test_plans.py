@@ -195,3 +195,22 @@ def test_dup_segments_two_shuffles(spark, sf_dir):
     # doc-frequency agg and the per-doc re-agg, nothing more
     df = _q("text_dup_segments", spark, sf_dir)
     assert plans.count_shuffles(df) <= 3
+
+
+def test_unigram_score_broadcasts_vocab(spark, sf_dir):
+    # vocabulary lookup is a broadcast join — corpus tokens never
+    # shuffle for it; only the per-doc agg shuffles
+    df = _q("text_unigram_score", spark, sf_dir)
+    plans.asserts_broadcast_join(df, min_count=2)  # vocab + total scalar
+
+
+def test_bm25_broadcasts_term_stats(spark, sf_dir):
+    df = _q("text_bm25_relevance", spark, sf_dir)
+    plans.asserts_broadcast_join(df, min_count=2)  # dfreq + corpus stats
+    plans.asserts_no_cartesian(df)
+
+
+def test_value_histogram_single_shuffle(spark, sf_dir):
+    df = _q("ext_value_histogram", spark, sf_dir)
+    assert plans.count_shuffles(df) == 1
+    plans.asserts_column_pruned(df, "value", max_cols=1)
