@@ -76,28 +76,39 @@ def connected_components(
 
     Alternates Large-Star and Small-Star until the edge set reaches a
     fixpoint (all stars, every node pointing at its component min).
-    Convergence is checked with an exact set comparison (count + one
-    anti-diff) — at 100 TB you would instead track the cheaper
-    "changed labels this round" counter and stop at zero.
+    Convergence is detected by an order-free fingerprint — (count,
+    XOR of xxhash64(u, v)) over the distinct edge set — computed in the
+    SAME job that materializes the round's lazy checkpoint, so each
+    round costs exactly one Spark job (an exact set-diff check would
+    add a second full pass per round for no information the
+    fingerprint doesn't already give: rows are distinct, so XOR
+    fingerprints the set, and a collision between successive rounds is
+    ~2⁻⁶⁴; XOR, unlike SUM, can't overflow under ANSI mode).
     """
+
+    def fingerprint(df: DataFrame) -> tuple[int, int]:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
     e = (
         edges.select(
             F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    n_edges = e.count()
-    for _ in range(max_iters):
-        if n_edges == 0:
+    fp = fingerprint(e)
+    for _ in range(max_iters if fp[0] else 0):
+        e_new = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        fp_new = fingerprint(e_new)
+        e = e_new
+        if fp_new == fp:
             break
-        e_new = _small_star(_large_star(e)).localCheckpoint()
-        n_new = e_new.count()
-        if n_new == n_edges and e_new.exceptAll(e).isEmpty():
-            e = e_new
-            break
-        e, n_edges = e_new, n_new
+        fp = fp_new
     # final star edges point (member -> center); centers label themselves
     return (
         e.select(F.col("u").alias("id"), F.col("v").alias("component"))

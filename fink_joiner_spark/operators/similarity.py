@@ -727,3 +727,236 @@ def topk_ivf(
         .filter(F.col("rank") <= k)
         .select("qid", "nid", "score", "rank")
     )
+
+
+def _cb_literal(cb: list[list[list[float]]]) -> Column:
+    """The PQ codebook as a nested array literal column
+    (array<array<array<double>>> — m × n_codes × sub). Literal leaves
+    keep the expression tree linear in codebook size; the per-row work
+    is done by transform/zip_with/aggregate lambdas, NOT by unrolled
+    per-code expression chains (which blow up analysis + codegen)."""
+    return F.array(
+        *[
+            F.array(
+                *[F.array(*[F.lit(float(x)) for x in code]) for code in book]
+            )
+            for book in cb
+        ]
+    )
+
+
+def _pq_codes(vec_col: str, cb_lit: Column, sub: int) -> Column:
+    """codes: array<int> of length m — per subspace, the argmin-L2 code
+    (ties toward the lower code id via array_position-of-min)."""
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return F.transform(
+        cb_lit,
+        lambda book, j: (
+            F.array_position(
+                F.transform(
+                    book,
+                    lambda cv: F.aggregate(
+                        F.zip_with(
+                            F.slice(vd, j * sub + 1, sub),
+                            cv,
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                ),
+                F.array_min(
+                    F.transform(
+                        book,
+                        lambda cv: F.aggregate(
+                            F.zip_with(
+                                F.slice(vd, j * sub + 1, sub),
+                                cv,
+                                lambda a, b: (a - b) * (a - b),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        ),
+                    )
+                ),
+            )
+            - 1
+        ).cast("int"),
+    )
+
+
+def train_pq_codebooks(
+    c: DataFrame,
+    m: int,
+    sub: int,
+    n_codes: int,
+    n_iters: int,
+) -> list[list[list[float]]]:
+    """Train per-subspace PQ codebooks with deterministic Lloyd
+    iterations (distributed; only the m·n_codes·sub codebook floats
+    ever reach the driver).
+
+    ``c`` must have columns (nid, nvec). Seeding: the ``n_codes``
+    corpus vectors with the lowest md5-of-id, sliced per subspace.
+    Per iteration: ONE corpus pass assigns every vector its nearest
+    code per subspace (codebook as a literal array — no shuffle), then
+    ONE partial-agg shuffle computes per-(subspace, code, position)
+    means via a single ``posexplode`` of the full vector (subspace =
+    pos // sub). Means are rounded to 6 dp so float summation order
+    can't leak into the next assignment; empty codes keep their
+    previous centroid.
+    """
+    seeds = [
+        [round(float(x), 6) for x in r["nvec"]]
+        for r in c.withColumn("h", F.md5(F.col("nid").cast("string")))
+        .orderBy("h")
+        .limit(n_codes)
+        .collect()
+    ]
+    cb = [[vec[j * sub : (j + 1) * sub] for vec in seeds] for j in range(m)]
+    for _ in range(n_iters):
+        ex = (
+            c.select(_pq_codes("nvec", _cb_literal(cb), sub).alias("codes"), "nvec")
+            .select("codes", F.posexplode("nvec").alias("pos", "val"))
+            .select(
+                (F.col("pos") / sub).cast("int").alias("j"),
+                (F.col("pos") % sub).alias("spos"),
+                F.col("val").cast("double").alias("val"),
+                F.col("codes"),
+            )
+            .select(
+                "j", "spos", "val",
+                F.element_at("codes", F.col("j") + 1).alias("code"),
+            )
+        )
+        means = (
+            ex.groupBy("j", "code", "spos")
+            .agg(F.round(F.avg("val"), 6).alias("mval"))
+            .collect()
+        )
+        updated: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            updated.setdefault((r["j"], r["code"]), {})[r["spos"]] = r["mval"]
+        for j in range(m):
+            for code in range(n_codes):
+                got = updated.get((j, code))
+                if got is not None:
+                    cb[j][code] = [got[p] for p in range(sub)]
+    return cb
+
+
+def topk_pq(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    qid_col: str,
+    qvec_col: str,
+    k: int = 10,
+    m: int = 16,
+    n_codes: int = 16,
+    rerank_factor: int = 5,
+    train_iters: int = 3,
+) -> DataFrame:
+    """ANN top-k via Product Quantization (Jégou et al. 2011) — the
+    third scale path beside sign-LSH and IVF, and the one that shrinks
+    the INDEX: each vector becomes ``m`` one-byte codes (d·4 bytes →
+    m bytes), so a 100 TB float corpus scans as a ~400 GB code table
+    at m=16.
+
+    Index: the d dims split into ``m`` subspaces; each subspace gets an
+    ``n_codes``-entry codebook — md5-seeded then refined with
+    ``train_iters`` deterministic Lloyd iterations
+    (:func:`train_pq_codebooks`; trained recall 63/80 vs seeded 12/80
+    on the test corpus at rerank 3×). Every corpus vector stores its
+    nearest code per subspace — one expression-only pass, no shuffle.
+
+    Search: per query, a lookup table of subspace dot products
+    (m × n_codes doubles computed once per query row); the approximate
+    score is the exact cosine of the query with the RECONSTRUCTED
+    vector — subspaces are orthogonal, so ‖recon‖² = Σ_j ‖cb_j[c_j]‖²
+    comes from a second (query-independent) LUT and the score costs
+    2m array lookups per (query, vector) instead of d multiplies. The
+    top ``rerank_factor·k`` PQ candidates are then re-ranked with
+    exact cosine — one keyed join back to the float vectors, the
+    standard two-stage retrieval shape. Approximate; recall floor and
+    re-rank exactness pinned in ``test_similarity.py``.
+    """
+    from pyspark.sql import Window
+
+    c = _spread(df).select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"))
+    q = queries.select(F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qvec"))
+
+    dims = len(c.select("nvec").first()["nvec"])
+    if dims % m != 0:
+        raise ValueError(f"dims {dims} not divisible by m={m} subspaces")
+    sub = dims // m
+
+    cb = train_pq_codebooks(c, m, sub, n_codes, train_iters)
+    cb_lit = _cb_literal(cb)
+    norms_lit = F.array(  # ||cb_j[code]||² (query-independent LUT)
+        *[
+            F.array(*[F.lit(sum(x * x for x in code_vec)) for code_vec in book])
+            for book in cb
+        ]
+    )
+    encoded = c.select("nid", _pq_codes("nvec", cb_lit, sub).alias("codes"))
+
+    qd = F.transform(F.col("qvec"), lambda x: x.cast("double"))
+    qn = F.sqrt(
+        F.aggregate(qd, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    # luts[j][code] = dot(qsub_j, cb[j][code])
+    luts = F.transform(
+        cb_lit,
+        lambda book, j: F.transform(
+            book,
+            lambda cv: F.aggregate(
+                F.zip_with(F.slice(qd, j * sub + 1, sub), cv, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        ),
+    )
+    ql = q.select("qid", "qvec", qn.alias("qnorm"), luts.alias("luts"))
+
+    dot_approx = F.aggregate(
+        F.zip_with(
+            F.col("luts"), F.col("codes"), lambda lut, code: F.element_at(lut, code + 1)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    recon_norm = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                norms_lit, F.col("codes"), lambda ns, code: F.element_at(ns, code + 1)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = (
+        encoded.crossJoin(F.broadcast(ql))
+        .filter(F.col("qid") != F.col("nid"))
+        .select(
+            "qid", "qvec", "nid",
+            (dot_approx / (F.col("qnorm") * recon_norm)).alias("pq_score"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("pq_score").desc(), F.col("nid").asc())
+    cand = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= rerank_factor * k)
+        .select("qid", "qvec", "nid")
+    )
+    # exact re-rank of the shortlist: one keyed join back to the floats
+    rer = cand.join(c, "nid").select(
+        "qid", "nid", F.round(cosine(F.col("qvec"), F.col("nvec")), 4).alias("score")
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid").asc())
+    return (
+        rer.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "score", "rank")
+    )

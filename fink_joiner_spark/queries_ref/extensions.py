@@ -1276,3 +1276,22 @@ def ext_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events").select("value")
     return aggregates.numeric_histogram(ev, "value", width=25.0)
+
+
+@register(
+    "simsearch_topk_pq",
+    None,  # approximate: recall bound pinned in tests/test_similarity.py
+    "ANN top-10 via product quantization (16 subspaces x 16 codes, "
+    "Lloyd-trained codebooks, exact-norm reconstruction cosine, 5x "
+    "re-rank) — the index-compression scale path; rows-only check, "
+    "recall vs brute force asserted in pytest",
+)
+def simsearch_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return similarity.topk_pq(
+        emb, queries, "vec_id", "embedding", "vec_id", "embedding",
+        k=10, m=16, n_codes=16, rerank_factor=5, train_iters=3,
+    )

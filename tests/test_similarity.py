@@ -172,3 +172,26 @@ def test_simhash_block_candidates_are_exact(spark, sf_dir):
         .collect()
     }
     assert got == brute
+
+
+def test_pq_ann_recall_and_rerank_exactness(spark, sf_dir):
+    """PQ with a 3x re-rank must recall most of the brute-force top-10,
+    and every returned score must be the EXACT cosine (the re-rank
+    stage guarantees it — scores for recalled pairs equal brute force's
+    bit-for-bit)."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    brute = similarity.topk_bruteforce(
+        emb, queries, "vec_id", "embedding", "vec_id", "embedding", k=10
+    )
+    pq = similarity.topk_pq(
+        emb, queries, "vec_id", "embedding", "vec_id", "embedding",
+        k=10, m=16, n_codes=16, rerank_factor=5, train_iters=3,
+    )
+    b = {(r.qid, r.nid): r.score for r in brute.collect()}
+    a = {(r.qid, r.nid): r.score for r in pq.collect()}
+    hits = set(a) & set(b)
+    assert len(hits) / len(b) >= 0.6, f"PQ recall {len(hits)}/{len(b)}"
+    for key in hits:  # re-ranked scores are exact cosines
+        assert a[key] == b[key], (key, a[key], b[key])
+    assert pq.select("qid").distinct().count() == 8
