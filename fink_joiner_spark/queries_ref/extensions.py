@@ -1295,3 +1295,40 @@ def simsearch_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, "vec_id", "embedding", "vec_id", "embedding",
         k=10, m=16, n_codes=16, rerank_factor=5, train_iters=3,
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental aggregate maintenance (materialized-view refresh)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_incremental_agg",
+    """
+    SELECT user_id, COUNT(*)::BIGINT AS n,
+           SUM(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS sum_cents,
+           MIN(value) AS min_v, MAX(value) AS max_v,
+           ROUND(SUM(floor(value * 100 + 0.5)::BIGINT)::BIGINT / 100.0 / COUNT(*), 4)
+             AS avg_v
+    FROM events GROUP BY user_id
+    """,
+    "materialized-view refresh: per-user COUNT/SUM/MIN/MAX state built "
+    "from an 80% base then folded with two 10% deltas via keyed "
+    "full-outer MERGE (state side never re-shuffles when bucketed) — "
+    "the oracle is a full recompute, proving merge == recompute",
+)
+def ext_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import incremental
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    base = ev.filter(F.col("event_id") % 10 < 8)
+    d1 = ev.filter(F.col("event_id") % 10 == 8)
+    d2 = ev.filter(F.col("event_id") % 10 == 9)
+    state = incremental.partial_agg(base, ["user_id"], "value")
+    state = incremental.merge_states(
+        state, incremental.partial_agg(d1, ["user_id"], "value"), ["user_id"]
+    )
+    state = incremental.merge_states(
+        state, incremental.partial_agg(d2, ["user_id"], "value"), ["user_id"]
+    )
+    return incremental.finalize(state, ["user_id"])
