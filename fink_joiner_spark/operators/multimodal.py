@@ -52,10 +52,14 @@ _FEATURE_SCHEMA = T.StructType(
 )
 
 
-def decode_stub(payload: bytes, fake: bool) -> list[float]:
+def decode_stub(payload: bytes, fake: bool, normalize: bool = True) -> list[float]:
     """The codec boundary. Real deployments plug PIL/ffmpeg/torchaudio
     here; this container has none, so only the deterministic fake path
-    is available (byte-histogram moments — stable across runs)."""
+    is available (byte-histogram moments — stable across runs).
+
+    ``normalize=False`` returns the raw integer bucket counts — exact
+    values with no float rounding, the right form for hash-compared
+    correctness oracles."""
     if not fake:
         raise NotImplementedError(
             "media codecs unavailable in this environment; pass fake=True "
@@ -63,12 +67,14 @@ def decode_stub(payload: bytes, fake: bool) -> list[float]:
         )
     n = max(1, len(payload))
     buckets = [0] * FEATURE_DIM
-    for i, byte in enumerate(payload):
+    for byte in payload:
         buckets[byte % FEATURE_DIM] += 1
+    if not normalize:
+        return [float(b) for b in buckets]
     return [round(b / n, 6) for b in buckets]
 
 
-def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
+def extract_features(df: DataFrame, fake: bool = True, normalize: bool = True) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
     ``mapInPandas`` keeps the existing partitioning (no shuffle); each
@@ -83,7 +89,9 @@ def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
                 {
                     "id": pdf["id"],
                     "n_bytes": pdf["payload"].map(len),
-                    "features": pdf["payload"].map(lambda b: decode_stub(bytes(b), fake)),
+                    "features": pdf["payload"].map(
+                        lambda b: decode_stub(bytes(b), fake, normalize)
+                    ),
                 }
             )
 

@@ -759,16 +759,47 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_features",
-    None,  # mapInPandas stub decode: rows-only; shape pinned in pytest
+    # Exact oracle for the deterministic byte-histogram fake decode:
+    # byte % 8 depends only on the low hex nibble (16 ≡ 0 mod 8), so
+    # DuckDB recovers each byte's bucket from hex(encode(text)).
+    """
+    WITH b AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS n_bytes,
+             [ (strpos('0123456789ABCDEF',
+                       substr(hex(encode(text)), 2*i, 1)) - 1) % 8
+               FOR i IN range(1, octet_length(encode(text)) + 1) ] AS buckets
+      FROM documents
+    )
+    SELECT doc_id AS id, n_bytes,
+           len(list_filter(buckets, x -> x = 0))::BIGINT AS f0,
+           len(list_filter(buckets, x -> x = 1))::BIGINT AS f1,
+           len(list_filter(buckets, x -> x = 2))::BIGINT AS f2,
+           len(list_filter(buckets, x -> x = 3))::BIGINT AS f3,
+           len(list_filter(buckets, x -> x = 4))::BIGINT AS f4,
+           len(list_filter(buckets, x -> x = 5))::BIGINT AS f5,
+           len(list_filter(buckets, x -> x = 6))::BIGINT AS f6,
+           len(list_filter(buckets, x -> x = 7))::BIGINT AS f7
+    FROM b
+    """,
     "Arrow-batched mapInPandas feature extraction over binary payloads "
-    "(decode stubbed: deterministic byte-histogram features)",
+    "(decode stubbed: deterministic byte-histogram features, emitted as "
+    "flat integer columns so the hash compare is exact)",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fink_joiner_spark.operators import multimodal
 
     docs = table(spark, sf_dir, "documents")
     bin_df = multimodal.binarize(docs, "text", "doc_id")
-    return multimodal.extract_features(bin_df, fake=True)
+    feats = multimodal.extract_features(bin_df, fake=True, normalize=False)
+    return feats.select(
+        "id",
+        "n_bytes",
+        *[
+            F.col("features")[i].cast("long").alias(f"f{i}")
+            for i in range(multimodal.FEATURE_DIM)
+        ],
+    )
 
 
 # ---------------------------------------------------------------------------
