@@ -20,6 +20,30 @@ from fink_joiner_spark.queries import queries
 from fink_joiner_spark.session import get_spark
 
 
+def _reset_session_state(spark) -> None:
+    """Isolate queries from each other's session debris: drop cached
+    relations a query may have left behind and release finished
+    localCheckpoint blocks (connected-components label sets).  Round 2
+    showed leaked blocks from the CC queries inflating every LATER
+    query by ~35% — the bench must measure each plan cold."""
+    from fink_joiner_spark.operators import graph
+
+    graph.free_checkpoints()
+    try:
+        spark.catalog.clearCache()
+    except Exception:  # noqa: BLE001
+        pass
+    # Sweep anything still pinned in the block manager (stray
+    # localCheckpoint / persist from a query body). Queries are
+    # independent — nothing may carry storage across the boundary.
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for jrdd in jmap.values():
+            jrdd.unpersist()
+    except Exception:  # noqa: BLE001
+        pass
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -45,6 +69,7 @@ def main() -> None:
         total += dt
         # per-query progress to stderr so the final stdout line stays short
         print(f"bench {name}: {dt}s", file=sys.stderr)
+        _reset_session_state(spark)
 
     summary = {
         "metric": "total_query_wall_time",

@@ -26,7 +26,42 @@ Scale notes:
 
 from __future__ import annotations
 
+import logging
+import warnings
+
 from pyspark.sql import DataFrame, functions as F
+
+logger = logging.getLogger(__name__)
+
+# JVM RDD handles for localCheckpoint blocks that back RESULT DataFrames
+# of finished CC runs.  They can only be released once the caller has
+# fully consumed the result; ``free_checkpoints()`` (called by bench.py
+# between queries) drains this.  Intermediate per-round blocks are freed
+# eagerly inside the loop and never land here.
+_PENDING_FREE: list = []
+
+
+def _ckpt_handle(df: DataFrame):
+    """JVM RDD backing a ``localCheckpoint``'d DataFrame (LogicalRDD plan)."""
+    return df._jdf.queryExecution().analyzed().rdd()
+
+
+def _unpersist_handle(handle) -> None:
+    try:
+        handle.unpersist(False)
+    except Exception:  # noqa: BLE001 — freeing storage is best-effort
+        pass
+
+
+def free_checkpoints() -> None:
+    """Release localCheckpoint blocks of finished CC runs.
+
+    Safe once the DataFrames returned by :func:`connected_components` /
+    :func:`keep_canonical` have been fully consumed (collected/written);
+    the blocks are lineage-truncated, so consuming them afterwards fails.
+    """
+    while _PENDING_FREE:
+        _unpersist_handle(_PENDING_FREE.pop())
 
 
 def _large_star(e: DataFrame) -> DataFrame:
@@ -101,21 +136,47 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    live = _ckpt_handle(e)
     fp = fingerprint(e)
+    converged = fp[0] == 0
+    rounds = 0
     for _ in range(max_iters if fp[0] else 0):
         e_new = _small_star(_large_star(e)).localCheckpoint(eager=False)
-        fp_new = fingerprint(e_new)
+        new_handle = _ckpt_handle(e_new)
+        fp_new = fingerprint(e_new)  # materializes e_new's checkpoint
+        # e_new no longer needs its parent — free the superseded round's
+        # blocks NOW (at most two rounds of edges live at any moment,
+        # instead of max_iters sets accumulating in the block manager).
+        _unpersist_handle(live)
+        live = new_handle
         e = e_new
+        rounds += 1
         if fp_new == fp:
+            converged = True
             break
         fp = fp_new
-    # final star edges point (member -> center); centers label themselves
-    return (
+    if not converged:
+        warnings.warn(
+            f"connected_components: no fingerprint fixpoint after "
+            f"{max_iters} rounds — labels may be over-segmented "
+            f"(components under-merged); raise max_iters",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    logger.info("connected_components converged in %d rounds", rounds)
+    # final star edges point (member -> center); centers label themselves.
+    # Materialize the (much smaller: one row per node) label set eagerly
+    # so the edge blocks of the final round can be freed immediately.
+    labels = (
         e.select(F.col("u").alias("id"), F.col("v").alias("component"))
         .unionByName(e.select(F.col("v").alias("id"), F.col("v").alias("component")))
         .groupBy("id")
         .agg(F.min("component").alias("component"))
+        .localCheckpoint(eager=True)
     )
+    _unpersist_handle(live)
+    _PENDING_FREE.append(_ckpt_handle(labels))
+    return labels
 
 
 def keep_canonical(
