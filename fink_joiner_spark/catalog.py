@@ -16,6 +16,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import LongType
 
 TABLES = (
     "region",
@@ -41,10 +42,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         # nanos (long) -> microsecond timestamp; integer `div` (not
         # double `/`, which loses precision above 2^53) truncates the
         # way DuckDB converts ns->us, so oracle comparisons line up.
+        # Newer test data stores ts as TIMESTAMP(MICROS) directly, in
+        # which case parquet hands us a timestamp already — no-op.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
