@@ -6,9 +6,12 @@ table and chaining derived views (``tEnv.registerTable``,
 
 Scale note: parquet scans here are the 100 TB entry point — every
 operator downstream must keep filters/projections pushable to these
-scans. ``events.ts`` is stored as TIMESTAMP(NANOS); we read it as a long
-(see session.py) and promote to a microsecond timestamp declaratively so
-the cast stays inside codegen.
+scans. ``events.ts`` arrives in one of two shapes depending on the test
+data vintage: TIMESTAMP(NANOS), which the legacy conf reads as a long
+that we promote to a microsecond timestamp declaratively (cast stays
+inside codegen), or native TIMESTAMP(MICROS), which parquet surfaces as
+TIMESTAMP_NTZ and we cast to session-local TIMESTAMP (the session TZ is
+pinned UTC, so the cast is value-preserving and oracle parity holds).
 """
 
 from __future__ import annotations
@@ -16,7 +19,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLES = (
     "region",
@@ -42,13 +45,18 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        # nanos (long) -> microsecond timestamp; integer `div` (not
-        # double `/`, which loses precision above 2^53) truncates the
-        # way DuckDB converts ns->us, so oracle comparisons line up.
-        # Newer test data stores ts as TIMESTAMP(MICROS) directly, in
-        # which case parquet hands us a timestamp already — no-op.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # nanos (long) -> microsecond timestamp; integer `div` (not
+            # double `/`, which loses precision above 2^53) truncates the
+            # way DuckDB converts ns->us, so oracle comparisons line up.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            # Native TIMESTAMP(MICROS) parquet surfaces as TIMESTAMP_NTZ;
+            # unix_micros() and event-time windows require TIMESTAMP. The
+            # session TZ is pinned UTC above, so this cast is value-preserving.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -74,12 +74,23 @@ def merge_states(state: DataFrame, delta: DataFrame, keys: Sequence[str]) -> Dat
 
 def finalize(state: DataFrame, keys: Sequence[str]) -> DataFrame:
     """Render the partial state as the user-facing view: derived AVG
-    from the exact integer sums (reduction-order-independent)."""
+    from the exact integer sums (reduction-order-independent).
+
+    A fully-retracted group (``n = 0`` after negative deltas cancel all
+    inserts) gets ``avg_v = NULL`` instead of a divide-by-zero (an
+    error under ANSI mode). Caveat, by design of the mergeable state:
+    COUNT/SUM retract exactly, but MIN/MAX are NOT retractable — after
+    a retraction they may be stale (wider than the true extremum) until
+    the group's state is rebuilt from base data. Callers needing exact
+    MIN/MAX under deletion must trigger a per-group recompute.
+    """
     return state.select(
         *keys,
         "n",
         "sum_cents",
         "min_v",
         "max_v",
-        F.round(F.col("sum_cents") / 100.0 / F.col("n"), 4).alias("avg_v"),
+        F.when(
+            F.col("n") > 0, F.round(F.col("sum_cents") / 100.0 / F.col("n"), 4)
+        ).alias("avg_v"),
     )

@@ -138,8 +138,10 @@ def assign_packs(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum(F.col(tokens_col).cast("long")).over(w)
+    # greatest(..., 0): a zero-token doc at the head of a shard has
+    # cum_tokens = 0 and would otherwise land in pack -1.
     return df.withColumn("cum_tokens", cum).withColumn(
-        "pack_id", F.floor((F.col("cum_tokens") - 1) / budget)
+        "pack_id", F.floor(F.greatest(F.col("cum_tokens") - 1, F.lit(0)) / budget)
     )
 
 

@@ -317,7 +317,12 @@ def simhash32_agg(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     for i in range(32):
         term = F.when(2 * F.col(f"b{i}") - F.col("n") > 0, F.lit(1 << i)).otherwise(0)
         sh = term if sh is None else sh + term
-    return votes.select("id", sh.cast("long").alias("sh"))
+    # Null/empty docs (n = 0 token hashes) get sh = NULL, not sh = 0 —
+    # a 0 signature would hamming-0-pair every empty doc with every
+    # genuine all-zero-signature doc.
+    return votes.select(
+        "id", F.when(F.col("n") > 0, sh).cast("long").alias("sh")
+    )
 
 
 def simhash_pairs(
@@ -340,7 +345,8 @@ def simhash_pairs(
             "4-byte blocking is exact only for max_hamming <= 3 "
             f"(need n_blocks > max_hamming); got {max_hamming}"
         )
-    s = simhash32_agg(df, id_col, text_col)
+    # sh IS NULL = doc had no tokens; empty docs don't pair.
+    s = simhash32_agg(df, id_col, text_col).where(F.col("sh").isNotNull())
     # Distinct-signature compaction: a near-dup-heavy corpus maps many
     # docs to the SAME simhash (sf0.1 test corpus: 5000 docs → 2534
     # sigs, one byte-bucket holding 96% of docs). Joining doc-level

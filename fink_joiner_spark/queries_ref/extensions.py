@@ -208,6 +208,7 @@ sh AS (
             FOR i IN generate_series(0, 31)]),
            (a, x) -> a + x) AS sh
   FROM th
+  WHERE len(hh) > 0  -- empty docs carry no signature; they never pair
 ),
 blocks AS (
   SELECT doc_id, sh, p.part, (sh >> (8 * p.part)) & 255 AS v
@@ -472,7 +473,7 @@ cum AS (
   FROM tok
 )
 SELECT doc_id, source, n_tokens, cum_tokens,
-       (cum_tokens - 1) // 2048 AS pack_id
+       greatest(cum_tokens - 1, 0) // 2048 AS pack_id
 FROM cum
 """
 
@@ -1011,23 +1012,65 @@ def kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Approximate aggregates (HLL distinct, approximate quantiles) — absent
 # from the reference, essential at 100 TB (exact distinct on a hot
 # column is a full shuffle; the sketch is one pass, mergeable).
-# Approximation ≠ oracle-hashable → rows-only check; error bounds are
-# pinned in tests/test_similarity.py.
+# Sketch values themselves aren't oracle-hashable, so the query emits
+# deterministic columns (exact counts) plus WITHIN-BOUNDS booleans:
+# the HLL estimate vs the exact distinct (±5%, HLL rsd default 0.05)
+# and the approx median's true rank (a valid median element must have
+# frac(value <= m) >= 0.5 and frac(value < m) <= 0.5; default accuracy
+# 10000 → ±1e-4 rank slack, we allow ±0.01). If a sketch drifts out of
+# bounds the boolean flips and the value-hash mismatches — a hard gate.
 # ---------------------------------------------------------------------------
 
 
 @register(
     "ext_approx_aggregates",
-    None,
-    "approx_count_distinct (HLL) + percentile_approx per event_type; "
-    "error vs exact pinned in pytest (±5% / ±1 bucket)",
+    """
+    SELECT event_type,
+           COUNT(*)::BIGINT AS cnt,
+           COUNT(DISTINCT user_id)::BIGINT AS exact_users,
+           TRUE AS hll_within_5pct,
+           TRUE AS median_rank_ok
+    FROM events
+    GROUP BY event_type
+    """,
+    "approx_count_distinct (HLL) + percentile_approx per event_type, "
+    "verified via within-bounds booleans against exact counts computed "
+    "in the same job; oracle expects the bounds to hold",
 )
 def ext_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    sketched = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
-        F.percentile_approx("value", 0.5).alias("approx_median_value"),
+        F.percentile_approx("value", 0.5).alias("approx_median"),
+        F.count_distinct("user_id").alias("exact_users"),
         F.count(F.lit(1)).alias("cnt"),
+    )
+    # Rank-check the approx median against the raw rows: one broadcast
+    # of the tiny per-type medians back onto events, two conditional
+    # sums — no second wide shuffle of events.
+    ranked = (
+        ev.join(F.broadcast(sketched.select("event_type", "approx_median")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("value") <= F.col("approx_median"), 1).otherwise(0)).alias("n_le"),
+            F.sum(F.when(F.col("value") < F.col("approx_median"), 1).otherwise(0)).alias("n_lt"),
+        )
+    )
+    return (
+        sketched.join(F.broadcast(ranked), "event_type")
+        .select(
+            "event_type",
+            "cnt",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("hll_within_5pct"),
+            (
+                (F.col("n_le") / F.col("cnt") >= 0.5 - 0.01)
+                & (F.col("n_lt") / F.col("cnt") <= 0.5 + 0.01)
+            ).alias("median_rank_ok"),
+        )
     )
 
 

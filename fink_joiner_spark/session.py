@@ -20,6 +20,26 @@ def _cpus() -> int:
         return 32
 
 
+def _driver_mem() -> str:
+    """Driver heap sized from the host, not hard-coded: ~40% of
+    physical memory, clamped to [2g, 48g]. In local mode this heap IS
+    the whole cluster (driver + every executor thread), so a fixed 32g
+    either starves a big host or refuses to start on a small one.
+    ``SPARK_GRAFT_DRIVER_MEM`` overrides."""
+    override = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if override:
+        return override
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    total_gb = int(line.split()[1]) // (1024 * 1024)
+                    return f"{min(48, max(2, (total_gb * 2) // 5))}g"
+    except OSError:
+        pass
+    return "8g"
+
+
 def get_spark(
     app_name: str = "fink_joiner_spark",
     master: str | None = None,
@@ -51,10 +71,7 @@ def get_spark(
         # join materialization beyond toy size OOMs it. Honored only
         # when this builder launches the JVM (i.e. not on getOrCreate
         # reuse), which is exactly the bench/test path.
-        .config(
-            "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
-        )
+        .config("spark.driver.memory", _driver_mem())
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -29,6 +29,13 @@ def console_sink(
     return w
 
 
+def kafka_payload(df: DataFrame) -> DataFrame:
+    """The S8 wire projection: whole row -> one JSON ``value`` STRING
+    column (the shape the Kafka sink requires). Split out so the
+    contract is testable without a broker."""
+    return df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+
+
 def kafka_json_sink(
     df: DataFrame,
     bootstrap_servers: str,
@@ -41,7 +48,7 @@ def kafka_json_sink(
     ``FlinkJoiner_backup.txt:626-665``). Exactly-once via Kafka
     transactions is a cluster concern; the checkpoint gives at-least-
     once with idempotent downstream consumption."""
-    payload = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    payload = kafka_payload(df)
     return (
         payload.writeStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)

@@ -15,6 +15,69 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
 
+# The Kafka source's fixed wire schema (Structured Streaming + Kafka
+# Integration Guide). The projection helpers below are written against
+# it, which lets the broker-less test container verify them on a static
+# stand-in DataFrame with this exact schema.
+KAFKA_WIRE_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.BinaryType()),
+        T.StructField("value", T.BinaryType()),
+        T.StructField("topic", T.StringType()),
+        T.StructField("partition", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("timestamp", T.TimestampType()),
+        T.StructField("timestampType", T.IntegerType()),
+    ]
+)
+
+
+def kafka_reader_options(
+    bootstrap_servers: str, topic: str, starting_offsets: str = "earliest"
+) -> dict[str, str]:
+    """The reader option set both Kafka sources use — split out so the
+    contract can be asserted without a broker or the connector jar."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+
+
+def kafka_json_project(raw: DataFrame) -> DataFrame:
+    """Post-read projection of S1: key/value bytes -> STRING plus the
+    standard metadata columns. Pure column expressions over
+    ``KAFKA_WIRE_SCHEMA`` — testable on any DataFrame with that shape."""
+    return raw.select(
+        F.col("key").cast("string").alias("key"),
+        F.col("value").cast("string").alias("value"),
+        "topic",
+        "partition",
+        "offset",
+        "timestamp",
+    )
+
+
+def kafka_avro_project(
+    raw: DataFrame, avro_schema_json: str, base64_wrapped: bool = False
+) -> DataFrame:
+    """Post-read projection of S2/S3: (optionally base64-unwrap then)
+    Avro-decode ``value`` and flatten the record. Requires the
+    spark-avro package; without it, ``from_avro`` raises
+    AVRO_NOT_LOADED at analysis (pinned by the contract test)."""
+    from pyspark.sql.avro.functions import from_avro
+
+    value = F.unbase64(F.col("value").cast("string")) if base64_wrapped else F.col("value")
+    return raw.select(from_avro(value, avro_schema_json).alias("record")).select("record.*")
+
+
+def _kafka_stream(spark: SparkSession, options: dict[str, str]) -> DataFrame:
+    reader = spark.readStream.format("kafka")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
 def kafka_json_source(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -29,21 +92,10 @@ def kafka_json_source(
     key/value cast to STRING — feed ``value`` to
     ``projections.parse_envelope``.
     """
-    raw = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .load()
+    raw = _kafka_stream(
+        spark, kafka_reader_options(bootstrap_servers, topic, starting_offsets)
     )
-    return raw.select(
-        F.col("key").cast("string").alias("key"),
-        F.col("value").cast("string").alias("value"),
-        "topic",
-        "partition",
-        "offset",
-        "timestamp",
-    )
+    return kafka_json_project(raw)
 
 
 def kafka_avro_source(
@@ -61,17 +113,8 @@ def kafka_avro_source(
     Requires the spark-avro package on the cluster; import is deferred
     so environments without it can still use the JSON path.
     """
-    from pyspark.sql.avro.functions import from_avro
-
-    raw = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", "earliest")
-        .load()
-    )
-    value = F.unbase64(F.col("value").cast("string")) if base64_wrapped else F.col("value")
-    return raw.select(from_avro(value, avro_schema_json).alias("record")).select("record.*")
+    raw = _kafka_stream(spark, kafka_reader_options(bootstrap_servers, topic))
+    return kafka_avro_project(raw, avro_schema_json, base64_wrapped)
 
 
 def socket_source(spark: SparkSession, host: str, port: int) -> DataFrame:

@@ -1,0 +1,121 @@
+"""Plan-level contracts for the Kafka sources/sink (S1-S3, S8).
+
+No broker (or spark-sql-kafka / spark-avro jar) exists in the test
+container, so these tests pin everything that CAN be verified:
+
+* the exact reader option set each source sends to the connector;
+* the post-read projections, run for real on a static stand-in
+  DataFrame with the connector's documented wire schema;
+* the sink's wire payload projection (row -> single JSON ``value``);
+* the precise failure mode when the connector jars are absent — which
+  proves the format string and the ``from_avro`` call are actually
+  wired (the errors can only be raised by resolving them).
+
+Reference: Kafka consumer/producer setup ``CRMLSJoiner.scala:93-95``,
+``FlinkJoiner_backup.txt:626-665``; Avro deserializers
+``MyAvroDeserializationSchema.scala:13-45``,
+``BinaryAvroDeserializationSchema.scala:33-42``.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+
+import pytest
+from pyspark.errors.exceptions.captured import AnalysisException
+
+from fink_joiner_spark.sources import sinks, streaming
+
+AVRO_SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "rec",
+        "fields": [{"name": "a", "type": "long"}],
+    }
+)
+
+
+def _wire_df(spark):
+    row = (
+        b"k1",
+        b'{"a": 1}',
+        "topic-1",
+        0,
+        42,
+        datetime.datetime(2024, 1, 1, 0, 0, 0),
+        0,
+    )
+    return spark.createDataFrame([row], streaming.KAFKA_WIRE_SCHEMA)
+
+
+def test_reader_options_contract():
+    opts = streaming.kafka_reader_options("broker:9092", "events", "latest")
+    assert opts == {
+        "kafka.bootstrap.servers": "broker:9092",
+        "subscribe": "events",
+        "startingOffsets": "latest",
+    }
+    # S1's reference behavior is setStartFromEarliest — the default.
+    assert streaming.kafka_reader_options("b", "t")["startingOffsets"] == "earliest"
+
+
+def test_json_projection_over_wire_schema(spark):
+    out = streaming.kafka_json_project(_wire_df(spark))
+    assert out.schema.simpleString() == (
+        "struct<key:string,value:string,topic:string,"
+        "partition:int,offset:bigint,timestamp:timestamp>"
+    )
+    r = out.collect()[0]
+    assert r.key == "k1" and r.value == '{"a": 1}' and r.offset == 42
+
+
+def test_kafka_source_fails_only_on_missing_connector(spark):
+    """format("kafka") must reach data-source resolution — the only
+    acceptable error here is the connector-not-deployed one. Any other
+    failure (bad option name, wrong builder chain) fails the test."""
+    with pytest.raises(AnalysisException, match="Failed to find data source: kafka"):
+        streaming.kafka_json_source(spark, "broker:9092", "events")
+
+
+def test_avro_projection_pinned_to_avro_loader(spark):
+    """kafka_avro_project must die in from_avro (AVRO_NOT_LOADED) when
+    spark-avro is absent — not earlier (e.g. a broken unbase64 chain).
+    If a future container ships the jar, the projection must instead
+    decode the flattened record schema."""
+    wire = _wire_df(spark)
+    try:
+        out = streaming.kafka_avro_project(wire, AVRO_SCHEMA)
+    except AnalysisException as e:
+        assert "AVRO_NOT_LOADED" in str(e) or "spark-avro" in str(e)
+        return
+    assert out.schema.simpleString() == "struct<a:bigint>"
+
+
+def test_avro_base64_variant_same_contract(spark):
+    wire = _wire_df(spark)
+    try:
+        out = streaming.kafka_avro_project(wire, AVRO_SCHEMA, base64_wrapped=True)
+    except AnalysisException as e:
+        assert "AVRO_NOT_LOADED" in str(e) or "spark-avro" in str(e)
+        return
+    assert out.schema.simpleString() == "struct<a:bigint>"
+
+
+def test_sink_payload_is_single_json_value_column(spark):
+    df = spark.createDataFrame([(1, "x")], "id long, name string")
+    payload = sinks.kafka_payload(df)
+    assert payload.schema.simpleString() == "struct<value:string>"
+    assert json.loads(payload.collect()[0].value) == {"id": 1, "name": "x"}
+
+
+def test_sink_builder_returns_configured_writer(spark, tmp_path):
+    stream = spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+    w = sinks.kafka_json_sink(
+        stream, "broker:9092", "out-topic", str(tmp_path / "ckpt")
+    )
+    # Builder-level contract: a DataStreamWriter comes back; resolving
+    # the kafka format happens at start() (needs the connector jar).
+    from pyspark.sql.streaming import DataStreamWriter
+
+    assert isinstance(w, DataStreamWriter)

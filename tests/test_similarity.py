@@ -73,8 +73,11 @@ def test_langid_accuracy_on_en(spark, sf_dir):
 
 
 def test_approx_aggregates_within_bounds(spark, sf_dir):
-    """HLL distinct within 5% of exact; approx median within the
-    [p40, p60] exact band."""
+    """The query now self-verifies: it emits exact counts plus
+    within-bounds booleans (HLL vs exact ±5%, approx-median true rank
+    within [0.49, 0.51]) that the DuckDB oracle expects to be TRUE.
+    Here: every boolean must hold, exact_users must equal an
+    independently computed exact distinct, and cnt the group size."""
     from fink_joiner_spark.queries import REGISTRY, _ensure_loaded
 
     _ensure_loaded()
@@ -90,15 +93,17 @@ def test_approx_aggregates_within_bounds(spark, sf_dir):
         for r in ev.groupBy("event_type")
         .agg(
             F.countDistinct("user_id").alias("users"),
-            F.expr("percentile(value, 0.4)").alias("p40"),
-            F.expr("percentile(value, 0.6)").alias("p60"),
+            F.count(F.lit(1)).alias("cnt"),
         )
         .collect()
     }
+    assert set(approx) == set(exact)
     for et, a in approx.items():
         e = exact[et]
-        assert abs(a.approx_users - e.users) <= max(2, 0.05 * e.users), (et, a, e)
-        assert e.p40 <= a.approx_median_value <= e.p60, (et, a, e)
+        assert a.exact_users == e.users, (et, a, e)
+        assert a.cnt == e.cnt, (et, a, e)
+        assert a.hll_within_5pct, (et, a)
+        assert a.median_rank_ok, (et, a)
 
 
 def test_ivf_ann_recall(spark, sf_dir):
