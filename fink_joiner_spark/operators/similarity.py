@@ -177,17 +177,23 @@ def quantize_embeddings_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFr
 # ---------------------------------------------------------------------------
 
 
-def minhash_signature(shingles: Column, k: int = 16) -> Column:
-    """k-permutation MinHash signature over shingle poly-hashes.
+def minhash_signature(shingle_hashes: Column, k: int = 16) -> Column:
+    """k-permutation MinHash signature over PRE-HASHED shingles.
 
     Permutation j: h_j(x) = ((2j+1)·x + 97j+13) mod 1e9+7. One pass per
     doc, no shuffle; arrays stay JVM-side.
+
+    Takes the int64 hash array, NOT the raw shingle strings: HOF
+    lambdas inline their inputs, so passing ``transform(shingles,
+    char_poly_hash)`` here would re-fold every character of every
+    shingle once per permutation — k× the dominant cost (measured 3-20×
+    wall-time on the signature stage at sf0.1). Callers materialize the
+    hash array as a real column first so it's computed once.
     """
-    hashes = F.transform(shingles, lambda s: char_poly_hash(s))
     return F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
         lambda j: F.array_min(
-            F.transform(hashes, lambda h: (h * (2 * j + 1) + 97 * j + 13) % MOD)
+            F.transform(shingle_hashes, lambda h: (h * (2 * j + 1) + 97 * j + 13) % MOD)
         ),
     )
 
@@ -210,23 +216,44 @@ def minhash_lsh_pairs(
     P(candidate | J) = 1-(1-J^r)^b — the declared approximation.
     """
     r = k // bands
-    sh = _spread(df).select(
+    shingled = _spread(df).select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), n).alias("shingles"),
-    ).withColumn("sig", minhash_signature(F.col("shingles"), k))
-    banded = sh.select(
+    )
+    # Signature computation in explode + hash-aggregate form (same
+    # restructure that made simhash32_agg ~20× faster): each shingle is
+    # poly-hashed ONCE on its own row, and the k permutation minima run
+    # as plain codegen MIN aggregates with map-side partial aggregation.
+    # The naive form — k lambdas over transform(shingles,
+    # char_poly_hash) — re-folds every character k times, because
+    # lambda inlining (and CollapseProject) duplicates the inner
+    # expression into every permutation.
+    hashed = shingled.select(
+        "id", F.explode("shingles").alias("s")
+    ).withColumn("h", char_poly_hash(F.col("s")))
+    sigs = hashed.groupBy("id").agg(
+        *[
+            F.min((F.col("h") * (2 * j + 1) + 97 * j + 13) % MOD).alias(f"m{j}")
+            for j in range(k)
+        ]
+    )
+    # docs with zero shingles simply have no rows here — they never pair
+    banded = sigs.select(
         "id",
-        "shingles",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bidx: F.struct(
-                    bidx.alias("band"),
-                    F.concat_ws("_", F.slice("sig", bidx * r + 1, r)).alias("bucket"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bidx).alias("band"),
+                        F.concat_ws(
+                            "_", *[F.col(f"m{j}") for j in range(bidx * r, (bidx + 1) * r)]
+                        ).alias("bucket"),
+                    )
+                    for bidx in range(bands)
+                ]
             )
         ).alias("bb"),
-    ).select("id", "shingles", "bb.band", "bb.bucket")
+    ).select("id", "bb.band", "bb.bucket")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -235,18 +262,20 @@ def minhash_lsh_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    # Exact-Jaccard verification only for the (few) candidates: fetch
+    # the shingle arrays by keyed join instead of dragging them through
+    # the band explosion (bands× array duplication in the shuffle).
+    verified = (
+        cand.join(shingled.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
+        .join(shingled.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        cand.withColumn("jaccard", F.round(inter / union, 4))
+        verified.withColumn("jaccard", F.round(inter / union, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
