@@ -791,12 +791,19 @@ def _cb_literal(cb: list[list[list[float]]]) -> Column:
 
 def _pq_codes(vec_col: str, cb_lit: Column, sub: int) -> Column:
     """codes: array<int> of length m — per subspace, the argmin-L2 code
-    (ties toward the lower code id via array_position-of-min)."""
+    (ties toward the lower code id: strict-< fold keeps the earliest).
+
+    The argmin is a single struct fold over (distance, idx) pairs, so
+    each subspace distance is computed exactly once per code.
+    ``array_position(darr, array_min(darr))`` would inline the distance
+    array twice (lambda inlining duplicates subtrees — see
+    minhash_signature), doubling the dominant per-vector cost of
+    training and encoding."""
     vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     return F.transform(
         cb_lit,
-        lambda book, j: (
-            F.array_position(
+        lambda book, j: F.aggregate(
+            F.zip_with(
                 F.transform(
                     book,
                     lambda cv: F.aggregate(
@@ -809,23 +816,14 @@ def _pq_codes(vec_col: str, cb_lit: Column, sub: int) -> Column:
                         lambda acc, x: acc + x,
                     ),
                 ),
-                F.array_min(
-                    F.transform(
-                        book,
-                        lambda cv: F.aggregate(
-                            F.zip_with(
-                                F.slice(vd, j * sub + 1, sub),
-                                cv,
-                                lambda a, b: (a - b) * (a - b),
-                            ),
-                            F.lit(0.0),
-                            lambda acc, x: acc + x,
-                        ),
-                    )
-                ),
-            )
-            - 1
-        ).cast("int"),
+                F.sequence(F.lit(0), F.size(book) - 1),
+                lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+            ),
+            F.struct(
+                F.lit(float("inf")).alias("d"), F.lit(-1).cast("int").alias("i")
+            ),
+            lambda acc, x: F.when(x["d"] < acc["d"], x).otherwise(acc),
+        )["i"].cast("int"),
     )
 
 

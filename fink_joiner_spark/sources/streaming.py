@@ -142,18 +142,34 @@ def file_drip_feed(
     of micro-batches — the harness for every streaming semantics test
     (SURVEY.md §5.2 item 3).
     """
+    import glob
+    import shutil
+
     from pyspark.sql import Window
 
     staged = df.withColumn(
         "__file", F.ntile(n_files).over(Window.orderBy(order_col)) - 1
     )
     os.makedirs(stage_dir, exist_ok=True)
-    # Written oldest-first; the file source processes by modification
-    # time, so replay order == order_col order, one file per batch.
+    # ONE write job for all slices (partitionBy), not one windowed-sort
+    # job per slice — the stage cost of every streaming demo query was
+    # n_files× this sort before. Replay order is then made
+    # deterministic explicitly: the file source orders by modification
+    # time, so stamp strictly increasing mtimes slice by slice.
+    all_dir = os.path.join(stage_dir, "_staged")
+    staged.repartition(1).write.mode("overwrite").partitionBy("__file").parquet(all_dir)
+    base = 1_000_000_000  # epoch seconds; only relative order matters
     for i in range(n_files):
-        staged.filter(F.col("__file") == i).drop("__file").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(stage_dir, f"f{i:04d}"))
+        dst = os.path.join(stage_dir, f"f{i:04d}")
+        shutil.rmtree(dst, ignore_errors=True)
+        os.makedirs(dst)
+        for j, part in enumerate(
+            sorted(glob.glob(os.path.join(all_dir, f"__file={i}", "*.parquet")))
+        ):
+            tgt = os.path.join(dst, os.path.basename(part))
+            shutil.move(part, tgt)
+            os.utime(tgt, (base + i, base + i))
+    shutil.rmtree(all_dir, ignore_errors=True)
     return (
         spark.readStream.schema(df.schema)
         .option("maxFilesPerTrigger", 1)
