@@ -15,7 +15,7 @@ Spark-only paths may use ``xxhash64`` (faster, JVM-side).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 MOD = 1_000_000_007
 
@@ -214,5 +214,77 @@ def chunk_text(
             F.substring(
                 F.col(text_col), F.col("chunk_idx") * stride + 1, size
             ).alias("chunk"),
+        )
+    )
+
+
+def vocab_topn(
+    df: DataFrame, text_col: str, n: int = 1000
+) -> DataFrame:
+    """Frequency vocabulary: the ``n`` most frequent whitespace tokens
+    with dense 0-based ids. (token, freq, token_id); rank order is
+    (freq desc, token asc) so the cut and the ids are deterministic.
+
+    Plan: explode → hash-aggregate count (map-side combine) → global
+    top-n via TakeOrderedAndProject (no full sort); the id assignment
+    windows over only the n surviving rows. At 100 TB the counts
+    shuffle is the only full-data movement; the vocab itself is
+    driver/broadcast-sized by construction.
+    """
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(n)
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
+    return counts.withColumn(
+        "token_id", (F.row_number().over(w) - 1).cast("long")
+    )
+
+
+def docs_to_ids(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab: DataFrame,
+) -> DataFrame:
+    """Map documents to token-id sequences against a ``vocab``
+    (token, token_id) table — the tokenize-and-numericalize step of a
+    training-data pipeline. OOV tokens map to -1.
+
+    Output: (doc_id, n_tokens, n_oov, ids_csv) where ids_csv is the
+    comma-joined id sequence in document order (a string column so the
+    cross-engine value hash is stable; a production pipeline would keep
+    the array<long>).
+
+    Plan: posexplode the token stream, broadcast-join the vocab (it is
+    top-N-bounded by construction), re-assemble per doc with an
+    order-pinned collect. One shuffle keyed by doc id; the vocab join
+    is map-side. Docs with zero tokens are dropped (inner explode),
+    matching the oracle.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "token"),
+    )
+    mapped = toks.join(F.broadcast(vocab.select("token", "token_id")), "token", "left")
+    ids = F.coalesce(F.col("token_id"), F.lit(-1))
+    return (
+        mapped.select(id_col, "pos", ids.alias("tid"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("tid") < 0, 1).otherwise(0)).alias("n_oov"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("tid")))
+                    ),
+                    lambda s: s["tid"].cast("string"),
+                ),
+                ",",
+            ).alias("ids_csv"),
         )
     )

@@ -1430,3 +1430,128 @@ def ext_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         state, incremental.partial_agg(d2, ["user_id"], "value"), ["user_id"]
     )
     return incremental.finalize(state, ["user_id"])
+
+
+# ---------------------------------------------------------------------------
+# Batch sessionization — gap-based sessions over the event log (the
+# batch counterpart of t5_session_window). One keyed shuffle; lag +
+# running-sum windows inside each key.
+# ---------------------------------------------------------------------------
+
+_SESSIONIZE_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+),
+g AS (
+  SELECT user_id, event_id, ts_us,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+s AS (
+  SELECT user_id, ts_us,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx
+  FROM g
+)
+SELECT user_id, session_idx,
+       COUNT(*)::BIGINT AS n_events,
+       MIN(ts_us) AS session_start_us,
+       (MAX(ts_us) - MIN(ts_us)) AS duration_us
+FROM s GROUP BY user_id, session_idx
+"""
+
+
+@register(
+    "ext_sessionize",
+    _SESSIONIZE_ORACLE,
+    "gap-based batch sessionization (30 min): lag + running-sum windows "
+    "per user, one keyed shuffle, no joins; per-session stats in exact "
+    "integer microseconds",
+)
+def ext_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import sessions
+
+    ev = table(spark, sf_dir, "events")
+    return sessions.session_stats(
+        ev, ["user_id"], "ts", gap="30 minutes", tie_breakers=["event_id"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary construction + numericalization — the tokenize-and-map
+# step of a training pipeline: build a frequency vocab once (bounded,
+# broadcastable), then map every doc to its id sequence.
+# ---------------------------------------------------------------------------
+
+_VOCAB_CTE = f"""
+tok AS (
+  SELECT unnest({_DD_TOKS.format(t='text')}) AS token FROM documents
+),
+vocab AS (
+  SELECT token, COUNT(*)::BIGINT AS freq,
+         (ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token ASC) - 1)::BIGINT AS token_id
+  FROM tok GROUP BY token
+  ORDER BY freq DESC, token ASC
+  LIMIT 500
+)
+"""
+
+_VOCAB_ORACLE = f"""
+WITH {_VOCAB_CTE}
+SELECT token, freq, token_id FROM vocab
+"""
+
+
+@register(
+    "ext_vocab_topn",
+    _VOCAB_ORACLE,
+    "top-500 frequency vocabulary with dense ids: explode -> partial-agg "
+    "count -> TakeOrderedAndProject top-n (never a full sort); "
+    "deterministic (freq desc, token asc) cut",
+)
+def ext_vocab_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import text
+
+    docs = table(spark, sf_dir, "documents")
+    return text.vocab_topn(docs, "text", n=500)
+
+
+_DOCS_TO_IDS_ORACLE = f"""
+WITH {_VOCAB_CTE},
+d AS (
+  SELECT doc_id, {_DD_TOKS.format(t='text')} AS toks FROM documents
+),
+t AS (
+  SELECT doc_id,
+         unnest([{{'ord': i, 'token': toks[i]}}
+                 FOR i IN generate_series(1, len(toks))]) AS u
+  FROM d
+),
+m AS (
+  SELECT t.doc_id, t.u.ord AS ord, COALESCE(v.token_id, -1) AS tid
+  FROM t LEFT JOIN vocab v ON t.u.token = v.token
+)
+SELECT doc_id,
+       COUNT(*)::BIGINT AS n_tokens,
+       SUM(CASE WHEN tid < 0 THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+       array_to_string(list(tid ORDER BY ord), ',') AS ids_csv
+FROM m GROUP BY doc_id
+"""
+
+
+@register(
+    "ext_docs_to_ids",
+    _DOCS_TO_IDS_ORACLE,
+    "numericalization against the top-500 vocab: posexplode tokens, "
+    "broadcast-join the (bounded) vocab, order-pinned reassembly per "
+    "doc; OOV -> -1; one doc-keyed shuffle",
+)
+def ext_docs_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import text
+
+    docs = table(spark, sf_dir, "documents")
+    vocab = text.vocab_topn(docs, "text", n=500)
+    return text.docs_to_ids(docs, "doc_id", "text", vocab)
