@@ -214,3 +214,27 @@ def test_value_histogram_single_shuffle(spark, sf_dir):
     df = _q("ext_value_histogram", spark, sf_dir)
     assert plans.count_shuffles(df) == 1
     plans.asserts_column_pruned(df, "value", max_cols=1)
+
+
+def test_sessionize_single_shuffle(spark, sf_dir):
+    """Both windows (lag + running sum) and the final per-session agg
+    share the user_id hash partitioning: ONE exchange total."""
+    df = _q("ext_sessionize", spark, sf_dir)
+    assert plans.count_shuffles(df) == 1, plans.formatted_plan(df)
+
+
+def test_vocab_topn_avoids_total_sort(spark, sf_dir):
+    """The top-n cut must plan as TakeOrderedAndProject (per-partition
+    heaps), never a global Sort of the token-count table."""
+    df = _q("ext_vocab_topn", spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_docs_to_ids_broadcasts_vocab(spark, sf_dir):
+    """The vocab side is top-n-bounded — it must reach the token stream
+    as a broadcast, and the reassembly is the only doc-keyed exchange
+    of the mapping stage (plus the vocab build's own count/top-n)."""
+    df = _q("ext_docs_to_ids", spark, sf_dir)
+    plans.asserts_broadcast_join(df)
+    assert plans.count_shuffles(df) <= 2, plans.formatted_plan(df)
