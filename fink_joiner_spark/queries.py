@@ -143,12 +143,31 @@ _R3_REGRESSED = (
 )
 
 
+# Every query with a green hash-match row in ANY driver round so far
+# (union of CORRECTNESS_r01-r03) — everything else has never been
+# driver-verified and outranks re-verification in the window order.
+_EVER_VERIFIED = _R1_VERIFIED | frozenset({
+    "dedup_cc_clusters", "dedup_keep_canonical", "dedup_embedding_cosine",
+    "ext_cap_per_source", "ext_doc_chunks", "ext_embedding_mean_pool",
+    "ext_embedding_quantize", "ext_format_relay_json", "ext_incremental_agg",
+    "ext_lake_compact_clustered", "ext_pack_sequences", "ext_stratified_sample",
+    "ext_train_val_test_split", "ext_value_histogram", "kmeans_step",
+    "multimodal_features", "multimodal_metadata", "simsearch_topk_bruteforce",
+    "simsearch_topk_ivf", "simsearch_topk_lsh", "simsearch_topk_pq",
+    "stream_proctime_window", "text_bm25_relevance", "text_decontaminate",
+    "text_dup_segments", "text_fingerprint", "text_langid",
+    "text_length_filter_percentile", "text_pii_scrub", "text_quality",
+    "text_repetition_ratio", "text_token_count", "text_top_ngrams",
+    "text_unigram_score",
+})
+
+
 def _driver_order() -> list[str]:
     names = list(REGISTRY)
     regressed = [n for n in _R3_REGRESSED if n in names]
     rest = [n for n in names if n not in set(regressed)]
-    never_verified = [n for n in rest if n not in _R1_VERIFIED]
-    keep = [n for n in rest if n in _R1_VERIFIED and n not in _R1_ROTATE_OUT]
+    never_verified = [n for n in rest if n not in _EVER_VERIFIED]
+    keep = [n for n in rest if n in _EVER_VERIFIED and n not in _R1_ROTATE_OUT]
     deferred = [n for n in rest if n in _R1_ROTATE_OUT]
     return regressed + never_verified + keep + deferred
 
