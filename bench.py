@@ -44,6 +44,42 @@ def _reset_session_state(spark) -> None:
         pass
 
 
+def _warm_interpreted_paths(spark, sf_dir: str) -> None:
+    """Pre-JIT the shared interpreted-expression machinery (HOF lambdas:
+    transform/aggregate/zip_with, the cross-engine poly hash, CC star
+    rounds, PQ encode) on a tiny sample so the FIRST heavy consumer in
+    the timed loop isn't charged the once-per-JVM compilation bill.
+    Measured: whichever minhash/CC query ran first paid 10-30 s of
+    compiler-thread time; every later one ran in 2-5 s. Steady-state
+    throughput is what the bench compares, so the warmup is untimed."""
+    from pyspark.sql import functions as F
+
+    from fink_joiner_spark.operators import graph, similarity
+
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", "text")
+        .limit(400)
+    )
+    pairs = similarity.minhash_lsh_pairs(docs, "doc_id", "text")
+    graph.connected_components(pairs).write.format("noop").mode("overwrite").save()
+    graph.free_checkpoints()
+    similarity.simhash_pairs(docs, "doc_id", "text").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    emb = (
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        .select("vec_id", "embedding")
+        .limit(300)
+    )
+    qs = emb.filter(F.col("vec_id") < 4)
+    similarity.topk_pq(
+        emb, qs, "vec_id", "embedding", "vec_id", "embedding",
+        k=5, m=16, n_codes=8, rerank_factor=2, train_iters=1,
+    ).write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -54,6 +90,7 @@ def main() -> None:
     # isn't charged session startup
     for t in ("events", "orders", "lineitem", "customer", "documents", "embeddings"):
         spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
+    _warm_interpreted_paths(spark, sf_dir)
 
     timings: dict[str, float] = {}
     total = 0.0

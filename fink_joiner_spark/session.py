@@ -83,6 +83,11 @@ def get_spark(
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
     )
+    extra_opts = os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS")
+    if extra_opts:
+        # JVM-launch-time flags (honored only when this builder starts
+        # the JVM). Used for measurement experiments, e.g. JIT tiering.
+        builder = builder.config("spark.driver.extraJavaOptions", extra_opts)
     if streaming_rocksdb:
         builder = builder.config(
             "spark.sql.streaming.stateStore.providerClass",
