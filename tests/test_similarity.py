@@ -143,7 +143,7 @@ def test_ivf_trained_codebook_beats_seeded(spark, sf_dir):
     )
     trained = similarity.topk_ivf(
         emb, queries, "vec_id", "embedding", "vec_id", "embedding",
-        train_iters=3, **kw,
+        train_iters=2, **kw,
     )
     r_seed = len({(r.qid, r.nid) for r in seeded.collect()} & b)
     r_trained = len({(r.qid, r.nid) for r in trained.collect()} & b)
@@ -191,7 +191,7 @@ def test_pq_ann_recall_and_rerank_exactness(spark, sf_dir):
     )
     pq = similarity.topk_pq(
         emb, queries, "vec_id", "embedding", "vec_id", "embedding",
-        k=10, m=16, n_codes=16, rerank_factor=5, train_iters=3,
+        k=10, m=16, n_codes=16, rerank_factor=5, train_iters=2,
     )
     b = {(r.qid, r.nid): r.score for r in brute.collect()}
     a = {(r.qid, r.nid): r.score for r in pq.collect()}
