@@ -77,6 +77,41 @@ def _warm_interpreted_paths(spark, sf_dir: str) -> None:
         emb, qs, "vec_id", "embedding", "vec_id", "embedding",
         k=5, m=16, n_codes=8, rerank_factor=2, train_iters=1,
     ).write.format("noop").mode("overwrite").save()
+    # One tiny stateful streaming query: spins up the micro-batch
+    # scheduler, Python state workers, and the state-store provider
+    # (the first applyInPandasWithState query otherwise pays ~3-4 s).
+    import tempfile
+
+    from fink_joiner_spark.sources.streaming import file_drip_feed
+    from fink_joiner_spark.streaming import stateful
+
+    ev = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .limit(64)
+        .select(
+            "event_id", "user_id", F.col("ts").cast("timestamp").cast("double").alias("ts_s")
+        )
+    )
+    probe = ev.select("event_id", "user_id", "ts_s")
+    build = ev.select("user_id", "ts_s", F.col("event_id").alias("b_id"))
+    tagged = stateful.tag_streams(
+        probe, build, on="user_id", probe_ts="ts_s", build_ts="ts_s", build_cols=["b_id"]
+    )
+    work = tempfile.mkdtemp(prefix="fjs_bench_warm_")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream = file_drip_feed(spark, tagged, f"{work}/stage", "ts", n_files=2)
+        (
+            stateful.streaming_asof_join(stream)
+            .writeStream.format("noop")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     spark.catalog.clearCache()
 
 
