@@ -1014,3 +1014,142 @@ def topk_pq(
         .filter(F.col("rank") <= k)
         .select("qid", "nid", "score", "rank")
     )
+
+
+def topk_ivfpq(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    qid_col: str,
+    qvec_col: str,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 16,
+    n_codes: int = 16,
+    rerank_factor: int = 5,
+    ivf_train_iters: int = 0,
+    pq_train_iters: int = 2,
+) -> DataFrame:
+    """ANN top-k via IVF-PQ — the combined architecture a 100 TB vector
+    corpus actually deploys (Jégou et al. 2011; the FAISS IVFPQ shape):
+    IVF prunes WHICH vectors are scored (each query touches only
+    ``nprobe``/``n_cells`` of the corpus, via one equi-join keyed by
+    cell id), PQ compresses WHAT is scored (each candidate costs 2m
+    array lookups against a per-query LUT instead of d multiplies, and
+    the index stores m bytes per vector instead of 4d). A final exact
+    re-rank of the top ``rerank_factor·k`` candidates makes returned
+    scores bit-exact cosines.
+
+    Composes the audited building blocks: :func:`train_ivf_centroids` /
+    seeded cells (broadcast assignment, no shuffle),
+    :func:`train_pq_codebooks` (only codebook floats reach the driver),
+    and the LUT scoring of :func:`topk_pq`. Probing all cells with a
+    corpus-covering shortlist reproduces brute force exactly — the
+    hard-oracle configuration at small scale factors.
+    """
+    from pyspark.sql import Window
+
+    c = (
+        _spread(df)
+        .select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"))
+        .cache()
+    )
+    q = queries.select(F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qvec"))
+
+    if ivf_train_iters > 0:
+        centroids = train_ivf_centroids(
+            df, id_col, vec_col, n_cells=n_cells, n_iters=ivf_train_iters
+        )
+    else:
+        centroids = _seed_centroids(c, n_cells)
+    cells_arr = centroids.agg(
+        F.collect_list(F.struct("cell_id", "centroid")).alias("_cells")
+    )
+
+    cb = train_pq_codebooks(c, m, n_codes, pq_train_iters)
+    sub = len(cb[0][0])
+    cb_lit = _cb_literal(cb)
+    norms_lit = F.array(
+        *[
+            F.array(*[F.lit(sum(x * x for x in code_vec)) for code_vec in book])
+            for book in cb
+        ]
+    )
+    # the index: (cell, m one-byte codes) per vector — assignment and
+    # encoding in ONE broadcast pass over the corpus, no shuffle
+    encoded = (
+        c.crossJoin(F.broadcast(cells_arr))
+        .select(
+            "nid",
+            F.element_at(_nearest_cells(F.col("nvec"), 1), 1).alias("cell"),
+            _pq_codes("nvec", cb_lit, sub).alias("codes"),
+        )
+    )
+
+    qd = F.transform(F.col("qvec"), lambda x: x.cast("double"))
+    qn = F.sqrt(F.aggregate(qd, F.lit(0.0), lambda acc, x: acc + x * x))
+    luts = F.transform(
+        cb_lit,
+        lambda book, j: F.transform(
+            book,
+            lambda cv: F.aggregate(
+                F.zip_with(F.slice(qd, j * sub + 1, sub), cv, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        ),
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cells_arr))
+        .select(
+            "qid",
+            "qvec",
+            qn.alias("qnorm"),
+            luts.alias("luts"),
+            F.explode(_nearest_cells(F.col("qvec"), nprobe)).alias("cell"),
+        )
+    )
+
+    dot_approx = F.aggregate(
+        F.zip_with(
+            F.col("luts"), F.col("codes"), lambda lut, code: F.element_at(lut, code + 1)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    recon_norm = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                norms_lit, F.col("codes"), lambda ns, code: F.element_at(ns, code + 1)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    # candidate generation: ONE equi-join keyed by cell — the IVF prune
+    scored = (
+        F.broadcast(probes)
+        .join(encoded, "cell")
+        .filter(F.col("qid") != F.col("nid"))
+        .select(
+            "qid", "qvec", "nid",
+            (dot_approx / (F.col("qnorm") * recon_norm)).alias("pq_score"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("pq_score").desc(), F.col("nid").asc())
+    cand = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= rerank_factor * k)
+        .select("qid", "qvec", "nid")
+    )
+    rer = cand.join(c, "nid").select(
+        "qid", "nid", F.round(cosine(F.col("qvec"), F.col("nvec")), 4).alias("score")
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid").asc())
+    return (
+        rer.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "score", "rank")
+    )

@@ -1436,6 +1436,37 @@ def ext_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental.finalize(state, ["user_id"])
 
 
+@register(
+    "simsearch_topk_ivfpq",
+    _TOPK_ORACLE,
+    "ANN top-10 via IVF-PQ (the FAISS IVFPQ architecture): IVF cell "
+    "pruning bounds WHICH vectors are scored (one equi-join keyed by "
+    "cell), PQ LUT scoring bounds the COST per candidate, exact "
+    "re-rank restores bit-exact cosines; probing all cells with a "
+    "corpus-covering shortlist at <=1000 vectors makes the small-sf "
+    "output exactly brute force (hard oracle); approximate-path recall "
+    "pinned in pytest",
+)
+def simsearch_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    k = 10
+    n_cells = 16
+    n = emb.count()
+    exact = n <= _ANN_EXACT_MAX
+    return similarity.topk_ivfpq(
+        emb, queries, "vec_id", "embedding", "vec_id", "embedding",
+        k=k, n_cells=n_cells,
+        nprobe=n_cells if exact else 4,          # probe everything -> no IVF loss
+        m=16, n_codes=16,
+        rerank_factor=(-(-n // k)) if exact else 5,  # shortlist covers corpus
+        ivf_train_iters=0 if exact else 2,
+        pq_train_iters=2,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Batch sessionization — gap-based sessions over the event log (the
 # batch counterpart of t5_session_window). One keyed shuffle; lag +

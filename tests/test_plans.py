@@ -238,3 +238,13 @@ def test_docs_to_ids_broadcasts_vocab(spark, sf_dir):
     df = _q("ext_docs_to_ids", spark, sf_dir)
     plans.asserts_broadcast_join(df)
     assert plans.count_shuffles(df) <= 2, plans.formatted_plan(df)
+
+
+def test_ivfpq_candidates_cell_keyed_no_cartesian(spark, sf_dir):
+    """IVF-PQ candidate generation must be the cell-keyed equi-join
+    (probes broadcast onto the encoded index) — never a cartesian of
+    queries x corpus; the only corpus-wide exchanges are the PQ
+    training aggregations."""
+    df = _q("simsearch_topk_ivfpq", spark, sf_dir)
+    plans.asserts_no_cartesian(df)
+    plans.asserts_broadcast_join(df)

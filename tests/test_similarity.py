@@ -200,3 +200,26 @@ def test_pq_ann_recall_and_rerank_exactness(spark, sf_dir):
     for key in hits:  # re-ranked scores are exact cosines
         assert a[key] == b[key], (key, a[key], b[key])
     assert pq.select("qid").distinct().count() == 8
+
+
+def test_ivfpq_recall_and_rerank_exactness(spark, sf_dir):
+    """IVF-PQ in its approximate configuration (nprobe=8/16 cells, PQ
+    scoring, 5x re-rank) must recall a solid fraction of brute force,
+    and every returned score must be the exact cosine (re-rank stage)."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    brute = similarity.topk_bruteforce(
+        emb, queries, "vec_id", "embedding", "vec_id", "embedding", k=10
+    )
+    ivfpq = similarity.topk_ivfpq(
+        emb, queries, "vec_id", "embedding", "vec_id", "embedding",
+        k=10, n_cells=16, nprobe=8, m=16, n_codes=16, rerank_factor=5,
+        ivf_train_iters=2, pq_train_iters=2,
+    )
+    b = {(r.qid, r.nid): r.score for r in brute.collect()}
+    a = {(r.qid, r.nid): r.score for r in ivfpq.collect()}
+    hits = set(a) & set(b)
+    assert len(hits) / len(b) >= 0.4, f"IVF-PQ recall {len(hits)}/{len(b)}"
+    for key in hits:
+        assert a[key] == b[key], (key, a[key], b[key])
+    assert ivfpq.select("qid").distinct().count() == 8
