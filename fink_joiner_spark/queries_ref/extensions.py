@@ -1590,3 +1590,99 @@ def ext_docs_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     vocab = text.vocab_topn(docs, "text", n=500)
     return text.docs_to_ids(docs, "doc_id", "text", vocab)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable sketches (DataSketches HLL / Theta) — the re-aggregation
+# pattern that matters at 100 TB: build sketch state per shard ONCE,
+# then answer rollups by merging kilobyte sketches instead of
+# re-scanning data. Verified with the within-bounds-boolean pattern
+# (exact values computed in the same job; oracle expects TRUE).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_sketch_rollup",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id)::BIGINT AS exact_users,
+           TRUE AS merged_within_5pct
+    FROM events
+    GROUP BY event_type
+    """,
+    "mergeable HLL rollup: per-shard hll_sketch_agg state merged with "
+    "hll_union_agg per event_type — rollup answered from kilobyte "
+    "sketches, no rescan; estimate pinned within 5% of exact",
+)
+def ext_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    # stage 1: independent sketch state per (event_type, shard) — the
+    # form a 100 TB pipeline materializes once per partition/day
+    shards = ev.withColumn("shard", F.col("user_id") % 8).groupBy(
+        "event_type", "shard"
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    # stage 2: rollup by MERGING sketches (kilobytes), not re-scanning
+    merged = shards.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return (
+        exact.join(F.broadcast(merged), "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("est") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("merged_within_5pct"),
+        )
+    )
+
+
+@register(
+    "ext_sketch_audience_overlap",
+    """
+    WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+         p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT (SELECT COUNT(*) FROM c)::BIGINT AS click_users,
+           (SELECT COUNT(*) FROM p)::BIGINT AS purchase_users,
+           (SELECT COUNT(*) FROM c JOIN p USING (user_id))::BIGINT AS exact_overlap,
+           TRUE AS overlap_within_10pct
+    """,
+    "theta-sketch audience overlap: set INTERSECTION answered from two "
+    "independently built sketches (theta_intersection) — the sketch "
+    "family's distinguishing op (HLL can only union); estimate pinned "
+    "within 10% of the exact join count",
+)
+def ext_sketch_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    sk = ev.filter(F.col("event_type").isin("click", "purchase")).groupBy(
+        "event_type"
+    ).agg(
+        F.theta_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    row = sk.groupBy().pivot("event_type", ["click", "purchase"]).agg(
+        F.first("sk").alias("sk"), F.first("exact_users").alias("n")
+    )
+    est = F.theta_sketch_estimate(
+        F.theta_intersection(F.col("click_sk"), F.col("purchase_sk"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    exact = clicks.join(buys, "user_id").agg(
+        F.count(F.lit(1)).alias("exact_overlap")
+    )
+    # both sides are 1-row — the crossJoin is a broadcast of scalars,
+    # and the whole query stays one lazy plan (no driver-side action)
+    return row.crossJoin(F.broadcast(exact)).select(
+        F.col("click_n").alias("click_users"),
+        F.col("purchase_n").alias("purchase_users"),
+        F.col("exact_overlap"),
+        (
+            F.abs(est - F.col("exact_overlap"))
+            <= 0.10 * F.greatest(F.col("exact_overlap"), F.lit(1))
+        ).alias("overlap_within_10pct"),
+    )
