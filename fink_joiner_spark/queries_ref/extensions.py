@@ -1686,3 +1686,58 @@ def ext_sketch_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.10 * F.greatest(F.col("exact_overlap"), F.lit(1))
         ).alias("overlap_within_10pct"),
     )
+
+
+@register(
+    "ext_sketch_quantile_rollup",
+    """
+    SELECT event_type,
+           COUNT(*)::BIGINT AS cnt,
+           TRUE AS p50_rank_ok,
+           TRUE AS p90_rank_ok
+    FROM events
+    GROUP BY event_type
+    """,
+    "mergeable KLL quantile rollup: per-shard kll_sketch_agg_double "
+    "state merged per event_type, p50/p90 estimates verified by TRUE "
+    "RANK against the raw rows (frac(value <= q_p) within p +- 2%)",
+)
+def ext_sketch_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles from merged sketch state — the third mergeable-sketch
+    shape (HLL: distinct, Theta: set ops, KLL: distributions). The
+    rank check is the hard gate: a KLL estimate q_p must have true rank
+    within p ± eps (default k=200 → eps ~1.65%; we allow 2%)."""
+    ev = table(spark, sf_dir, "events")
+    shards = ev.withColumn("shard", F.col("user_id") % 8).groupBy(
+        "event_type", "shard"
+    ).agg(F.kll_sketch_agg_double(F.col("value").cast("double")).alias("sk"))
+    # kll_sketch_merge_double is a binary scalar merge — fold the
+    # (bounded: 8) shard sketches per group with an array aggregate
+    sks = shards.groupBy("event_type").agg(F.collect_list("sk").alias("sks"))
+    merged = sks.select(
+        "event_type",
+        F.aggregate(
+            F.slice(F.col("sks"), 2, F.size("sks") - 1),
+            F.element_at(F.col("sks"), 1),
+            lambda acc, x: F.kll_sketch_merge_double(acc, x),
+        ).alias("mk"),
+    ).select(
+        "event_type",
+        F.kll_sketch_get_quantile_double(F.col("mk"), F.lit(0.5)).alias("q50"),
+        F.kll_sketch_get_quantile_double(F.col("mk"), F.lit(0.9)).alias("q90"),
+    )
+    ranked = (
+        ev.join(F.broadcast(merged), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            (F.sum(F.when(F.col("value") <= F.col("q50"), 1).otherwise(0)) / F.count(F.lit(1))).alias("r50"),
+            (F.sum(F.when(F.col("value") <= F.col("q90"), 1).otherwise(0)) / F.count(F.lit(1))).alias("r90"),
+        )
+    )
+    return ranked.select(
+        "event_type",
+        "cnt",
+        ((F.col("r50") >= 0.48) & (F.col("r50") <= 0.52)).alias("p50_rank_ok"),
+        ((F.col("r90") >= 0.88) & (F.col("r90") <= 0.92)).alias("p90_rank_ok"),
+    )
