@@ -223,3 +223,24 @@ def test_ivfpq_recall_and_rerank_exactness(spark, sf_dir):
     for key in hits:
         assert a[key] == b[key], (key, a[key], b[key])
     assert ivfpq.select("qid").distinct().count() == 8
+
+
+def test_ivfpq_exact_config_equals_bruteforce(spark, sf_dir):
+    """The hard-oracle configuration — probe ALL cells + corpus-covering
+    shortlist — must reproduce brute force EXACTLY (scores, ids, ranks):
+    with no cell pruned and every candidate re-ranked by exact cosine,
+    both approximation layers are lossless by construction."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    n = emb.count()
+    brute = similarity.topk_bruteforce(
+        emb, queries, "vec_id", "embedding", "vec_id", "embedding", k=7
+    )
+    ivfpq = similarity.topk_ivfpq(
+        emb, queries, "vec_id", "embedding", "vec_id", "embedding",
+        k=7, n_cells=8, nprobe=8, m=16, n_codes=8,
+        rerank_factor=-(-n // 7), ivf_train_iters=0, pq_train_iters=1,
+    )
+    b = sorted(tuple(r) for r in brute.collect())
+    a = sorted(tuple(r) for r in ivfpq.collect())
+    assert a == b
