@@ -96,3 +96,105 @@ def extract_features(df: DataFrame, fake: bool = True, normalize: bool = True) -
             )
 
     return df.mapInPandas(run, _FEATURE_SCHEMA)
+
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_bytes", T.LongType()),
+        T.StructField("frame_checksum", T.LongType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, frame_size: int = 64, every_n: int = 2, fake: bool = True
+) -> DataFrame:
+    """Frame sampling over binary payloads — the video-ingest step:
+    treat the payload as consecutive ``frame_size``-byte frames and
+    keep every ``every_n``-th one.
+
+    The mapInPandas stage FANS OUT (one input row → many frame rows)
+    while keeping the existing partitioning — the batch-shape change a
+    real video pipeline needs (decode happens per frame downstream,
+    never per file on one worker). The frame decode itself is the
+    stubbed codec boundary; the deterministic stand-in emits exact
+    integer byte checksums so oracles can hash-compare.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "video codecs unavailable in this environment; pass fake=True "
+            "for the deterministic frame-checksum stand-in"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sizes, sums = [], [], [], []
+            for rid, payload in zip(pdf["id"], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = -(-len(b) // frame_size) if b else 0
+                for f in range(0, n_frames, every_n):
+                    chunk = b[f * frame_size : (f + 1) * frame_size]
+                    ids.append(rid)
+                    idxs.append(f)
+                    sizes.append(len(chunk))
+                    sums.append(sum(chunk))
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_bytes": pd.Series(sizes, dtype="int64"),
+                    "frame_checksum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(run, _FRAME_SCHEMA)
+
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("n_in", T.LongType()),
+        T.StructField("n_out", T.LongType()),
+        T.StructField("out_checksum", T.LongType()),
+        T.StructField("head_byte", T.LongType()),
+        T.StructField("tail_byte", T.LongType()),
+    ]
+)
+
+
+def resize_payload(
+    df: DataFrame, target_bytes: int = 32, fake: bool = True
+) -> DataFrame:
+    """Nearest-neighbor byte resampling — the resize step's plumbing:
+    out[i] = payload[floor(i·n/target)], the 1-D analog of
+    nearest-neighbor image resize, as an Arrow-batched mapInPandas
+    stage (no shuffle, partitioning preserved). A real deployment
+    swaps the sampler for PIL/ffmpeg scaling at the same boundary;
+    the deterministic stand-in emits exact integer summaries of the
+    resampled bytes for oracle comparison.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image codecs unavailable in this environment; pass fake=True "
+            "for the deterministic byte-resampling stand-in"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf["id"], pdf["payload"]):
+                b = bytes(payload)
+                n = len(b)
+                if n == 0:
+                    rows.append((rid, 0, 0, 0, -1, -1))
+                    continue
+                out = bytes(b[(i * n) // target_bytes] for i in range(target_bytes))
+                rows.append((rid, n, len(out), sum(out), out[0], out[-1]))
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "n_in", "n_out", "out_checksum", "head_byte", "tail_byte"],
+            ).astype("int64")
+
+    return df.mapInPandas(run, _RESIZE_SCHEMA)

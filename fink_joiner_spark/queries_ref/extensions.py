@@ -1741,3 +1741,74 @@ def ext_sketch_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("r50") >= 0.48) & (F.col("r50") <= 0.52)).alias("p50_rank_ok"),
         ((F.col("r90") >= 0.88) & (F.col("r90") <= 0.92)).alias("p90_rank_ok"),
     )
+
+
+# byte value at 0-based position p of encode(text), from hex nibbles:
+# byte = 16*hi + lo where hi/lo are the hex digits at 2p+1 / 2p+2
+_DD_BYTE = (
+    "(16 * (strpos('0123456789ABCDEF', substr(h, 2*({p}) + 1, 1)) - 1)"
+    " + (strpos('0123456789ABCDEF', substr(h, 2*({p}) + 2, 1)) - 1))"
+)
+
+
+@register(
+    "multimodal_frame_sample",
+    f"""
+    WITH d AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS n
+      FROM documents
+    ),
+    fr AS (
+      SELECT doc_id, n, h,
+             unnest([f FOR f IN generate_series(0, CAST(ceil(n / 64.0) AS INT) - 1)
+                     IF f % 2 = 0]) AS frame_idx
+      FROM d WHERE n > 0
+    )
+    SELECT doc_id AS id, frame_idx,
+           least(64, n - 64 * frame_idx)::BIGINT AS frame_bytes,
+           list_reduce(list_prepend(0,
+             [{_DD_BYTE.format(p='64 * frame_idx + j')}
+              FOR j IN generate_series(0, least(64, n - 64 * frame_idx) - 1)]),
+             (a, x) -> a + x)::BIGINT AS frame_checksum
+    FROM fr
+    """,
+    "video-ingest frame sampling: payload split into 64-byte frames, "
+    "every 2nd kept — mapInPandas FAN-OUT (1 row -> many frames) with "
+    "partitioning preserved; exact integer frame checksums",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import multimodal
+
+    docs = table(spark, sf_dir, "documents")
+    bin_df = multimodal.binarize(docs, "text", "doc_id").select("id", "payload")
+    return multimodal.sample_frames(bin_df, frame_size=64, every_n=2, fake=True)
+
+
+@register(
+    "multimodal_resize",
+    f"""
+    WITH d AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS n
+      FROM documents
+    )
+    SELECT doc_id AS id, n::BIGINT AS n_in, 32::BIGINT AS n_out,
+           list_reduce(list_prepend(0,
+             [{_DD_BYTE.format(p='(i * n) // 32')}
+              FOR i IN generate_series(0, 31)]),
+             (a, x) -> a + x)::BIGINT AS out_checksum,
+           {_DD_BYTE.format(p='0')}::BIGINT AS head_byte,
+           {_DD_BYTE.format(p='(31 * n) // 32')}::BIGINT AS tail_byte
+    FROM d WHERE n > 0
+    """,
+    "nearest-neighbor byte resampling (the resize step's plumbing): "
+    "out[i] = payload[floor(i*n/32)] in an Arrow-batched mapInPandas "
+    "stage; exact integer summaries of the resampled bytes",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import multimodal
+
+    docs = table(spark, sf_dir, "documents")
+    bin_df = multimodal.binarize(docs, "text", "doc_id").select("id", "payload")
+    return multimodal.resize_payload(bin_df, target_bytes=32, fake=True)

@@ -244,3 +244,43 @@ def test_ivfpq_exact_config_equals_bruteforce(spark, sf_dir):
     b = sorted(tuple(r) for r in brute.collect())
     a = sorted(tuple(r) for r in ivfpq.collect())
     assert a == b
+
+
+def test_multimodal_frame_sample_fanout_and_stub_gate(spark):
+    import pytest
+
+    from fink_joiner_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 200), (2, "y" * 64), (3, "z" * 65)], "doc_id long, text string"
+    )
+    bin_df = multimodal.binarize(docs, "text", "doc_id").select("id", "payload")
+    rows = {(r.id, r.frame_idx): r for r in multimodal.sample_frames(
+        bin_df, frame_size=64, every_n=2, fake=True
+    ).collect()}
+    # doc1: 200 bytes -> frames 0..3, sampled 0 and 2 (full 64B each)
+    assert set(k for k in rows if k[0] == 1) == {(1, 0), (1, 2)}
+    assert rows[(1, 0)].frame_bytes == 64 and rows[(1, 2)].frame_bytes == 64
+    assert rows[(1, 0)].frame_checksum == 64 * ord("x")
+    # doc2: exactly one frame; doc3: frames 0 (64B) and... frame 1 is
+    # skipped by every_n=2, so only the full frame 0 remains
+    assert set(k for k in rows if k[0] == 2) == {(2, 0)}
+    assert set(k for k in rows if k[0] == 3) == {(3, 0)}
+    with pytest.raises(NotImplementedError):
+        multimodal.sample_frames(bin_df, fake=False)
+
+
+def test_multimodal_resize_nearest_neighbor(spark):
+    import pytest
+
+    from fink_joiner_spark.operators import multimodal
+
+    docs = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    bin_df = multimodal.binarize(docs, "text", "doc_id").select("id", "payload")
+    r = multimodal.resize_payload(bin_df, target_bytes=4, fake=True).collect()[0]
+    # n=2, target=4: positions floor(i*2/4) = 0,0,1,1 -> a,a,b,b
+    assert r.n_in == 2 and r.n_out == 4
+    assert r.out_checksum == 2 * ord("a") + 2 * ord("b")
+    assert r.head_byte == ord("a") and r.tail_byte == ord("b")
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_payload(bin_df, fake=False)
