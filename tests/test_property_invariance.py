@@ -52,3 +52,71 @@ def test_snapshot_invariant_under_arrival_order(spark, tmp_path_factory, rows, s
         i = j
     got = sorted(tuple(r) for r in store.read(spark).collect())
     assert got == want
+
+
+# Batch sessionization: for ANY event set and arrival order, session
+# stats equal a sequential reference implementation (sort per key, walk
+# once, split on gap > threshold).
+_sess_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),      # user
+        st.integers(min_value=0, max_value=10_000), # seconds offset
+        st.integers(min_value=0, max_value=10_000), # event id (tie-break)
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda t: (t[0], t[2]),
+)
+
+
+def _sessions_reference(rows, gap_s=1800):
+    by_user = {}
+    for u, sec, eid in rows:
+        by_user.setdefault(u, []).append((sec, eid))
+    out = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        idx, start, last = 0, None, None
+        for sec, _ in evs:
+            if last is None or sec - last > gap_s:
+                idx += 1
+                out[(u, idx)] = [sec, sec]  # [start, end]
+            else:
+                out[(u, idx)][1] = sec
+            last = sec
+    return {
+        k: (v[0] * 1_000_000, (v[1] - v[0]) * 1_000_000) for k, v in out.items()
+    }
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_sess_events, seed=st.integers(min_value=0, max_value=2**16))
+def test_sessionize_matches_sequential_reference(spark, rows, seed):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from fink_joiner_spark.operators import sessions
+
+    shuffled = list(rows)
+    random.Random(seed).shuffle(shuffled)
+    base = datetime.datetime(2024, 1, 1)
+    data = [
+        (u, base + datetime.timedelta(seconds=sec), eid) for u, sec, eid in shuffled
+    ]
+    df = spark.createDataFrame(data, "user_id long, ts timestamp, event_id long")
+    got = {
+        (r.user_id, r.session_idx): (
+            r.session_start_us - 1704067200000000,  # epoch us of base
+            r.duration_us,
+        )
+        for r in sessions.session_stats(
+            df, ["user_id"], "ts", gap="30 minutes", tie_breakers=["event_id"]
+        ).collect()
+    }
+    want = _sessions_reference(rows)
+    assert got == want
