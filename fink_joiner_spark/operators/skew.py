@@ -18,6 +18,8 @@ pinned.
 
 from __future__ import annotations
 
+import os
+import shutil
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -72,6 +74,15 @@ def write_bucketed(
     the partitioning. At 100 TB this converts the nightly 11-way join
     from eleven shuffles into zero.
     """
+    spark = df.sparkSession
+    # overwrite-mode saveAsTable still refuses a leftover warehouse dir
+    # whose table is NOT in this session's catalog (LOCATION_ALREADY_
+    # EXISTS) — drop both the catalog entry and any orphaned location.
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(warehouse.removeprefix("file:"), table_name.lower())
+    if os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
     w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
     if sort_cols:
         w = w.sortBy(*sort_cols)

@@ -1812,3 +1812,65 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     bin_df = multimodal.binarize(docs, "text", "doc_id").select("id", "payload")
     return multimodal.resize_payload(bin_df, target_bytes=32, fake=True)
+
+
+# ---------------------------------------------------------------------------
+# Shuffle management as queries: salting (A7's hot-key mitigation) and
+# bucketed co-located joins. Both are PLAN-level techniques — results
+# must equal the plain join, which is exactly what the oracle asserts.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_salted_join",
+    """
+    SELECT o.o_orderkey, o.o_custkey, c.c_name
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    "skew-salted equi-join: probe rows get a deterministic salt, build "
+    "rows replicate per salt so a hot key spreads over n_salts "
+    "reducers; result must equal the plain join (the oracle)",
+)
+def ext_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import skew
+
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return skew.salted_join(
+        orders, customer.withColumnRenamed("c_custkey", "o_custkey"),
+        "o_custkey", n_salts=8,
+    ).select("o_orderkey", "o_custkey", "c_name")
+
+
+@register(
+    "ext_bucketed_colocated_join",
+    """
+    SELECT o.o_orderkey, COUNT(l.l_partkey)::BIGINT AS n_lines,
+           COALESCE(SUM(l.l_quantity), 0)::BIGINT AS sum_qty
+    FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey
+    """,
+    "bucketed co-located join: orders+lineitem persisted bucketed by "
+    "the join key, then joined+aggregated with ZERO shuffle exchanges "
+    "(storage layout IS the partitioning — plan-audited); result "
+    "equals the plain join/agg",
+)
+def ext_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import skew
+
+    orders = table(spark, sf_dir, "orders").select("o_orderkey")
+    lineitem = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", F.col("l_quantity").cast("long").alias("l_quantity")
+    )
+    skew.write_bucketed(orders, "fjs_bkt_orders", "o_orderkey", n_buckets=16)
+    skew.write_bucketed(lineitem, "fjs_bkt_lineitem", "l_orderkey", n_buckets=16)
+    o = skew.read_bucketed(spark, "fjs_bkt_orders")
+    li = skew.read_bucketed(spark, "fjs_bkt_lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left")
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("l_partkey").alias("n_lines"),
+            F.coalesce(F.sum("l_quantity"), F.lit(0)).alias("sum_qty"),
+        )
+    )

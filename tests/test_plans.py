@@ -248,3 +248,19 @@ def test_ivfpq_candidates_cell_keyed_no_cartesian(spark, sf_dir):
     df = _q("simsearch_topk_ivfpq", spark, sf_dir)
     plans.asserts_no_cartesian(df)
     plans.asserts_broadcast_join(df)
+
+
+def test_bucketed_colocated_join_zero_exchanges(spark, sf_dir):
+    """Both sides bucketed by the join key: the join AND the keyed agg
+    must run with ZERO shuffle exchanges — the storage layout is the
+    partitioning."""
+    df = _q("ext_bucketed_colocated_join", spark, sf_dir)
+    assert plans.count_shuffles(df) == 0, plans.formatted_plan(df)
+
+
+def test_salted_join_spreads_hot_key(spark, sf_dir):
+    """The salted plan keys its exchanges by (key, salt) — the salt
+    column must appear in the join's partitioning arguments."""
+    df = _q("ext_salted_join", spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "__salt" in plan, plan
