@@ -15,6 +15,7 @@ Conventions:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -121,51 +122,55 @@ _R1_ROTATE_OUT = frozenset({
 })
 
 
-# Round-4 priority: everything the r3 TIMESTAMP_NTZ regression broke
-# (9 red CORRECTNESS_r03 rows + the r1-verified events.ts readers that
-# pytest showed red at r3 HEAD). "Failed last round" outranks
-# "never verified": a red row means a user-visible break, a missing row
-# only means an unconfirmed pass — re-proving the fix lands first in
-# the driver's 50-entry window.
-_R3_REGRESSED = (
-    # red in CORRECTNESS_r03
-    "a1_dedup_latest_per_key", "a2_group_max", "a3_count_over_join",
-    "a5_tumbling_window_5s", "a6_tumbling_window_20min",
-    "p1_envelope_projection", "flagship_dedup_left_join",
-    "j3_asof_join_inner", "ext_format_relay_json",
-    # r1-green but pytest-red at r3 HEAD (same root cause, outside the
-    # r3 driver window)
-    "a1_dedup_window_form", "p5_tuple_in_subquery", "j3_asof_join_left",
-    "j3_asof_join_tolerance", "t5_sliding_window", "t5_session_window",
-    "stream_dedup_snapshot", "stream_asof_stateful", "stream_keyed_reduce",
-    "stream_dedup_tws_retract", "crmls_envelope_e2e",
-    "stream_snapshot_join_pipeline", "stream_windowed_wordcount",
-)
+def _correctness_history() -> tuple[frozenset[str], frozenset[str]]:
+    """Scan the driver's CORRECTNESS_r*.json files (repo root) and
+    derive (regressed, ever_verified):
+
+    * ``regressed`` — queries whose LATEST recorded row is NOT a green
+      hash-match (failed or errored last time the driver saw them);
+    * ``ever_verified`` — queries with a green hash-match in ANY round.
+
+    Self-maintaining across rounds: each new CORRECTNESS file
+    automatically reshapes the next round's verification window. Any
+    read/parse problem degrades to empty sets (registration order)."""
+    import glob
+    import json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, bool] = {}
+    ever: set[str] = set()
+    try:
+        for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+            with open(path) as fh:
+                data = json.load(fh)
+            for name, row in data.items():
+                green = bool(row.get("hash_match"))
+                latest[name] = green
+                if green:
+                    ever.add(name)
+    except Exception:  # noqa: BLE001 — ordering is best-effort
+        return frozenset(), frozenset()
+    regressed = frozenset(n for n, green in latest.items() if not green)
+    return regressed, frozenset(ever)
 
 
-# Every query with a green hash-match row in ANY driver round so far
-# (union of CORRECTNESS_r01-r03) — everything else has never been
-# driver-verified and outranks re-verification in the window order.
-_EVER_VERIFIED = _R1_VERIFIED | frozenset({
-    "dedup_cc_clusters", "dedup_keep_canonical", "dedup_embedding_cosine",
-    "ext_cap_per_source", "ext_doc_chunks", "ext_embedding_mean_pool",
-    "ext_embedding_quantize", "ext_format_relay_json", "ext_incremental_agg",
-    "ext_lake_compact_clustered", "ext_pack_sequences", "ext_stratified_sample",
-    "ext_train_val_test_split", "ext_value_histogram", "kmeans_step",
-    "multimodal_features", "multimodal_metadata", "simsearch_topk_bruteforce",
-    "simsearch_topk_ivf", "simsearch_topk_lsh", "simsearch_topk_pq",
-    "stream_proctime_window", "text_bm25_relevance", "text_decontaminate",
-    "text_dup_segments", "text_fingerprint", "text_langid",
-    "text_length_filter_percentile", "text_pii_scrub", "text_quality",
-    "text_repetition_ratio", "text_token_count", "text_top_ngrams",
-    "text_unigram_score",
-})
+# "Failed last round" outranks "never verified": a red row means a
+# user-visible break, a missing row only an unconfirmed pass — so
+# re-proving fixes lands first in the driver's 50-entry window.
+_R3_REGRESSED, _HISTORY_VERIFIED = _correctness_history()
+
+
+# Every query with a green hash-match row in ANY driver round —
+# derived from the CORRECTNESS files, falling back to the r1 list if
+# none are readable. Everything else has never been driver-verified
+# and outranks re-verification in the window order.
+_EVER_VERIFIED = _R1_VERIFIED | _HISTORY_VERIFIED
 
 
 def _driver_order() -> list[str]:
     names = list(REGISTRY)
-    regressed = [n for n in _R3_REGRESSED if n in names]
-    rest = [n for n in names if n not in set(regressed)]
+    regressed = [n for n in names if n in _R3_REGRESSED]
+    rest = [n for n in names if n not in _R3_REGRESSED]
     never_verified = [n for n in rest if n not in _EVER_VERIFIED]
     keep = [n for n in rest if n in _EVER_VERIFIED and n not in _R1_ROTATE_OUT]
     deferred = [n for n in rest if n in _R1_ROTATE_OUT]
