@@ -1590,3 +1590,49 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.sql("SELECT * FROM q_ss_join")
+
+
+@register(
+    "stream_dedup_within_watermark",
+    """
+    SELECT event_id, COUNT(*)::BIGINT AS n
+    FROM events GROUP BY event_id
+    """,
+    "built-in streaming exact dedup with state TTL "
+    "(dropDuplicatesWithinWatermark): the stream replays every event "
+    "TWICE; the engine keeps dedup state only within the watermark "
+    "delay and must still emit each event exactly once",
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in answer to unbounded-dedup-state: unlike
+    ``dropDuplicates`` (state grows forever) the WithinWatermark form
+    GCs per-key state once the watermark passes it — the only exact
+    streaming dedup that survives 100 TB of stream history. The replay
+    feeds each event twice (two interleaved copies inside the
+    watermark), so any state mishandling double-emits and flips n to 2.
+    """
+    import tempfile
+
+    from fink_joiner_spark.sources.streaming import file_drip_feed
+
+    ev = table(spark, sf_dir, "events").select("event_id", "ts")
+    doubled = ev.unionByName(ev)  # every event arrives twice
+    work = tempfile.mkdtemp(prefix="fjs_stream_ddww_")
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS):
+        stream = file_drip_feed(spark, doubled, f"{work}/stage", "ts", n_files=3)
+        deduped = (
+            stream.withWatermark("ts", "100 seconds")
+            .dropDuplicatesWithinWatermark(["event_id"])
+        )
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("q_stream_ddww")
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.sql(
+        "SELECT event_id, COUNT(*) AS n FROM q_stream_ddww GROUP BY event_id"
+    )
