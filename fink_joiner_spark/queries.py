@@ -122,7 +122,7 @@ _R1_ROTATE_OUT = frozenset({
 })
 
 
-def _correctness_history() -> tuple[frozenset[str], frozenset[str]]:
+def _correctness_history(root: str | None = None) -> tuple[frozenset[str], frozenset[str]]:
     """Scan the driver's CORRECTNESS_r*.json files (repo root) and
     derive (regressed, ever_verified):
 
@@ -136,7 +136,8 @@ def _correctness_history() -> tuple[frozenset[str], frozenset[str]]:
     import glob
     import json
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     latest: dict[str, bool] = {}
     ever: set[str] = set()
     try:

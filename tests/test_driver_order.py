@@ -1,0 +1,52 @@
+"""The driver verifies only the first 50 queries() entries per round —
+these tests pin the ordering contract that decides what gets a
+correctness row: latest-round failures first, never-verified second.
+"""
+
+from __future__ import annotations
+
+import json
+
+from fink_joiner_spark import queries as Q
+
+
+def test_ordering_buckets():
+    Q._ensure_loaded()
+    names = list(Q.queries())
+    assert len(names) == len(set(names)), "duplicates in driver order"
+    assert set(names) == set(Q.REGISTRY), "order must cover the registry"
+    # regressed-at-latest-round queries must occupy the head
+    n_reg = sum(1 for n in names if n in Q._R3_REGRESSED)
+    assert names[:n_reg] == [n for n in names if n in Q._R3_REGRESSED]
+    # never-verified comes before anything ever verified (post-head)
+    tail = names[n_reg:]
+    seen_verified = False
+    for n in tail:
+        if n in Q._EVER_VERIFIED and n not in Q._R1_ROTATE_OUT:
+            seen_verified = True
+        if n not in Q._EVER_VERIFIED:
+            assert not seen_verified, f"never-verified {n} after verified entries"
+
+
+def test_history_parser_on_synthetic_files(tmp_path, monkeypatch):
+    """A query red in its LAST round is 'regressed' even if green
+    earlier; a query green anywhere is 'ever verified'; unreadable
+    files degrade to empty sets."""
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "q_green_then_red": {"hash_match": True},
+        "q_always_green": {"hash_match": True},
+    }))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
+        "q_green_then_red": {"hash_match": None, "err": "boom"},
+        "q_never_green": {"hash_match": False},
+    }))
+
+    import fink_joiner_spark.queries as qmod
+
+    regressed, ever = qmod._correctness_history(root=str(tmp_path))
+    assert regressed == {"q_green_then_red", "q_never_green"}
+    assert ever == {"q_green_then_red", "q_always_green"}
+    # no files at all -> empty sets, registration order prevails
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert qmod._correctness_history(root=str(empty)) == (frozenset(), frozenset())
