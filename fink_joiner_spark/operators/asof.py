@@ -132,3 +132,84 @@ def asof_join_rangejoin(
     if how == "inner":
         out = out.filter(F.col(build_cols[0]).isNotNull())
     return out
+
+
+def asof_join_nearest(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str,
+    probe_ts: str,
+    build_ts: str,
+    build_cols: Sequence[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Bidirectional as-of join (pandas ``merge_asof
+    direction='nearest'`` analog): each probe row joins the build
+    version with the SMALLEST absolute time distance, ties broken
+    toward the backward (earlier-or-equal) version.
+
+    Same union-tag plan as :func:`asof_join` — one hash shuffle on the
+    key, two window passes over the same (key, ts) sort (backward
+    carry via ``last ignoreNulls`` over unbounded-preceding, forward
+    carry via ``first ignoreNulls`` over unbounded-following), so the
+    exchange is shared and per-key state stays scalar. No row-pair
+    explosion at any key skew.
+    """
+    probe_cols = probe.columns
+    b = build.select(
+        F.col(on).alias("__k"),
+        F.col(build_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__b_{c}") for c in build_cols],
+        *[F.lit(None).cast(probe.schema[c].dataType).alias(f"__p_{c}") for c in probe_cols],
+    )
+    p = probe.select(
+        F.col(on).alias("__k"),
+        F.col(probe_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(build.schema[c].dataType).alias(f"__b_{c}") for c in build_cols],
+        *[F.col(c).alias(f"__p_{c}") for c in probe_cols],
+    )
+    unioned = b.unionByName(p)
+
+    base = Window.partitionBy("__k").orderBy(F.col("__ts").asc(), F.col("__side").asc())
+    wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    bval = F.when(F.col("__side") == 0, F.col("__ts"))
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(F.col(f"__b_{c}"), ignorenulls=True).over(wb).alias(f"__bk_{c}")
+            for c in build_cols
+        ],
+        F.last(bval, ignorenulls=True).over(wb).alias("__bk_ts"),
+        *[
+            F.first(F.col(f"__b_{c}"), ignorenulls=True).over(wf).alias(f"__fw_{c}")
+            for c in build_cols
+        ],
+        F.first(bval, ignorenulls=True).over(wf).alias("__fw_ts"),
+    )
+    out = carried.filter(F.col("__side") == 1)
+
+    d_back = F.col("__ts").cast("double") - F.col("__bk_ts").cast("double")
+    d_fwd = F.col("__fw_ts").cast("double") - F.col("__ts").cast("double")
+    # backward wins when present and not strictly farther than forward
+    use_back = F.col("__bk_ts").isNotNull() & (
+        F.col("__fw_ts").isNull() | (d_back <= d_fwd)
+    )
+    matched = F.col("__bk_ts").isNotNull() | F.col("__fw_ts").isNotNull()
+
+    picked = out.select(
+        *[F.col(f"__p_{c}").alias(c) for c in probe_cols],
+        *[
+            F.when(use_back, F.col(f"__bk_{c}")).otherwise(F.col(f"__fw_{c}")).alias(c)
+            for c in build_cols
+        ],
+        matched.alias("__matched"),
+    )
+    if how == "inner":
+        return picked.filter(F.col("__matched")).drop("__matched")
+    return picked.select(
+        *probe_cols,
+        *[F.when(F.col("__matched"), F.col(c)).alias(c) for c in build_cols],
+    )

@@ -1636,3 +1636,49 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.sql(
         "SELECT event_id, COUNT(*) AS n FROM q_stream_ddww GROUP BY event_id"
     )
+
+
+@register(
+    "j3_asof_join_nearest",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    b AS (SELECT event_id AS b_id, user_id, ts AS bts FROM events WHERE event_type = 'error'),
+    j AS (
+      SELECT p.event_id, p.user_id,
+             epoch_us(p.ts) AS p_ts_us,
+             b.b_id, epoch_us(b.bts) AS b_ts_us,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.event_id
+               ORDER BY abs(epoch_us(p.ts) - epoch_us(b.bts)),
+                        CASE WHEN b.bts <= p.ts THEN 0 ELSE 1 END,
+                        b.b_id
+             ) AS rn
+      FROM p JOIN b USING (user_id)
+    )
+    SELECT event_id, user_id, p_ts_us,
+           b_id AS near_event_id, b_ts_us AS near_ts_us
+    FROM j WHERE rn = 1
+    """,
+    "bidirectional as-of join (merge_asof direction='nearest'): each "
+    "click joins the error with the smallest |ts delta| for its user, "
+    "ties toward the backward version; union-tag plan, one keyed "
+    "shuffle, two window passes over one sort — no pair explosion",
+)
+def j3_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import asof
+
+    ev = table(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    build = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("b_id"), F.col("ts").alias("b_ts")
+    )
+    out = asof.asof_join_nearest(
+        probe, build, on="user_id", probe_ts="ts", build_ts="ts",
+        build_cols=["b_id", "b_ts"], how="inner",
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.unix_micros("ts").alias("p_ts_us"),
+        F.col("b_id").alias("near_event_id"),
+        F.unix_micros("b_ts").alias("near_ts_us"),
+    )

@@ -63,3 +63,36 @@ def test_tolerance_bounds_staleness(spark):
     stale = asof.asof_join(probe, build, "k", "ts", "ts", ["val"], how="left", tolerance=100.0)
     assert fresh.collect()[0]["val"] == "old"
     assert stale.collect()[0]["val"] is None
+
+
+def test_asof_nearest_direction_and_ties(spark):
+    from fink_joiner_spark.operators import asof
+
+    probe = spark.createDataFrame(
+        [(1, 100.0, "p1"), (1, 10.0, "p2"), (2, 50.0, "p3"), (3, 7.0, "p4")],
+        "k long, ts double, pid string",
+    )
+    build = spark.createDataFrame(
+        # k=1: versions at 90 and 105 -> p1(100) nearest fwd(105,d=5)? back d=10 -> fwd
+        #      p2(10): only later versions exist -> forward match (90)
+        # k=2: versions at 45 and 55 -> tie |5| -> backward (45)
+        # k=3: no versions -> inner drops, left nulls
+        [(1, 90.0, "b90"), (1, 105.0, "b105"), (2, 45.0, "b45"), (2, 55.0, "b55")],
+        "k long, ts double, bid string",
+    )
+    inner = {
+        r.pid: r.bid
+        for r in asof.asof_join_nearest(
+            probe, build, on="k", probe_ts="ts", build_ts="ts",
+            build_cols=["bid"], how="inner",
+        ).collect()
+    }
+    assert inner == {"p1": "b105", "p2": "b90", "p3": "b45"}
+    left = {
+        r.pid: r.bid
+        for r in asof.asof_join_nearest(
+            probe, build, on="k", probe_ts="ts", build_ts="ts",
+            build_cols=["bid"], how="left",
+        ).collect()
+    }
+    assert left == {"p1": "b105", "p2": "b90", "p3": "b45", "p4": None}
