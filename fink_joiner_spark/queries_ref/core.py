@@ -1682,3 +1682,78 @@ def j3_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b_id").alias("near_event_id"),
         F.unix_micros("b_ts").alias("near_ts_us"),
     )
+
+
+@register(
+    "stream_stream_interval_join_left",
+    """
+    SELECT c.event_id AS click_id, e.event_id AS err_id,
+           epoch_us(e.ts) - epoch_us(c.ts) AS delta_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON c.user_id = e.user_id
+     AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+    "stream-stream LEFT OUTER interval join: unmatched clicks are held "
+    "in state and emitted with NULLs only after the watermark proves no "
+    "in-range error can still arrive — the late-null-emission contract "
+    "that distinguishes outer streaming joins; appended result == batch "
+    "left interval join",
+)
+def stream_stream_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from fink_joiner_spark.sources.streaming import file_drip_feed
+
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+    )
+    # Outer-join nulls are only emitted once the watermark PROVES no
+    # in-range match can arrive; under AvailableNow the final watermark
+    # stops `delay` behind the last event, permanently withholding the
+    # tail's unmatched rows. Append one far-future sentinel per side
+    # (non-joinable key, filtered from the output) so the watermark
+    # passes every real event — the batch-replay analog of the idle-
+    # source watermark advancement a production job gets from time.
+    far = ev.agg(
+        (F.max("ts") + F.expr("INTERVAL 12 HOURS")).alias("ts")
+    ).collect()[0]["ts"]
+    clicks = clicks.unionByName(
+        spark.createDataFrame([(-1, -1, far)], clicks.schema)
+    )
+    errors = errors.unionByName(
+        spark.createDataFrame([(-2, -2, far)], errors.schema)
+    )
+    work = tempfile.mkdtemp(prefix="fjs_ss_ljoin_")
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS):
+        sc = file_drip_feed(spark, clicks, f"{work}/c", "c_ts", n_files=3).withWatermark(
+            "c_ts", "1 hour"
+        )
+        se = file_drip_feed(spark, errors, f"{work}/e", "e_ts", n_files=3).withWatermark(
+            "e_ts", "1 hour"
+        )
+        joined = sc.join(
+            se,
+            F.expr(
+                "c_user = e_user AND e_ts >= c_ts "
+                "AND e_ts <= c_ts + INTERVAL 30 MINUTES"
+            ),
+            "leftOuter",
+        ).select(
+            "click_id", "err_id",
+            (F.unix_micros("e_ts") - F.unix_micros("c_ts")).alias("delta_us"),
+        )
+        q = (
+            joined.writeStream.format("memory").queryName("q_ss_ljoin")
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+    return spark.sql("SELECT * FROM q_ss_ljoin WHERE click_id >= 0")
