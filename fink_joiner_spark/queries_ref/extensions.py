@@ -1874,3 +1874,73 @@ def ext_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("l_quantity"), F.lit(0)).alias("sum_qty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# The 100th query: the whole corpus-curation pipeline in ONE DAG —
+# quality filter → exact dedup → near-dup (MinHash-LSH → CC → keep
+# canonical) — the end-to-end shape a pretraining data pipeline runs
+# nightly. Every stage reuses an already-oracled operator; the oracle
+# composes the same CTE macros over the survivor set.
+# ---------------------------------------------------------------------------
+
+_CURATION_ORACLE = f"""
+WITH RECURSIVE
+quality AS (
+  SELECT doc_id, text, source, n_chars FROM documents
+  WHERE len({_DD_TOKS.format(t='text')}) >= 20
+),
+exact_keep AS (
+  SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+         MIN(doc_id) AS doc_id
+  FROM quality GROUP BY 1
+),
+survivors AS (
+  SELECT q.doc_id, q.text, q.source, q.n_chars
+  FROM quality q JOIN exact_keep e ON q.doc_id = e.doc_id
+),
+{_CC_CTES.replace("FROM documents", "FROM survivors")},
+labeled AS (
+  SELECT s.doc_id, s.n_chars, s.source,
+         COALESCE(c.component, s.doc_id) AS component
+  FROM survivors s LEFT JOIN comp c ON s.doc_id = c.id
+)
+SELECT component, doc_id, cluster_size, source FROM (
+  SELECT component, doc_id, source,
+         COUNT(*) OVER (PARTITION BY component) AS cluster_size,
+         ROW_NUMBER() OVER (
+           PARTITION BY component ORDER BY n_chars DESC, doc_id ASC
+         ) AS rn
+  FROM labeled
+) WHERE rn = 1
+"""
+
+
+@register(
+    "ext_curation_pipeline_e2e",
+    _CURATION_ORACLE,
+    "the full corpus-curation pipeline in one DAG: token-count quality "
+    "filter -> exact md5 dedup (keep lowest id) -> MinHash-LSH near-dup "
+    "pairs -> connected components -> keep longest doc per cluster; "
+    "one keyed shuffle per stage, no stage materializes to the driver",
+)
+def ext_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import graph, similarity, text as txt
+
+    docs = table(spark, sf_dir, "documents")
+    quality = docs.filter(F.size(txt.tokens(F.col("text"))) >= 20)
+    normalized = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    keep = (
+        quality.select("doc_id", F.md5(normalized).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    survivors = quality.join(keep, "doc_id")
+    pairs = similarity.minhash_lsh_pairs(
+        survivors, "doc_id", "text", n=3, k=16, bands=4, threshold=0.8
+    )
+    final = graph.keep_canonical(survivors, pairs, "doc_id", "n_chars")
+    return final.join(
+        survivors.select("doc_id", "source"), "doc_id"
+    ).select("component", "doc_id", "cluster_size", "source")
