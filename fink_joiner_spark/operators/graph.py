@@ -223,3 +223,66 @@ def keep_canonical(
         )
         .select("component", "doc_id", "cluster_size")
     )
+
+
+def pagerank_step(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    damping: float = 0.85,
+) -> DataFrame:
+    """One weighted-PageRank iteration from a uniform prior:
+    pr₁(v) = (1−d)/n + d · Σ_{u→v} pr₀(u) · w(u,v)/out(u), pr₀ = 1/n.
+
+    The iterative shape of every link-analysis / graph-centrality pass;
+    callers loop it (broadcast nothing — ranks stay distributed, keyed
+    by node). Nodes with no in-edges keep the teleport term only.
+
+    Output: (node, pr) with pr integerized to micropoints before the
+    final emit (cross-engine deterministic; the per-node Σ is exact
+    because each contribution is integerized FIRST and summed as
+    longs). Plan: node set = src∪dst distinct (keyed agg); out-degree
+    agg keyed by src; contributions join keyed by src then re-agg keyed
+    by dst; final left join onto the node set. Every stage is a keyed
+    shuffle over aggregate-sized data — no broadcast of rank state, so
+    the same plan runs when the graph is 10¹⁰ edges.
+    """
+    e = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        F.col(weight).cast("double").alias("w"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.select(F.count(F.lit(1)).cast("double").alias("n"))
+    out = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    # pr0(u) = 1/n; contribution(u→v) integerized to micropoints before
+    # the dst-keyed SUM so reduction order can't move the hash.
+    contrib = (
+        e.join(out, "src")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "dst",
+            F.floor(
+                (F.col("w") / (F.col("out_w") * F.col("n"))) * 1000000.0 + 0.5
+            ).cast("long").alias("micro_in"),
+        )
+        .groupBy("dst")
+        .agg(F.sum("micro_in").alias("micro_sum"))
+    )
+    return (
+        nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "node",
+            F.round(
+                (1.0 - damping) / F.col("n")
+                + damping * (F.coalesce(F.col("micro_sum"), F.lit(0)) / 1000000.0),
+                6,
+            ).alias("pr"),
+        )
+    )

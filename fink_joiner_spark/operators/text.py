@@ -288,3 +288,123 @@ def docs_to_ids(
             ).alias("ids_csv"),
         )
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by TF-IDF
+    (tf × ln(N/df)) — the keyword-extraction / topic-signal pass of a
+    curation pipeline.
+
+    Output: (id, term, tf, tfidf, rnk), rnk 1..k per doc. The score is
+    integerized to micropoints (floor(x·1e6 + 0.5)) BEFORE ranking so
+    the per-doc cut is integer-deterministic cross-engine; ties break
+    on term asc.
+
+    Plan: explode → (doc, term) hash-agg (shuffle 1, map-side combine)
+    → term doc-frequency agg (shuffle 2 over the already-aggregated
+    (doc, term) rows — |docs|·|distinct terms per doc|, not token
+    occurrences) → keyed join tf⋈df on term (shuffle reuses 2's
+    partitioning on the df side) → per-doc window top-k (shuffle 3,
+    keyed by doc). N and the df table are aggregates — the only
+    full-data movement is shuffle 1. All expressions codegen-resident.
+    """
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    micro = F.floor(
+        F.col("tf") * F.log(F.col("n_docs") / F.col("df")) * 1000000.0 + 0.5
+    ).cast("long")
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(id_col, "term", "tf", micro.alias("micro"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("micro").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            id_col,
+            "term",
+            "tf",
+            (F.round(F.col("micro") / 1000000.0, 6) + 0.0).alias("tfidf"),
+            "rnk",
+        )
+    )
+
+
+def pmi_bigrams(
+    df: DataFrame, text_col: str, min_count: int = 5, k: int = 50
+) -> DataFrame:
+    """Top-``k`` bigram collocations by pointwise mutual information:
+    pmi(w1,w2) = ln( p(w1 w2) / (p(w1)·p(w2)) ), occurrence counts with
+    a ``min_count`` support floor — the phrase-mining / tokenizer-merge
+    pass of a corpus pipeline.
+
+    Output: (bigram, c_xy, pmi) ranked by (pmi desc, bigram asc), with
+    pmi integerized to micropoints before the cut (cross-engine
+    deterministic, same scheme as BM25). Totals use ALL occurrences;
+    the support floor only gates candidates.
+
+    Plan: bigram + unigram counts are two explode→hash-agg passes over
+    the token stream (map-side combine; the bigram agg shuffles only
+    distinct bigrams). Corpus totals are 1-row aggregates broadcast via
+    crossJoin; the two unigram joins are keyed shuffles on w1/w2
+    (aggregate-sized inputs, AQE may broadcast them). Final top-k plans
+    as TakeOrderedAndProject — no full sort.
+    """
+    toks = tokens(F.col(text_col))
+    m = F.size(toks) - 1
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, m),
+            F.slice(toks, 2, m),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    uni = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_uni = uni.select(F.sum("c").cast("double").alias("n_uni"))
+    bi = (
+        df.select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    n_bi = bi.select(F.sum("c_xy").cast("double").alias("n_bi"))
+
+    cand = (
+        bi.where(F.col("c_xy") >= min_count)
+        .withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .withColumn("w2", F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)))
+        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y")), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+    )
+    # Association order is pinned (and mirrored verbatim in the oracle)
+    # so both engines round the same double.
+    ratio = (F.col("c_xy") * F.col("n_uni") * F.col("n_uni")) / (
+        F.col("n_bi") * F.col("c_x") * F.col("c_y")
+    )
+    micro = F.floor(F.log(ratio) * 1000000.0 + 0.5).cast("long")
+    return (
+        cand.select("bigram", "c_xy", micro.alias("micro"))
+        .orderBy(F.col("micro").desc(), F.col("bigram").asc())
+        .limit(k)
+        .select(
+            "bigram",
+            "c_xy",
+            (F.round(F.col("micro") / 1000000.0, 6) + 0.0).alias("pmi"),
+        )
+    )

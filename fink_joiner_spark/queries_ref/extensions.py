@@ -1944,3 +1944,245 @@ def ext_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.join(
         survivors.select("doc_id", "source"), "doc_id"
     ).select("component", "doc_id", "cluster_size", "source")
+
+
+# ---------------------------------------------------------------------------
+# CDC shapes: SCD-2 changelog compaction + MERGE (upsert/delete) apply.
+# The reference's loop IS a CDC consumer (latest-image-per-key over
+# entity changelogs, CRMLSJoiner.scala:181-205); these cover the two
+# downstream warehouse shapes that loop feeds.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_scd2_history",
+    """
+    WITH ch AS (
+      SELECT user_id, event_type, ts,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+      FROM events
+    ),
+    chg AS (
+      SELECT user_id, event_type, ts FROM ch
+      WHERE prev IS NULL OR event_type <> prev
+    )
+    SELECT user_id, event_type,
+           epoch_us(ts) AS valid_from_us,
+           epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts))
+             AS valid_to_us,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts)::BIGINT
+             AS version
+    FROM chg
+    """,
+    "SCD-2 compaction of the event changelog: consecutive same-state "
+    "rows per user collapse into validity intervals (valid_from, "
+    "valid_to, version); both window passes share one user-keyed "
+    "shuffle (EnsureRequirements inserts no second exchange)",
+)
+def ext_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import cdc
+
+    ev = table(spark, sf_dir, "events")
+    hist = cdc.scd2_compact(ev, ["user_id"], ["ts", "event_id"], "event_type")
+    return hist.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        F.col("version").cast("long").alias("version"),
+    )
+
+
+@register(
+    "ext_merge_upsert",
+    """
+    WITH latest AS (
+      SELECT e.user_id, e.event_type, e.value
+      FROM events e
+      JOIN (SELECT user_id, MAX(ts) AS ts FROM events GROUP BY 1) m
+        ON e.user_id = m.user_id AND e.ts = m.ts
+    ),
+    changes AS (
+      SELECT user_id AS c_custkey,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             ROUND(value, 2) AS c_acctbal
+      FROM latest
+      UNION ALL
+      SELECT user_id + 1000000, 'U', ROUND(value, 2)
+      FROM latest WHERE event_type = 'purchase'
+    ),
+    merged AS (
+      SELECT COALESCE(b.c_custkey, c.c_custkey) AS c_custkey,
+             b.c_name, b.c_nationkey,
+             CASE WHEN c.op IS NOT NULL THEN c.c_acctbal
+                  ELSE b.c_acctbal END AS c_acctbal,
+             b.c_mktsegment, c.op
+      FROM customer b FULL OUTER JOIN changes c ON b.c_custkey = c.c_custkey
+    )
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM merged WHERE op IS NULL OR op <> 'D'
+    """,
+    "MERGE INTO semantics: a compacted delta batch (latest event per "
+    "user; error => DELETE, else UPSERT of the balance, purchases "
+    "mirrored to +1e6 keys to exercise the insert path) applied onto "
+    "the customer snapshot via a broadcast LEFT join (update/delete "
+    "map-side — the base never shuffles) plus a keys-only anti join "
+    "for inserts; a full-outer MERGE can never broadcast in Spark",
+)
+def ext_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import cdc, dedup
+
+    ev = table(spark, sf_dir, "events")
+    cust = table(spark, sf_dir, "customer")
+    latest = dedup.latest_per_key_all_ties(ev, ["user_id"], "ts")
+    upserts = latest.select(
+        F.col("user_id").alias("c_custkey"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.round("value", 2).alias("c_acctbal"),
+    )
+    inserts = latest.where(F.col("event_type") == "purchase").select(
+        (F.col("user_id") + 1000000).alias("c_custkey"),
+        F.lit("U").alias("op"),
+        F.round("value", 2).alias("c_acctbal"),
+    )
+    return cdc.merge_upsert(
+        cust,
+        upserts.unionByName(inserts),
+        ["c_custkey"],
+        broadcast_changes=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics: TF-IDF keyword extraction, PMI collocations,
+# PageRank centrality — the analysis passes a curation pipeline runs to
+# characterize a crawl before filtering it.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_tfidf_top_terms",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_DD_TOKS.format(t='text')}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*)::DOUBLE AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term, tf,
+             floor(tf * ln(n.n_docs / df) * 1000000.0 + 0.5)::BIGINT AS micro
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY micro DESC, term ASC)::BIGINT AS rnk
+      FROM scored
+    )
+    SELECT doc_id, term, tf, ROUND(micro / 1000000.0, 6) + 0.0 AS tfidf, rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+    "top-3 characteristic terms per doc by tf-idf; score integerized "
+    "to micropoints BEFORE the per-doc rank (cross-engine-deterministic "
+    "cut, BM25 scheme); only the token explode shuffles full data — "
+    "df and N are aggregate-sized",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import text
+
+    docs = table(spark, sf_dir, "documents")
+    out = text.tfidf_top_terms(docs, "doc_id", "text", k=3)
+    return out.select("doc_id", "term", "tf", "tfidf", F.col("rnk").cast("long").alias("rnk"))
+
+
+@register(
+    "text_pmi_bigrams",
+    f"""
+    WITH d AS (SELECT {_DD_TOKS.format(t='text')} AS toks FROM documents),
+    uni AS (SELECT unnest(toks) AS w FROM d),
+    ucnt AS (SELECT w, COUNT(*)::BIGINT AS c FROM uni GROUP BY 1),
+    ntot AS (SELECT SUM(c)::DOUBLE AS n_uni FROM ucnt),
+    bg AS (
+      SELECT unnest(CASE WHEN len(toks) >= 2 THEN
+        [toks[i] || ' ' || toks[i+1] FOR i IN generate_series(1, len(toks) - 1)]
+        ELSE [] END) AS bigram
+      FROM d
+    ),
+    bcnt AS (SELECT bigram, COUNT(*)::BIGINT AS c_xy FROM bg GROUP BY 1),
+    btot AS (SELECT SUM(c_xy)::DOUBLE AS n_bi FROM bcnt),
+    cand AS (
+      SELECT b.bigram, b.c_xy,
+             floor(ln((b.c_xy * n_uni * n_uni) / (n_bi * u1.c * u2.c))
+                   * 1000000.0 + 0.5)::BIGINT AS micro
+      FROM bcnt b
+      JOIN ucnt u1 ON split_part(b.bigram, ' ', 1) = u1.w
+      JOIN ucnt u2 ON split_part(b.bigram, ' ', 2) = u2.w
+      CROSS JOIN ntot CROSS JOIN btot
+      WHERE b.c_xy >= 5
+    )
+    SELECT bigram, c_xy, ROUND(micro / 1000000.0, 6) + 0.0 AS pmi
+    FROM cand ORDER BY micro DESC, bigram ASC LIMIT 50
+    """,
+    "top-50 bigram collocations by PMI (support >= 5): two explode->"
+    "hash-agg passes + aggregate-sized unigram joins; totals broadcast "
+    "as 1-row aggregates; final cut is TakeOrderedAndProject on the "
+    "integerized score",
+)
+def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import text
+
+    docs = table(spark, sf_dir, "documents")
+    return text.pmi_bigrams(docs, "text", min_count=5, k=50)
+
+
+@register(
+    "graph_pagerank_step",
+    """
+    WITH tr AS (
+      SELECT event_type AS dst,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS src
+      FROM events
+    ),
+    e AS (
+      SELECT src, dst, COUNT(*)::DOUBLE AS w FROM tr
+      WHERE src IS NOT NULL GROUP BY 1, 2
+    ),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    n AS (SELECT COUNT(*)::DOUBLE AS n FROM nodes),
+    out_w AS (SELECT src, SUM(w) AS out_w FROM e GROUP BY 1),
+    contrib AS (
+      SELECT dst, SUM(floor((w / (out_w * n.n)) * 1000000.0 + 0.5)::BIGINT)
+               AS micro_sum
+      FROM e JOIN out_w USING (src) CROSS JOIN n GROUP BY dst
+    )
+    SELECT node,
+           ROUND((1.0 - 0.85) / n.n
+                 + 0.85 * (COALESCE(micro_sum, 0) / 1000000.0), 6) AS pr
+    FROM nodes LEFT JOIN contrib ON node = dst CROSS JOIN n
+    """,
+    "one weighted-PageRank iteration over the user event-type "
+    "transition graph (lag window -> edge counts); rank state stays "
+    "distributed (keyed shuffles only, nothing data-sized broadcast) "
+    "so the identical plan iterates on a 10^10-edge graph",
+)
+def graph_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from fink_joiner_spark.operators import graph
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select(
+            F.lag("event_type").over(w).alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .where(F.col("src").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+    return graph.pagerank_step(edges, "src", "dst", "weight", damping=0.85)
