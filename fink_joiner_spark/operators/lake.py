@@ -81,3 +81,34 @@ def compact(
 def file_count(spark: SparkSession, path: str) -> int:
     """Number of data files in a parquet dataset (hygiene metric)."""
     return len(spark.read.parquet(path).inputFiles())
+
+
+def morton_key(x, y, bits: int = 16):
+    """32-bit Morton (Z-order) interleave of two ``bits``-bit integer
+    columns: bit i of ``x`` lands at position 2i, bit i of ``y`` at
+    2i+1. Multi-dimensional layout key for :func:`compact`'s
+    ``cluster_by`` — unlike a lexicographic (x, y) sort, sorting by the
+    Z-key gives files that are narrow in BOTH dimensions, so row-group
+    min/max statistics prune scans filtered on either column.
+
+    Pure integer bit arithmetic (codegen-resident, no UDF); the DuckDB
+    oracle is the identical shift/mask expression.
+    """
+    from pyspark.sql import functions as F
+
+    xc = x.cast("long") if hasattr(x, "cast") else F.col(x).cast("long")
+    yc = y.cast("long") if hasattr(y, "cast") else F.col(y).cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z + F.shiftleft(F.shiftright(xc, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = z + F.shiftleft(F.shiftright(yc, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+    return z
+
+
+def morton_key_sql(x: str, y: str, bits: int = 16) -> str:
+    """DuckDB expression mirroring :func:`morton_key` bit-for-bit."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"

@@ -156,3 +156,106 @@ def split_oracle_case(id_expr: str, weights: Sequence[tuple[str, int]], salt: st
         clauses.append(f"WHEN {bucket} >= {lo} AND {bucket} < {lo + w} THEN '{name}'")
         lo += w
     return "CASE " + " ".join(clauses) + " END"
+
+
+def shuffle_positions(df: DataFrame, id_col: str, salt: str = "") -> DataFrame:
+    """Deterministic global training-order shuffle: assign every row a
+    dense position ``pos`` in ``[0, N)`` following the md5 permutation
+    of its id — the "shuffle the corpus once, reproducibly" step before
+    sharding into training files.
+
+    Scale design: a naive ``row_number() OVER (ORDER BY key)`` collapses
+    to ONE task. Instead this is the two-phase distributed zip-with-index
+    over sorted data: the first md5 byte splits the keyspace into 256
+    ordered ranges (prefix ordering == full-key ordering), a per-range
+    ``row_number`` ranks locally after a hash shuffle on the range id,
+    and the driver prefix-sums only the 256 range COUNTS into offsets
+    (broadcast back). Nothing data-sized touches the driver; at 100 TB
+    widen the prefix to 2 bytes (65 536 ranges) for finer balance.
+
+    The DuckDB oracle is the single-window form — identical output.
+    """
+    id_c = F.col(id_col)
+    key = F.md5(F.concat(id_c.cast("string"), F.lit(salt)))
+    withkey = df.withColumn("_key", key).withColumn(
+        "_rng", F.conv(F.substring("_key", 1, 2), 16, 10).cast("int")
+    )
+    spark = df.sparkSession
+    counts = {
+        r["_rng"]: r["cnt"]
+        for r in withkey.groupBy("_rng").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    acc, offsets = 0, []
+    for rng in sorted(counts):
+        offsets.append((rng, acc))
+        acc += counts[rng]
+    off_df = spark.createDataFrame(offsets, "_rng int, _off long")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_rng").orderBy("_key", id_c)
+    return (
+        withkey.join(F.broadcast(off_df), "_rng")
+        .withColumn("pos", F.col("_off") + F.row_number().over(w) - 1)
+        .drop("_key", "_rng", "_off")
+    )
+
+
+def temperature_resample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    keep_frac: float = 0.6,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-based mixture resampling across groups (languages /
+    sources): target counts follow the alpha-smoothed distribution
+    ``q_g ∝ n_g^alpha`` (the multilingual rebalancing scheme of
+    XLM-R / mT5 — low-resource groups are up-weighted relative to their
+    corpus share), scaled to keep ``keep_frac`` of the corpus overall
+    and capped at each group's actual size. WHICH rows survive is the
+    deterministic md5-rank order (see :func:`cap_per_group`).
+
+    Only alpha=0.5 is cross-engine exact (``sqrt`` is IEEE
+    correctly-rounded everywhere; ``pow`` is not) — other alphas work
+    but the oracle must tolerate last-ulp drift.
+
+    Plan: one aggregate-sized groupBy for counts, a 1-row total, the
+    target table broadcast back, one hash shuffle on ``group_col`` for
+    the per-group rank. Nothing data-sized leaves the executors.
+    """
+    if alpha != 0.5:
+        raise ValueError("only alpha=0.5 (sqrt) is cross-engine deterministic")
+    from pyspark.sql import Window
+
+    cnt = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    tot = cnt.agg(
+        F.sum("_n").cast("double").alias("_tot"),
+        F.sum(F.sqrt(F.col("_n").cast("double"))).alias("_s"),
+    )
+    targets = (
+        cnt.crossJoin(F.broadcast(tot))
+        # association order mirrored verbatim in the oracle SQL
+        .withColumn(
+            "_t",
+            F.least(
+                F.floor(
+                    F.lit(keep_frac) * F.col("_tot") * F.sqrt(F.col("_n").cast("double"))
+                    / F.col("_s")
+                    + F.lit(0.5)
+                ).cast("long"),
+                F.col("_n"),
+            ),
+        )
+        .select(group_col, "_t")
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), F.col(id_col)
+    )
+    return (
+        df.join(F.broadcast(targets), group_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("_t"))
+        .drop("_rn", "_t")
+    )

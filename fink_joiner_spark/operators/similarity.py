@@ -1185,3 +1185,53 @@ def topk_ivfpq(
         .filter(F.col("rank") <= k)
         .select("qid", "nid", "score", "rank")
     )
+
+
+def rp_matrix(out_dims: int, in_dims: int) -> list[list[int]]:
+    """Deterministic ±1 random-projection matrix: entry (j, i) is the
+    parity of the first hex digit of ``md5("rp:j:i")``. Seed-free and
+    engine-free — both the Spark expression and the DuckDB oracle
+    receive the same literal rows, so no RNG state ever exists."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"rp:{j}:{i}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
+            for i in range(in_dims)
+        ]
+        for j in range(out_dims)
+    ]
+
+
+def random_project(
+    df: DataFrame, id_col: str, vec_col: str, out_dims: int = 8
+) -> DataFrame:
+    """Signed random projection (Achlioptas 2003): compress a
+    ``d``-dim embedding to ``out_dims`` dims with a ±1 matrix —
+    distance-preserving (Johnson–Lindenstrauss) dimensionality
+    reduction used to shrink ANN index footprints ~8× before bucketing.
+
+    Emits ``(id, proj)`` where ``proj[j] = round(Σ_i v_i·m_ji, 4)``.
+    The fold is the sequential ``zip_with``+``aggregate`` HOF pair —
+    zero-shuffle, evaluated at the scan; the matrix is a plan literal
+    (nothing broadcast, nothing collected). At 100 TB this is the
+    embarrassingly-parallel shape: cost is one fused pass over the
+    vectors. For much larger (k×d) projections move the matmul into an
+    Arrow-batched ``mapInPandas`` (numpy BLAS) — same plan position.
+    """
+    m = rp_matrix(out_dims, len(df.select(vec_col).first()[0]))
+    v = F.col(vec_col).cast("array<double>")
+    proj = F.array(
+        *[
+            F.round(
+                F.aggregate(
+                    F.zip_with(v, F.array(*[F.lit(float(c)) for c in row]), lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda s, x: s + x,
+                ),
+                4,
+            )
+            for row in m
+        ]
+    )
+    return df.select(F.col(id_col), proj.alias("proj"))

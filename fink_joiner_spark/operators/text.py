@@ -408,3 +408,90 @@ def pmi_bigrams(
             (F.round(F.col("micro") / 1000000.0, 6) + 0.0).alias("pmi"),
         )
     )
+
+
+def scrub_boilerplate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg_tokens: int = 10,
+    min_df: int = 2,
+) -> DataFrame:
+    """Remove boilerplate segments and reassemble the document — the
+    curation ACTION on top of :func:`duplicated_segment_stats`'s
+    diagnostics (CCNet-style paragraph dedup, here at token-segment
+    granularity because the synthetic docs have no newlines).
+
+    A doc is split into consecutive non-overlapping ``seg_tokens``-token
+    segments plus one trailing partial segment; a FULL segment whose
+    corpus document-frequency (distinct docs containing it) reaches
+    ``min_df`` is boilerplate and is dropped; the survivors are
+    re-joined in original order. Partial trailing segments are never
+    scrubbed (a short tail is not evidence of boilerplate).
+
+    Emits ``(doc_id, n_segments, n_scrubbed, clean_text)``.
+
+    Plan: one explode, one distinct+groupBy(segment) for DF (map-side
+    partial agg on segment), one keyed join back, one groupBy(doc) with
+    a doc-sized ``collect_list`` rebuild — every shuffle is keyed by
+    segment or doc id, nothing is corpus-wide. At 100 TB the join key
+    would be ``xxhash64(seg)`` instead of the string (same plan shape);
+    kept as the string here for cross-engine oracle parity.
+    """
+    toks = tokens(F.col(text_col))
+    n_full = F.floor(F.size(toks) / seg_tokens).cast("int")
+    n_rem = (F.size(toks) - F.col("_n_full") * seg_tokens).cast("int")
+
+    full_segs = F.when(
+        F.col("_n_full") >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.col("_n_full")),
+            lambda k: F.concat_ws(
+                " ", F.slice(F.col("_toks"), (k - 1) * seg_tokens + 1, seg_tokens)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    rem_seg = F.when(
+        n_rem > 0,
+        F.concat_ws(" ", F.slice(F.col("_toks"), F.col("_n_full") * seg_tokens + 1, n_rem)),
+    )
+
+    base = (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+        .withColumn("_toks", toks)
+        .withColumn("_n_full", n_full)
+        .withColumn("_segs", F.when(rem_seg.isNotNull(), F.concat(full_segs, F.array(rem_seg))).otherwise(full_segs))
+    )
+    ex = base.select(
+        "doc_id",
+        "_n_full",
+        F.posexplode("_segs").alias("pos", "seg"),
+    ).withColumn("is_full", F.col("pos") < F.col("_n_full"))
+
+    freq = (
+        ex.where("is_full")
+        .select("doc_id", "seg")
+        .distinct()
+        .groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    marked = ex.join(freq, "seg", "left").withColumn(
+        "scrub", F.col("is_full") & (F.coalesce(F.col("doc_freq"), F.lit(0)) >= min_df)
+    )
+    kept = F.sort_array(
+        F.collect_list(F.when(~F.col("scrub"), F.struct("pos", "seg")))
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.col("scrub").cast("long")).alias("n_scrubbed"),
+            kept.alias("_kept"),
+        )
+        .select(
+            "doc_id",
+            "n_segments",
+            "n_scrubbed",
+            F.concat_ws(" ", F.transform("_kept", lambda s: s.seg)).alias("clean_text"),
+        )
+    )

@@ -2186,3 +2186,201 @@ def graph_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("double").alias("weight"))
     )
     return graph.pagerank_step(edges, "src", "dst", "weight", damping=0.85)
+
+
+# ---------------------------------------------------------------------------
+# round 4 (cont.): corpus curation at scale — boilerplate scrub,
+# deterministic shuffle, temperature mixture, z-order layout, random
+# projection
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_boilerplate_scrub",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {_DD_TOKS.format(t='text')} AS toks FROM documents
+    ),
+    shaped AS (
+      SELECT doc_id, toks, (len(toks) // 10)::INT AS n_full,
+             (len(toks) - (len(toks) // 10) * 10)::INT AS n_rem
+      FROM base
+    ),
+    segged AS (
+      SELECT doc_id, n_full,
+             CASE WHEN n_full >= 1 THEN
+               [array_to_string(toks[(k - 1) * 10 + 1 : k * 10], ' ')
+                FOR k IN generate_series(1, n_full)]
+             ELSE [] END
+             || CASE WHEN n_rem > 0 THEN
+                  [array_to_string(toks[n_full * 10 + 1 : len(toks)], ' ')]
+                ELSE [] END AS segs
+      FROM shaped
+    ),
+    ex AS (
+      SELECT doc_id, n_full, unnest(segs) AS seg,
+             unnest([i FOR i IN generate_series(0, len(segs) - 1)]) AS pos,
+             unnest([i < n_full FOR i IN generate_series(0, len(segs) - 1)])
+               AS is_full
+      FROM segged
+    ),
+    freq AS (
+      SELECT seg, COUNT(*)::BIGINT AS doc_freq
+      FROM (SELECT DISTINCT doc_id, seg FROM ex WHERE is_full)
+      GROUP BY seg
+    )
+    SELECT e.doc_id,
+           COUNT(*)::BIGINT AS n_segments,
+           SUM(CASE WHEN e.is_full AND COALESCE(f.doc_freq, 0) >= 2
+                    THEN 1 ELSE 0 END)::BIGINT AS n_scrubbed,
+           COALESCE(string_agg(
+             CASE WHEN NOT (e.is_full AND COALESCE(f.doc_freq, 0) >= 2)
+                  THEN e.seg END, ' ' ORDER BY e.pos), '') AS clean_text
+    FROM ex e LEFT JOIN freq f USING (seg)
+    GROUP BY e.doc_id
+    """,
+    "boilerplate removal + document reassembly (CCNet-style paragraph "
+    "dedup at token-segment granularity): DF of full segments over "
+    "distinct docs, scrub df>=2 segments, rebuild text in order — one "
+    "explode, segment-keyed DF agg, doc-keyed rebuild",
+)
+def text_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import text
+
+    docs = table(spark, sf_dir, "documents")
+    return text.scrub_boilerplate(docs, "doc_id", "text", seg_tokens=10, min_df=2)
+
+
+@register(
+    "ext_corpus_shuffle",
+    """
+    SELECT doc_id, lang,
+           (ROW_NUMBER() OVER (
+              ORDER BY md5(CAST(doc_id AS VARCHAR) || 'ep0'), doc_id
+            ) - 1)::BIGINT AS pos
+    FROM documents
+    """,
+    "deterministic global training-order shuffle: two-phase distributed "
+    "zip-with-index over the md5 permutation (256 ordered key ranges, "
+    "per-range local rank, driver prefix-sums only 256 counts) — the "
+    "oracle's single-window ORDER BY is the semantics, not the plan",
+)
+def ext_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import sampling
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sampling.shuffle_positions(docs, "doc_id", salt="ep0").select(
+        "doc_id", "lang", "pos"
+    )
+
+
+@register(
+    "ext_lang_mixture_sample",
+    """
+    WITH cnt AS (SELECT lang, COUNT(*)::BIGINT AS n FROM documents GROUP BY lang),
+    tot AS (SELECT SUM(n)::DOUBLE AS tot, SUM(sqrt(n::DOUBLE)) AS s FROM cnt),
+    targets AS (
+      SELECT lang, LEAST(
+        FLOOR(0.6 * tot * sqrt(n::DOUBLE) / s + 0.5)::BIGINT, n) AS t
+      FROM cnt CROSS JOIN tot
+    ),
+    ranked AS (
+      SELECT d.doc_id, d.lang, t.t,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.lang
+               ORDER BY md5(CAST(d.doc_id AS VARCHAR) || 'mix'), d.doc_id
+             ) AS rn
+      FROM documents d JOIN targets t USING (lang)
+    )
+    SELECT doc_id, lang FROM ranked WHERE rn <= t
+    """,
+    "temperature-based multilingual mixture resampling (alpha=0.5, the "
+    "XLM-R scheme): targets q proportional to sqrt(n) keep ~60% of the corpus while "
+    "up-weighting low-resource languages; rows survive in deterministic "
+    "md5-rank order — aggregate-sized stats, broadcast targets, one "
+    "group-keyed rank shuffle",
+)
+def ext_lang_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import sampling
+
+    docs = table(spark, sf_dir, "documents")
+    return sampling.temperature_resample(
+        docs, "lang", "doc_id", alpha=0.5, keep_frac=0.6, salt="mix"
+    ).select("doc_id", "lang")
+
+
+from fink_joiner_spark.operators.lake import morton_key_sql as _morton_sql  # noqa: E402
+
+_DD_ZKEY = _morton_sql("user_id", "cents", bits=16)
+
+
+@register(
+    "ext_zorder_layout",
+    f"""
+    WITH z AS (
+      SELECT event_id, user_id,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      FROM events
+    ),
+    keyed AS (SELECT *, {_DD_ZKEY} AS zkey FROM z)
+    SELECT (zkey >> 26)::BIGINT AS zbucket,
+           COUNT(*)::BIGINT AS cnt,
+           MIN(user_id)::BIGINT AS min_user, MAX(user_id)::BIGINT AS max_user,
+           MIN(cents) AS min_cents, MAX(cents) AS max_cents
+    FROM keyed GROUP BY 1
+    """,
+    "Z-order (Morton) layout key over (user_id, value-cents) + "
+    "per-Z-range extent audit: each of the 64 top-level Z buckets "
+    "covers a narrow rectangle in BOTH dimensions, which is what makes "
+    "row-group min/max pruning work for filters on either column after "
+    "a compact(cluster_by=zkey) rewrite; pure integer bit arithmetic, "
+    "codegen-resident, zero UDF",
+)
+def ext_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import lake
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    keyed = ev.withColumn("zkey", lake.morton_key(F.col("user_id"), F.col("cents")))
+    return keyed.groupBy(
+        F.shiftright("zkey", 26).cast("long").alias("zbucket")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("user_id").cast("long").alias("min_user"),
+        F.max("user_id").cast("long").alias("max_user"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+    )
+
+
+from fink_joiner_spark.operators.similarity import rp_matrix as _rp_matrix  # noqa: E402
+
+_RP_M = _rp_matrix(8, 64)
+_DD_PROJ = ", ".join(
+    f"ROUND(list_dot_product(emb, {row}::DOUBLE[]), 4) AS p{j}"
+    for j, row in enumerate(_RP_M)
+)
+
+
+@register(
+    "ext_random_projection",
+    f"""
+    SELECT vec_id, {_DD_PROJ}
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+    """,
+    "signed random projection (Johnson-Lindenstrauss, Achlioptas ±1 "
+    "matrix) 64d -> 8d: the ANN-index-footprint compression step; the "
+    "matrix is derived seed-free from md5 so both engines hold the "
+    "same literals; zero-shuffle fused scan pass",
+)
+def ext_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    out = similarity.random_project(emb, "vec_id", "embedding", out_dims=8)
+    return out.select(
+        "vec_id", *[F.col("proj")[j].alias(f"p{j}") for j in range(8)]
+    )
