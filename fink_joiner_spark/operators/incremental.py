@@ -94,3 +94,64 @@ def finalize(state: DataFrame, keys: Sequence[str]) -> DataFrame:
             F.col("n") > 0, F.round(F.col("sum_cents") / 100.0 / F.col("n"), 4)
         ).alias("avg_v"),
     )
+
+
+def z_normalize(df: DataFrame, mult_col: str = "mult") -> DataFrame:
+    """Collapse a z-set (rows with signed multiplicities, the DBSP /
+    differential-dataflow changelog encoding) to canonical form: group
+    identical payloads, sum multiplicities, drop zeros."""
+    payload = [c for c in df.columns if c != mult_col]
+    return (
+        df.groupBy(*payload)
+        .agg(F.sum(mult_col).alias(mult_col))
+        .where(F.col(mult_col) != 0)
+    )
+
+
+def delta_join(
+    a: DataFrame,
+    da: DataFrame,
+    b: DataFrame,
+    db: DataFrame,
+    on: list[str] | str,
+    mult_col: str = "mult",
+) -> DataFrame:
+    """Incremental maintenance of the join view V = A ⋈ B: given the
+    OLD states and the batch deltas as z-sets, produce the view delta
+
+        ΔV = ΔA ⋈ B  +  A ⋈ ΔB  +  ΔA ⋈ ΔB
+
+    (the bilinearity of join — DBSP §5 / differential dataflow), with
+    output multiplicity the product of the input multiplicities.
+    Applying ΔV to the stored view (:func:`z_normalize` over the union)
+    equals a full recompute of (A+ΔA) ⋈ (B+ΔB) — the invariant the
+    oracle checks.
+
+    Scale shape: the two BASE relations are the 100 TB side and are
+    never shuffled — each term joins a base against a BROADCAST delta
+    (deltas are batch-sized), so refresh cost is O(|ΔA|+|ΔB|) probe
+    work, not O(|A|+|B|). Retractions (updates = delete + insert) flow
+    through as negative multiplicities with no special casing.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+
+    def term(left: DataFrame, right: DataFrame, bcast: str) -> DataFrame:
+        l = left.withColumnRenamed(mult_col, "_ml")
+        r = right.withColumnRenamed(mult_col, "_mr")
+        if bcast == "left":
+            l = F.broadcast(l)
+        elif bcast == "right":
+            r = F.broadcast(r)
+        return l.join(r, keys).withColumn(mult_col, F.col("_ml") * F.col("_mr")).drop(
+            "_ml", "_mr"
+        )
+
+    parts = [
+        term(da, b, "left"),    # ΔA ⋈ B  — base B probes broadcast ΔA
+        term(a, db, "right"),   # A ⋈ ΔB  — base A probes broadcast ΔB
+        term(da, db, "left"),   # ΔA ⋈ ΔB — delta × delta, both tiny
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

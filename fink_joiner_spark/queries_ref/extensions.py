@@ -2384,3 +2384,63 @@ def ext_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "vec_id", *[F.col("proj")[j].alias(f"p{j}") for j in range(8)]
     )
+
+
+@register(
+    "ext_incremental_join_delta",
+    """
+    WITH a_new AS (
+      SELECT event_id, user_id, event_type FROM events
+      WHERE event_id % 10 = 0 OR event_id % 7 <> 0
+    ),
+    b_new AS (
+      SELECT c_custkey AS user_id,
+             CASE WHEN c_custkey % 20 = 0 THEN 'UPDATED'
+                  ELSE c_mktsegment END AS segment
+      FROM customer
+    )
+    SELECT event_id, user_id, event_type, segment, 1::BIGINT AS mult
+    FROM a_new JOIN b_new USING (user_id)
+    """,
+    "incremental JOIN-view maintenance (DBSP bilinear form): "
+    "dV = dA*B + A*dB + dA*dB over signed-multiplicity z-sets; "
+    "retractions and dimension updates are negative multiplicities. "
+    "The oracle is the FULL recompute of (A+dA) x (B+dB) — equality "
+    "proves the delta algebra. Base relations never shuffle: every "
+    "term probes a broadcast batch-sized delta",
+)
+def ext_incremental_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import incremental
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+
+    one = F.lit(1).cast("long")
+    # A: the event fact z-set. Old state = 90% of events; the batch
+    # delta inserts the rest and RETRACTS every old row divisible by 7.
+    a_base = ev.where("event_id % 10 != 0").withColumn("mult", one)
+    d_a = (
+        ev.where("event_id % 10 = 0").withColumn("mult", one)
+    ).unionByName(
+        ev.where("event_id % 10 != 0 AND event_id % 7 = 0").withColumn("mult", -one)
+    )
+    # B: the customer dim z-set. The delta UPDATES every 20th customer
+    # (= retract old row, insert the new-segment row).
+    b_base = cust.withColumn("mult", one)
+    upd = cust.where("user_id % 20 = 0")
+    d_b = upd.withColumn("mult", -one).unionByName(
+        upd.withColumn("segment", F.lit("UPDATED")).withColumn("mult", one)
+    )
+
+    v_old = (
+        a_base.withColumnRenamed("mult", "_ml")
+        .join(b_base.withColumnRenamed("mult", "_mr"), "user_id")
+        .withColumn("mult", F.col("_ml") * F.col("_mr"))
+        .drop("_ml", "_mr")
+    )
+    dv = incremental.delta_join(a_base, d_a, b_base, d_b, on="user_id")
+    return incremental.z_normalize(v_old.unionByName(dv)).select(
+        "event_id", "user_id", "event_type", "segment", "mult"
+    )
