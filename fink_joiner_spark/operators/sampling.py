@@ -180,24 +180,41 @@ def shuffle_positions(df: DataFrame, id_col: str, salt: str = "") -> DataFrame:
     withkey = df.withColumn("_key", key).withColumn(
         "_rng", F.conv(F.substring("_key", 1, 2), 16, 10).cast("int")
     )
+    return ordered_positions(withkey, "_rng", ["_key", id_col]).drop("_key", "_rng")
+
+
+def ordered_positions(df: DataFrame, range_col: str, order_cols: Sequence[str]) -> DataFrame:
+    """Dense 0-based global rank (``pos``) over the total order
+    ``(range_col, *order_cols)`` — the scalable replacement for a
+    single-task ``row_number() OVER (ORDER BY …)`` window.
+
+    Contract: ``range_col`` is a bounded-cardinality integer range id
+    that is consistent with the leading sort key (rows in a lower range
+    sort before every row of a higher range). Phase 1 counts rows per
+    range (aggregate-sized), the driver prefix-sums ONLY those counts
+    into offsets; phase 2 ranks locally inside each range after a hash
+    shuffle on the range id and adds the broadcast offset. Nothing
+    data-sized touches the driver at any scale."""
+    from pyspark.sql import Window
+
     spark = df.sparkSession
     counts = {
-        r["_rng"]: r["cnt"]
-        for r in withkey.groupBy("_rng").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        r["_r"]: r["cnt"]
+        for r in df.groupBy(F.col(range_col).alias("_r"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
     }
     acc, offsets = 0, []
     for rng in sorted(counts):
         offsets.append((rng, acc))
         acc += counts[rng]
-    off_df = spark.createDataFrame(offsets, "_rng int, _off long")
+    off_df = spark.createDataFrame(offsets, f"{range_col} int, _off long")
 
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("_rng").orderBy("_key", id_c)
+    w = Window.partitionBy(range_col).orderBy(*[F.col(c) for c in order_cols])
     return (
-        withkey.join(F.broadcast(off_df), "_rng")
+        df.join(F.broadcast(off_df), range_col)
         .withColumn("pos", F.col("_off") + F.row_number().over(w) - 1)
-        .drop("_key", "_rng", "_off")
+        .drop("_off")
     )
 
 

@@ -495,3 +495,63 @@ def scrub_boilerplate(
             F.concat_ws(" ", F.transform("_kept", lambda s: s.seg)).alias("clean_text"),
         )
     )
+
+
+def source_divergence(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    vocab_k: int = 100,
+) -> DataFrame:
+    """Per-group KL divergence KL(P_g || Q) of token distributions
+    against the corpus distribution, over the corpus top-``vocab_k``
+    vocabulary — the standard "which source/language drifted from the
+    mixture" corpus-QA statistic (domain-mismatch detection).
+
+    Both distributions are restricted to the shared vocabulary and use
+    raw count ratios (no smoothing): every term present in a group
+    contributes ``p·ln(p/q)``; vocabulary terms absent from a group
+    contribute 0 (KL over the support of P).
+
+    Cross-engine determinism: each term's contribution is integerized
+    to micropoints BEFORE the sum (integers add exactly in any order —
+    same scheme as the unigram-LM/BM25 scorers), and the log argument
+    is the pinned product form ``(c·Nq)/(n_g·cq)``.
+
+    Plan: one token explode feeds BOTH the corpus vocab (aggregate-
+    sized, TakeOrderedAndProject) and the per-group counts; the vocab
+    and the 1-row totals broadcast; shuffles are keyed by term then by
+    group — nothing corpus-wide moves.
+    """
+    tok = df.select(F.col(group_col).alias("grp"), F.explode(tokens(F.col(text_col))).alias("term"))
+    corpus = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cq"))
+    vocab = corpus.orderBy(F.col("cq").desc(), F.col("term").asc()).limit(vocab_k)
+    nq = vocab.agg(F.sum("cq").cast("double").alias("nq"))
+
+    per_grp = tok.join(F.broadcast(vocab.select("term", "cq")), "term").groupBy(
+        "grp", "term", "cq"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    n_g = per_grp.groupBy("grp").agg(F.sum("c").cast("double").alias("n_g"))
+
+    contrib = (
+        per_grp.join(n_g, "grp")
+        .crossJoin(F.broadcast(nq))
+        .select(
+            "grp",
+            F.floor(
+                (F.col("c") / F.col("n_g"))
+                * F.log((F.col("c") * F.col("nq")) / (F.col("n_g") * F.col("cq")))
+                * 1000000.0
+                + 0.5
+            )
+            .cast("long")
+            .alias("micro"),
+        )
+    )
+    return contrib.groupBy("grp").agg(
+        F.sum("micro").alias("_m"), F.count(F.lit(1)).alias("n_terms")
+    ).select(
+        "grp",
+        "n_terms",
+        (F.round(F.col("_m") / 1000000.0, 6) + 0.0).alias("kl"),
+    )

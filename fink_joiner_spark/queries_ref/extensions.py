@@ -2444,3 +2444,87 @@ def ext_incremental_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental.z_normalize(v_old.unionByName(dv)).select(
         "event_id", "user_id", "event_type", "segment", "mult"
     )
+
+
+@register(
+    "text_source_divergence",
+    f"""
+    WITH tok AS (
+      SELECT lang AS grp, unnest({_DD_TOKS.format(t='text')}) AS term
+      FROM documents
+    ),
+    corpus AS (SELECT term, COUNT(*)::BIGINT AS cq FROM tok GROUP BY 1),
+    vocab AS (SELECT term, cq FROM corpus ORDER BY cq DESC, term ASC LIMIT 100),
+    nq AS (SELECT SUM(cq)::DOUBLE AS nq FROM vocab),
+    per_grp AS (
+      SELECT t.grp, t.term, v.cq, COUNT(*)::BIGINT AS c
+      FROM tok t JOIN vocab v USING (term)
+      GROUP BY 1, 2, 3
+    ),
+    n_g AS (SELECT grp, SUM(c)::DOUBLE AS n_g FROM per_grp GROUP BY 1),
+    contrib AS (
+      SELECT p.grp,
+             FLOOR((p.c / g.n_g)
+                   * ln((p.c * nq.nq) / (g.n_g * p.cq))
+                   * 1000000.0 + 0.5)::BIGINT AS micro
+      FROM per_grp p JOIN n_g g USING (grp) CROSS JOIN nq
+    )
+    SELECT grp, COUNT(*)::BIGINT AS n_terms,
+           ROUND(SUM(micro) / 1000000.0, 6) + 0.0 AS kl
+    FROM contrib GROUP BY grp
+    """,
+    "per-language KL(P_lang || corpus) over the top-100 shared "
+    "vocabulary — domain-drift detection; micropoint-integerized "
+    "contributions sum exactly in any order; vocab + totals broadcast",
+)
+def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import text
+
+    docs = table(spark, sf_dir, "documents")
+    return text.source_divergence(docs, "lang", "text", vocab_k=100).select(
+        F.col("grp"), "n_terms", "kl"
+    )
+
+
+@register(
+    "ext_equidepth_bins",
+    """
+    WITH z AS (
+      SELECT event_id, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      FROM events
+    ),
+    r AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents, event_id) - 1 AS pos,
+             COUNT(*) OVER () AS n
+      FROM z
+    )
+    SELECT ((pos * 32) // n)::BIGINT AS bin, COUNT(*)::BIGINT AS cnt,
+           MIN(cents) AS lo, MAX(cents) AS hi
+    FROM r GROUP BY 1
+    """,
+    "exact equi-depth (equal-count) binning of the value distribution "
+    "into 32 bins — the boundary computation behind balanced "
+    "repartitionByRange / histogram statistics; the global rank is the "
+    "two-phase ordered_positions (value-prefix ranges + driver "
+    "prefix-sum of range counts), NOT a one-task window sort",
+)
+def ext_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import sampling
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", F.round(F.col("value") * 100, 0).cast("long").alias("cents")
+    )
+    ranged = ev.withColumn("_rngc", F.expr("cents div 256").cast("int"))
+    pos = sampling.ordered_positions(ranged, "_rngc", ["cents", "event_id"])
+    n = ev.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        pos.crossJoin(F.broadcast(n))
+        .select("cents", F.expr("(pos * 32) div n").cast("long").alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("cents").alias("lo"),
+            F.max("cents").alias("hi"),
+        )
+    )

@@ -264,3 +264,27 @@ def test_salted_join_spreads_hot_key(spark, sf_dir):
     df = _q("ext_salted_join", spark, sf_dir)
     plan = plans.formatted_plan(df)
     assert "__salt" in plan, plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Runtime (row-level) bloom-filter join pruning: a selective dim
+    filter must inject a `might_contain` semi-filter onto the FACT side
+    before its shuffle — at 100 TB this drops most fact rows at the
+    scan instead of shuffling them. The creation/application-side size
+    thresholds are tuned for clusters; at test scale we zero the
+    application-side floor purely to let the optimizer fire."""
+    from fink_joiner_spark.queries import scoped_conf
+
+    ln = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").where("o_totalprice > 400000")
+    with scoped_conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"), scoped_conf(
+        spark,
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    ):
+        j = ln.join(orders, ln.l_orderkey == orders.o_orderkey).select(
+            "l_orderkey", "o_totalprice"
+        )
+        plan = plans.formatted_plan(j)
+    assert "might_contain" in plan
+    assert "bloom_filter_agg" in plan
