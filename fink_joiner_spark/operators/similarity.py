@@ -1235,3 +1235,60 @@ def random_project(
         ]
     )
     return df.select(F.col(id_col), proj.alias("proj"))
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    min_shingles: int = 5,
+) -> DataFrame:
+    """Directed near-superset detection: containment C(src→dst) =
+    |S(src) ∩ S(dst)| / |S(src)| over n-gram shingle sets — catches a
+    small document embedded in a larger one (quotes, re-posts with
+    added commentary), which symmetric Jaccard misses because the
+    union in its denominator is dominated by the larger doc.
+
+    Same inverted-index plan as :func:`jaccard_pairs` (posting-list
+    self-join keyed by shingle hash, never all-pairs); each undirected
+    candidate pair then yields up to two directed rows. ``min_shingles``
+    suppresses trivial sources (3-token docs are "contained" in
+    everything). Output: (src, dst, containment), containment ≥
+    threshold, 4 dp.
+    """
+    sh = _spread(df).select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("shingles")
+    ).withColumn("n_sh", F.size("shingles"))
+    posting = sh.select(
+        "id", "n_sh", F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("s")
+    )
+    a, b = posting.alias("a"), posting.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    fwd = inter.select(
+        F.col("id_a").alias("src"),
+        F.col("id_b").alias("dst"),
+        F.round(F.col("inter") / F.col("na"), 4).alias("containment"),
+        F.col("na").alias("n_src"),
+    )
+    rev = inter.select(
+        F.col("id_b").alias("src"),
+        F.col("id_a").alias("dst"),
+        F.round(F.col("inter") / F.col("nb"), 4).alias("containment"),
+        F.col("nb").alias("n_src"),
+    )
+    return (
+        fwd.unionByName(rev)
+        .where((F.col("containment") >= threshold) & (F.col("n_src") >= min_shingles))
+        .select("src", "dst", "containment")
+    )

@@ -2528,3 +2528,98 @@ def ext_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cents").alias("hi"),
         )
     )
+
+
+@register(
+    "dedup_containment",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, {_DD_TOKS.format(t='text')} AS toks FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, {_DD_SHINGLES} AS shingles FROM tok
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_filter(a.shingles, s -> list_contains(b.shingles, s)))
+               AS inter,
+             len(a.shingles) AS na, len(b.shingles) AS nb
+      FROM sh a JOIN sh b
+        ON a.doc_id < b.doc_id
+       AND len(list_filter(a.shingles, s -> list_contains(b.shingles, s))) > 0
+    )
+    SELECT id_a AS src, id_b AS dst,
+           ROUND(inter::DOUBLE / na, 4) AS containment
+    FROM pairs
+    WHERE na >= 5 AND ROUND(inter::DOUBLE / na, 4) >= 0.8
+    UNION ALL
+    SELECT id_b, id_a, ROUND(inter::DOUBLE / nb, 4)
+    FROM pairs
+    WHERE nb >= 5 AND ROUND(inter::DOUBLE / nb, 4) >= 0.8
+    """,
+    "directed near-superset (containment) dedup: |A∩B|/|A| ≥ 0.8 — "
+    "finds small docs embedded in larger ones that Jaccard misses; "
+    "inverted-index posting join, two directed rows per candidate",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import similarity
+
+    docs = table(spark, sf_dir, "documents")
+    return similarity.containment_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+
+
+@register(
+    "ext_table_stats",
+    """
+    WITH s AS (
+      SELECT COUNT(*)::BIGINT AS n,
+             COUNT(o_custkey)::BIGINT AS nn_custkey,
+             COUNT(DISTINCT o_custkey)::BIGINT AS ndv_custkey,
+             MIN(o_custkey)::VARCHAR AS min_custkey,
+             MAX(o_custkey)::VARCHAR AS max_custkey,
+             COUNT(o_orderstatus)::BIGINT AS nn_status,
+             COUNT(DISTINCT o_orderstatus)::BIGINT AS ndv_status,
+             MIN(o_orderstatus) AS min_status, MAX(o_orderstatus) AS max_status,
+             COUNT(o_orderpriority)::BIGINT AS nn_prio,
+             COUNT(DISTINCT o_orderpriority)::BIGINT AS ndv_prio,
+             MIN(o_orderpriority) AS min_prio, MAX(o_orderpriority) AS max_prio
+      FROM orders
+    )
+    SELECT 'o_custkey' AS col, n, n - nn_custkey AS n_null, ndv_custkey AS ndv,
+           min_custkey AS min_s, max_custkey AS max_s FROM s
+    UNION ALL
+    SELECT 'o_orderstatus', n, n - nn_status, ndv_status, min_status, max_status FROM s
+    UNION ALL
+    SELECT 'o_orderpriority', n, n - nn_prio, ndv_prio, min_prio, max_prio FROM s
+    """,
+    "ANALYZE-style column statistics (rowcount, nulls, exact NDV, "
+    "min/max) for the CBO in ONE scan pass: all per-column aggregates "
+    "fused into a single aggregate, then unpivoted driver-free — at "
+    "100 TB swap exact NDV for approx_count_distinct (HLL) with the "
+    "identical plan shape",
+)
+def ext_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    s = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_custkey").alias("nn_custkey"),
+        F.countDistinct("o_custkey").alias("ndv_custkey"),
+        F.min("o_custkey").cast("string").alias("min_custkey"),
+        F.max("o_custkey").cast("string").alias("max_custkey"),
+        F.count("o_orderstatus").alias("nn_status"),
+        F.countDistinct("o_orderstatus").alias("ndv_status"),
+        F.min("o_orderstatus").alias("min_status"),
+        F.max("o_orderstatus").alias("max_status"),
+        F.count("o_orderpriority").alias("nn_prio"),
+        F.countDistinct("o_orderpriority").alias("ndv_prio"),
+        F.min("o_orderpriority").alias("min_prio"),
+        F.max("o_orderpriority").alias("max_prio"),
+    )
+    return s.selectExpr(
+        """stack(3,
+             'o_custkey', n - nn_custkey, ndv_custkey, min_custkey, max_custkey,
+             'o_orderstatus', n - nn_status, ndv_status, min_status, max_status,
+             'o_orderpriority', n - nn_prio, ndv_prio, min_prio, max_prio
+           ) AS (col, n_null, ndv, min_s, max_s)""",
+        "n",
+    ).select("col", "n", "n_null", "ndv", "min_s", "max_s")
