@@ -2623,3 +2623,78 @@ def ext_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            ) AS (col, n_null, ndv, min_s, max_s)""",
         "n",
     ).select("col", "n", "n_null", "ndv", "min_s", "max_s")
+
+
+@register(
+    "ext_bpe_merge_step",
+    f"""
+    WITH words AS (
+      SELECT unnest({_DD_TOKS.format(t='text')}) AS w FROM documents
+    ),
+    wc AS (SELECT w, COUNT(*)::BIGINT AS cnt FROM words GROUP BY 1),
+    pairs AS (
+      SELECT unnest([w[i:i] || w[i+1:i+1]
+                     FOR i IN generate_series(1, length(w) - 1)]) AS pair,
+             cnt
+      FROM wc WHERE length(w) >= 2
+    )
+    SELECT pair, SUM(cnt)::BIGINT AS freq
+    FROM pairs GROUP BY pair
+    ORDER BY freq DESC, pair ASC LIMIT 20
+    """,
+    "one BPE tokenizer-training merge step: adjacent-symbol pair "
+    "frequencies weighted by word counts, top candidate merges — the "
+    "inner loop of byte-pair-encoding vocabulary construction. Word "
+    "counts collapse the corpus FIRST (aggregate-sized pair explode, "
+    "not corpus-sized); final cut is TakeOrderedAndProject",
+)
+def ext_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import text as text_ops
+
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(text_ops.tokens(F.col("text"))).alias("w"))
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    pairs = wc.where(F.length("w") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "cnt",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("pair").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "ext_grouping_sets",
+    """
+    SELECT COALESCE(event_type, '<all>') AS event_type,
+           COALESCE(CAST(user_id % 10 AS VARCHAR), '<all>') AS user_mod,
+           COUNT(*)::BIGINT AS cnt,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+    """,
+    "GROUPING SETS with heterogeneous keys (by-type, by-user-bucket, "
+    "grand total) in one logical pass — Spark expands to a single "
+    "Expand + one aggregate shuffle, not three scans",
+)
+def ext_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_gs_events")
+    return spark.sql(
+        """
+        SELECT COALESCE(event_type, '<all>') AS event_type,
+               COALESCE(CAST(user_id % 10 AS STRING), '<all>') AS user_mod,
+               COUNT(*) AS cnt,
+               SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS cents
+        FROM _gs_events
+        GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+        """
+    )

@@ -288,3 +288,23 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
         plan = plans.formatted_plan(j)
     assert "might_contain" in plan
     assert "bloom_filter_agg" in plan
+
+
+def test_shuffle_hash_hint_overrides_smj(spark, sf_dir):
+    """Join-strategy hints are part of the tuning surface: a mid-sized
+    build side that exceeds the broadcast threshold but fits executor
+    memory should take SHUFFLE_HASH (no sort phase) when hinted."""
+    ln = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    j = ln.join(orders.hint("shuffle_hash"), ln.l_orderkey == orders.o_orderkey)
+    plan = plans.formatted_plan(j)
+    assert "ShuffledHashJoin" in plan, plan
+
+
+def test_grouping_sets_single_expand_one_shuffle(spark, sf_dir):
+    """GROUPING SETS must plan as ONE Expand + one aggregate exchange —
+    not one scan per grouping set."""
+    df = _q("ext_grouping_sets", spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert plan.count("Expand") >= 1
+    assert plans.count_shuffles(df) == 1, plan
