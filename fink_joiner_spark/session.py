@@ -83,11 +83,18 @@ def get_spark(
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
     )
-    extra_opts = os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS")
-    if extra_opts:
+    # ReservedCodeCacheSize: ~120 distinct queries generate enough
+    # whole-stage-codegen classes to exhaust the JVM's default 240 MB
+    # code cache mid-suite; once full the JIT silently stops compiling
+    # and heavy queries degrade 5-15× (measured: one bench run 334 s vs
+    # 190 s with 1g). Reservation is virtual — committed lazily.
+    extra_opts = "-XX:ReservedCodeCacheSize=1g"
+    user_opts = os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS")
+    if user_opts:
         # JVM-launch-time flags (honored only when this builder starts
         # the JVM). Used for measurement experiments, e.g. JIT tiering.
-        builder = builder.config("spark.driver.extraJavaOptions", extra_opts)
+        extra_opts = f"{extra_opts} {user_opts}"
+    builder = builder.config("spark.driver.extraJavaOptions", extra_opts)
     if streaming_rocksdb:
         builder = builder.config(
             "spark.sql.streaming.stateStore.providerClass",
