@@ -2698,3 +2698,177 @@ def ext_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
         """
     )
+
+
+@register(
+    "ext_gap_fill",
+    """
+    WITH r AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ),
+    daily AS (
+      SELECT user_id, day, COUNT(*)::BIGINT AS n_events,
+             ROUND(MAX(CASE WHEN rn = 1 THEN value END), 2) AS close_v
+      FROM r GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+    ),
+    spine AS (
+      SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+      FROM bounds
+    )
+    SELECT s.user_id, strftime(s.day, '%Y-%m-%d') AS day,
+           COALESCE(d.n_events, 0)::BIGINT AS n_events,
+           (d.day IS NULL) AS filled,
+           last_value(d.close_v IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.day
+             ROWS UNBOUNDED PRECEDING) AS close_v
+    FROM spine s LEFT JOIN daily d USING (user_id, day)
+    """,
+    "calendar gap-fill + LOCF (last observation carried forward): "
+    "per-user daily spine from first to last active day, missing days "
+    "synthesized with forward-filled close value — the time-series "
+    "regularization step before windowed feature extraction. Spine is "
+    "generated per key (sequence+explode at the scan, no calendar "
+    "table broadcast); fill is one keyed window — 2 keyed shuffles",
+)
+def ext_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.select("user_id", F.col("ts").cast("date").alias("day"), "ts", "event_id", "value")
+        .groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.expr("max_by(value, struct(unix_micros(ts), event_id))"), 2
+            ).alias("close_v"),
+        )
+    )
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"),
+    )
+    w = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    joined = spine.join(daily, ["user_id", "day"], "left")
+    return joined.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.col("n_events").isNull().alias("filled"),
+        F.last("close_v", ignorenulls=True).over(w).alias("close_v"),
+    )
+
+
+@register(
+    "ext_event_funnel",
+    """
+    WITH steps AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view
+      FROM events GROUP BY user_id
+    ),
+    ordered AS (
+      SELECT user_id, t_view,
+             (SELECT MIN(epoch_us(e.ts)) FROM events e
+               WHERE e.user_id = s.user_id AND e.event_type = 'click'
+                 AND epoch_us(e.ts) > s.t_view) AS t_click
+      FROM steps s
+    ),
+    o2 AS (
+      SELECT user_id, t_view, t_click,
+             (SELECT MIN(epoch_us(e.ts)) FROM events e
+               WHERE e.user_id = o.user_id AND e.event_type = 'purchase'
+                 AND epoch_us(e.ts) > o.t_click) AS t_buy
+      FROM ordered o
+    )
+    SELECT COUNT(*)::BIGINT AS n_users,
+           COUNT(t_view)::BIGINT AS step_view,
+           COUNT(t_click)::BIGINT AS step_click,
+           COUNT(t_buy)::BIGINT AS step_buy
+    FROM o2
+    """,
+    "ordered funnel analysis (view -> later click -> later purchase): "
+    "the earliest-completion cascade runs as ONE pass of conditional "
+    "ordered aggregates per user (min-filtered fold over the sorted "
+    "event list), not three self-joins; one keyed shuffle total",
+)
+def ext_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    # events per user as a ts-sorted (t, type) list, then the funnel
+    # cascade is a linear fold: first view, first click AFTER it,
+    # first purchase after THAT. One shuffle; no self-joins.
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("t", "event_type"))).alias("evs")
+    )
+    steps = (
+        per_user.withColumn(
+            "t_view", F.expr("filter(evs, e -> e.event_type = 'view')[0].t")
+        )
+        .withColumn(
+            "t_click",
+            F.expr("filter(evs, e -> e.event_type = 'click' AND e.t > t_view)[0].t"),
+        )
+        .withColumn(
+            "t_buy",
+            F.expr("filter(evs, e -> e.event_type = 'purchase' AND e.t > t_click)[0].t"),
+        )
+    )
+    return steps.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("step_view"),
+        F.count("t_click").alias("step_click"),
+        F.count("t_buy").alias("step_buy"),
+    )
+
+
+@register(
+    "ext_retention_cohorts",
+    """
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             (date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7)::BIGINT
+               AS week
+      FROM events
+    ),
+    cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM act GROUP BY 1)
+    SELECT c.cohort_week, (a.week - c.cohort_week)::BIGINT AS weeks_since,
+           COUNT(*)::BIGINT AS n_users
+    FROM act a JOIN cohort c USING (user_id)
+    GROUP BY 1, 2
+    """,
+    "retention cohort matrix: users bucketed by first-active week "
+    "(integer weeks from a fixed epoch — engine-neutral calendar "
+    "math), counted in each later week they return. Two keyed "
+    "aggregates + one broadcastable cohort join; the classic product-"
+    "analytics rollup",
+)
+def ext_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    act = (
+        ev.select(
+            "user_id",
+            (F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")) / 7)
+            .cast("long")
+            .alias("week"),
+        )
+        .distinct()
+    )
+    cohort = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        act.join(cohort, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("weeks_since"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
