@@ -120,3 +120,99 @@ def test_sessionize_matches_sequential_reference(spark, rows, seed):
     }
     want = _sessions_reference(rows)
     assert got == want
+
+
+# z-set incremental join: for ANY base/delta z-sets, applying the
+# bilinear delta to the stored view equals a full recompute of
+# (A+dA) ⋈ (B+dB) — the DBSP law the engine's view maintenance rests on.
+_zrows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),   # join key
+        st.integers(min_value=0, max_value=2),   # payload
+        st.sampled_from([-1, 1]),                # multiplicity
+    ),
+    min_size=0,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(a=_zrows, da=_zrows, b=_zrows, db=_zrows)
+def test_delta_join_bilinear_law(spark, a, da, b, db):
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from fink_joiner_spark.operators import incremental
+
+    sch_a, sch_b = "k long, pa long, mult long", "k long, pb long, mult long"
+    A = incremental.z_normalize(spark.createDataFrame(a, sch_a)) if a else spark.createDataFrame([], sch_a)
+    B = incremental.z_normalize(spark.createDataFrame(b, sch_b)) if b else spark.createDataFrame([], sch_b)
+    dA = spark.createDataFrame(da, sch_a) if da else spark.createDataFrame([], sch_a)
+    dB = spark.createDataFrame(db, sch_b) if db else spark.createDataFrame([], sch_b)
+
+    v_old = (
+        A.withColumnRenamed("mult", "_ml")
+        .join(B.withColumnRenamed("mult", "_mr"), "k")
+        .withColumn("mult", F.col("_ml") * F.col("_mr"))
+        .drop("_ml", "_mr")
+    )
+    dv = incremental.delta_join(A, dA, B, dB, on="k")
+    got = {
+        (r["k"], r["pa"], r["pb"]): r["mult"]
+        for r in incremental.z_normalize(v_old.unionByName(dv)).collect()
+    }
+
+    # sequential reference: materialize both new z-sets, join with
+    # multiplicity products, drop zeros
+    def zset(rows):
+        c = Counter()
+        for k, p, m in rows:
+            c[(k, p)] += m
+        return {kp: m for kp, m in c.items() if m != 0}
+
+    an, bn = zset(a + da), zset(b + db)
+    want = Counter()
+    for (k1, pa), m1 in an.items():
+        for (k2, pb), m2 in bn.items():
+            if k1 == k2:
+                want[(k1, pa, pb)] += m1 * m2
+    want = {kp: m for kp, m in want.items() if m != 0}
+    assert got == want
+
+
+# Boilerplate scrub: with an unreachable document-frequency threshold
+# nothing is scrubbed and every document round-trips to its normalized
+# (lowercased, whitespace-collapsed) text.
+_docs_txt = st.lists(
+    st.text(alphabet="ab c\tA", min_size=0, max_size=40),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_docs_txt)
+def test_scrub_roundtrip_when_threshold_unreachable(spark, texts):
+    from fink_joiner_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_scrubbed"], r["clean_text"])
+        for r in text_ops.scrub_boilerplate(df, "doc_id", "text", 3, 10**6).collect()
+    }
+    for i, t in enumerate(texts):
+        want = " ".join(t.lower().split())
+        if i in out:
+            assert out[i] == (0, want)
+        else:
+            # docs yielding zero segments (no tokens) produce no row
+            assert want == ""
