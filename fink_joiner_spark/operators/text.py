@@ -555,3 +555,67 @@ def source_divergence(
         "n_terms",
         (F.round(F.col("_m") / 1000000.0, 6) + 0.0).alias("kl"),
     )
+
+
+def build_postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Positional inverted index: one row per (term, doc, position).
+
+    The storage layout for corpus SEARCH at 100 TB: written out
+    bucketed/clustered by ``term`` (``lake.compact(cluster_by='term')``
+    or ``skew.write_bucketed``), a query's posting fetch prunes to the
+    few files holding its terms, and posting intersections are
+    co-located joins. Here the index is built inline; the layout knobs
+    are the lake module's.
+    """
+    toks = tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos", "term")
+    )
+
+
+def search_all_terms(postings: DataFrame, terms: list[str]) -> DataFrame:
+    """Conjunctive (AND) term search via posting-list intersection:
+    docs containing EVERY query term. One aggregate over the pruned
+    postings — count distinct matched terms per doc equals the query
+    length. The classic search-engine candidate retrieval; shuffle is
+    keyed by doc over ONLY the query terms' postings, not the corpus.
+    """
+    k = len(terms)
+    return (
+        postings.where(F.col("term").isin(terms))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("term").alias("_nt"))
+        .where(F.col("_nt") == k)
+        .select("doc_id")
+    )
+
+
+def search_phrase(postings: DataFrame, phrase: list[str]) -> DataFrame:
+    """Exact phrase search on the positional index: adjacent-position
+    intersection. Each term i must occur at ``pos - i`` relative to the
+    phrase start, so normalizing every posting to its implied start
+    position turns the phrase test into a COUNT per (doc, start).
+
+    Emits ``(doc_id, n_hits)`` — docs containing the phrase with their
+    occurrence counts. Plan: prune postings to the phrase's terms,
+    normalize, one (doc, start)-keyed aggregate, one doc-keyed rollup.
+    """
+    k = len(phrase)
+    spark = postings.sparkSession
+    # (term, offset) rows — a term repeated in the phrase contributes
+    # one offset per occurrence, so each posting can imply several
+    # start positions (broadcast join, phrase-sized)
+    offsets = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(phrase)], "term string, off int"
+    )
+    hits = (
+        postings.join(F.broadcast(offsets), "term")
+        .select("doc_id", "off", (F.col("pos") - F.col("off")).alias("start"))
+        .where(F.col("start") >= 0)
+        .groupBy("doc_id", "start")
+        # count DISTINCT offsets: k distinct offsets at one start ==
+        # every phrase slot filled at its exact position
+        .agg(F.count_distinct("off").alias("_nt"))
+        .where(F.col("_nt") == k)
+    )
+    return hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits"))

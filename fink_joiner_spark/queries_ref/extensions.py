@@ -2872,3 +2872,55 @@ def ext_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("weeks_since"))
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "ext_search_and_terms",
+    f"""
+    WITH p AS (
+      SELECT doc_id, unnest({_DD_TOKS.format(t='text')}) AS term FROM documents
+    )
+    SELECT doc_id FROM p
+    WHERE term IN ('table', 'scan', 'window')
+    GROUP BY doc_id
+    HAVING COUNT(DISTINCT term) = 3
+    """,
+    "conjunctive (AND) term search by posting-list intersection over "
+    "the positional inverted index: shuffle is keyed by doc over ONLY "
+    "the query terms' postings — with the index stored clustered by "
+    "term, the fetch prunes to the terms' files",
+)
+def ext_search_and_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import text as text_ops
+
+    docs = table(spark, sf_dir, "documents")
+    postings = text_ops.build_postings(docs, "doc_id", "text")
+    return text_ops.search_all_terms(postings, ["table", "scan", "window"])
+
+
+@register(
+    "ext_search_phrase",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, {_DD_TOKS.format(t='text')} AS toks FROM documents
+    ),
+    hits AS (
+      SELECT doc_id,
+             len([i FOR i IN generate_series(1, len(toks) - 1)
+                  IF toks[i] = 'table' AND toks[i+1] = 'window'])::BIGINT
+               AS n_hits
+      FROM tok WHERE len(toks) >= 2
+    )
+    SELECT doc_id, n_hits FROM hits WHERE n_hits > 0
+    """,
+    "exact phrase search ('table window') on the positional index: "
+    "postings normalize to implied phrase-start positions (broadcast "
+    "term->offset join handles repeated phrase terms), one "
+    "(doc,start)-keyed distinct-offset count == phrase length",
+)
+def ext_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import text as text_ops
+
+    docs = table(spark, sf_dir, "documents")
+    postings = text_ops.build_postings(docs, "doc_id", "text")
+    return text_ops.search_phrase(postings, ["table", "window"])

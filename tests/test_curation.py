@@ -169,3 +169,28 @@ def test_mixture_broadcasts_targets(spark, sf_dir):
     _ensure_loaded()
     df = REGISTRY["ext_lang_mixture_sample"].fn(spark, sf_dir)
     plans.asserts_broadcast_join(df)  # targets join must not shuffle the corpus
+
+
+def test_phrase_search_repeated_term(spark):
+    # phrase with a REPEATED term: "a b a" — each 'a' posting implies
+    # two candidate starts; only genuine occurrences must survive
+    from fink_joiner_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "a b b a"), (3, "b a b")],
+        "doc_id long, text string",
+    )
+    p = text_ops.build_postings(df, "doc_id", "text")
+    got = {r["doc_id"]: r["n_hits"] for r in text_ops.search_phrase(p, ["a", "b", "a"]).collect()}
+    assert got == {1: 2}  # "a b a" at starts 0 and 2; docs 2/3 none
+
+
+def test_and_search_requires_every_term(spark):
+    from fink_joiner_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(1, "x y z"), (2, "x y"), (3, "z z x y")], "doc_id long, text string"
+    )
+    p = text_ops.build_postings(df, "doc_id", "text")
+    got = {r["doc_id"] for r in text_ops.search_all_terms(p, ["x", "z"]).collect()}
+    assert got == {1, 3}
