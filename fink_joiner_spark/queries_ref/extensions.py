@@ -2924,3 +2924,98 @@ def ext_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     postings = text_ops.build_postings(docs, "doc_id", "text")
     return text_ops.search_phrase(postings, ["table", "window"])
+
+
+@register(
+    "ext_mad_outliers",
+    """
+    WITH z AS (
+      SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      FROM events
+    ),
+    med AS (
+      SELECT event_type, median(cents) AS med FROM z GROUP BY 1
+    ),
+    mad AS (
+      SELECT z.event_type, median(abs(z.cents - m.med)) AS mad
+      FROM z JOIN med m USING (event_type) GROUP BY 1
+    )
+    SELECT z.event_type,
+           ROUND(m.med, 1) + 0.0 AS med,
+           ROUND(d.mad, 1) + 0.0 AS mad,
+           SUM(CASE WHEN abs(z.cents - m.med) > 3 * d.mad
+                    THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+           COUNT(*)::BIGINT AS n
+    FROM z JOIN med m USING (event_type) JOIN mad d USING (event_type)
+    GROUP BY 1, 2, 3
+    """,
+    "robust per-group outlier detection (median absolute deviation, "
+    "|x - med| > 3·MAD) on exact integer cents: two aggregate-sized "
+    "median passes broadcast back onto the stream — no corpus-wide "
+    "window, medians exact (integer midpoint interpolation identical "
+    "across engines)",
+)
+def ext_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("long").alias("cents")
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(cents, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(abs(cents - med), 0.5)").alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    return flagged.groupBy(
+        "event_type",
+        (F.round(F.col("med"), 1) + 0.0).alias("med"),
+        (F.round(F.col("mad"), 1) + 0.0).alias("mad"),
+    ).agg(
+        F.sum(
+            F.when(F.abs(F.col("cents") - F.col("med")) > 3 * F.col("mad"), 1).otherwise(0)
+        ).alias("n_outliers"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "ext_weighted_sample",
+    """
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             -ln((CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR) || 'ws'),
+                               1, 8)) AS UBIGINT)::DOUBLE + 0.5)
+                 / 4294967296.0) / n_chars AS ekey
+      FROM documents WHERE n_chars > 0
+    ),
+    ranked AS (
+      SELECT doc_id, n_chars,
+             ROW_NUMBER() OVER (ORDER BY ekey ASC, doc_id ASC) AS rn
+      FROM keyed
+    )
+    SELECT doc_id, n_chars FROM ranked WHERE rn <= 100
+    """,
+    "deterministic weighted sampling without replacement (Efraimidis-"
+    "Spirakis exponential-key variant): key = -ln(u)/w with u derived "
+    "from md5 (seed-free, layout-stable); take the k smallest keys — "
+    "selection probability proportional to n_chars. The top-k cut is "
+    "TakeOrderedAndProject (no global sort materialization)",
+)
+def ext_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").where("n_chars > 0")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("ws"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    ekey = -F.log(u) / F.col("n_chars")
+    return (
+        docs.select("doc_id", "n_chars", ekey.alias("ekey"))
+        .orderBy(F.col("ekey").asc(), F.col("doc_id").asc())
+        .limit(100)
+        .select("doc_id", "n_chars")
+    )
