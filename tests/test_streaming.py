@@ -322,3 +322,37 @@ def test_retract_fidelity_single_reversion(spark, tmp_path):
     # out-of-date version arriving later: no-op delta (idempotent)
     i3, r3 = store.upsert(spark.createDataFrame([(1, 15, "stale")], schema))
     assert i3.count() == 0 and r3.count() == 0
+
+
+def test_observe_metrics_surface_per_batch(spark, tmp_path):
+    """with_ingest_metrics: every micro-batch's progress must report
+    the observed row count + event-time frontier; totals across batches
+    equal the input row count."""
+    from fink_joiner_spark.catalog import table
+    from fink_joiner_spark.sources.streaming import file_drip_feed
+    from fink_joiner_spark.streaming.windows import with_ingest_metrics
+
+    ev = table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "user_id"
+    )
+    n_input = ev.count()
+    stream = file_drip_feed(spark, ev, str(tmp_path / "stage"), "ts", n_files=3)
+    observed = with_ingest_metrics(stream, "ts")
+    q = (
+        observed.writeStream.format("noop")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    rows = 0
+    frontiers = []
+    for p in q.recentProgress:
+        m = p["observedMetrics"].get("ingest") if p["observedMetrics"] else None
+        if m and m["rows"] is not None:
+            rows += m["rows"]
+            if m["max_event_ts"] is not None:
+                frontiers.append(m["max_event_ts"])
+    assert rows == n_input
+    # drip feed stages files in ts order: frontiers must be increasing
+    assert frontiers == sorted(frontiers) and len(frontiers) >= 2
