@@ -60,3 +60,22 @@ def register_all(spark) -> None:
     """Register the engine's SQL-visible functions on a session."""
     spark.udtf.register("shingles", shingle_udtf())
     spark.udf.register("cosine_sim", cosine_pandas_udf())
+
+
+def weighted_mean_agg_udf():
+    """Grouped-agg Pandas UDF (the third UDF family): exact weighted
+    mean over (value, weight) pairs — aggregates Spark's built-in SQL
+    can express only clumsily. Arrow moves each group's columns as one
+    batch; the group is the parallel unit, so this scales like any
+    keyed aggregate (one shuffle, no per-row Python)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def weighted_mean(v: pd.Series, w: pd.Series) -> float:
+        wsum = w.sum()
+        if wsum == 0:
+            return float("nan")
+        return float(np.dot(v.to_numpy(), w.to_numpy()) / wsum)
+
+    return weighted_mean

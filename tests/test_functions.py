@@ -36,3 +36,46 @@ def test_pandas_cosine_udf_matches_sql_cosine(spark, sf_dir):
     )
     for r in both.collect():
         assert abs(r.sql_cos - r.udf_cos) < 1e-5
+
+
+def test_weighted_mean_grouped_agg_udf(spark):
+    from pyspark.sql import functions as F
+
+    from fink_joiner_spark.functions import weighted_mean_agg_udf
+
+    df = spark.createDataFrame(
+        [(1, 10.0, 1.0), (1, 20.0, 3.0), (2, 5.0, 2.0), (3, 7.0, 0.0)],
+        "k long, v double, w double",
+    )
+    out = {
+        r["k"]: r["wm"]
+        for r in df.groupBy("k").agg(weighted_mean_agg_udf()("v", "w").alias("wm")).collect()
+    }
+    assert abs(out[1] - 17.5) < 1e-9 and abs(out[2] - 5.0) < 1e-9
+    # zero total weight -> NaN from the UDF, surfaced as SQL NULL by
+    # the Arrow boundary — not an error
+    assert out[3] is None
+
+
+def test_json_corrupt_records_are_captured_not_fatal(spark, tmp_path):
+    """PERMISSIVE-mode json source: malformed lines land in the corrupt-
+    record column instead of failing the 100 TB job; good rows parse."""
+    p = tmp_path / "in.jsonl"
+    p.write_text('{"a": 1, "b": "x"}\n{BROKEN\n{"a": 2, "b": "y"}\n')
+    from fink_joiner_spark.sources.batch import read_files
+
+    df = read_files(
+        spark,
+        str(p),
+        format="json",
+        schema="a long, b string, _corrupt_record string",
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt_record",
+    ).cache()  # cache: corrupt-record column requires a materialized scan
+    try:
+        good = df.where(F.col("_corrupt_record").isNull())
+        bad = df.where(F.col("_corrupt_record").isNotNull())
+        assert good.count() == 2 and bad.count() == 1
+        assert bad.first()["_corrupt_record"].startswith("{BROKEN")
+    finally:
+        df.unpersist()
