@@ -1292,3 +1292,92 @@ def containment_pairs(
         .where((F.col("containment") >= threshold) & (F.col("n_src") >= min_shingles))
         .select("src", "dst", "containment")
     )
+
+
+def jaccard_pairs_prefix(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs — identical output to
+    :func:`jaccard_pairs` — via PREFIX FILTERING (PPJoin family,
+    Xiao et al. 2008), the algorithmic upgrade that makes exact set-
+    similarity joins feasible at corpus scale:
+
+    * **canonical order**: each doc's shingles are sorted
+      rarest-first (global document frequency, ties by value), so the
+      head of the list holds its most selective elements;
+    * **prefix index**: for Jaccard ≥ t two sets must overlap in at
+      least ``ceil(t/(1+t)·(na+nb))`` elements, so a pair must share
+      at least one of each side's first ``n - ceil(t·n) + 1``
+      elements. Only those prefixes are indexed — posting volume drops
+      from Σ|doc| to Σ(1-t)·|doc|+1 (5× fewer at t=0.8);
+    * **length filter**: candidates with ``nb < t·na`` are pruned in
+      the join condition before any verification;
+    * **exact verify**: surviving candidates re-join the full sorted
+      arrays once, keyed by the pair, and intersect exactly.
+
+    Plan shape: shingle-keyed DF aggregate (map-side combined),
+    re-collect per doc, prefix explode, prefix-keyed candidate join,
+    pair-keyed verify join. Every shuffle is keyed; nothing all-pairs.
+    """
+    import math
+
+    sh = _spread(df).select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("shingles")
+    ).where(F.size("shingles") > 0)
+
+    post = sh.select("id", F.explode("shingles").alias("s"))
+    freq = post.groupBy("s").agg(F.count(F.lit(1)).alias("df_s"))
+    # canonical rarest-first order per doc, rebuilt via sort_array on
+    # (df, shingle) structs — one shingle-keyed join + one doc-keyed agg
+    canon = (
+        post.join(freq, "s")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list(F.struct("df_s", "s"))).alias("_o"))
+        .select(
+            "id",
+            F.transform("_o", lambda x: x["s"]).alias("sorted_sh"),
+            F.size("_o").alias("n_sh"),
+        )
+    )
+    t = threshold
+    # prefix length: n - ceil(t*n) + 1
+    prefix = canon.select(
+        "id",
+        "n_sh",
+        F.explode(
+            F.slice(
+                "sorted_sh",
+                1,
+                (F.col("n_sh") - F.ceil(F.col("n_sh") * t) + 1).cast("int"),
+            )
+        ).alias("s"),
+    ).select("id", "n_sh", F.xxhash64("s").alias("s"))
+
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.id") < F.col("b.id"))
+            # length filter: |larger| ≤ |smaller| / t (else J < t)
+            & (F.col("b.n_sh") * t <= F.col("a.n_sh"))
+            & (F.col("a.n_sh") * t <= F.col("b.n_sh")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    av = canon.select(F.col("id").alias("id_a"), F.col("sorted_sh").alias("sh_a"),
+                      F.col("n_sh").alias("na"))
+    bv = canon.select(F.col("id").alias("id_b"), F.col("sorted_sh").alias("sh_b"),
+                      F.col("n_sh").alias("nb"))
+    verified = (
+        cand.join(av, "id_a")
+        .join(bv, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        verified.withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -284,3 +284,68 @@ def test_multimodal_resize_nearest_neighbor(spark):
     assert r.head_byte == ord("a") and r.tail_byte == ord("b")
     with pytest.raises(NotImplementedError):
         multimodal.resize_payload(bin_df, fake=False)
+
+
+def test_prefix_jaccard_equals_plain_jaccard(spark, sf_dir):
+    """PPJoin prefix filtering is an OPTIMIZATION, not an approximation:
+    its output must be identical to the inverted-index baseline."""
+    from fink_joiner_spark.catalog import table
+    from fink_joiner_spark.operators import similarity
+
+    docs = table(spark, sf_dir, "documents")
+    plain = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in similarity.jaccard_pairs(docs, "doc_id", "text", 3, 0.8).collect()
+    }
+    pref = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in similarity.jaccard_pairs_prefix(docs, "doc_id", "text", 3, 0.8).collect()
+    }
+    assert plain == pref and len(plain) > 0
+
+
+def test_prefix_jaccard_equivalence_on_adversarial_docs(spark):
+    """Hand-built edge cases: identical docs, subset docs, docs sharing
+    only COMMON shingles (prefix indexes the RARE end — the shared-rare
+    candidate property must still find every qualifying pair)."""
+    from fink_joiner_spark.operators import similarity
+
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d e f g h"),          # exact dup of 1
+        (3, "a b c d e f g x"),          # near dup of 1/2
+        (4, "a b c q r s t u"),          # shares only the common head
+        (5, "z z z unrelated words here entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.5, 0.8):
+        plain = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in similarity.jaccard_pairs(df, "doc_id", "text", 3, t).collect()
+        }
+        pref = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in similarity.jaccard_pairs_prefix(df, "doc_id", "text", 3, t).collect()
+        }
+        assert plain == pref
+
+
+def test_prefix_index_is_smaller_than_full_index(spark, sf_dir):
+    """The point of prefix filtering: indexed posting volume shrinks to
+    ~(1-t)·n+1 per doc."""
+    from pyspark.sql import functions as F
+
+    from fink_joiner_spark.catalog import table
+    from fink_joiner_spark.operators.similarity import word_shingles
+
+    docs = table(spark, sf_dir, "documents")
+    sizes = (
+        docs.select(F.size(word_shingles(F.col("text"), 3)).alias("n"))
+        .where("n > 0")
+        .agg(
+            F.sum("n").alias("full"),
+            F.sum(F.col("n") - F.ceil(F.col("n") * 0.8) + 1).alias("prefix"),
+        )
+        .first()
+    )
+    assert sizes["prefix"] < 0.3 * sizes["full"]
