@@ -1366,10 +1366,14 @@ def jaccard_pairs_prefix(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    av = canon.select(F.col("id").alias("id_a"), F.col("sorted_sh").alias("sh_a"),
-                      F.col("n_sh").alias("na"))
-    bv = canon.select(F.col("id").alias("id_b"), F.col("sorted_sh").alias("sh_b"),
-                      F.col("n_sh").alias("nb"))
+    # verify against the RAW shingle arrays — array_intersect needs no
+    # canonical order, so the expensive canon subtree (freq join +
+    # per-doc sorted re-collect) is evaluated only on the prefix path,
+    # not re-run twice more for the verify sides
+    av = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"),
+                   F.size("shingles").alias("na"))
+    bv = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"),
+                   F.size("shingles").alias("nb"))
     verified = (
         cand.join(av, "id_a")
         .join(bv, "id_b")
