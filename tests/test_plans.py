@@ -308,3 +308,32 @@ def test_grouping_sets_single_expand_one_shuffle(spark, sf_dir):
     plan = plans.formatted_plan(df)
     assert plan.count("Expand") >= 1
     assert plans.count_shuffles(df) == 1, plan
+
+
+def test_weighted_sample_is_takeordered(spark, sf_dir):
+    df = _q("ext_weighted_sample", spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan  # top-k heap, no global sort
+
+
+def test_gap_fill_no_single_partition_exchange(spark, sf_dir):
+    df = _q("ext_gap_fill", spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "SinglePartition" not in plan  # spine + LOCF stay per-key
+
+
+def test_funnel_single_keyed_shuffle(spark, sf_dir):
+    df = _q("ext_event_funnel", spark, sf_dir)
+    # one hash shuffle (per-user fold); the final 1-row agg is
+    # SinglePartition by nature and carries only 4 counters
+    assert plans.count_shuffles(df) == 1, plans.formatted_plan(df)
+
+
+def test_prefix_jaccard_no_cartesian(spark, sf_dir):
+    df = _q("dedup_jaccard_prefix", spark, sf_dir)
+    plans.asserts_no_cartesian(df)
+
+
+def test_phrase_search_broadcasts_offsets(spark, sf_dir):
+    df = _q("ext_search_phrase", spark, sf_dir)
+    plans.asserts_broadcast_join(df)
