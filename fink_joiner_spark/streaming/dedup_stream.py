@@ -110,6 +110,43 @@ class SnapshotStore:
             return None
         return spark.read.parquet(*dirs)
 
+    def read_previous(self, spark: SparkSession) -> DataFrame | None:
+        """The snapshot as of the PREVIOUS pointer (one upsert back) —
+        the bucket directories it referenced are retained by GC."""
+        if not os.path.exists(self._prev_pointer):
+            return None
+        with open(self._prev_pointer) as f:
+            st = json.load(f)
+        dirs = [
+            self._bucket_dir(v, b)
+            for b, v in sorted(st["buckets"].items(), key=lambda kv: int(kv[0]))
+        ]
+        return spark.read.parquet(*dirs) if dirs else None
+
+    def diff(self, spark: SparkSession) -> DataFrame | None:
+        """Change-data-feed between the previous and current snapshot
+        versions: re-derives the last upsert's delta FROM STORAGE —
+        rows only in the current version are inserts, rows only in the
+        previous are retracts (``is_retract`` flag, changelog schema).
+
+        This is time travel + CDF on the versioned-parquet layout (the
+        Delta/Iceberg pattern): the changelog a consumer missed can
+        always be reconstructed from retained versions, so changelog
+        delivery needs no separate durability story. Plan: one
+        full-column anti-join per direction, keyed by all columns —
+        and because untouched buckets share identical directories
+        between versions, a bucket-pruned variant diffs only the
+        buckets whose version advanced.
+        """
+        from pyspark.sql import functions as F
+
+        cur, prev = self.read(spark), self.read_previous(spark)
+        if cur is None or prev is None:
+            return None
+        inserts = cur.exceptAll(prev).withColumn("is_retract", F.lit(False))
+        retracts = prev.exceptAll(cur).withColumn("is_retract", F.lit(True))
+        return inserts.unionByName(retracts)
+
     def _swap_pointer(self, state: dict) -> None:
         """Atomic pointer advance, keeping one previous pointer for GC."""
         if os.path.exists(self._pointer):

@@ -356,3 +356,28 @@ def test_observe_metrics_surface_per_batch(spark, tmp_path):
     assert rows == n_input
     # drip feed stages files in ts order: frontiers must be increasing
     assert frontiers == sorted(frontiers) and len(frontiers) >= 2
+
+
+def test_snapshot_store_diff_reconstructs_last_delta(spark, tmp_path):
+    """CDF on the versioned store: diff(previous, current) re-derived
+    from storage must equal the delta the upsert emitted."""
+    from fink_joiner_spark.streaming.dedup_stream import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "s"), ["k"], "ts", ["pid"])
+    store.upsert(spark.createDataFrame([(1, 10, 100), (2, 10, 200)], "k long, ts long, pid long"))
+    emitted = {}
+
+    def capture(ins, rets):
+        emitted["ins"] = {tuple(r) for r in ins.collect()}
+        emitted["ret"] = {tuple(r) for r in rets.collect()}
+
+    # batch 2: newer version for k=1, brand-new k=3
+    store.upsert(
+        spark.createDataFrame([(1, 20, 101), (3, 10, 300)], "k long, ts long, pid long"),
+        on_delta=capture,
+    )
+    d = store.diff(spark)
+    got_ins = {tuple(r)[:-1] for r in d.where("NOT is_retract").collect()}
+    got_ret = {tuple(r)[:-1] for r in d.where("is_retract").collect()}
+    assert got_ins == emitted["ins"]
+    assert got_ret == emitted["ret"]
