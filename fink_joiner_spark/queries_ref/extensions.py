@@ -3035,3 +3035,65 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return similarity.jaccard_pairs_prefix(docs, "doc_id", "text", n=3, threshold=0.8)
+
+
+# CMS geometry shared by query + oracle: 4 rows × 64 buckets, poly hashes
+_CMS_D, _CMS_W = 4, 64
+
+
+@register(
+    "ext_countmin_heavy_hitters",
+    f"""
+    WITH cms AS (
+      SELECT d, ((user_id * (2*d + 3) + 17*d + 7) % 1000000007) % {_CMS_W} AS w,
+             COUNT(*)::BIGINT AS c
+      FROM events CROSS JOIN (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS d)
+      GROUP BY 1, 2
+    ),
+    probe AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id % 30 = 0
+    ),
+    est AS (
+      SELECT p.user_id, MIN(c.c) AS cms_est
+      FROM probe p
+      JOIN cms c
+        ON c.w = ((p.user_id * (2*c.d + 3) + 17*c.d + 7) % 1000000007) % {_CMS_W}
+      GROUP BY 1
+    ),
+    exact AS (
+      SELECT user_id, COUNT(*)::BIGINT AS exact_n FROM events GROUP BY 1
+    )
+    SELECT e.user_id, x.exact_n, e.cms_est,
+           (e.cms_est >= x.exact_n) AS no_undercount
+    FROM est e JOIN exact x USING (user_id)
+    """,
+    "count-min sketch (4×64, poly-hash rows) built as a mergeable "
+    "aggregate table — per-shard sketches ADD cell-wise, the "
+    "distributed frequency-sketch shape; probes read d cells and take "
+    "the min. Deterministic geometry → the estimate itself is oracle-"
+    "checked bit-for-bit, plus the structural no-undercount guarantee",
+)
+def ext_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id")
+    rows = spark.range(_CMS_D).select(F.col("id").cast("int").alias("d"))
+    cell = ((F.col("user_id") * (2 * F.col("d") + 3) + 17 * F.col("d") + 7) % 1000000007) % _CMS_W
+    cms = (
+        ev.crossJoin(F.broadcast(rows))
+        .groupBy("d", cell.alias("w"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probe = ev.where("user_id % 30 = 0").distinct()
+    est = (
+        probe.crossJoin(F.broadcast(rows))
+        .withColumn("w", cell)
+        .join(cms, ["d", "w"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    return est.join(exact, "user_id").select(
+        "user_id",
+        "exact_n",
+        "cms_est",
+        (F.col("cms_est") >= F.col("exact_n")).alias("no_undercount"),
+    )
