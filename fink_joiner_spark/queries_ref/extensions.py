@@ -532,8 +532,14 @@ FROM q
 )
 def ext_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fink_joiner_spark.operators import similarity
+    from fink_joiner_spark.operators.similarity import _spread
 
-    emb = table(spark, sf_dir, "embeddings")
+    # _spread: the test table is ONE parquet file = one scan partition,
+    # which serializes the (interpreted-HOF) per-vector math onto a
+    # single core. On a real table, file count parallelizes the scan
+    # and the round-robin exchange disappears; the operator itself
+    # stays zero-(keyed-)shuffle either way (plan-audited).
+    emb = _spread(table(spark, sf_dir, "embeddings"))
     return similarity.quantize_embeddings_int8(emb, "vec_id", "embedding")
 
 
