@@ -213,3 +213,74 @@ def asof_join_nearest(
         *probe_cols,
         *[F.when(F.col("__matched"), F.col(c)).alias(c) for c in build_cols],
     )
+
+
+def asof_join_cogrouped(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str,
+    probe_ts: str,
+    build_ts: str,
+    build_cols: Sequence[str],
+) -> DataFrame:
+    """As-of join via ``cogroup().applyInPandas`` — the Arrow-batched
+    imperative alternative to the declarative union-tag/window plan
+    (:func:`asof_join`), completing the Pandas API family alongside
+    ``mapInPandas`` and ``applyInPandasWithState``.
+
+    Both sides cogroup on the key; each group pair runs
+    ``pandas.merge_asof`` (direction='backward', the b.ts <= p.ts
+    semantics; ties pick the last build row in (ts, cols) order — same
+    winner as the window form's ordered frame). INNER semantics: probes
+    with no prior build row are dropped.
+
+    Scale: one hash shuffle per side keyed by ``on`` (identical to the
+    window plan's shuffle), then per-key Arrow batches — the trade is
+    Python worker transfer vs JVM window state; prefer the declarative
+    form unless per-key logic outgrows SQL expressions.
+    """
+    import pandas as pd
+
+    p = probe.select(on, probe_ts, *[c for c in probe.columns if c not in (on, probe_ts)])
+    # Alias the build-side timestamp to a fresh attribute: when probe
+    # and build derive from the SAME relation (self-as-of), both 'ts'
+    # columns share one attribute id and the cogroup child pruning
+    # silently drops the build side's copy (observed: the worker pdf
+    # arrives without it). A new name = a new attribute id.
+    b = build.select(on, F.col(build_ts).alias("__bts"), *build_cols)
+    build_ts = "__bts"
+    out_fields = [f for f in p.schema.fields] + [
+        b.schema[c] for c in build_cols
+    ]
+    from pyspark.sql.types import StructType
+
+    schema = StructType(out_fields)
+    b_sort_cols = [build_ts, *build_cols]
+    out_names = [f.name for f in out_fields]
+    # plain-data capture only — a DataFrame (or its schema accessor) in
+    # the closure would drag the SparkContext into the pickled UDF
+    int_cols = [
+        c for c in build_cols
+        if str(b.schema[c].dataType) in ("LongType()", "IntegerType()")
+    ]
+
+    def join_group(pdf_p: pd.DataFrame, pdf_b: pd.DataFrame) -> pd.DataFrame:
+        if pdf_p.empty or pdf_b.empty:  # inner: no build rows -> no output
+            return pd.DataFrame(columns=out_names)
+        left = pdf_p.sort_values(probe_ts, kind="mergesort")
+        right = pdf_b.sort_values(b_sort_cols, kind="mergesort")[b_sort_cols]
+        m = pd.merge_asof(
+            left, right, left_on=probe_ts, right_on="__bts", direction="backward"
+        )
+        m = m.dropna(subset=[build_cols[0]])
+        # unmatched rows turned ints into float64 — restore exact dtypes
+        for c in int_cols:
+            if pd.api.types.is_float_dtype(m[c]):
+                m[c] = m[c].astype("int64")
+        return m[out_names]
+
+    return (
+        p.groupBy(on)
+        .cogroup(b.groupBy(on))
+        .applyInPandas(lambda pl, pr: join_group(pl, pr), schema)
+    )

@@ -1757,3 +1757,43 @@ def stream_stream_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFr
         )
         q.awaitTermination()
     return spark.sql("SELECT * FROM q_ss_ljoin WHERE click_id >= 0")
+
+
+@register(
+    "j3_asof_cogroup",
+    """
+    SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+           b.event_id AS err_event_id, epoch_us(b.ts) AS err_ts_us,
+           ROUND(b.value, 2) AS err_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') p
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'error') b
+      ON p.user_id = b.user_id AND b.ts <= p.ts
+    """,
+    "the SAME as-of join through cogroup().applyInPandas "
+    "(pandas.merge_asof per key, Arrow-batched) — the imperative "
+    "alternative when per-key logic outgrows SQL; identical oracle to "
+    "j3_asof_join_inner proves the two implementations agree",
+)
+def j3_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import asof
+
+    ev = table(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    build = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("err_event_id"),
+        F.unix_micros("ts").alias("err_ts_us"),
+        F.round("value", 2).alias("err_value"),
+    )
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", "32"):
+        out = asof.asof_join_cogrouped(
+            probe, build, on="user_id", probe_ts="ts", build_ts="ts",
+            build_cols=["err_event_id", "err_ts_us", "err_value"],
+        )
+    return out.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"),
+        "err_event_id", "err_ts_us", "err_value",
+    )

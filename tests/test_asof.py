@@ -96,3 +96,30 @@ def test_asof_nearest_direction_and_ties(spark):
         ).collect()
     }
     assert left == {"p1": "b105", "p2": "b90", "p3": "b45", "p4": None}
+
+
+def test_cogrouped_asof_matches_declarative(spark, sf_dir):
+    """The Arrow-batched cogroup implementation and the union-tag
+    window plan must produce identical results (incl. self-as-of where
+    both sides derive from the same relation — the attribute-id
+    pruning trap)."""
+    from pyspark.sql import functions as F
+
+    from fink_joiner_spark.catalog import table
+    from fink_joiner_spark.operators import asof
+
+    ev = table(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    build = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("err_id")
+    )
+    decl = asof.asof_join(
+        probe, build, on="user_id", probe_ts="ts", build_ts="ts",
+        build_cols=["err_id"], how="inner",
+    )
+    cog = asof.asof_join_cogrouped(
+        probe, build, on="user_id", probe_ts="ts", build_ts="ts", build_cols=["err_id"]
+    )
+    a = {(r["event_id"], r["err_id"]) for r in decl.collect()}
+    b = {(r["event_id"], r["err_id"]) for r in cog.collect()}
+    assert a == b and len(a) > 0
