@@ -84,3 +84,20 @@ def test_infer_and_pin_bounds_inference_to_sample(spark, sf_dir, tmp_path):
     assert {f.name for f in schema.fields} == {"doc_id", "lang"}
     back = read_files(spark, path, "json", schema=schema)
     assert back.count() == docs.count()
+
+
+def test_read_files_xml_roundtrip(spark, tmp_path):
+    """Spark 4 built-in XML source through the same read_files surface —
+    rowTag-delimited records with a pinned schema."""
+    from fink_joiner_spark.sources.batch import read_files
+
+    p = tmp_path / "xml"
+    p.mkdir()
+    (p / "a.xml").write_text(
+        "<rows><row><doc_id>1</doc_id><lang>en</lang></row>"
+        "<row><doc_id>2</doc_id><lang>fr</lang></row></rows>"
+    )
+    df = read_files(
+        spark, str(p), format="xml", schema="doc_id long, lang string", rowTag="row"
+    )
+    assert {tuple(r) for r in df.collect()} == {(1, "en"), (2, "fr")}
