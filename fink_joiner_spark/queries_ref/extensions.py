@@ -3103,3 +3103,63 @@ def ext_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_est",
         (F.col("cms_est") >= F.col("exact_n")).alias("no_undercount"),
     )
+
+
+@register(
+    "ext_cdf_join_refresh",
+    """
+    WITH latest AS (
+      SELECT user_id, event_id, ts FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    )
+    SELECT l.user_id, l.event_id, epoch_us(l.ts) AS ts_us,
+           c.c_mktsegment AS segment, 1::BIGINT AS mult
+    FROM latest l JOIN customer c ON l.user_id = c.c_custkey
+    """,
+    "the incremental stack end-to-end: SnapshotStore upserts two "
+    "batches -> change-data-feed (diff) re-derives the latest-per-key "
+    "delta from storage -> the delta flows through the z-set bilinear "
+    "join against the dimension -> applied to the stored view. Oracle "
+    "is the FULL recompute (latest-per-user x customer) — equality "
+    "proves store semantics, CDF exactness, and the delta algebra "
+    "compose",
+)
+def ext_cdf_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from fink_joiner_spark.operators import incremental
+    from fink_joiner_spark.streaming.dedup_stream import SnapshotStore
+
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    one = F.lit(1).cast("long")
+
+    store = SnapshotStore(
+        tempfile.mkdtemp(prefix="fjs_cdf_"), ["user_id"], "ts", ["event_id"]
+    )
+    store.upsert(ev.where("event_id % 3 != 0"))
+    a_old = store.read(spark).withColumn("mult", one)
+    b = cust.withColumn("mult", one)
+    v_old = (
+        a_old.withColumnRenamed("mult", "_ml")
+        .join(b.withColumnRenamed("mult", "_mr"), "user_id")
+        .withColumn("mult", F.col("_ml") * F.col("_mr"))
+        .drop("_ml", "_mr")
+    )
+    # second batch arrives; CDF re-derives exactly what changed
+    store.upsert(ev.where("event_id % 3 = 0"))
+    cdf = store.diff(spark)
+    da = cdf.withColumn(
+        "mult", F.when(F.col("is_retract"), -one).otherwise(one)
+    ).drop("is_retract")
+    db = spark.createDataFrame([], b.schema)
+    dv = incremental.delta_join(a_old, da, b, db, on="user_id")
+    v_new = incremental.z_normalize(v_old.unionByName(dv))
+    return v_new.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "segment", "mult"
+    )
