@@ -3163,3 +3163,71 @@ def ext_cdf_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v_new.select(
         "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "segment", "mult"
     )
+
+
+@register(
+    "ext_latest_by_macro",
+    """
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    "the LATEST_BY SQL macro (sqlext) through the correctness gate: "
+    "user-facing sugar text expands to the row_number plan and "
+    "hash-matches the handwritten SQL",
+)
+def ext_latest_by_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark import sqlext
+    from fink_joiner_spark.catalog import load_tables
+
+    load_tables(spark, sf_dir, ("events",))
+    return sqlext.sql(
+        spark,
+        "SELECT user_id, event_id, unix_micros(ts) AS ts_us "
+        "FROM LATEST_BY(events BY user_id ORDER BY ts, event_id)",
+    )
+
+
+@register(
+    "ext_tpch_q3_shipping",
+    """
+    SELECT l.l_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           epoch_us(o.o_orderdate) AS orderdate_us
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey ASC
+    LIMIT 10
+    """,
+    "TPC-H Q3 shape (shipping-priority): selective dim filter flows "
+    "through a 3-way join into a grouped revenue sum and a top-10 "
+    "heap; the segment filter is pushed to the customer scan and the "
+    "filtered dim broadcasts",
+)
+def ext_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "revenue",
+            # o_orderdate is TIMESTAMP_NTZ (parquet isAdjustedToUTC=false);
+            # the UTC-pinned session makes the cast value-preserving
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("orderdate_us"),
+        )
+    )
