@@ -249,6 +249,16 @@ def asof_join_cogrouped(
     # arrives without it). A new name = a new attribute id.
     b = build.select(on, F.col(build_ts).alias("__bts"), *build_cols)
     build_ts = "__bts"
+    # Explicit keyed repartition: per-group Python overhead (Arrow
+    # flush + one function call per cogroup key) is SERIAL within a
+    # partition, and AQE coalesces a few-MB shuffle down to ONE
+    # partition — 150 key-groups became 150 sequential Python calls
+    # (measured 10 s vs ~1 s at 32-way). A user-specified repartition
+    # is exempt from AQE coalescing, so worker-process parallelism —
+    # the scarce resource on the pandas path — survives execution.
+    n_parts = probe.sparkSession.sparkContext.defaultParallelism
+    p = p.repartition(n_parts, on)
+    b = b.repartition(n_parts, on)
     out_fields = [f for f in p.schema.fields] + [
         b.schema[c] for c in build_cols
     ]

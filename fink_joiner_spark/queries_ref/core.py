@@ -1788,11 +1788,10 @@ def j3_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("err_ts_us"),
         F.round("value", 2).alias("err_value"),
     )
-    with scoped_conf(spark, "spark.sql.shuffle.partitions", "32"):
-        out = asof.asof_join_cogrouped(
-            probe, build, on="user_id", probe_ts="ts", build_ts="ts",
-            build_cols=["err_event_id", "err_ts_us", "err_value"],
-        )
+    out = asof.asof_join_cogrouped(
+        probe, build, on="user_id", probe_ts="ts", build_ts="ts",
+        build_cols=["err_event_id", "err_ts_us", "err_value"],
+    )
     return out.select(
         "event_id", "user_id", F.unix_micros("ts").alias("ts_us"),
         "err_event_id", "err_ts_us", "err_value",
