@@ -381,3 +381,28 @@ def test_snapshot_store_diff_reconstructs_last_delta(spark, tmp_path):
     got_ret = {tuple(r)[:-1] for r in d.where("is_retract").collect()}
     assert got_ins == emitted["ins"]
     assert got_ret == emitted["ret"]
+
+
+def test_rate_source_smoke(spark, tmp_path):
+    """Built-in rate source (load-generator): bounded drain via
+    availableNow, rows carry (timestamp, value) — the zero-dependency
+    way to soak-test any streaming operator in this engine."""
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "500")
+        .option("numPartitions", "2")
+        .load()
+        .withColumn("bucket", F.col("value") % 10)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rate_smoke")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT COUNT(*) AS n, COUNT(DISTINCT bucket) AS b FROM rate_smoke").first()
+    assert rows["b"] <= 10
