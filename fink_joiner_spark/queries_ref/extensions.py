@@ -3276,3 +3276,49 @@ def ext_tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
+
+
+@register(
+    "ext_skyline_2d",
+    """
+    WITH pts AS (
+      SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS price_c,
+             MAX(epoch_us(o_orderdate)) AS dmax
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT price_c, dmax,
+             MAX(dmax) OVER (ORDER BY price_c DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS run_max
+      FROM pts
+    )
+    SELECT price_c, dmax AS date_us FROM ranked
+    WHERE run_max IS NULL OR dmax > run_max
+    """,
+    "2-D skyline (Pareto frontier) of orders over (price, recency): a "
+    "point survives iff no other point strictly dominates it in both "
+    "dims. Collapse to distinct-price maxima first (aggregate-sized), "
+    "then one strict running-max window — O(n log n), no pairwise "
+    "dominance join; at 100 TB the price collapse is the only "
+    "data-sized pass",
+)
+def ext_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    pts = (
+        o.select(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("price_c"),
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("d_us"),
+        )
+        .groupBy("price_c")
+        .agg(F.max("d_us").alias("dmax"))
+    )
+    w = Window.orderBy(F.col("price_c").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = pts.withColumn("run_max", F.max("dmax").over(w))
+    return ranked.where(
+        F.col("run_max").isNull() | (F.col("dmax") > F.col("run_max"))
+    ).select("price_c", F.col("dmax").alias("date_us"))

@@ -194,3 +194,33 @@ def test_and_search_requires_every_term(spark):
     p = text_ops.build_postings(df, "doc_id", "text")
     got = {r["doc_id"] for r in text_ops.search_all_terms(p, ["x", "z"]).collect()}
     assert got == {1, 3}
+
+
+def test_skyline_equals_bruteforce_dominance(spark):
+    import itertools
+    import random
+
+    from pyspark.sql import Window
+
+    rnd = random.Random(7)
+    pts = [(rnd.randrange(0, 40), rnd.randrange(0, 40)) for _ in range(120)]
+    # reference: p survives iff no q strictly dominates in BOTH dims
+    per_x = {}
+    for x, y in pts:
+        per_x[x] = max(per_x.get(x, -1), y)
+    want = {
+        (x, y)
+        for x, y in per_x.items()
+        if not any(qx > x and qy > y for qx, qy in per_x.items())
+    }
+    df = spark.createDataFrame(pts, "x long, y long").groupBy("x").agg(
+        F.max("y").alias("ymax")
+    )
+    w = Window.orderBy(F.col("x").desc()).rowsBetween(Window.unboundedPreceding, -1)
+    got = {
+        (r["x"], r["ymax"])
+        for r in df.withColumn("rm", F.max("ymax").over(w))
+        .where(F.col("rm").isNull() | (F.col("ymax") > F.col("rm")))
+        .collect()
+    }
+    assert got == want
