@@ -3294,7 +3294,7 @@ def ext_tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pts
     )
     SELECT price_c, dmax AS date_us FROM ranked
-    WHERE run_max IS NULL OR dmax > run_max
+    WHERE run_max IS NULL OR dmax >= run_max
     """,
     "2-D skyline (Pareto frontier) of orders over (price, recency): a "
     "point survives iff no other point strictly dominates it in both "
@@ -3319,6 +3319,8 @@ def ext_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, -1
     )
     ranked = pts.withColumn("run_max", F.max("dmax").over(w))
+    # >= not >: a point tying the best y among higher-x points is not
+    # STRICTLY dominated (caught by the brute-force equivalence test)
     return ranked.where(
-        F.col("run_max").isNull() | (F.col("dmax") > F.col("run_max"))
+        F.col("run_max").isNull() | (F.col("dmax") >= F.col("run_max"))
     ).select("price_c", F.col("dmax").alias("date_us"))

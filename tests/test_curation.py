@@ -220,7 +220,7 @@ def test_skyline_equals_bruteforce_dominance(spark):
     got = {
         (r["x"], r["ymax"])
         for r in df.withColumn("rm", F.max("ymax").over(w))
-        .where(F.col("rm").isNull() | (F.col("ymax") > F.col("rm")))
+        .where(F.col("rm").isNull() | (F.col("ymax") >= F.col("rm")))
         .collect()
     }
     assert got == want
