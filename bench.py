@@ -98,7 +98,7 @@ def _warm_interpreted_paths(spark, sf_dir: str) -> None:
     sampling.temperature_resample(
         docs_full, "lang", "doc_id", alpha=0.5, keep_frac=0.6, salt="mix"
     ).write.format("noop").mode("overwrite").save()
-    similarity.random_project(emb.limit(50), "vec_id", "embedding", out_dims=8).write.format(
+    similarity.random_project(emb.limit(50), "vec_id", "embedding", out_dims=8, in_dims=64).write.format(
         "noop"
     ).mode("overwrite").save()
     spark.range(4).select(

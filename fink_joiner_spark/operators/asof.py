@@ -282,7 +282,10 @@ def asof_join_cogrouped(
         m = pd.merge_asof(
             left, right, left_on=probe_ts, right_on="__bts", direction="backward"
         )
-        m = m.dropna(subset=[build_cols[0]])
+        # unmatched marker is the merge key itself (never NULL on a
+        # matched row) — filtering on a payload column would also drop
+        # matches whose payload is legitimately NULL
+        m = m.dropna(subset=["__bts"])
         # unmatched rows turned ints into float64 — restore exact dtypes
         for c in int_cols:
             if pd.api.types.is_float_dtype(m[c]):

@@ -1204,7 +1204,7 @@ def rp_matrix(out_dims: int, in_dims: int) -> list[list[int]]:
 
 
 def random_project(
-    df: DataFrame, id_col: str, vec_col: str, out_dims: int = 8
+    df: DataFrame, id_col: str, vec_col: str, out_dims: int = 8, in_dims: int | None = None
 ) -> DataFrame:
     """Signed random projection (Achlioptas 2003): compress a
     ``d``-dim embedding to ``out_dims`` dims with a ±1 matrix —
@@ -1219,7 +1219,18 @@ def random_project(
     vectors. For much larger (k×d) projections move the matmul into an
     Arrow-batched ``mapInPandas`` (numpy BLAS) — same plan position.
     """
-    m = rp_matrix(out_dims, len(df.select(vec_col).first()[0]))
+    if in_dims is None:
+        # dimension discovery costs one 1-row driver job — pass
+        # in_dims explicitly on hot paths (and always on empty frames,
+        # where there is no row to infer from)
+        row = df.select(vec_col).first()
+        if row is None:
+            raise ValueError(
+                "random_project: empty input and no in_dims given — pass "
+                "in_dims explicitly to project an empty frame"
+            )
+        in_dims = len(row[0])
+    m = rp_matrix(out_dims, in_dims)
     v = F.col(vec_col).cast("array<double>")
     proj = F.array(
         *[
@@ -1319,8 +1330,6 @@ def jaccard_pairs_prefix(
     re-collect per doc, prefix explode, prefix-keyed candidate join,
     pair-keyed verify join. Every shuffle is keyed; nothing all-pairs.
     """
-    import math
-
     sh = _spread(df).select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("shingles")
     ).where(F.size("shingles") > 0)
@@ -1339,17 +1348,19 @@ def jaccard_pairs_prefix(
             F.size("_o").alias("n_sh"),
         )
     )
-    t = threshold
-    # prefix length: n - ceil(t*n) + 1
+    # Exact-integer threshold arithmetic: t as micro-units so that
+    # ceil(t*n) and the length filters never hinge on a float ulp
+    # (10 * 0.7 is 7.000000000000001 in IEEE double — ceil'ing THAT
+    # shortens the prefix and the filter t*nb <= na flips, both
+    # silently dropping qualifying pairs; caught in review).
+    t_micro = round(threshold * 1_000_000)
+    # prefix length: n - ceil(t*n) + 1, integer form
+    ceil_tn = F.expr(f"(n_sh * {t_micro} + 999999) div 1000000")
     prefix = canon.select(
         "id",
         "n_sh",
         F.explode(
-            F.slice(
-                "sorted_sh",
-                1,
-                (F.col("n_sh") - F.ceil(F.col("n_sh") * t) + 1).cast("int"),
-            )
+            F.slice("sorted_sh", 1, (F.col("n_sh") - ceil_tn + 1).cast("int"))
         ).alias("s"),
     ).select("id", "n_sh", F.xxhash64("s").alias("s"))
 
@@ -1360,8 +1371,8 @@ def jaccard_pairs_prefix(
             (F.col("a.s") == F.col("b.s"))
             & (F.col("a.id") < F.col("b.id"))
             # length filter: |larger| ≤ |smaller| / t (else J < t)
-            & (F.col("b.n_sh") * t <= F.col("a.n_sh"))
-            & (F.col("a.n_sh") * t <= F.col("b.n_sh")),
+            & (F.col("b.n_sh") * t_micro <= F.col("a.n_sh") * 1_000_000)
+            & (F.col("a.n_sh") * t_micro <= F.col("b.n_sh") * 1_000_000),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()

@@ -580,6 +580,9 @@ def search_all_terms(postings: DataFrame, terms: list[str]) -> DataFrame:
     length. The classic search-engine candidate retrieval; shuffle is
     keyed by doc over ONLY the query terms' postings, not the corpus.
     """
+    # distinct: the match counter below is count_distinct, so a
+    # duplicated query term must not raise the bar (['x','x'] means x)
+    terms = sorted(set(terms))
     k = len(terms)
     return (
         postings.where(F.col("term").isin(terms))

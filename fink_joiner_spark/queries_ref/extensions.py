@@ -2386,7 +2386,7 @@ def ext_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fink_joiner_spark.operators import similarity
 
     emb = table(spark, sf_dir, "embeddings")
-    out = similarity.random_project(emb, "vec_id", "embedding", out_dims=8)
+    out = similarity.random_project(emb, "vec_id", "embedding", out_dims=8, in_dims=64)
     return out.select(
         "vec_id", *[F.col("proj")[j].alias(f"p{j}") for j in range(8)]
     )

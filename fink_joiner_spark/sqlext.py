@@ -41,6 +41,37 @@ _LATEST_BY = re.compile(
 )
 
 
+def _split_literals(query: str) -> list[tuple[bool, str]]:
+    """Split SQL text into (is_literal, chunk) spans. Literal spans are
+    single-quoted strings (with '' escapes), double-quoted and
+    backquoted identifiers — macro expansion must never rewrite their
+    contents, or the layer would change the meaning of standard SQL."""
+    spans: list[tuple[bool, str]] = []
+    i, start = 0, 0
+    n = len(query)
+    while i < n:
+        ch = query[i]
+        if ch in ("'", '"', "`"):
+            if start < i:
+                spans.append((False, query[start:i]))
+            j = i + 1
+            while j < n:
+                if query[j] == ch:
+                    if ch == "'" and j + 1 < n and query[j + 1] == "'":
+                        j += 2  # '' escape inside a string literal
+                        continue
+                    break
+                j += 1
+            j = min(j + 1, n)
+            spans.append((True, query[i:j]))
+            i = start = j
+        else:
+            i += 1
+    if start < n:
+        spans.append((False, query[start:]))
+    return spans
+
+
 def expand_macros(query: str) -> str:
     """Expand the engine's SQL macros; standard SQL passes through."""
 
@@ -55,7 +86,10 @@ def expand_macros(query: str) -> str:
             "WHERE __fjs_rn = 1)"
         )
 
-    return _LATEST_BY.sub(_latest_by, query)
+    return "".join(
+        chunk if is_lit else _LATEST_BY.sub(_latest_by, chunk)
+        for is_lit, chunk in _split_literals(query)
+    )
 
 
 def sql(spark: SparkSession, query: str) -> DataFrame:

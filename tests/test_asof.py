@@ -123,3 +123,17 @@ def test_cogrouped_asof_matches_declarative(spark, sf_dir):
     a = {(r["event_id"], r["err_id"]) for r in decl.collect()}
     b = {(r["event_id"], r["err_id"]) for r in cog.collect()}
     assert a == b and len(a) > 0
+
+
+def test_cogrouped_asof_keeps_null_payload_matches(spark):
+    """A matched build row whose payload column is NULL must survive
+    the inner as-of (the unmatched marker is the merge key, not a
+    payload column) — review finding."""
+    from fink_joiner_spark.operators import asof
+
+    p = spark.createDataFrame([(1, 10, 100)], "k long, ts long, event_id long")
+    b = spark.createDataFrame([(1, 5, None)], "k long, ts long, payload string")
+    out = asof.asof_join_cogrouped(
+        p, b, on="k", probe_ts="ts", build_ts="ts", build_cols=["payload"]
+    ).collect()
+    assert len(out) == 1 and out[0]["payload"] is None

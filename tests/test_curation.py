@@ -224,3 +224,33 @@ def test_skyline_equals_bruteforce_dominance(spark):
         .collect()
     }
     assert got == want
+
+
+def test_and_search_duplicate_query_terms(spark):
+    # ['x', 'x'] means x — the duplicate must not raise the match bar
+    from fink_joiner_spark.operators import text as text_ops
+
+    df = spark.createDataFrame([(1, "x y"), (2, "y z")], "doc_id long, text string")
+    p = text_ops.build_postings(df, "doc_id", "text")
+    got = {r["doc_id"] for r in text_ops.search_all_terms(p, ["x", "x"]).collect()}
+    assert got == {1}
+
+
+def test_prefix_jaccard_float_hostile_threshold(spark):
+    """t=0.7: 10*0.7 = 7.000000000000001 in IEEE double — the integer
+    micro-unit arithmetic must keep J==t pairs (review finding)."""
+    from fink_joiner_spark.operators import similarity
+
+    # A: 9 tokens -> 7 shingles; B: A + 3 tail tokens -> 10 shingles,
+    # 7 shared: J = 7/(7+10-7) = 0.7 exactly, and the length filter
+    # hits the hostile edge (0.7*10 = 7.000000000000001 > 7 in double)
+    a_toks = "t1 t2 t3 t4 t5 t6 t7 t8 t9"
+    b_toks = "t1 t2 t3 t4 t5 t6 t7 t8 t9 u1 u2 u3"
+    df = spark.createDataFrame([(1, a_toks), (2, b_toks)], "doc_id long, text string")
+    plain = {
+        (r["id_a"], r["id_b"]) for r in similarity.jaccard_pairs(df, "doc_id", "text", 3, 0.7).collect()
+    }
+    pref = {
+        (r["id_a"], r["id_b"]) for r in similarity.jaccard_pairs_prefix(df, "doc_id", "text", 3, 0.7).collect()
+    }
+    assert plain == pref == {(1, 2)}

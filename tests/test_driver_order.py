@@ -62,5 +62,9 @@ def test_every_registered_query_is_documented():
     _ensure_loaded()
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     cov = open(os.path.join(root, "COVERAGE.md")).read()
-    missing = [n for n in REGISTRY if f"`{n}`" not in cov and n not in cov]
+    import re
+
+    # word-boundary mention: substring-of-a-longer-name must not count
+    # (e.g. `stream_stream_interval_join` inside ..._join_left)
+    missing = [n for n in REGISTRY if not re.search(rf"\b{re.escape(n)}\b(?!_)", cov)]
     assert not missing, f"queries absent from COVERAGE.md: {missing}"

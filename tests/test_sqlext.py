@@ -77,3 +77,12 @@ def test_lateral_asof_recipe_matches_operator(spark, sf_dir):
         build_cols=["err_id"], how="inner",
     ).select("event_id", "err_id")
     assert {tuple(r) for r in lat.collect()} == {tuple(r) for r in want.collect()}
+
+
+def test_macro_never_rewrites_string_literals(spark):
+    q = "SELECT 'LATEST_BY(t BY k ORDER BY ts)' AS doc, `select` FROM (SELECT 1 AS `select`)"
+    out = sqlext.sql(spark, q).first()
+    assert out["doc"] == "LATEST_BY(t BY k ORDER BY ts)"
+    # doubled-quote escape inside a literal stays intact too
+    q2 = "SELECT 'it''s LATEST_BY(t BY k ORDER BY ts)' AS s"
+    assert sqlext.sql(spark, q2).first()["s"] == "it's LATEST_BY(t BY k ORDER BY ts)"
