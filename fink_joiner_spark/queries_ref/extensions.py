@@ -3324,3 +3324,41 @@ def ext_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.where(
         F.col("run_max").isNull() | (F.col("dmax") >= F.col("run_max"))
     ).select("price_c", F.col("dmax").alias("date_us"))
+
+
+@register(
+    "ext_time_hierarchy_rollup",
+    """
+    SELECT COALESCE(strftime(date_trunc('day', ts), '%Y-%m-%d'), '<all>') AS day,
+           COALESCE(strftime(date_trunc('hour', ts), '%Y-%m-%d %H'), '<all>') AS hour,
+           COUNT(*)::BIGINT AS cnt,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    GROUP BY GROUPING SETS (
+      (date_trunc('day', ts), date_trunc('hour', ts)),
+      (date_trunc('day', ts)),
+      ()
+    )
+    """,
+    "multi-granularity time-hierarchy rollup (hour -> day -> total) in "
+    "ONE pass: GROUPING SETS over date_trunc exprs plans a single "
+    "Expand + one aggregate shuffle — the dashboard pre-aggregation "
+    "shape, not three scans",
+)
+def ext_time_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_th_events")
+    return spark.sql(
+        """
+        SELECT COALESCE(date_format(date_trunc('DAY', ts), 'yyyy-MM-dd'), '<all>') AS day,
+               COALESCE(date_format(date_trunc('HOUR', ts), 'yyyy-MM-dd HH'), '<all>') AS hour,
+               COUNT(*) AS cnt,
+               SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS cents
+        FROM _th_events
+        GROUP BY GROUPING SETS (
+          (date_trunc('DAY', ts), date_trunc('HOUR', ts)),
+          (date_trunc('DAY', ts)),
+          ()
+        )
+        """
+    )

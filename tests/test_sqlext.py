@@ -86,3 +86,20 @@ def test_macro_never_rewrites_string_literals(spark):
     # doubled-quote escape inside a literal stays intact too
     q2 = "SELECT 'it''s LATEST_BY(t BY k ORDER BY ts)' AS s"
     assert sqlext.sql(spark, q2).first()["s"] == "it's LATEST_BY(t BY k ORDER BY ts)"
+
+
+def test_scanner_identity_on_macro_free_sql():
+    """Property: any SQL without a macro outside literals round-trips
+    byte-identical through expand_macros — including quote soup."""
+    from hypothesis import given, settings, strategies as st
+
+    chars = st.text(alphabet="ab '\"`()BYORDER,x1_", max_size=60)
+
+    @settings(max_examples=200, deadline=None)
+    @given(chars)
+    def check(q):
+        if "LATEST_BY" in q.upper():
+            return  # macro may legitimately rewrite
+        assert sqlext.expand_macros(q) == q
+
+    check()
