@@ -622,3 +622,40 @@ def search_phrase(postings: DataFrame, phrase: list[str]) -> DataFrame:
         .where(F.col("_nt") == k)
     )
     return hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits"))
+
+
+def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document Shannon entropy of the word distribution (bits).
+
+    Low entropy flags repetitive / boilerplate / keyword-stuffed docs
+    (the degenerate-text filter every corpus-curation recipe carries
+    next to the repetition ratio); high entropy at short length flags
+    noise. Computed as ``log2(n) - sum(c*log2 c)/n`` over per-word
+    counts — two partial-aggregated shuffles ((doc, word) then doc),
+    no windows, no Python, so it scales like a wordcount.
+
+    Docs with zero ``\\w+`` word tokens have no defined distribution
+    and are omitted (explode of an empty array emits nothing — the
+    same contract as the DuckDB oracle's ``unnest``).
+    """
+    words = df.select(
+        id_col,
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\w+"), 0)
+        ).alias("tok"),
+    )
+    counts = words.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * F.log2("c")).alias("_clg"),
+        )
+        .select(
+            id_col,
+            F.col("n_tokens"),
+            F.round(F.log2("n_tokens") - F.col("_clg") / F.col("n_tokens"), 3).alias(
+                "entropy_bits"
+            ),
+        )
+    )

@@ -3362,3 +3362,102 @@ def ext_time_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "ext_table_checksum_diff",
+    """
+    WITH cur AS (
+      SELECT o_orderkey % 64 AS bucket,
+             ((o_orderkey % 1000003) * 8191
+              + (o_custkey % 1000003) * 131
+              + (CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) % 1000003) * 7
+              + length(o_orderstatus)) AS sig
+      FROM orders
+    ),
+    snap AS (
+      SELECT o_orderkey % 64 AS bucket,
+             ((o_orderkey % 1000003) * 8191
+              + (o_custkey % 1000003) * 131
+              + ((CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                  + CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END)
+                 % 1000003) * 7
+              + length(o_orderstatus)) AS sig
+      FROM orders WHERE o_orderkey % 501 <> 0
+    ),
+    da AS (SELECT bucket, COUNT(*)::BIGINT AS cnt,
+                  SUM(sig)::BIGINT AS sig_sum, bit_xor(sig)::BIGINT AS sig_xor
+           FROM cur GROUP BY 1),
+    db AS (SELECT bucket, COUNT(*)::BIGINT AS cnt,
+                  SUM(sig)::BIGINT AS sig_sum, bit_xor(sig)::BIGINT AS sig_xor
+           FROM snap GROUP BY 1)
+    SELECT COALESCE(da.bucket, db.bucket) AS bucket,
+           da.cnt AS cnt_cur, db.cnt AS cnt_snap,
+           da.sig_sum AS sum_cur, db.sig_sum AS sum_snap,
+           da.sig_xor AS xor_cur, db.sig_xor AS xor_snap
+    FROM da FULL OUTER JOIN db ON da.bucket = db.bucket
+    WHERE da.cnt IS DISTINCT FROM db.cnt
+       OR da.sig_sum IS DISTINCT FROM db.sig_sum
+       OR da.sig_xor IS DISTINCT FROM db.sig_xor
+    """,
+    "cross-system table reconciliation: collapse each copy to 64 "
+    "per-bucket digests (count + SUM + BIT_XOR of a portable integer "
+    "row signature — order-independent, ANSI-overflow-safe, "
+    "reproducible on any engine with int64), then diff only the "
+    "digest tables. The snapshot side simulates drift (price bumped "
+    "on keys %97, rows deleted on keys %501); at 100 TB the exchange "
+    "stays KB-sized and only mismatching buckets get row-level repair",
+)
+def ext_table_checksum_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import reconcile
+
+    o = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    base_terms = [
+        (F.col("o_orderkey"), 8191),
+        (F.col("o_custkey"), 131),
+    ]
+    cur_sig = reconcile.row_signature(
+        base_terms + [(cents, 7)]
+    ) + F.length("o_orderstatus").cast("long")
+    snap_sig = reconcile.row_signature(
+        base_terms
+        + [(cents + F.when(F.col("o_orderkey") % 97 == 0, 1).otherwise(0), 7)]
+    ) + F.length("o_orderstatus").cast("long")
+    cur = reconcile.bucket_digest(o, F.col("o_orderkey"), cur_sig, n_buckets=64)
+    snap = reconcile.bucket_digest(
+        o.where(F.col("o_orderkey") % 501 != 0),
+        F.col("o_orderkey"),
+        snap_sig,
+        n_buckets=64,
+    )
+    return reconcile.digest_diff(cur, snap)
+
+
+@register(
+    "text_token_entropy",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '\w+')) AS tok
+      FROM documents
+    ),
+    cnts AS (
+      SELECT doc_id, tok, COUNT(*)::BIGINT AS c FROM toks GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           SUM(c)::BIGINT AS n_tokens,
+           ROUND(log2(SUM(c)::DOUBLE) - SUM(c * log2(c::DOUBLE)) / SUM(c)::DOUBLE, 3)
+             AS entropy_bits
+    FROM cnts GROUP BY doc_id
+    """,
+    "per-doc Shannon entropy of the word distribution (bits) — the "
+    "degenerate-text / boilerplate filter next to repetition ratio; "
+    "log2(n) - sum(c*log2 c)/n over word counts, two partial-agg "
+    "shuffles, codegen-resident (scales like a wordcount)",
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import text as txt
+
+    docs = table(spark, sf_dir, "documents")
+    return txt.token_entropy(docs, "doc_id", "text")
