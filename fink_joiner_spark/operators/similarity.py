@@ -1396,3 +1396,59 @@ def jaccard_pairs_prefix(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    prefix_len: int = 16,
+    max_dist: int = 16,
+    max_len_diff: int = 16,
+) -> DataFrame:
+    """Edit-distance (Levenshtein) near-dup pairs via prefix blocking.
+
+    The character-level member of the dedup family: catches small
+    in-place edits (typo fixes, token swaps, template fills) that
+    set-based measures (Jaccard/minhash) under-weight on short docs.
+    All-pairs Levenshtein is O(n² · len²) — never viable; instead
+    candidates are blocked on the first ``prefix_len`` chars of the
+    whitespace-normalized text (an equi-join key, so the self-join
+    shuffles once per side on the block hash) plus a length filter
+    (|len(a)-len(b)| > max_dist implies dist > max_dist, so
+    ``max_len_diff`` >= ``max_dist`` loses nothing within a block).
+    The distance itself runs banded: the threshold form of
+    ``levenshtein`` abandons a pair at O(max_dist · len) once the
+    distance provably exceeds the bound.
+
+    Blocking recall caveat (documented, by design): an edit inside the
+    first ``prefix_len`` chars moves a doc to a different block — the
+    same prefix-locality trade every blocked record-linkage system
+    makes. Skew caveat: a corpus-wide boilerplate prefix makes one
+    block quadratic; pair with ``scrub_boilerplate`` upstream.
+
+    Emits ``(doc_a, doc_b, dist)`` with ``doc_a < doc_b``.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    n = df.select(F.col(id_col).alias("doc"), norm.alias("t")).withColumn(
+        "blk", F.substring("t", 1, prefix_len)
+    )
+    a, b = n.alias("a"), n.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.doc") < F.col("b.doc"))
+        & (
+            F.abs(F.length(F.col("a.t")) - F.length(F.col("b.t")))
+            <= max_len_diff
+        ),
+    )
+    return (
+        cand.select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.levenshtein(F.col("a.t"), F.col("b.t"), max_dist).alias("dist"),
+        )
+        # threshold form returns -1 when the bound is exceeded
+        .where((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+    )

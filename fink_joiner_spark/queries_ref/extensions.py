@@ -3461,3 +3461,34 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return txt.token_entropy(docs, "doc_id", "text")
+
+
+@register(
+    "dedup_edit_distance",
+    r"""
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.t, b.t)::BIGINT AS dist
+    FROM norm a JOIN norm b
+      ON substr(a.t, 1, 16) = substr(b.t, 1, 16)
+     AND a.doc_id < b.doc_id
+     AND abs(length(a.t) - length(b.t)) <= 16
+    WHERE levenshtein(a.t, b.t) <= 16
+    """,
+    "edit-distance (Levenshtein <= 16) near-dup pairs — the "
+    "character-level dedup family member for small in-place edits; "
+    "prefix-16 blocking makes the self-join an equi-join (one shuffle "
+    "per side, never all-pairs) and the banded threshold form abandons "
+    "a pair at O(d*len); length filter is lossless within the bound",
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import similarity
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = similarity.edit_distance_pairs(
+        docs, "doc_id", "text", prefix_len=16, max_dist=16, max_len_diff=16
+    )
+    return pairs.select("doc_a", "doc_b", F.col("dist").cast("long").alias("dist"))

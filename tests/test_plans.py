@@ -337,3 +337,26 @@ def test_prefix_jaccard_no_cartesian(spark, sf_dir):
 def test_phrase_search_broadcasts_offsets(spark, sf_dir):
     df = _q("ext_search_phrase", spark, sf_dir)
     plans.asserts_broadcast_join(df)
+
+
+def test_checksum_diff_shuffles_digests_not_rows(spark, sf_dir):
+    """Reconciliation must exchange bucket digests, not rows: each side
+    is one partial-aggregated shuffle on the bucket key, and the final
+    diff join runs over digest-sized (64-row) inputs — no cartesian,
+    column-pruned to the 4 signature columns of orders."""
+    df = _q("ext_table_checksum_diff", spark, sf_dir)
+    plans.asserts_no_cartesian(df)
+    # 2 digest aggregations + the digest-diff join at most
+    assert plans.count_shuffles(df) <= 3, plans.formatted_plan(df)
+    # orders has 6 columns; the signature uses 4
+    plans.asserts_column_pruned(df, "o_orderkey", max_cols=4)
+
+
+def test_token_entropy_is_partial_aggregated_codegen(spark, sf_dir):
+    """Entropy = wordcount-shaped: (doc,word) agg then doc agg, both
+    codegen-resident, reading only (doc_id, text)."""
+    df = _q("text_token_entropy", spark, sf_dir)
+    plans.asserts_no_cartesian(df)
+    assert plans.count_shuffles(df) <= 2, plans.formatted_plan(df)
+    plans.asserts_column_pruned(df, "doc_id", max_cols=2)
+    plans.asserts_whole_stage_codegen(df)
