@@ -1430,9 +1430,12 @@ def edit_distance_pairs(
     Emits ``(doc_a, doc_b, dist)`` with ``doc_a < doc_b``.
     """
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
-    n = df.select(F.col(id_col).alias("doc"), norm.alias("t")).withColumn(
-        "blk", F.substring("t", 1, prefix_len)
-    )
+    # spread BEFORE normalizing: the per-doc regex is the dense work
+    # here (profiled: it dominates, not the blocked levenshtein), and a
+    # single-file scan would run it one-core on both join sides
+    n = _spread(df.select(F.col(id_col).alias("doc"), F.col(text_col))).select(
+        "doc", norm.alias("t")
+    ).withColumn("blk", F.substring("t", 1, prefix_len))
     a, b = n.alias("a"), n.alias("b")
     cand = a.join(
         b,
@@ -1444,6 +1447,9 @@ def edit_distance_pairs(
         ),
     )
     return (
+        # no extra exchange needed post-join: the join inherits the
+        # spread scan's parallelism, and the pushed-down dist filter
+        # evaluates inside the join anyway
         cand.select(
             F.col("a.doc").alias("doc_a"),
             F.col("b.doc").alias("doc_b"),
