@@ -32,9 +32,21 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-# Modulus keeps each signature term < ~8.2e9 (1000003 * 8191), so a
-# SUM over < 2^40 rows stays far inside int64 under ANSI mode.
+# Per-term modulus. Each signature term is < SIG_MOD * weight
+# (~8.2e9 ≈ 2^33 at the largest default weight), so the PER-ROW
+# signature fits int64 easily — but a plain int64 SUM of 2^33-sized
+# signatures overflows at ~2^30 rows per bucket, which a 100 TB table
+# reaches. ``bucket_digest`` therefore sums in DECIMAL(38,0) (room for
+# ~10^28 rows per bucket) and reduces mod 2^61 back to a portable
+# int64 checksum.
 SIG_MOD = 1_000_003
+
+# Additive-checksum modulus: digests exchange ``SUM(sig) % SUM_MOD`` as
+# an int64. 2^61 keeps the value far inside int64 on every engine while
+# preserving all mismatch-detection power of the full sum (a mutation
+# escapes only if its delta is an exact multiple of 2^61 AND the XOR
+# checksum also collides).
+SUM_MOD = 1 << 61
 
 
 def row_signature(terms: Sequence[tuple[Column, int]]) -> Column:
@@ -43,10 +55,20 @@ def row_signature(terms: Sequence[tuple[Column, int]]) -> Column:
     ``terms`` pairs a bigint column with a small co-prime weight. Weights
     keep column transpositions (a value moving between columns) from
     cancelling.
+
+    NULL handling: a NULL term maps to the sentinel residue ``SIG_MOD``
+    (unreachable by any non-null value, whose residue is strictly
+    between -SIG_MOD and SIG_MOD) — so a NULL is distinguishable from 0
+    and a row with a NULL column still contributes a non-NULL signature.
+    Without this, ``F.sum``/``F.bit_xor`` would silently skip the whole
+    row and a mutation in it would be invisible to both checksums while
+    counts still matched.
     """
     sig = F.lit(0).cast("long")
     for col, weight in terms:
-        sig = sig + (col.cast("long") % SIG_MOD) * F.lit(weight)
+        sig = sig + F.coalesce(
+            col.cast("long") % SIG_MOD, F.lit(SIG_MOD).cast("long")
+        ) * F.lit(weight)
     return sig
 
 
@@ -58,13 +80,21 @@ def bucket_digest(
     One partial-aggregated shuffle keyed by ``key % n_buckets``; the
     output is n_buckets rows no matter how large the input — the only
     thing two reconciling systems ever exchange.
+
+    The additive checksum sums in DECIMAL(38,0) (no int64 overflow at
+    any bucket size up to ~10^28 rows) and publishes ``SUM % 2^61`` as
+    int64 — the portable form any engine with 128-bit/decimal sums can
+    reproduce (DuckDB: ``(SUM(sig) % (1<<61))::BIGINT`` — its BIGINT
+    SUM is HUGEINT already).
     """
     return (
         df.select((key.cast("long") % n_buckets).alias("bucket"), sig.alias("sig"))
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum("sig").alias("sig_sum"),
+            (F.sum(F.col("sig").cast("decimal(38,0)")) % F.lit(SUM_MOD))
+            .cast("long")
+            .alias("sig_sum"),
             F.bit_xor("sig").alias("sig_xor"),
         )
     )

@@ -1424,22 +1424,45 @@ def edit_distance_pairs(
     Blocking recall caveat (documented, by design): an edit inside the
     first ``prefix_len`` chars moves a doc to a different block — the
     same prefix-locality trade every blocked record-linkage system
-    makes. Skew caveat: a corpus-wide boilerplate prefix makes one
-    block quadratic; pair with ``scrub_boilerplate`` upstream.
+    makes.
+
+    Skew guard (enforced, not advisory): the join key is
+    ``(prefix, length-bucket)`` — a corpus-wide boilerplate prefix no
+    longer collapses into ONE quadratic block; it splits across length
+    buckets of width ``max(max_len_diff, 1)``. Since
+    ``|len(a)-len(b)| <= max_len_diff`` implies the two buckets differ
+    by at most 1, the probe side explodes to its 3 adjacent buckets and
+    the join stays a pure equi-join (no pair can match twice: the build
+    bucket is fixed and the 3 probe values are distinct). Cost: 3× one
+    join input, bought back many times over on any skewed corpus;
+    pairing with ``scrub_boilerplate`` upstream remains good hygiene
+    but is no longer load-bearing.
 
     Emits ``(doc_a, doc_b, dist)`` with ``doc_a < doc_b``.
     """
+    # |len(a)-len(b)| <= dist always, so a length filter tighter than
+    # max_dist would silently drop TRUE pairs — clamp instead of trust
+    max_len_diff = max(max_len_diff, max_dist)
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     # spread BEFORE normalizing: the per-doc regex is the dense work
     # here (profiled: it dominates, not the blocked levenshtein), and a
     # single-file scan would run it one-core on both join sides
-    n = _spread(df.select(F.col(id_col).alias("doc"), F.col(text_col))).select(
-        "doc", norm.alias("t")
-    ).withColumn("blk", F.substring("t", 1, prefix_len))
-    a, b = n.alias("a"), n.alias("b")
+    lw = max(max_len_diff, 1)
+    n = (
+        _spread(df.select(F.col(id_col).alias("doc"), F.col(text_col)))
+        .select("doc", norm.alias("t"))
+        .withColumn("blk", F.substring("t", 1, prefix_len))
+        .withColumn("lbkt", (F.length("t") / lw).cast("int"))
+    )
+    a = n.alias("a")
+    b = n.withColumn(
+        "pbkt",
+        F.explode(F.array(F.col("lbkt") - 1, F.col("lbkt"), F.col("lbkt") + 1)),
+    ).alias("b")
     cand = a.join(
         b,
         (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.lbkt") == F.col("b.pbkt"))
         & (F.col("a.doc") < F.col("b.doc"))
         & (
             F.abs(F.length(F.col("a.t")) - F.length(F.col("b.t")))

@@ -3386,10 +3386,12 @@ def ext_time_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders WHERE o_orderkey % 501 <> 0
     ),
     da AS (SELECT bucket, COUNT(*)::BIGINT AS cnt,
-                  SUM(sig)::BIGINT AS sig_sum, bit_xor(sig)::BIGINT AS sig_xor
+                  (SUM(sig) % 2305843009213693952)::BIGINT AS sig_sum,
+                  bit_xor(sig)::BIGINT AS sig_xor
            FROM cur GROUP BY 1),
     db AS (SELECT bucket, COUNT(*)::BIGINT AS cnt,
-                  SUM(sig)::BIGINT AS sig_sum, bit_xor(sig)::BIGINT AS sig_xor
+                  (SUM(sig) % 2305843009213693952)::BIGINT AS sig_sum,
+                  bit_xor(sig)::BIGINT AS sig_xor
            FROM snap GROUP BY 1)
     SELECT COALESCE(da.bucket, db.bucket) AS bucket,
            da.cnt AS cnt_cur, db.cnt AS cnt_snap,

@@ -349,3 +349,75 @@ def test_prefix_index_is_smaller_than_full_index(spark, sf_dir):
         .first()
     )
     assert sizes["prefix"] < 0.3 * sizes["full"]
+
+
+def test_edit_distance_skew_guard_common_prefix(spark):
+    """Adversarial corpus: half the docs share one 16-char boilerplate
+    prefix. The (prefix, length-bucket) compound block must (a) keep
+    the result identical to brute-force all-pairs Levenshtein and
+    (b) actually split the shared-prefix block — no single candidate
+    cell holds all boilerplate docs (the quadratic failure the guard
+    exists to prevent)."""
+    import itertools
+
+    prefix = "terms of service "  # 17 chars -> first 16 shared
+    rows = []
+    for i in range(120):
+        if i % 2 == 0:
+            # shared prefix, widely varying tails (lengths spread far
+            # beyond one bucket of width max_dist=8)
+            body = f"clause {i} " + ("lorem ipsum " * (i % 30))
+            rows.append((i, prefix + body))
+        else:
+            rows.append((i, f"doc {i:04d} body number {i} with its own text"))
+    df = spark.createDataFrame(rows, "doc long, text string")
+
+    got = {
+        (r.doc_a, r.doc_b, r.dist)
+        for r in similarity.edit_distance_pairs(
+            df, "doc", "text", prefix_len=16, max_dist=8, max_len_diff=8
+        ).collect()
+    }
+
+    # brute force on the normalized text, restricted to same-prefix
+    # blocks (the operator's documented blocking semantics)
+    import re
+
+    norm = {i: re.sub(r"\s+", " ", t.lower()).strip() for i, t in rows}
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = set()
+    for x, y in itertools.combinations(sorted(norm), 2):
+        a, b = norm[x], norm[y]
+        if a[:16] != b[:16] or abs(len(a) - len(b)) > 8:
+            continue
+        d = lev(a, b)
+        if d <= 8:
+            want.add((x, y, d))
+    assert got == want
+
+    # the guard itself: per-(prefix, bucket) cell sizes stay bounded —
+    # the 60 boilerplate docs never land in one cell
+    cells = (
+        df.select(
+            F.substring(
+                F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), 1, 16
+            ).alias("blk"),
+            (F.length(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))) / 8)
+            .cast("int")
+            .alias("lbkt"),
+        )
+        .groupBy("blk", "lbkt")
+        .count()
+        .collect()
+    )
+    assert max(r["count"] for r in cells) < 30, "length bucketing must split the boilerplate block"
