@@ -100,3 +100,72 @@ def numeric_histogram(
             F.round(F.col("sum_cents") / 100.0 / F.col("n"), 4).alias("avg_v"),
         )
     )
+
+
+def strict_running_max_by_value(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "run_max",
+    n_ranges: int = 256,
+) -> DataFrame:
+    """Scalable strict-preceding running max: for every row, the max of
+    ``value_col`` over all rows with a strictly GREATER ``order_col``
+    (descending-order "everything before me"), without the
+    single-task ``Window.orderBy(...)`` global sort.
+
+    Requires ``order_col`` values to be distinct numeric (the caller's
+    rows are usually already a groupBy on ``order_col``) — then the
+    "preceding" set is value-defined and needs no global row ordering.
+
+    Two-phase, the ``ordered_positions`` shape (sampling.py): phase 1
+    buckets ``order_col`` into ``n_ranges`` equal-width ranges and
+    aggregates max(value) per range (output ≤ n_ranges rows); the
+    driver suffix-maxes ONLY those (the max over all ranges ABOVE each
+    range) and broadcasts the result. Phase 2 hash-partitions by range
+    id — never one task — and computes the within-range strict running
+    max with a PARTITIONED window, combining it with the broadcast
+    cross-range max. Nothing data-sized touches the driver, and the
+    plan's only exchanges are one hash shuffle + one broadcast.
+
+    The eager min/max + per-range-max passes are aggregate-sized
+    map-side-combined scans of ``df``; cache ``df`` upstream if it is
+    itself expensive to recompute.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    vtype = df.schema[value_col].dataType.simpleString()
+    lo, hi = df.agg(F.min(order_col), F.max(order_col)).first()
+    if lo is None:
+        return df.withColumn(out_col, F.lit(None).cast(vtype))
+    width = max(1, (int(hi) - int(lo)) // n_ranges + 1)
+    rng = ((F.col(order_col) - F.lit(int(lo))) / width).cast("int")
+
+    range_max = {
+        r["_r"]: r["_m"]
+        for r in df.groupBy(rng.alias("_r"))
+        .agg(F.max(value_col).alias("_m"))
+        .collect()
+    }
+    # suffix max over STRICTLY higher ranges, descending walk
+    above, acc = [], None
+    for r in sorted(range_max, reverse=True):
+        above.append((r, acc))
+        acc = range_max[r] if acc is None else max(acc, range_max[r])
+    off_df = spark.createDataFrame(above, f"_rng int, _above {vtype}")
+
+    w = (
+        Window.partitionBy("_rng")
+        .orderBy(F.col(order_col).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = F.max(value_col).over(w)
+    # greatest() skips NULLs: local is NULL on each range's first row,
+    # _above is NULL for the globally-highest range
+    return (
+        df.withColumn("_rng", rng)
+        .join(F.broadcast(off_df), "_rng")
+        .withColumn(out_col, F.greatest(local, F.col("_above")))
+        .drop("_rng", "_above")
+    )

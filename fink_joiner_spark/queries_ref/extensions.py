@@ -3299,12 +3299,14 @@ def ext_tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "2-D skyline (Pareto frontier) of orders over (price, recency): a "
     "point survives iff no other point strictly dominates it in both "
     "dims. Collapse to distinct-price maxima first (aggregate-sized), "
-    "then one strict running-max window — O(n log n), no pairwise "
-    "dominance join; at 100 TB the price collapse is the only "
+    "then a strict running max via the two-phase range-offset pattern "
+    "(strict_running_max_by_value) — partitioned windows only, no "
+    "single-task global sort even when the distinct-price set is "
+    "millions of rows; at 100 TB the price collapse is the only "
     "data-sized pass",
 )
 def ext_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from fink_joiner_spark.operators.aggregates import strict_running_max_by_value
 
     o = table(spark, sf_dir, "orders")
     pts = (
@@ -3315,10 +3317,7 @@ def ext_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("price_c")
         .agg(F.max("d_us").alias("dmax"))
     )
-    w = Window.orderBy(F.col("price_c").desc()).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    ranked = pts.withColumn("run_max", F.max("dmax").over(w))
+    ranked = strict_running_max_by_value(pts, "price_c", "dmax")
     # >= not >: a point tying the best y among higher-x points is not
     # STRICTLY dominated (caught by the brute-force equivalence test)
     return ranked.where(

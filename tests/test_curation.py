@@ -197,10 +197,14 @@ def test_and_search_requires_every_term(spark):
 
 
 def test_skyline_equals_bruteforce_dominance(spark):
-    import itertools
+    """The production strict-running-max (two-phase range-offset, the
+    path ext_skyline_2d uses) must reproduce brute-force pairwise
+    dominance — including with n_ranges larger, equal to, and smaller
+    than the distinct-x cardinality (empty ranges, single-row ranges,
+    everything in one range)."""
     import random
 
-    from pyspark.sql import Window
+    from fink_joiner_spark.operators.aggregates import strict_running_max_by_value
 
     rnd = random.Random(7)
     pts = [(rnd.randrange(0, 40), rnd.randrange(0, 40)) for _ in range(120)]
@@ -216,14 +220,25 @@ def test_skyline_equals_bruteforce_dominance(spark):
     df = spark.createDataFrame(pts, "x long, y long").groupBy("x").agg(
         F.max("y").alias("ymax")
     )
-    w = Window.orderBy(F.col("x").desc()).rowsBetween(Window.unboundedPreceding, -1)
-    got = {
-        (r["x"], r["ymax"])
-        for r in df.withColumn("rm", F.max("ymax").over(w))
-        .where(F.col("rm").isNull() | (F.col("ymax") >= F.col("rm")))
-        .collect()
-    }
-    assert got == want
+    for n_ranges in (1, 7, 40, 256):
+        ranked = strict_running_max_by_value(
+            df, "x", "ymax", out_col="rm", n_ranges=n_ranges
+        )
+        got = {
+            (r["x"], r["ymax"])
+            for r in ranked.where(
+                F.col("rm").isNull() | (F.col("ymax") >= F.col("rm"))
+            ).collect()
+        }
+        assert got == want, n_ranges
+
+
+def test_strict_running_max_empty_input(spark):
+    from fink_joiner_spark.operators.aggregates import strict_running_max_by_value
+
+    df = spark.createDataFrame([], "x long, y long")
+    out = strict_running_max_by_value(df, "x", "y")
+    assert out.count() == 0 and "run_max" in out.columns
 
 
 def test_and_search_duplicate_query_terms(spark):

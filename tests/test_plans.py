@@ -360,3 +360,13 @@ def test_token_entropy_is_partial_aggregated_codegen(spark, sf_dir):
     assert plans.count_shuffles(df) <= 2, plans.formatted_plan(df)
     plans.asserts_column_pruned(df, "doc_id", max_cols=2)
     plans.asserts_whole_stage_codegen(df)
+
+
+def test_skyline_no_single_partition_window(spark, sf_dir):
+    """ext_skyline_2d's running max must plan PARTITIONED windows only:
+    no SinglePartition exchange anywhere (the r4 version funneled the
+    whole distinct-price set through one task)."""
+    df = _q("ext_skyline_2d", spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "SinglePartition" not in plan, plan
+    assert "Window" in plan, plan
