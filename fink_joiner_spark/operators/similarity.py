@@ -668,61 +668,59 @@ def train_ivf_centroids(
     vec_col: str,
     n_cells: int = 16,
     n_iters: int = 3,
+    train_max: int = 65536,
 ) -> DataFrame:
     """Train an IVF codebook with deterministic Lloyd iterations
     (spherical k-means shape: cosine assignment, element-wise mean
-    update — the un-normalized mean ranks identically under cosine).
+    update — the un-normalized mean ranks identically under cosine),
+    driver-side over a bounded md5-ordered training sample.
 
-    Per iteration: ONE broadcast assignment pass (no shuffle — the k×d
-    codebook is driver-sized, like MLlib's KMeans) and ONE partial-agg
-    shuffle for the element-wise means (``posexplode`` → per-(cell,pos)
-    avg — never ``collect_list`` of whole vectors). Only the k new
-    centroids are collected per iteration, rounded to 6 dp so float
-    summation order can't leak into assignments; empty cells keep their
-    previous centroid. Seeding is md5-of-id (reproducible, no RNG).
+    Same posture as :func:`train_pq_codebooks`: k-means codebooks are
+    always trained on a bounded sample (FAISS does exactly this), so
+    the collect is O(train_max · d) at ANY corpus size, while the
+    corpus-sized passes (cell assignment of the full index, probing,
+    scoring) remain distributed. The round-4 per-iteration Spark jobs
+    spent their wall time building codebook-literal expression trees,
+    not crunching data.
+
+    Semantics preserved: seeds are the ``n_cells`` vectors with the
+    lowest md5-of-id (the old ``_seed_centroids`` choice, re-keyed
+    0..n_cells-1); assignment maximizes dot(x, c)/‖c‖ with ties to the
+    lowest cell id (matching ``_nearest_cells``'s (score, cell_id)
+    sort); means are element-wise, rounded to 6 dp per iteration;
+    empty cells keep their previous centroid. Early-stops when an
+    iteration moves no centroid after rounding.
 
     Returns a (cell_id bigint, centroid array<double>) DataFrame for
     :func:`topk_ivf`'s ``centroids`` parameter.
     """
+    import numpy as np
+
     spark = df.sparkSession
-    c = _spread(df).select(
-        F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")
-    ).cache()
-    try:
-        # re-key cells 0..n_cells-1: codebook ids are positional, not ids
-        cents = [
-            (i, [round(float(x), 6) for x in r["centroid"]])
-            for i, r in enumerate(_seed_centroids(c, n_cells).collect())
-        ]
-        for _ in range(n_iters):
-            cells_df = spark.createDataFrame(
-                cents, schema="cell_id bigint, centroid array<double>"
-            )
-            cells_arr = _cells_arr(cells_df)
-            assigned = c.crossJoin(F.broadcast(cells_arr)).select(
-                "nvec",
-                F.element_at(_nearest_cells(F.col("nvec"), 1), 1).alias("cell"),
-            )
-            means = (
-                assigned.select(
-                    "cell", F.posexplode("nvec").alias("pos", "val")
-                )
-                .groupBy("cell", "pos")
-                .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("m"))
-            )
-            new = means.groupBy("cell").agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s["m"],
-                ).alias("centroid")
-            )
-            updated = {
-                int(r["cell"]): [float(x) for x in r["centroid"]]
-                for r in new.collect()
-            }
-            cents = [(cid, updated.get(cid, vec)) for cid, vec in cents]
-    finally:
-        c.unpersist()
+    rows = (
+        df.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"))
+        .withColumn("h", F.md5(F.col("nid").cast("string")))
+        .orderBy("h")
+        .limit(max(train_max, n_cells))
+        .select("nvec")
+        .collect()
+    )
+    X = np.asarray([[float(x) for x in r["nvec"]] for r in rows], dtype=np.float64)
+    C = np.round(X[:n_cells], 6).copy()
+    for _ in range(n_iters):
+        norms = np.sqrt((C ** 2).sum(axis=1))
+        norms[norms == 0.0] = 1.0  # degenerate all-zero centroid
+        scores = (X @ C.T) / norms[None, :]
+        assign = scores.argmax(axis=1)  # first occurrence = lowest cell id
+        new_c = C.copy()
+        for cell in range(len(C)):
+            members = X[assign == cell]
+            if len(members):
+                new_c[cell] = np.round(members.mean(axis=0), 6)
+        if np.array_equal(new_c, C):
+            break
+        C = new_c
+    cents = [(i, [float(v) for v in row]) for i, row in enumerate(C)]
     return spark.createDataFrame(cents, schema="cell_id bigint, centroid array<double>")
 
 
@@ -856,66 +854,58 @@ def train_pq_codebooks(
     m: int,
     n_codes: int,
     n_iters: int,
+    train_max: int = 65536,
 ) -> list[list[list[float]]]:
     """Train per-subspace PQ codebooks with deterministic Lloyd
-    iterations (distributed; only the m·n_codes·sub codebook floats
-    ever reach the driver).
+    iterations over a bounded md5-ordered training sample, driver-side
+    (the FAISS training posture: codebooks train on a bounded sample —
+    O(train_max · d) floats — while every corpus-sized pass (encode,
+    LUT scoring, re-rank) stays distributed. The round-4 form ran each
+    Lloyd iteration as a Spark job; with codebook-literal expression
+    trees the wall time was dominated by plan construction, not data —
+    and at 100 TB a codebook trainer would still sample ~64k vectors,
+    so the bounded collect IS the scale design, not a shortcut).
 
-    ``c`` must have columns (nid, nvec). Seeding: the ``n_codes``
-    corpus vectors with the lowest md5-of-id, sliced per subspace.
-    Per iteration: ONE corpus pass assigns every vector its nearest
-    code per subspace (codebook as a literal array — no shuffle), then
-    ONE partial-agg shuffle computes per-(subspace, code, position)
-    means via a single ``posexplode`` of the full vector (subspace =
-    pos // sub). Means are rounded to 6 dp so float summation order
-    can't leak into the next assignment; empty codes keep their
-    previous centroid.
-
-    The vector dimensionality (hence the subspace width) is read from
-    the seed vectors themselves — no extra dims-probe job. ``c`` should
-    be cached by the caller: each iteration re-scans it (seed collect +
-    n_iters assignment/mean passes), mirroring ``train_ivf_centroids``.
+    ``c`` must have columns (nid, nvec). Semantics preserved from the
+    distributed form: the sample is the ``train_max`` corpus vectors
+    with the lowest md5-of-id (``TakeOrderedAndProject`` — no global
+    sort) and the first ``n_codes`` of them are the seeds (identical
+    to the old ``_seed_centroids`` choice); assignment is nearest code
+    per subspace with ties to the lowest code index (matching the
+    ``_pq_codes`` struct-fold ``<``); means are rounded to 6 dp per
+    iteration; empty codes keep their previous centroid. Early-stops
+    when an iteration moves no centroid after rounding.
     """
-    seeds = [
-        [round(float(x), 6) for x in r["nvec"]]
-        for r in c.withColumn("h", F.md5(F.col("nid").cast("string")))
+    import numpy as np
+
+    rows = (
+        c.withColumn("h", F.md5(F.col("nid").cast("string")))
         .orderBy("h")
-        .limit(n_codes)
+        .limit(max(train_max, n_codes))
+        .select("nvec")
         .collect()
-    ]
-    dims = len(seeds[0])
+    )
+    X = np.asarray([[float(x) for x in r["nvec"]] for r in rows], dtype=np.float64)
+    dims = X.shape[1]
     if dims % m != 0:
         raise ValueError(f"dims {dims} not divisible by m={m} subspaces")
     sub = dims // m
-    cb = [[vec[j * sub : (j + 1) * sub] for vec in seeds] for j in range(m)]
-    for _ in range(n_iters):
-        ex = (
-            c.select(_pq_codes("nvec", _cb_literal(cb), sub).alias("codes"), "nvec")
-            .select("codes", F.posexplode("nvec").alias("pos", "val"))
-            .select(
-                (F.col("pos") / sub).cast("int").alias("j"),
-                (F.col("pos") % sub).alias("spos"),
-                F.col("val").cast("double").alias("val"),
-                F.col("codes"),
-            )
-            .select(
-                "j", "spos", "val",
-                F.element_at("codes", F.col("j") + 1).alias("code"),
-            )
-        )
-        means = (
-            ex.groupBy("j", "code", "spos")
-            .agg(F.round(F.avg("val"), 6).alias("mval"))
-            .collect()
-        )
-        updated: dict[tuple[int, int], dict[int, float]] = {}
-        for r in means:
-            updated.setdefault((r["j"], r["code"]), {})[r["spos"]] = r["mval"]
-        for j in range(m):
+    cb: list[list[list[float]]] = []
+    for j in range(m):
+        S = X[:, j * sub : (j + 1) * sub]
+        C = np.round(S[:n_codes], 6).copy()
+        for _ in range(n_iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            new_c = C.copy()
             for code in range(n_codes):
-                got = updated.get((j, code))
-                if got is not None:
-                    cb[j][code] = [got[p] for p in range(sub)]
+                members = S[assign == code]
+                if len(members):
+                    new_c[code] = np.round(members.mean(axis=0), 6)
+            if np.array_equal(new_c, C):
+                break
+            C = new_c
+        cb.append([[float(v) for v in row] for row in C])
     return cb
 
 
