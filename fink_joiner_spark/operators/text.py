@@ -659,3 +659,71 @@ def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ),
         )
     )
+
+
+def duplicated_spans(
+    df: DataFrame, id_col: str, text_col: str, min_len: int = 40
+) -> DataFrame:
+    """Maximal exactly-duplicated character spans of length >= ``min_len``
+    — the true exact-substring dedup pass (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"), at
+    character granularity with stride-1 fingerprint grams instead of a
+    monolithic suffix array.
+
+    Guarantee: a substring duplicated anywhere in the corpus (across
+    docs OR repeated within one doc) is reported iff its length is
+    >= ``min_len``, as the maximal span of duplicated-gram start
+    positions: every length-``min_len`` window of a longer duplicated
+    substring is itself duplicated, so consecutive duplicated-gram
+    positions merge into exactly the maximal span.
+
+    Plan: explode start positions (sequence 1..len-L+1), fingerprint
+    each L-gram with md5 (128-bit — cross-engine, collision-free in
+    practice; grouping ships 32 hex chars per position, never the
+    gram), ONE groupBy(gram) occurrence count with map-side combine,
+    one keyed join back, then a PER-DOC window (lag -> break flag ->
+    running span id) to merge adjacent positions. Shuffle volume is
+    ~32 bytes x corpus chars — the known cost of fingerprint-gram
+    dedup; the suffix-array equivalent is ~8 bytes/char but needs a
+    global sort. A winnowing/minimizer selection (Schleimer et al.
+    2003) would drop the constant to ~32/w with a (min_len + w - 1)
+    length guarantee — the documented next step if gram volume ever
+    dominates. The per-doc window partitions on doc_id (bounded by doc
+    length), never globally.
+
+    Emits ``(doc_id, span_start, span_len)``, 1-based start, one row
+    per maximal duplicated span.
+    """
+    from pyspark.sql import Window
+
+    from fink_joiner_spark.operators.similarity import _spread
+
+    d = _spread(df).select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("t")
+    ).where(F.length("t") >= min_len)
+    grams = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("t") - (min_len - 1))).alias("pos"),
+        "t",
+    ).select(
+        "doc_id", "pos", F.md5(F.substring("t", F.col("pos"), F.lit(min_len))).alias("g")
+    )
+    occ = grams.groupBy("g").agg(F.count(F.lit(1)).alias("n_occ"))
+    hits = grams.join(occ.where(F.col("n_occ") >= 2), "g").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.lag("pos").over(w).isNull() | (F.col("pos") - F.lag("pos").over(w) > 1), 1
+    ).otherwise(0)
+    run = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        hits.withColumn("brk", brk)
+        .withColumn("span_id", F.sum("brk").over(run))
+        .groupBy("doc_id", "span_id")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") - F.min("pos") + min_len).cast("long").alias("span_len"),
+        )
+        .select("doc_id", "span_start", "span_len")
+    )

@@ -3493,3 +3493,44 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", prefix_len=16, max_dist=16, max_len_diff=16
     )
     return pairs.select("doc_a", "doc_b", F.col("dist").cast("long").alias("dist"))
+
+
+@register(
+    "text_exact_dup_spans",
+    """
+    WITH grams AS (
+      SELECT doc_id, x.i AS pos, substr(t, x.i, 40) AS g
+      FROM (SELECT doc_id, text AS t,
+                   unnest([{'i': i} FOR i IN generate_series(1, length(text) - 39)]) AS x
+            FROM documents WHERE length(text) >= 40)
+    ),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
+    hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+    flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 1
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    sid AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS span_id
+      FROM flagged
+    )
+    SELECT doc_id, MIN(pos)::BIGINT AS span_start,
+           (MAX(pos) - MIN(pos) + 40)::BIGINT AS span_len
+    FROM sid GROUP BY doc_id, span_id
+    """,
+    "maximal exactly-duplicated character spans >= 40 chars (Lee et "
+    "al. 2022 exact-substring dedup, stride-1 fingerprint grams "
+    "instead of a suffix array): explode start positions, md5 L-gram "
+    "fingerprints, one occurrence-count shuffle, one join back, "
+    "per-doc windows to merge adjacent positions into maximal spans",
+)
+def text_exact_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import text as txt
+
+    docs = table(spark, sf_dir, "documents")
+    return txt.duplicated_spans(docs, "doc_id", "text", min_len=40)

@@ -269,3 +269,32 @@ def test_prefix_jaccard_float_hostile_threshold(spark):
         (r["id_a"], r["id_b"]) for r in similarity.jaccard_pairs_prefix(df, "doc_id", "text", 3, 0.7).collect()
     }
     assert plain == pref == {(1, 2)}
+
+
+def test_duplicated_spans_maximal_merge_and_intra_doc(spark):
+    """A 12-char duplicated substring at L=10 must emit ONE maximal
+    span of len 12 (positions 1..3 merged), intra-doc repeats count,
+    and docs shorter than L never appear."""
+    from fink_joiner_spark.operators import text as text_ops
+
+    rows = [
+        (1, "ABCDEFGHIJKLxxxxxx"),          # dup of doc 2's middle
+        (2, "yyABCDEFGHIJKLyy"),
+        (3, "PQRSTUVWXYZ0PQRSTUVWXYZ0"),    # intra-doc repeat, len 12
+        (4, "short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.span_start, r.span_len)
+        for r in text_ops.duplicated_spans(df, "doc_id", "text", min_len=10).collect()
+    }
+    # doc 3: the 12-char unit repeats at pos 1 and 13; only windows
+    # fully inside a repeated occurrence are duplicated (starts 1-3
+    # match starts 13-15), so two maximal 12-char spans — the middle
+    # straddling windows are unique
+    assert got == {
+        (1, 1, 12),
+        (2, 3, 12),
+        (3, 1, 12),
+        (3, 13, 12),
+    }
