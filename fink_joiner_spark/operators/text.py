@@ -727,3 +727,102 @@ def duplicated_spans(
         )
         .select("doc_id", "span_start", "span_len")
     )
+
+
+def winnowed_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    gram_len: int = 20,
+    window: int = 8,
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken
+    2003 — the MOSS algorithm): from each doc's stride-1 character
+    L-gram hashes, select the minimum of every ``window`` consecutive
+    grams. Guarantee: two docs sharing a substring of length >=
+    ``gram_len + window - 1`` share at least one SELECTED fingerprint,
+    at ~2/(window+1) the density of keeping every gram — this is the
+    constant-factor knob :func:`duplicated_spans` documents as its
+    scale path.
+
+    Tie-and-parity details (pinned so a DuckDB oracle reproduces the
+    selection bit-for-bit): the per-window choice minimizes the STRING
+    ``fp_hex || lpad(pos, 10, '0')`` — i.e. lowest fingerprint, then
+    lowest position — and trailing windows truncate at the doc end
+    (each start position q in 1..n_grams owns the window
+    [q, min(q+window-1, n_grams)]; short docs with fewer than
+    ``window`` grams still select their global minimum, keeping the
+    guarantee for every doc that can contain a match).
+
+    Plan: explode + hash is scan-resident; the selection is ONE
+    per-doc window pass (partitioned by doc_id, bounded by doc
+    length); the ``distinct`` collapses the ~window-fold overlap
+    before anything shuffles downstream. Emits (doc_id, pos, fp).
+    """
+    from pyspark.sql import Window
+
+    from fink_joiner_spark.operators.similarity import _spread
+
+    d = _spread(df).select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("t")
+    ).where(F.length("t") >= gram_len)
+    grams = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("t") - (gram_len - 1))).alias("pos"),
+        "t",
+    ).select(
+        "doc_id",
+        "pos",
+        F.substring(F.md5(F.substring("t", F.col("pos"), F.lit(gram_len))), 1, 16).alias("h"),
+    )
+    key = F.concat(F.col("h"), F.lpad(F.col("pos").cast("string"), 10, "0"))
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
+    sel = (
+        grams.withColumn("k", F.min(key).over(w))
+        .select(
+            "doc_id",
+            F.substring("k", 17, 10).cast("long").alias("pos"),
+            F.substring("k", 1, 16).alias("fp"),
+        )
+        .distinct()
+    )
+    return sel
+
+
+def winnowing_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    gram_len: int = 20,
+    window: int = 8,
+    min_shared: int = 3,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """MOSS-style near-dup doc pairs: docs sharing >= ``min_shared``
+    winnowed fingerprints, with the shared count as the score.
+
+    Candidate generation is a keyed join on the selected fingerprints
+    only (~2/(window+1) of gram volume — never all-pairs, never the
+    full gram set). ``max_doc_freq`` optionally drops ultra-common
+    fingerprints (corpus boilerplate) before the pair join — the same
+    posting-list cap every plagiarism/dedup index applies; None keeps
+    everything (the hash-oracle configuration).
+
+    Emits (doc_a, doc_b, n_shared) with doc_a < doc_b.
+    """
+    fp = winnowed_fingerprints(df, id_col, text_col, gram_len, window)
+    u = fp.select("doc_id", "fp").distinct()
+    if max_doc_freq is not None:
+        keep = u.groupBy("fp").agg(F.count(F.lit(1)).alias("_df")).where(
+            F.col("_df") <= max_doc_freq
+        )
+        u = u.join(keep.select("fp"), "fp")
+    a = u.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = u.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

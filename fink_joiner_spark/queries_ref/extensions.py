@@ -3534,3 +3534,42 @@ def text_exact_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return txt.duplicated_spans(docs, "doc_id", "text", min_len=40)
+
+
+@register(
+    "dedup_winnowing_pairs",
+    """
+    WITH grams AS (
+      SELECT doc_id, x.i AS pos,
+             substr(md5(substr(t, x.i, 20)), 1, 16) AS h
+      FROM (SELECT doc_id, text AS t,
+                   unnest([{'i': i} FOR i IN generate_series(1, length(text) - 19)]) AS x
+            FROM documents WHERE length(text) >= 20)
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id,
+             substr(k, 1, 16) AS fp
+      FROM (SELECT doc_id,
+                   min(h || lpad(pos::VARCHAR, 10, '0'))
+                     OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS k
+            FROM grams)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::BIGINT AS n_shared
+    FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 3
+    """,
+    "winnowing (MOSS) near-dup pairs: per-doc window-min fingerprint "
+    "selection at ~2/(w+1) gram density, then a keyed join on selected "
+    "fingerprints only — detection guaranteed for shared substrings "
+    ">= gram_len + window - 1 = 27 chars; the scale knob documented "
+    "by text_exact_dup_spans, exercised end-to-end",
+)
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import text as txt
+
+    docs = table(spark, sf_dir, "documents")
+    return txt.winnowing_pairs(
+        docs, "doc_id", "text", gram_len=20, window=8, min_shared=3
+    )

@@ -298,3 +298,34 @@ def test_duplicated_spans_maximal_merge_and_intra_doc(spark):
         (3, 1, 12),
         (3, 13, 12),
     }
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """Schleimer et al. guarantee: docs sharing a substring of length
+    >= gram_len + window - 1 MUST share a selected fingerprint — for
+    every alignment of the shared block. Density: selection keeps
+    roughly 2/(w+1) of grams, far under 1."""
+    from fink_joiner_spark.operators import text as text_ops
+
+    import random
+
+    rnd = random.Random(11)
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789 "
+    shared = "".join(rnd.choice(alpha) for _ in range(27))  # 20 + 8 - 1
+    rows = []
+    for i in range(30):
+        pre = "".join(rnd.choice(alpha) for _ in range(rnd.randrange(0, 60)))
+        post = "".join(rnd.choice(alpha) for _ in range(rnd.randrange(0, 60)))
+        rows.append((i, pre + shared + post))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = text_ops.winnowed_fingerprints(df, "doc_id", "text", gram_len=20, window=8)
+    sel = {}
+    for r in fp.collect():
+        sel.setdefault(r.doc_id, set()).add(r.fp)
+    for i in range(30):
+        for j in range(i + 1, 30):
+            assert sel[i] & sel[j], (i, j)
+
+    n_sel = sum(len(v) for v in sel.values())
+    n_grams = sum(len(t) - 19 for _, t in rows)
+    assert n_sel / n_grams < 0.55  # well under keeping every gram
