@@ -3573,3 +3573,81 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt.winnowing_pairs(
         docs, "doc_id", "text", gram_len=20, window=8, min_shared=3
     )
+
+
+@register(
+    "ext_tpch_q6_forecast",
+    """
+    SELECT COUNT(*)::BIGINT AS n_lines,
+           ROUND(SUM(floor(l_extendedprice * 100 + 0.5)::BIGINT
+                     * floor(l_discount * 100 + 0.5)::BIGINT)::BIGINT
+                 / 10000.0, 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    "TPC-H Q6 (forecasting revenue change): pure scan-resident filter "
+    "+ global agg — every predicate pushes to the parquet scan, the "
+    "revenue term is an exact integer cents x basis-points product so "
+    "reduction order can't flip the hash; the canonical predicate-"
+    "pushdown showcase",
+)
+def ext_tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    bp = F.floor(F.col("l_discount") * 100 + 0.5).cast("long")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(cents * bp) / 10000.0, 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "ext_tpch_q17_small_qty",
+    """
+    WITH pa AS (
+      SELECT l_partkey, AVG(l_quantity) AS avg_qty FROM lineitem GROUP BY 1
+    )
+    SELECT COUNT(*)::BIGINT AS n_lines,
+           ROUND(SUM(floor(l.l_extendedprice * 100 + 0.5)::BIGINT)::BIGINT
+                 / 100.0 / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#4' AND p.p_size <= 15
+      AND l.l_quantity < 0.5 * pa.avg_qty
+    """,
+    "TPC-H Q17 (small-quantity-order revenue): the correlated "
+    "sub-average decorrelated into ONE per-partkey aggregate joined "
+    "back (the plan Catalyst's decorrelation would produce), part dim "
+    "broadcast; AVG over integral quantities is order-exact in IEEE "
+    "so the threshold comparison is engine-stable",
+)
+def ext_tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").where(
+        (F.col("p_brand") == "Brand#4") & (F.col("p_size") <= 15)
+    )
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(pa, li.l_partkey == F.col("pk"))
+        .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(cents) / 100.0 / 7.0, 2).alias("avg_yearly"),
+        )
+    )
