@@ -169,3 +169,56 @@ def strict_running_max_by_value(
         .withColumn(out_col, F.greatest(local, F.col("_above")))
         .drop("_rng", "_above")
     )
+
+
+def running_sum_by_value(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "run_sum",
+    n_ranges: int = 256,
+) -> DataFrame:
+    """Scalable INCLUSIVE global prefix sum: for every row, the sum of
+    ``value_col`` over all rows with ``order_col`` <= this row's —
+    without the single-task ``Window.orderBy(...)`` global sort.
+    Requires distinct numeric ``order_col`` values (use a dense
+    position column, e.g. ``sampling.shuffle_positions``).
+
+    Same two-phase skeleton as :func:`strict_running_max_by_value`:
+    per-range sums to the driver (<= n_ranges rows), prefix-summed
+    over LOWER ranges, broadcast back; a hash-partitioned window
+    completes the sum inside each range. The driver never sees a row.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    lo, hi = df.agg(F.min(order_col), F.max(order_col)).first()
+    if lo is None:
+        return df.withColumn(out_col, F.lit(None).cast("long"))
+    width = max(1, (int(hi) - int(lo)) // n_ranges + 1)
+    rng = ((F.col(order_col) - F.lit(int(lo))) / width).cast("int")
+
+    range_sum = {
+        r["_r"]: r["_s"]
+        for r in df.groupBy(rng.alias("_r"))
+        .agg(F.sum(F.col(value_col).cast("long")).alias("_s"))
+        .collect()
+    }
+    below, acc = [], 0
+    for r in sorted(range_sum):
+        below.append((r, acc))
+        acc += range_sum[r] or 0
+    off_df = spark.createDataFrame(below, "_rng int, _below long")
+
+    w = (
+        Window.partitionBy("_rng")
+        .orderBy(F.col(order_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = F.sum(F.col(value_col).cast("long")).over(w)
+    return (
+        df.withColumn("_rng", rng)
+        .join(F.broadcast(off_df), "_rng")
+        .withColumn(out_col, F.coalesce(local, F.lit(0)) + F.col("_below"))
+        .drop("_rng", "_below")
+    )

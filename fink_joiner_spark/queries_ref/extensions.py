@@ -3651,3 +3651,45 @@ def ext_tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(cents) / 100.0 / 7.0, 2).alias("avg_yearly"),
         )
     )
+
+
+@register(
+    "ext_token_budget_head",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> ''))::BIGINT AS n_tokens,
+             (ROW_NUMBER() OVER (
+                ORDER BY md5(CAST(doc_id AS VARCHAR) || 'ep0'), doc_id
+              ) - 1)::BIGINT AS pos
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, pos, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, pos, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= 12000
+    """,
+    "token-budget epoch head: deterministic md5 shuffle order, "
+    "inclusive global prefix sum of per-doc token counts via the "
+    "two-phase range-offset pattern (running_sum_by_value — "
+    "partitioned windows + 256 driver prefix sums, never a one-task "
+    "global sort), keep docs while the running total fits the budget "
+    "— how an epoch of fixed token size is cut from a shuffled corpus",
+)
+def ext_token_budget_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import sampling, text as txt
+    from fink_joiner_spark.operators.aggregates import running_sum_by_value
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(txt.tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    pos = sampling.shuffle_positions(docs, "doc_id", salt="ep0")
+    cum = running_sum_by_value(pos, "pos", "n_tokens", out_col="cum_tokens")
+    return cum.where(F.col("cum_tokens") <= 12000).select(
+        "doc_id", "pos", "n_tokens", "cum_tokens"
+    )

@@ -329,3 +329,33 @@ def test_winnowing_guarantee_and_density(spark):
     n_sel = sum(len(v) for v in sel.values())
     n_grams = sum(len(t) - 19 for _, t in rows)
     assert n_sel / n_grams < 0.55  # well under keeping every gram
+
+
+def test_running_sum_matches_naive_cumsum(spark):
+    from fink_joiner_spark.operators.aggregates import running_sum_by_value
+
+    import random
+
+    rnd = random.Random(3)
+    rows = [(i, rnd.randrange(0, 500)) for i in range(400)]
+    df = spark.createDataFrame(rows, "pos long, v long")
+    for n_ranges in (1, 13, 400):
+        got = {
+            r.pos: r.run_sum
+            for r in running_sum_by_value(df, "pos", "v", n_ranges=n_ranges).collect()
+        }
+        acc, want = 0, {}
+        for p, v in sorted(rows):
+            acc += v
+            want[p] = acc
+        assert got == want, n_ranges
+
+
+def test_token_budget_head_no_single_partition(spark, sf_dir):
+    from fink_joiner_spark import plans
+    from fink_joiner_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    df = REGISTRY["ext_token_budget_head"].fn(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "SinglePartition" not in plan, plan
