@@ -3693,3 +3693,87 @@ def ext_token_budget_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cum.where(F.col("cum_tokens") <= 12000).select(
         "doc_id", "pos", "n_tokens", "cum_tokens"
     )
+
+
+_RRF_ORACLE = f"""
+WITH bm AS ({_BM25_ORACLE}),
+bm_top AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r_bm
+  FROM bm QUALIFY r_bm <= 100
+),
+qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+cos AS (
+  SELECT vec_id AS doc_id, ROUND({_dd_cosine('embedding', 'q')}, 4) AS cscore
+  FROM embeddings, qv WHERE vec_id <> 0
+),
+cos_top AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cscore DESC, doc_id) AS r_cos
+  FROM cos QUALIFY r_cos <= 100
+),
+fused AS (
+  SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+         b.r_bm::BIGINT AS r_bm, c.r_cos::BIGINT AS r_cos,
+         ROUND(COALESCE(1.0 / (60 + b.r_bm), 0.0)
+               + COALESCE(1.0 / (60 + c.r_cos), 0.0), 6) AS rrf
+  FROM bm_top b FULL OUTER JOIN cos_top c ON b.doc_id = c.doc_id
+)
+SELECT doc_id, r_bm, r_cos, rrf
+FROM fused QUALIFY ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) <= 20
+"""
+
+
+@register(
+    "ext_hybrid_search_rrf",
+    _RRF_ORACLE,
+    "hybrid retrieval with reciprocal-rank fusion (Cormack et al. "
+    "2009, the RAG-stack standard): BM25 top-100 for a fixed term set "
+    "fused with cosine top-100 against a fixed query embedding via "
+    "1/(60+rank) — each arm is a TakeOrderedAndProject (per-partition "
+    "top-N + merge, no global sort); only the two bounded 100-row "
+    "shortlists meet the rank windows and the fusion join. Arithmetic "
+    "is engine-exact: integer-micropoint BM25, 4dp-rounded fold "
+    "cosine, fixed-order double fusion sum",
+)
+def ext_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from fink_joiner_spark.operators import scoring, similarity
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+
+    bm = scoring.bm25_scores(
+        docs, "doc_id", "text", ["join", "filter", "window"], k1=1.2, b=0.75
+    )
+    # TakeOrderedAndProject shortlist, THEN rank the bounded 100 rows —
+    # the window's SinglePartition input is the limit's output, never
+    # the corpus
+    bm_top = bm.orderBy(F.col("score").desc(), "doc_id").limit(100)
+    wb = Window.orderBy(F.col("score").desc(), "doc_id")
+    bm_r = bm_top.select(
+        "doc_id", F.row_number().over(wb).cast("long").alias("r_bm")
+    )
+
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    cos = emb.where(F.col("vec_id") != 0).select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(similarity.cosine(F.col("embedding"), qlit), 4).alias("cscore"),
+    )
+    cos_top = cos.orderBy(F.col("cscore").desc(), "doc_id").limit(100)
+    wc = Window.orderBy(F.col("cscore").desc(), "doc_id")
+    cos_r = cos_top.select(
+        "doc_id", F.row_number().over(wc).cast("long").alias("r_cos")
+    )
+
+    fused = bm_r.join(cos_r, "doc_id", "full_outer").select(
+        "doc_id",
+        "r_bm",
+        "r_cos",
+        F.round(
+            F.coalesce(1.0 / (60 + F.col("r_bm")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("r_cos")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(20)
