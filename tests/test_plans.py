@@ -370,3 +370,19 @@ def test_skyline_no_single_partition_window(spark, sf_dir):
     plan = plans.formatted_plan(df)
     assert "SinglePartition" not in plan, plan
     assert "Window" in plan, plan
+
+
+def test_tpch_q6_pushdown_and_single_agg(spark, sf_dir):
+    """Q6 is THE pushdown query: date/discount/quantity predicates must
+    reach the parquet scan, and the plan is a single partial-agg pair —
+    no joins, no extra exchanges."""
+    df = _q("ext_tpch_q6_forecast", spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "PushedFilters:" in plan and "l_discount" in plan, plan
+    plans.asserts_no_cartesian(df)
+
+
+def test_tpch_q17_broadcasts_part_dim(spark, sf_dir):
+    df = _q("ext_tpch_q17_small_qty", spark, sf_dir)
+    plans.asserts_broadcast_join(df)
+    plans.asserts_no_cartesian(df)

@@ -70,3 +70,38 @@ def test_offsetting_mutation_caught_by_xor(spark):
     row = diff[0]
     assert row["sum_cur"] == row["sum_snap"]
     assert row["xor_cur"] != row["xor_snap"]
+
+
+def test_null_column_mutation_is_visible(spark):
+    """A row whose signature column is NULL must still contribute a
+    signature (sentinel residue SIG_MOD): NULL-ing a value, or
+    un-NULL-ing it to 0, must flip the digest. Pre-round-5 both edits
+    were invisible (NULL sig rows were skipped by SUM and BIT_XOR)."""
+    base = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30)], "k long, v long"
+    )
+    # mutation A: a NULL becomes 0 (the exact case the sentinel separates)
+    mut_a = spark.createDataFrame([(1, 10), (2, 0), (3, 30)], "k long, v long")
+    # mutation B: a value becomes NULL
+    mut_b = spark.createDataFrame([(1, None), (2, None), (3, 30)], "k long, v long")
+    assert reconcile.digest_diff(_digest(base), _digest(mut_a)).count() > 0
+    assert reconcile.digest_diff(_digest(base), _digest(mut_b)).count() > 0
+    assert reconcile.digest_diff(_digest(base), _digest(base)).count() == 0
+
+
+def test_sum_checksum_no_overflow_at_max_signature(spark):
+    """Digest must not throw under ANSI mode even when every row carries
+    the maximum-magnitude signature (the pre-round-5 int64 SUM overflow
+    at ~2^30 rows/bucket, scaled down: 2^33-sized sigs times enough
+    rows to pass 2^63 would need billions — instead pin the DECIMAL
+    path directly with values near long-max-scale)."""
+    # per-row sig ≈ 4.9e13; 200k rows in ONE bucket sums to ≈ 9.8e18,
+    # past int64's 9.22e18 — the old F.sum(long) raised
+    # ArithmeticException under ANSI; the decimal sum + mod-2^61 must
+    # return a normal in-range digest
+    df = spark.range(0, 200_000).select(
+        F.col("id").alias("k"),
+        (F.lit((reconcile.SIG_MOD - 1) * 8191).cast("long") * 6000).alias("sigv"),
+    )
+    out = reconcile.bucket_digest(df, F.col("k"), F.col("sigv"), n_buckets=1).collect()
+    assert len(out) == 1 and 0 <= out[0]["sig_sum"] < (1 << 61)

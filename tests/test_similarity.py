@@ -421,3 +421,16 @@ def test_edit_distance_skew_guard_common_prefix(spark):
         .collect()
     )
     assert max(r["count"] for r in cells) < 30, "length bucketing must split the boilerplate block"
+
+
+def test_edit_distance_len_diff_clamped_to_max_dist(spark):
+    """max_len_diff tighter than max_dist would silently drop TRUE
+    pairs (|len(a)-len(b)| <= dist always) — the operator must clamp."""
+    df = spark.createDataFrame(
+        [(1, "aaaaaaaaaaaaaaaaaaaa"), (2, "aaaaaaaaaaaaaaaaaaaaaaaaa")],
+        "doc long, text string",
+    )  # same 16-prefix, len 20 vs 25, dist 5
+    got = similarity.edit_distance_pairs(
+        df, "doc", "text", prefix_len=16, max_dist=8, max_len_diff=1
+    ).collect()
+    assert [(r.doc_a, r.doc_b, r.dist) for r in got] == [(1, 2, 5)]
