@@ -1471,3 +1471,59 @@ def edit_distance_pairs(
         # threshold form returns -1 when the bound is exceeded
         .where((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
     )
+
+
+def semantic_dedup_keep(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the
+    embedding space, compute pairwise cosine ONLY within each cluster,
+    and drop semantic duplicates — the embedding-level member of the
+    dedup family that catches paraphrases exact/minhash misses.
+
+    Deterministic keep rule (the paper keeps one doc per epsilon-ball;
+    this uses the id-ordered variant so any engine reproduces it): a
+    doc is DROPPED iff a lower-id doc in the same cluster has cosine
+    >= ``threshold`` with it. Emits the kept rows ``(id, cid)``.
+
+    Scale shape — the whole point of SemDeDup: the pairwise pass is
+    blocked by cluster id (one equi-join shuffle per side), never
+    corpus all-pairs; the assignment is a broadcast centroid pass (no
+    shuffle); the drop set joins back as one anti join. With k
+    clusters the candidate volume is ~n²/k, and k scales with corpus
+    size exactly as in the paper (they use 50k clusters for LAION).
+    ``centroids`` is a (cid, cvec) DataFrame — seed deterministically
+    or train with :func:`train_ivf_centroids`.
+    """
+    from pyspark.sql import Window
+
+    v = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    c = centroids.select(F.col(centroids.columns[0]).alias("cid"),
+                         F.col(centroids.columns[1]).alias("cvec"))
+    scored = v.crossJoin(F.broadcast(c)).select(
+        "vid", "vec", "cid", cosine(F.col("vec"), F.col("cvec")).alias("cos")
+    )
+    w = Window.partitionBy("vid").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    assigned = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vid", "vec", "cid")
+    )
+    a = assigned.select(F.col("vid").alias("ia"), F.col("vec").alias("va"), "cid")
+    b = assigned.select(F.col("vid").alias("ib"), F.col("vec").alias("vb"),
+                        F.col("cid").alias("cidb"))
+    dropped = (
+        a.join(b, (F.col("cid") == F.col("cidb")) & (F.col("ia") < F.col("ib")))
+        .where(F.round(cosine(F.col("va"), F.col("vb")), 4) >= threshold)
+        .select(F.col("ib").alias("vid"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped, "vid", "left_anti")
+        .select(F.col("vid").alias(id_col), "cid")
+    )

@@ -3777,3 +3777,53 @@ def ext_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf"),
     )
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(20)
+
+
+_SEMDEDUP_ORACLE = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8
+),
+scored AS (
+  SELECT v.vec_id, c.cid, {_dd_cosine('v.embedding', 'c.cvec')} AS cos
+  FROM embeddings v CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rk
+    FROM scored
+  ) WHERE rk = 1
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a
+  JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN embeddings va ON va.vec_id = a.vec_id
+  JOIN embeddings vb ON vb.vec_id = b.vec_id
+  WHERE ROUND({_dd_cosine('va.embedding', 'vb.embedding')}, 4) >= 0.3
+)
+SELECT s.vec_id, s.cid
+FROM assigned s ANTI JOIN dropped d ON s.vec_id = d.vec_id
+"""
+
+
+@register(
+    "dedup_semantic_semdedup",
+    _SEMDEDUP_ORACLE,
+    "SemDeDup semantic dedup (Abbas et al. 2023): cosine k-means "
+    "cluster assignment (broadcast centroids, no shuffle), pairwise "
+    "cosine ONLY within clusters (one cluster-keyed equi-join — "
+    "~n^2/k candidates, the paper's scale design), deterministic "
+    "keep-lowest-id rule, one anti join back — the paraphrase-level "
+    "dedup family member beside exact/minhash/edit-distance",
+)
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    return similarity.semantic_dedup_keep(
+        emb, "vec_id", "embedding", cent, threshold=0.3
+    )

@@ -434,3 +434,31 @@ def test_edit_distance_len_diff_clamped_to_max_dist(spark):
         df, "doc", "text", prefix_len=16, max_dist=8, max_len_diff=1
     ).collect()
     assert [(r.doc_a, r.doc_b, r.dist) for r in got] == [(1, 2, 5)]
+
+
+def test_semantic_dedup_keep_rule(spark):
+    """Planted geometry: two tight bundles (paraphrase groups) and one
+    isolated vector. Keep-lowest-id must keep exactly the lowest id of
+    each bundle plus the isolated one, regardless of cluster count."""
+    import math
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    rows = [
+        (0, unit(0.00)), (1, unit(0.02)), (2, unit(0.04)),      # bundle A
+        (10, unit(1.50)), (11, unit(1.52)),                     # bundle B
+        (20, unit(3.00)),                                       # isolated
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent = spark.createDataFrame(
+        [(0, unit(0.0)), (1, unit(1.5)), (2, unit(3.0))],
+        "cid long, cvec array<double>",
+    )
+    kept = {
+        r.vec_id
+        for r in similarity.semantic_dedup_keep(
+            df, "vec_id", "embedding", cent, threshold=0.99
+        ).collect()
+    }
+    assert kept == {0, 10, 20}
