@@ -25,10 +25,20 @@ from fink_joiner_spark.operators.text import MOD, char_poly_hash, tokens
 
 def _spread(df: DataFrame) -> DataFrame:
     """Round-robin repartition to the cluster's parallelism before
-    CPU-heavy per-row work. A single parquet file caps the scan at one
-    partition — on a real 100 TB table file count provides parallelism,
-    but a compute-dense operator must never inherit a 1-partition scan."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    CPU-heavy per-row work — but ONLY when the input is actually
+    under-partitioned. A single parquet file caps the scan at one
+    partition (the sandbox's test tables), so compute-dense operators
+    must never inherit a 1-partition scan; a real 100 TB table already
+    scans as thousands of partitions, and an unconditional repartition
+    there would be a full corpus shuffle bought for nothing. The probe
+    (`df.rdd.getNumPartitions()`) materializes the physical plan once
+    at query-build time without running a job."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 — probe is best-effort
+        n = 1
+    return df if n >= par else df.repartition(par)
 
 
 # ---------------------------------------------------------------------------

@@ -462,3 +462,14 @@ def test_semantic_dedup_keep_rule(spark):
         ).collect()
     }
     assert kept == {0, 10, 20}
+
+
+def test_spread_skips_already_parallel_input(spark):
+    """_spread must fix a 1-partition scan but return an already-wide
+    DataFrame UNCHANGED — at 100 TB the unconditional form was a full
+    corpus shuffle bought for nothing."""
+    par = spark.sparkContext.defaultParallelism
+    narrow = spark.range(100).coalesce(1)
+    assert similarity._spread(narrow).rdd.getNumPartitions() == par
+    wide = spark.range(100).repartition(par)
+    assert similarity._spread(wide) is wide
