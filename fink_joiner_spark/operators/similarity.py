@@ -521,6 +521,55 @@ def topk_bruteforce(
     )
 
 
+def hard_negative_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    (query) vector, the ``k`` most-similar corpus vectors with a
+    DIFFERENT label — the negatives closest to the decision boundary,
+    the standard negative-sampling step for embedding-model training.
+
+    Same scale shape as :func:`topk_bruteforce`: the anchor set is a
+    bounded per-batch sample, so it broadcasts; the corpus is scanned
+    once and the label inequality filters BEFORE the cosine is
+    computed, so same-class pairs never reach the scoring expression.
+    Per-anchor rank via a qid-partitioned window (ties by neighbor id).
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        F.col(label_col).alias("qlab"),
+    )
+    c = _spread(df).select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("nvec"),
+        F.col(label_col).alias("nlab"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("qlab") != F.col("nlab"))
+        .select(
+            "qid",
+            "nid",
+            F.round(cosine(F.col("qvec"), F.col("nvec")), 4).alias("score"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "score", "rank")
+    )
+
+
 def topk_sign_lsh(
     df: DataFrame,
     queries: DataFrame,

@@ -3827,3 +3827,231 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semantic_dedup_keep(
         emb, "vec_id", "embedding", cent, threshold=0.3
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H plan-shape suite (continued): semi join, disjunctive join
+# predicate, anti join + exact scalar threshold, left-outer count
+# distribution — adapted to the synthetic schema (no receipt/commit
+# dates, containers, or phone prefixes in the test tables)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_tpch_q4_priority",
+    """
+    SELECT o.o_orderpriority, COUNT(*)::BIGINT AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY 1
+    """,
+    "TPC-H Q4 shape (order-priority checking): the EXISTS decorrelated "
+    "to a LEFT SEMI join on (orderkey, shipdate > orderdate) — at most "
+    "one output row per order regardless of matching line count, so no "
+    "post-join dedup; the quarter filter pushes to the orders scan and "
+    "only two lineitem columns are read",
+)
+def ext_tpch_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    kept = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return kept.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@register(
+    "ext_tpch_q19_disjunctive",
+    """
+    SELECT COUNT(*)::BIGINT AS n_lines,
+           ROUND(SUM(floor(l.l_extendedprice * 100 + 0.5)::BIGINT
+                     * (100 - floor(l.l_discount * 100 + 0.5)::BIGINT))::BIGINT
+                 / 10000.0, 2) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    "TPC-H Q19 shape (discounted-revenue, disjunctive predicate): the "
+    "classic OR-of-conjunctions join filter; the per-side implied "
+    "prefilters (p_size <= 15, l_quantity <= 30) are factored out "
+    "explicitly so each pushes to its scan BEFORE the join — the OR "
+    "itself evaluates post-join on the surviving rows only; part side "
+    "broadcasts; revenue in exact integer cents x (100 - basis points)",
+)
+def ext_tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # implied single-side prefilters, pushed to the scans
+    p = table(spark, sf_dir, "part").where(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+        & (F.col("p_size") >= 1)
+        & (F.col("p_size") <= 15)
+    )
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+    )
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size") <= 5)
+            & (F.col("l_quantity") <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size") <= 10)
+            & (F.col("l_quantity") >= 10)
+            & (F.col("l_quantity") <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("l_quantity") >= 20)
+        )
+    )
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    keep_bp = 100 - F.floor(F.col("l_discount") * 100 + 0.5).cast("long")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(clause)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(cents * keep_bp) / 10000.0, 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "ext_tpch_q22_dormant",
+    """
+    WITH bal AS (
+      SELECT c_custkey, c_nationkey,
+             floor(c_acctbal * 100 + 0.5)::BIGINT AS bal_c
+      FROM customer
+    ),
+    thr AS (
+      SELECT SUM(bal_c)::BIGINT AS s, COUNT(*)::BIGINT AS n
+      FROM bal WHERE bal_c > 0
+    )
+    SELECT nn.n_name, COUNT(*)::BIGINT AS numcust,
+           ROUND(SUM(b.bal_c)::BIGINT / 100.0, 2) AS totacctbal
+    FROM bal b
+    JOIN nation nn ON nn.n_nationkey = b.c_nationkey
+    CROSS JOIN thr
+    WHERE b.bal_c * thr.n > thr.s
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = b.c_custkey
+                        AND o.o_orderdate >= '1998-01-01')
+    GROUP BY 1
+    """,
+    "TPC-H Q22 shape (dormant high-balance customers): NOT EXISTS as a "
+    "LEFT ANTI join against orders, the above-average-balance cut as a "
+    "pure integer cross-multiplication (bal_c * n > sum_c — no IEEE "
+    "division anywhere, so the boundary row can never flip between "
+    "engines), the 1-row aggregate and the nation dim both broadcast",
+)
+def ext_tpch_q22_dormant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bal = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long").alias("bal_c"),
+    )
+    thr = bal.where(F.col("bal_c") > 0).agg(
+        F.sum("bal_c").cast("long").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    recent = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= "1998-01-01")
+        .select("o_custkey")
+    )
+    dormant = bal.join(recent, bal.c_custkey == F.col("o_custkey"), "left_anti")
+    nn = table(spark, sf_dir, "nation")
+    return (
+        dormant.crossJoin(F.broadcast(thr))
+        .where(F.col("bal_c") * F.col("n") > F.col("s"))
+        .join(F.broadcast(nn), F.col("c_nationkey") == nn.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("bal_c") / 100.0, 2).alias("totacctbal"),
+        )
+    )
+
+
+@register(
+    "ext_tpch_q13_order_dist",
+    """
+    SELECT c_count, COUNT(*)::BIGINT AS custdist FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey)::BIGINT AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY 1
+    ) GROUP BY 1
+    """,
+    "TPC-H Q13 shape (customer order-count distribution): LEFT OUTER "
+    "join with the non-key predicate INSIDE the join condition (not a "
+    "post-filter — zero-order customers must survive with count 0), "
+    "then a double aggregation; both counts are exact integers; first "
+    "agg shuffles on custkey, second on the tiny count domain",
+)
+def ext_tpch_q13_order_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+_HARDNEG_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qvec, label AS qlab
+  FROM embeddings WHERE vec_id < 8
+),
+scored AS (
+  SELECT q.qid, c.vec_id AS nid,
+         ROUND({_dd_cosine('q.qvec', 'c.embedding')}, 4) AS score
+  FROM q JOIN embeddings c ON c.label <> q.qlab
+),
+ranked AS (
+  SELECT qid, nid, score,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rank
+  FROM scored
+)
+SELECT qid, nid, score, rank FROM ranked WHERE rank <= 10
+"""
+
+
+@register(
+    "simsearch_hard_negatives",
+    _HARDNEG_ORACLE,
+    "hard-negative mining for contrastive training: per anchor vector, "
+    "the 10 most-similar corpus vectors with a DIFFERENT label (the "
+    "negatives nearest the decision boundary); broadcast anchor set, "
+    "one corpus scan, label inequality filtered before the cosine",
+)
+def simsearch_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 8)
+    return similarity.hard_negative_topk(
+        emb, anchors, "vec_id", "embedding", "label", k=10
+    )

