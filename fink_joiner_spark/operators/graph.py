@@ -286,3 +286,64 @@ def pagerank_step(
             ).alias("pr"),
         )
     )
+
+
+def pagerank_bounded(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping_pct: int = 85,
+    unit: int = 1_000_000,
+) -> DataFrame:
+    """Bounded-iteration PageRank in EXACT integer micro-units — the
+    multi-round companion to :func:`pagerank_step`.
+
+    r₀(v) = ``unit`` for every source node;
+    rₖ₊₁(v) = teleport + (``damping_pct`` · Σ_{u→v} (rₖ(u) div out(u))) div 100
+    with teleport = (100−damping_pct)·unit div 100. Every quantity is
+    int64 and every division is integral on non-negative values, so the
+    result is bit-identical in ANY engine and ANY reduction order — an
+    iterative graph algorithm that still carries a hard value-hash
+    oracle (fixed-k unrolled SQL).
+
+    Scale: rank state stays distributed and keyed by node — nothing is
+    broadcast or collected; each round is one src-keyed join plus one
+    dst-keyed partial-aggregated shuffle, the same per-round shape as
+    ``connected_components``. At the registry's bounded k ≤ 5 the
+    linear lineage is fine; for large k truncate with localCheckpoint
+    per round exactly as the CC loop above does. Nodes with no
+    in-edges leave the frontier after one round (their rank is the bare
+    teleport term) — pass a symmetrized edge set to rank an undirected
+    graph. int64 headroom: 100·unit·max_in_degree per node, ~9·10¹⁰
+    at unit=10⁶ and in-degree 10⁶ — five orders below overflow.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    teleport = (100 - damping_pct) * unit // 100
+    r = deg.select(F.col("u").alias("node"), F.lit(unit).cast("long").alias("r"))
+    # r's lineage re-enters deg and e every round — qualified aliases
+    # keep the self-joins unambiguous without disabling the analyzer
+    # check.
+    for _ in range(iters):
+        shares = (
+            r.alias("rr")
+            .join(deg.alias("dg"), F.col("rr.node") == F.col("dg.u"))
+            .select(
+                F.col("dg.u").alias("u"),
+                F.expr("rr.r div dg.d").alias("share"),
+            )
+        )
+        r = (
+            shares.alias("sh")
+            .join(e.alias("ed"), F.col("sh.u") == F.col("ed.u"))
+            .groupBy(F.col("ed.v"))
+            .agg(F.sum(F.col("sh.share")).alias("s"))
+            .select(
+                F.col("v").alias("node"),
+                (F.lit(teleport) + F.expr(f"({damping_pct} * s) div 100"))
+                .cast("long")
+                .alias("r"),
+            )
+        )
+    return r.select("node", F.col("r").alias("rank_micro"))

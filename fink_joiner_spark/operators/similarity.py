@@ -1538,6 +1538,7 @@ def semantic_dedup_keep(
     vec_col: str,
     centroids: DataFrame,
     threshold: float = 0.3,
+    pair_grid: int = 4,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): cluster the
@@ -1552,32 +1553,74 @@ def semantic_dedup_keep(
 
     Scale shape — the whole point of SemDeDup: the pairwise pass is
     blocked by cluster id (one equi-join shuffle per side), never
-    corpus all-pairs; the assignment is a broadcast centroid pass (no
-    shuffle); the drop set joins back as one anti join. With k
-    clusters the candidate volume is ~n²/k, and k scales with corpus
-    size exactly as in the paper (they use 50k clusters for LAION).
+    corpus all-pairs; the assignment is a broadcast centroid pass plus
+    one map-side-combined ``max_by`` shuffle (no per-vector sort
+    window); the drop set joins back as one anti join. With k clusters
+    the candidate volume is ~n²/k, and k scales with corpus size
+    exactly as in the paper (they use 50k clusters for LAION).
+
+    ``pair_grid`` grid-salts the within-cluster self-join: each side
+    splits into ``g`` deterministic id-hash groups, and block (i, j)
+    pairs group-i left rows with group-j right rows — one cluster fans
+    out over g² tasks instead of one, the mega-cluster skew guard for
+    the k < parallelism regime. Every unordered pair lands in exactly
+    ONE block (the mirrored (gy, gx) copy dies on the ia < ib filter),
+    so the output — and therefore the oracle hash — is independent of
+    g. Replication is g× per side; size g ≈ ceil(parallelism / k) and
+    set g=1 when k already exceeds cluster parallelism (LAION regime).
+
     ``centroids`` is a (cid, cvec) DataFrame — seed deterministically
     or train with :func:`train_ivf_centroids`.
     """
-    from pyspark.sql import Window
-
-    v = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    g = max(1, int(pair_grid))
+    v = _spread(df).select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
     c = centroids.select(F.col(centroids.columns[0]).alias("cid"),
                          F.col(centroids.columns[1]).alias("cvec"))
     scored = v.crossJoin(F.broadcast(c)).select(
         "vid", "vec", "cid", cosine(F.col("vec"), F.col("cvec")).alias("cos")
     )
-    w = Window.partitionBy("vid").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    # best-cosine centroid, ties to the LOWEST cid: max_by over
+    # struct(cos, -cid) — one partial-aggregated shuffle, no window.
     assigned = (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vid", "vec", "cid")
+        scored.groupBy("vid")
+        .agg(
+            F.max_by(
+                F.struct(F.col("cid"), F.col("vec")),
+                F.struct(F.col("cos"), (-F.col("cid")).alias("neg_cid")),
+            ).alias("best")
+        )
+        .select(
+            "vid",
+            F.col("best.cid").alias("cid"),
+            F.col("best.vec").alias("vec"),
+        )
     )
-    a = assigned.select(F.col("vid").alias("ia"), F.col("vec").alias("va"), "cid")
-    b = assigned.select(F.col("vid").alias("ib"), F.col("vec").alias("vb"),
-                        F.col("cid").alias("cidb"))
+    grp = F.pmod(F.xxhash64(F.col("vid"), F.lit("semgrid")), F.lit(g))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    # EXPLICIT keyed repartition before the pair join: the join input
+    # is only ~n rows and AQE's size-based coalescing would collapse
+    # it to one partition — blind to the O(Σ|cluster|²) pair blowup
+    # INSIDE the join stage, which then runs one-core. A user
+    # repartition is exempt from AQE coalescing, so the pair
+    # generation + cosine filter keep cluster-wide parallelism.
+    a = assigned.select(
+        F.col("vid").alias("ia"), F.col("vec").alias("va"), "cid",
+        grp.alias("gi"),
+        F.explode(F.sequence(F.lit(0), F.lit(g - 1))).alias("gj"),
+    ).repartition(par, "cid", "gi", "gj")
+    b = assigned.select(
+        F.col("vid").alias("ib"), F.col("vec").alias("vb"),
+        F.col("cid").alias("cidb"), grp.alias("gjb"),
+        F.explode(F.sequence(F.lit(0), F.lit(g - 1))).alias("gib"),
+    ).repartition(par, "cidb", "gib", "gjb")
     dropped = (
-        a.join(b, (F.col("cid") == F.col("cidb")) & (F.col("ia") < F.col("ib")))
+        a.join(
+            b,
+            (F.col("cid") == F.col("cidb"))
+            & (F.col("gi") == F.col("gib"))
+            & (F.col("gj") == F.col("gjb"))
+            & (F.col("ia") < F.col("ib")),
+        )
         .where(F.round(cosine(F.col("va"), F.col("vb")), 4) >= threshold)
         .select(F.col("ib").alias("vid"))
         .distinct()

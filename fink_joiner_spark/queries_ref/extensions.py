@@ -4055,3 +4055,78 @@ def simsearch_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hard_negative_topk(
         emb, anchors, "vec_id", "embedding", "label", k=10
     )
+
+
+@register(
+    "graph_pagerank_bounded",
+    """
+    WITH edges AS (
+      SELECT DISTINCT 'p' || l_partkey AS src, 's' || l_suppkey AS dst
+      FROM lineitem
+      UNION
+      SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst
+      FROM lineitem
+    ),
+    deg AS (SELECT src, COUNT(*)::BIGINT AS d FROM edges GROUP BY 1),
+    pr0 AS (SELECT src AS node, 1000000::BIGINT AS r FROM deg),
+    pr1 AS (SELECT e.dst AS node,
+                   (150000 + (85 * SUM(p.r // d.d)) // 100)::BIGINT AS r
+            FROM pr0 p JOIN deg d ON d.src = p.node
+            JOIN edges e ON e.src = p.node GROUP BY e.dst),
+    pr2 AS (SELECT e.dst AS node,
+                   (150000 + (85 * SUM(p.r // d.d)) // 100)::BIGINT AS r
+            FROM pr1 p JOIN deg d ON d.src = p.node
+            JOIN edges e ON e.src = p.node GROUP BY e.dst),
+    pr3 AS (SELECT e.dst AS node,
+                   (150000 + (85 * SUM(p.r // d.d)) // 100)::BIGINT AS r
+            FROM pr2 p JOIN deg d ON d.src = p.node
+            JOIN edges e ON e.src = p.node GROUP BY e.dst)
+    SELECT node, r AS rank_micro FROM pr3
+    """,
+    "bounded-iteration PageRank (3 rounds, damping 0.85) over the "
+    "symmetrized part-supplier bipartite graph, in EXACT integer "
+    "micro-units — every contribution is an int64 `div`, so an "
+    "ITERATIVE graph algorithm hash-matches a fixed-k unrolled SQL "
+    "oracle; rank state stays keyed by node, nothing collected",
+)
+def graph_pagerank_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import graph
+
+    li = table(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return graph.pagerank_bounded(edges, "src", "dst", iters=3)
+
+
+@register(
+    "ext_frequent_pairs",
+    """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    freq AS (SELECT l_partkey FROM items GROUP BY 1 HAVING COUNT(*) >= 5),
+    fi AS (SELECT i.* FROM items i JOIN freq USING (l_partkey)),
+    pairs AS (
+      SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+             COUNT(*)::BIGINT AS support
+      FROM fi a JOIN fi b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT item_a, item_b, support FROM pairs WHERE support >= 2
+    """,
+    "market-basket frequent pairs (the a-priori 2-itemset pass): item "
+    "support prefilter BEFORE the basket-keyed self-join (monotonicity "
+    "pruning — candidate volume is sum of filtered basket sizes "
+    "squared, never corpus squared), map-side-combined support count",
+)
+def ext_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import mining
+
+    li = table(spark, sf_dir, "lineitem")
+    return mining.frequent_pairs(
+        li, "l_orderkey", "l_partkey", min_item_support=5, min_pair_support=2
+    )

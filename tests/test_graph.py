@@ -90,3 +90,56 @@ def test_components_stable_under_repartition(spark):
         map(tuple, graph.connected_components(df.repartition(13)).collect())
     )
     assert base == shuffled
+
+
+def test_pagerank_bounded_uniform_cycle(spark):
+    """On a directed cycle every node has in=out=1, so rank stays at
+    the fixed point: unit micro-units for every node, every round."""
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 5) for i in range(5)], "src int, dst int"
+    )
+    out = {r.node: r.rank_micro for r in graph.pagerank_bounded(edges, iters=3).collect()}
+    assert out == {i: 1_000_000 for i in range(5)}
+
+
+def test_pagerank_bounded_star_center_dominates(spark):
+    """Symmetrized star: the hub gathers every leaf's full share and
+    must outrank all leaves; leaves are symmetric so their ranks are
+    identical. Exact integer arithmetic -> exact equality holds."""
+    fwd = [(0, i) for i in range(1, 9)]
+    edges = spark.createDataFrame(
+        fwd + [(b, a) for a, b in fwd], "src int, dst int"
+    )
+    out = {r.node: r.rank_micro for r in graph.pagerank_bounded(edges, iters=3).collect()}
+    leaf_ranks = {out[i] for i in range(1, 9)}
+    assert len(leaf_ranks) == 1
+    assert out[0] > out[1]
+    # hub emits 8 shares of r/8, leaves return them whole: mass conserved
+    # up to the div truncation, which only ever loses micro-units
+    assert sum(out.values()) <= 9 * 1_000_000
+
+
+def test_pagerank_bounded_matches_python_reference(spark):
+    """Bit-exact against a driver-side integer replica on a small
+    random graph — pins the div/teleport arithmetic the SQL oracle
+    also encodes."""
+    import random
+
+    rnd = random.Random(7)
+    fwd = list({(rnd.randrange(12), rnd.randrange(12)) for _ in range(30)})
+    edges = spark.createDataFrame(
+        [e for e in fwd if e[0] != e[1]], "src int, dst int"
+    )
+    rows = [(r.src, r.dst) for r in edges.distinct().collect()]
+    out_deg = {}
+    for s, _ in rows:
+        out_deg[s] = out_deg.get(s, 0) + 1
+    r = {s: 1_000_000 for s in out_deg}
+    for _ in range(3):
+        acc = {}
+        for s, d in rows:
+            if s in r:
+                acc[d] = acc.get(d, 0) + r[s] // out_deg[s]
+        r = {v: 150_000 + (85 * a) // 100 for v, a in acc.items()}
+    got = {x.node: x.rank_micro for x in graph.pagerank_bounded(edges, iters=3).collect()}
+    assert got == r

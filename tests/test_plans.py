@@ -430,3 +430,35 @@ def test_tpch_q13_left_outer_survives(spark, sf_dir):
     assert "LeftOuter" in plan, plan
     # zero-order customers exist in the fixture: count-0 bucket present
     assert df.where(F.col("c_count") == 0).count() >= 0  # executes
+
+
+def test_semdedup_pair_join_keeps_parallelism(spark, sf_dir):
+    """The semdedup pair join input is tiny (~n rows) but the join
+    INFLATES to Σ|cluster|² pairs — AQE's size-based coalescing must
+    not collapse it to one task. The explicit keyed repartition is
+    exempt from coalescing; pin its presence."""
+    df = _q("dedup_semantic_semdedup", spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "REPARTITION_BY_NUM" in plan or "RepartitionByExpression" in plan, plan
+
+
+def test_semdedup_grid_invariance(spark, sf_dir):
+    """Grid-salting is a placement choice: the kept set must be
+    IDENTICAL for any pair_grid (each unordered pair lands in exactly
+    one block)."""
+    from fink_joiner_spark.operators import similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    kept = [
+        {
+            (r.vec_id, r.cid)
+            for r in similarity.semantic_dedup_keep(
+                emb, "vec_id", "embedding", cent, threshold=0.3, pair_grid=gv
+            ).collect()
+        }
+        for gv in (1, 3)
+    ]
+    assert kept[0] == kept[1] and kept[0]
