@@ -4130,3 +4130,61 @@ def ext_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mining.frequent_pairs(
         li, "l_orderkey", "l_partkey", min_item_support=5, min_pair_support=2
     )
+
+
+@register(
+    "ext_twap_per_user",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS ts_us,
+             floor(value * 100 + 0.5)::BIGINT AS cents,
+             event_id
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, cents,
+             LEAD(ts_us) OVER (PARTITION BY user_id
+                               ORDER BY ts_us, event_id) - ts_us AS dur_us
+      FROM e
+    )
+    SELECT user_id, COUNT(*)::BIGINT AS n_gaps,
+           ROUND(SUM(cents * dur_us) / SUM(dur_us) / 100.0, 6) + 0.0 AS twap
+    FROM g WHERE dur_us IS NOT NULL AND dur_us > 0
+    GROUP BY 1
+    """,
+    "time-weighted average value per user (the TWAP/telemetry-duty-"
+    "cycle primitive): each observation weighted by its hold duration "
+    "to the next event — LEAD over a user-partitioned window (one "
+    "keyed shuffle), integer cents x micros products summed exactly, "
+    "ONE double division at the end so engines can't drift; zero-"
+    "duration gaps excluded deterministically",
+)
+def ext_twap_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    g = e.select(
+        "user_id",
+        "cents",
+        (F.lead("ts_us").over(w) - F.col("ts_us")).alias("dur_us"),
+    )
+    # int64 headroom: Σ cents·dur_us <= max_cents · total_span_us per
+    # user (~5e17 here); switch the two sums to DECIMAL(38,0) when
+    # value·span can pass 2^63 (multi-year spans at high prices).
+    return (
+        g.where(F.col("dur_us").isNotNull() & (F.col("dur_us") > 0))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            (
+                F.round(F.sum(F.col("cents") * F.col("dur_us")) / F.sum("dur_us") / 100.0, 6)
+                + 0.0
+            ).alias("twap"),
+        )
+    )
