@@ -4188,3 +4188,88 @@ def ext_twap_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("twap"),
         )
     )
+
+
+@register(
+    "ext_group_ols_trend",
+    """
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) AS ts_us,
+             floor(value * 100 + 0.5)::BIGINT AS cents
+      FROM events
+    ),
+    c AS (
+      SELECT event_type,
+             ((ts_us - MIN(ts_us) OVER (PARTITION BY event_type))
+              // 1000000)::BIGINT AS x,
+             cents AS y
+      FROM e
+    ),
+    s AS (
+      SELECT event_type, COUNT(*)::BIGINT AS n,
+             SUM(x)::HUGEINT AS sx, SUM(y)::HUGEINT AS sy,
+             SUM(x*y)::HUGEINT AS sxy, SUM(x*x)::HUGEINT AS sxx
+      FROM c GROUP BY 1
+    )
+    SELECT event_type, n,
+           ROUND(((n*sxy - sx*sy)::DOUBLE)
+                 / ((n*sxx - sx*sx)::DOUBLE) * 864.0, 6) + 0.0
+             AS slope_per_day,
+           ROUND(((sy*sxx - sx*sxy)::DOUBLE)
+                 / ((n*sxx - sx*sx)::DOUBLE) / 100.0, 6) + 0.0
+             AS intercept
+    FROM s
+    """,
+    "per-group OLS trend (least-squares slope/intercept of value vs "
+    "time): the five sufficient statistics (n, Σx, Σy, Σxy, Σx²) as "
+    "EXACT integer/decimal sums — x centered on the group's min "
+    "timestamp in whole seconds, y in cents — then two double "
+    "divisions at the very end, so reduction order can never move the "
+    "hash; one keyed shuffle for the origin, one for the sums",
+)
+def ext_group_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    # group origin via agg + broadcast join, NOT a window: event_type
+    # cardinality is tiny, so a partitioned window would funnel each
+    # type through one task at scale — the join keeps the fact scan
+    # fully parallel.
+    t0 = e.groupBy("event_type").agg(F.min("ts_us").alias("t0"))
+    dec = "decimal(38,0)"
+    c = e.join(F.broadcast(t0), "event_type").select(
+        "event_type",
+        F.expr("(ts_us - t0) div 1000000").alias("x"),
+        F.col("cents").alias("y"),
+    )
+    s = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+    )
+    nd = F.col("n").cast(dec)
+    den = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return s.select(
+        "event_type",
+        "n",
+        (
+            F.round(
+                (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+                / den * 864.0,
+                6,
+            )
+            + 0.0
+        ).alias("slope_per_day"),
+        (
+            F.round(
+                (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).cast("double")
+                / den / 100.0,
+                6,
+            )
+            + 0.0
+        ).alias("intercept"),
+    )
