@@ -4273,3 +4273,86 @@ def ext_group_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("intercept"),
     )
+
+
+@register(
+    "ext_negative_sampling",
+    """
+    WITH users AS (
+      SELECT DISTINCT o_custkey AS u FROM orders WHERE o_custkey % 50 = 0
+    ),
+    bought AS (
+      SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS item
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    cand AS (
+      SELECT u,
+             CAST(('0x' || substring(md5(u::VARCHAR || '#' || j::VARCHAR
+                                          || '#negs'), 1, 8))::BIGINT
+                  % 2000 AS BIGINT) AS item,
+             MIN(j)::BIGINT AS jmin
+      FROM users, generate_series(0, 19) AS t(j)
+      GROUP BY 1, 2
+    ),
+    neg AS (
+      SELECT c.u, c.item,
+             ROW_NUMBER() OVER (PARTITION BY c.u
+                                ORDER BY c.jmin, c.item) AS rk
+      FROM cand c ANTI JOIN bought b ON b.u = c.u AND b.item = c.item
+    )
+    SELECT u AS user_id, item AS neg_item, rk::BIGINT AS rk
+    FROM neg WHERE rk <= 5
+    """,
+    "uniform negative sampling for implicit-feedback training: per "
+    "user, 20 md5-deterministic candidate items (collision-deduped to "
+    "min draw index), one keyed ANTI join against the interaction set "
+    "removes positives, per-user rank keeps the first 5 survivors — "
+    "candidates are generated ON the executors (posexplode of a "
+    "bounded draw range), never a user x item cross join; oversample "
+    "factor covers the positive-hit loss",
+)
+def ext_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    users = (
+        orders.where(F.col("o_custkey") % 50 == 0)
+        .select(F.col("o_custkey").alias("u"))
+        .distinct()
+    )
+    bought = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    cand = (
+        users.select(
+            "u", F.posexplode(F.array(*[F.lit(j) for j in range(20)])).alias("pos", "j")
+        )
+        .select(
+            "u",
+            "j",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("#", F.col("u"), F.col("j"), F.lit("negs"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        )
+        .select("u", "j", (F.col("h") % 2000).alias("item"))
+        .groupBy("u", "item")
+        .agg(F.min("j").alias("jmin"))
+    )
+    neg = cand.join(bought, ["u", "item"], "left_anti")
+    w = Window.partitionBy("u").orderBy("jmin", "item")
+    return (
+        neg.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 5)
+        .select(F.col("u").alias("user_id"), F.col("item").alias("neg_item"), "rk")
+    )
