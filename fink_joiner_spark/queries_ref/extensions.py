@@ -4356,3 +4356,79 @@ def ext_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 5)
         .select(F.col("u").alias("user_id"), F.col("item").alias("neg_item"), "rk")
     )
+
+
+@register(
+    "ext_kmeans_epoch",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8
+    ),
+    scored AS (
+      SELECT v.vec_id, c.cid, {_dd_cosine('v.embedding', 'c.cvec')} AS cos,
+             v.embedding
+      FROM embeddings v CROSS JOIN cent c
+    ),
+    assigned AS (
+      SELECT vec_id, cid, embedding FROM (
+        SELECT vec_id, cid, embedding,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cid ASC) rk
+        FROM scored) WHERE rk = 1
+    ),
+    dims AS (
+      SELECT cid, u['d']::BIGINT - 1 AS dim,
+             floor(u['x']::DOUBLE * 1000000 + 0.5)::BIGINT AS micro
+      FROM (SELECT cid,
+                   unnest([{{'d': i, 'x': embedding[i]}}
+                           FOR i IN generate_series(1, len(embedding))]) AS u
+            FROM assigned)
+    )
+    SELECT cid, dim, COUNT(*)::BIGINT AS n,
+           ROUND(SUM(micro)::BIGINT / COUNT(*) / 1000000.0, 6) + 0.0 AS new_v
+    FROM dims GROUP BY 1, 2
+    """,
+    "one distributed k-means training epoch (cosine assignment + "
+    "re-centering): broadcast-centroid max_by assignment (no per-"
+    "vector sort), posexplode to (cluster, dim, micro-component), ONE "
+    "partial-aggregated shuffle carrying O(k x dims) groups; the mean "
+    "is an exact integer micro-sum divided once at the end, so a "
+    "training epoch of distributed ML hash-matches SQL — loop it and "
+    "feed the output back as centroids for full Lloyd training",
+)
+def ext_kmeans_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    from fink_joiner_spark.operators.similarity import _spread, cosine
+
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    v = _spread(emb).select(
+        F.col("vec_id").alias("vid"), F.col("embedding").alias("vec")
+    )
+    scored = v.crossJoin(F.broadcast(cent)).select(
+        "vid", "vec", "cid", cosine(F.col("vec"), F.col("cvec")).alias("cos")
+    )
+    assigned = (
+        scored.groupBy("vid")
+        .agg(
+            F.max_by(
+                F.struct(F.col("cid"), F.col("vec")),
+                F.struct(F.col("cos"), (-F.col("cid")).alias("neg_cid")),
+            ).alias("best")
+        )
+        .select(F.col("best.cid").alias("cid"), F.col("best.vec").alias("vec"))
+    )
+    dims = assigned.select(
+        "cid", F.posexplode("vec").alias("dim", "x")
+    ).select(
+        "cid",
+        F.col("dim").cast("long").alias("dim"),
+        F.floor(F.col("x").cast("double") * 1000000 + 0.5).cast("long").alias("micro"),
+    )
+    return dims.groupBy("cid", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.round(F.sum("micro") / F.count(F.lit(1)) / 1000000.0, 6) + 0.0
+        ).alias("new_v"),
+    )
