@@ -295,6 +295,7 @@ def pagerank_bounded(
     iters: int = 3,
     damping_pct: int = 85,
     unit: int = 1_000_000,
+    checkpoint_every: int | None = None,
 ) -> DataFrame:
     """Bounded-iteration PageRank in EXACT integer micro-units — the
     multi-round companion to :func:`pagerank_step`.
@@ -317,6 +318,11 @@ def pagerank_bounded(
     teleport term) — pass a symmetrized edge set to rank an undirected
     graph. int64 headroom: 100·unit·max_in_degree per node, ~9·10¹⁰
     at unit=10⁶ and in-degree 10⁶ — five orders below overflow.
+
+    ``checkpoint_every=n`` truncates lineage with a lazy
+    localCheckpoint every n rounds (the CC loop's mechanism) so the
+    plan stays bounded for large ``iters``; the default None keeps the
+    linear plan, which is right for the bounded k ≤ 5 registry use.
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
     deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
@@ -325,7 +331,7 @@ def pagerank_bounded(
     # r's lineage re-enters deg and e every round — qualified aliases
     # keep the self-joins unambiguous without disabling the analyzer
     # check.
-    for _ in range(iters):
+    for it in range(iters):
         shares = (
             r.alias("rr")
             .join(deg.alias("dg"), F.col("rr.node") == F.col("dg.u"))
@@ -346,4 +352,6 @@ def pagerank_bounded(
                 .alias("r"),
             )
         )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0 and it + 1 < iters:
+            r = r.localCheckpoint(eager=False)
     return r.select("node", F.col("r").alias("rank_micro"))

@@ -143,3 +143,21 @@ def test_pagerank_bounded_matches_python_reference(spark):
         r = {v: 150_000 + (85 * a) // 100 for v, a in acc.items()}
     got = {x.node: x.rank_micro for x in graph.pagerank_bounded(edges, iters=3).collect()}
     assert got == r
+
+
+def test_pagerank_bounded_checkpoint_identical(spark):
+    """Lineage truncation is a physical choice: ranks must be
+    bit-identical with and without per-round checkpointing."""
+    import random
+
+    rnd = random.Random(3)
+    edges = spark.createDataFrame(
+        [e for e in {(rnd.randrange(10), rnd.randrange(10)) for _ in range(25)} if e[0] != e[1]],
+        "src int, dst int",
+    )
+    plain = {(r.node, r.rank_micro) for r in graph.pagerank_bounded(edges, iters=4).collect()}
+    ckpt = {
+        (r.node, r.rank_micro)
+        for r in graph.pagerank_bounded(edges, iters=4, checkpoint_every=1).collect()
+    }
+    assert plain == ckpt
