@@ -216,3 +216,61 @@ def test_scrub_roundtrip_when_threshold_unreachable(spark, texts):
         else:
             # docs yielding zero segments (no tokens) produce no row
             assert want == ""
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)),
+        min_size=1, max_size=25,
+    ),
+    st.integers(0, 1000),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pagerank_relabel_invariance(spark, edges, offset):
+    """PageRank is label-blind: shifting every node id by a constant
+    shifts the output keys and nothing else (exact integer ranks)."""
+    from fink_joiner_spark.operators import graph
+
+    e = [(a, b) for a, b in edges if a != b]
+    if not e:
+        return
+    base = spark.createDataFrame(e, "src int, dst int")
+    shifted = spark.createDataFrame(
+        [(a + offset, b + offset) for a, b in e], "src int, dst int"
+    )
+    r0 = {r.node: r.rank_micro for r in graph.pagerank_bounded(base, iters=2).collect()}
+    r1 = {r.node: r.rank_micro for r in graph.pagerank_bounded(shifted, iters=2).collect()}
+    assert r1 == {k + offset: v for k, v in r0.items()}
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 10_000), st.integers(1, 500)),
+        min_size=2, max_size=30, unique_by=lambda t: (t[0], t[1]),
+    ),
+    st.integers(-10**6, 10**6),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_twap_time_shift_invariance(spark, rows, shift):
+    """TWAP weights are duration RATIOS: translating every timestamp
+    by a constant must leave every group's TWAP unchanged."""
+    from pyspark.sql import Window, functions as F
+
+    def twap(data):
+        df = spark.createDataFrame(data, "k int, ts_us long, cents long")
+        w = Window.partitionBy("k").orderBy("ts_us")
+        g = df.select(
+            "k", "cents", (F.lead("ts_us").over(w) - F.col("ts_us")).alias("d")
+        ).where(F.col("d").isNotNull() & (F.col("d") > 0))
+        return {
+            r.k: r.t
+            for r in g.groupBy("k")
+            .agg(F.round(F.sum(F.col("cents") * F.col("d")) / F.sum("d"), 6).alias("t"))
+            .collect()
+        }
+
+    base = [(k, ts, c) for k, ts, c in rows]
+    moved = [(k, ts + shift, c) for k, ts, c in rows]
+    assert twap(base) == twap(moved)
