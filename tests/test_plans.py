@@ -462,3 +462,33 @@ def test_semdedup_grid_invariance(spark, sf_dir):
         for gv in (1, 3)
     ]
     assert kept[0] == kept[1] and kept[0]
+
+
+def test_negative_sampling_no_cross_join(spark, sf_dir):
+    """Candidates are a bounded per-user oversample — the plan must
+    not contain a cartesian user x item product, and the rank window
+    must be user-partitioned."""
+    df = _q("ext_negative_sampling", spark, sf_dir)
+    plans.asserts_no_cartesian(df)
+    plan = plans.formatted_plan(df)
+    assert "SinglePartition" not in plan, plan
+
+
+def test_kmeans_epoch_shuffles_groups_not_vectors(spark, sf_dir):
+    """Re-centering must aggregate (cluster, dim) partial sums — no
+    single-partition exchange, no cartesian beyond the broadcast
+    centroid pass."""
+    df = _q("ext_kmeans_epoch", spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "SinglePartition" not in plan, plan
+    plans.asserts_whole_stage_codegen(df)
+
+
+def test_ols_trend_uses_broadcast_origin_not_window(spark, sf_dir):
+    """The per-group time origin rides a broadcast join; a
+    low-cardinality partitioned window would serialize each group
+    through one task at scale."""
+    df = _q("ext_group_ols_trend", spark, sf_dir)
+    plans.asserts_broadcast_join(df)
+    plan = plans.formatted_plan(df)
+    assert "Window" not in plan, plan
