@@ -826,3 +826,61 @@ def winnowing_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def bigram_nll(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Per-document bigram-LM negative log-likelihood — the CCNet-style
+    LM quality filter (documents whose word transitions surprise the
+    corpus LM are boilerplate, lists, or noise).
+
+    Add-one smoothed bigram model trained on the corpus itself:
+    p(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V), V = corpus vocab size.
+    Every per-token log is integerized to micro-nats BEFORE the sum
+    (floor(ln(p)·1e6 + 0.5), an exact int64), so the per-doc total is
+    reduction-order independent; no exp() in the output — perplexity
+    is exp(nll_micro / 1e6 / n) for whoever wants it, computed outside
+    the compared columns.
+
+    Scale: bigrams come from a doc-partitioned LEAD (bounded by doc
+    length, never global); the model is two wordcount-shaped
+    aggregates with map-side combine; scoring joins each doc bigram to
+    its two counts — the bigram-keyed join is the only corpus-sized
+    shuffle, and V and the unigram table broadcast when small.
+    """
+    from pyspark.sql import Window
+
+    from fink_joiner_spark.operators.similarity import _spread
+
+    d = _spread(df).select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("t"))
+    toks = d.select("doc_id", F.posexplode(tokens(F.col("t"))).alias("pos", "w"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        toks.select("doc_id", "w", F.lead("w").over(w).alias("w2"))
+        .where(F.col("w2").isNotNull())
+        .select("doc_id", F.col("w").alias("w1"), "w2")
+    )
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = toks.select("w").distinct().agg(F.count(F.lit(1)).alias("v"))
+    scored = (
+        big.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.floor(
+                F.log((F.col("c12") + 1) / (F.col("c1") + F.col("v"))) * 1000000
+                + 0.5
+            )
+            .cast("long")
+            .alias("micro_log"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (-F.sum("micro_log")).alias("nll_micro"),
+    )

@@ -4432,3 +4432,50 @@ def ext_kmeans_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("micro") / F.count(F.lit(1)) / 1000000.0, 6) + 0.0
         ).alias("new_v"),
     )
+
+
+@register(
+    "text_bigram_nll",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, {_DD_TOKS.format(t='text')} AS toks FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, u['p']::BIGINT AS pos, u['w'] AS w
+      FROM (SELECT doc_id,
+                   unnest([{{'p': i, 'w': toks[i]}}
+                           FOR i IN generate_series(1, len(toks))]) AS u
+            FROM toks)
+    ),
+    big AS (
+      SELECT a.doc_id, a.w AS w1, b.w AS w2
+      FROM pos a JOIN pos b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    c12 AS (SELECT w1, w2, COUNT(*)::BIGINT AS c12 FROM big GROUP BY 1, 2),
+    c1 AS (SELECT w1, COUNT(*)::BIGINT AS c1 FROM big GROUP BY 1),
+    vocab AS (SELECT COUNT(DISTINCT w)::BIGINT AS v FROM pos),
+    scored AS (
+      SELECT g.doc_id,
+             floor(ln((x.c12 + 1)::DOUBLE / (y.c1 + vocab.v))
+                   * 1000000 + 0.5)::BIGINT AS micro_log
+      FROM big g
+      JOIN c12 x ON x.w1 = g.w1 AND x.w2 = g.w2
+      JOIN c1 y ON y.w1 = g.w1
+      CROSS JOIN vocab
+    )
+    SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+           (-SUM(micro_log))::BIGINT AS nll_micro
+    FROM scored GROUP BY 1
+    """,
+    "per-doc bigram-LM negative log-likelihood (CCNet-style LM "
+    "quality filter): add-one smoothed bigram model trained on the "
+    "corpus, per-token logs integerized to micro-nats BEFORE the sum "
+    "(exact int64 — reduction order can't move the hash, and no "
+    "exp() in compared columns); doc-partitioned LEAD bigrams, "
+    "wordcount-shaped model aggregates",
+)
+def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import text as txt
+
+    return txt.bigram_nll(table(spark, sf_dir, "documents"), "doc_id", "text")

@@ -359,3 +359,22 @@ def test_token_budget_head_no_single_partition(spark, sf_dir):
     df = REGISTRY["ext_token_budget_head"].fn(spark, sf_dir)
     plan = plans.formatted_plan(df)
     assert "SinglePartition" not in plan, plan
+
+
+def test_bigram_nll_repetition_scores_lower(spark):
+    """A doc that repeats one bigram over and over is maximally
+    predictable under the corpus LM and must carry a LOWER per-bigram
+    NLL than a doc of unique transitions; micro-nat sums are exact
+    ints and every bigram contributes one term."""
+    from fink_joiner_spark.operators import text as txt
+
+    rows = [
+        (1, "spam spam spam spam spam spam spam spam spam"),
+        (2, "one two three four five six seven eight nine"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in txt.bigram_nll(df, "doc_id", "text").collect()}
+    assert out[1].n_bigrams == 8 and out[2].n_bigrams == 8
+    assert out[1].nll_micro < out[2].nll_micro
+    # per-term exactness: repeated doc = 8 identical transitions
+    assert out[1].nll_micro % 8 == 0
