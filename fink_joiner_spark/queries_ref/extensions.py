@@ -4479,3 +4479,89 @@ def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fink_joiner_spark.operators import text as txt
 
     return txt.bigram_nll(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "ext_quality_psi_drift",
+    """
+    WITH d AS (
+      SELECT source, least(n_chars // 100, 5)::BIGINT AS bucket,
+             (doc_id % 2 = 0) AS even
+      FROM documents
+    ),
+    spine AS (
+      SELECT s.source, g.b AS bucket
+      FROM (SELECT DISTINCT source FROM d) s, generate_series(0, 5) AS g(b)
+    ),
+    cnt AS (
+      SELECT source, bucket,
+             COUNT(*) FILTER (even)::BIGINT AS ce,
+             COUNT(*) FILTER (NOT even)::BIGINT AS co
+      FROM d GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT source, SUM(ce)::BIGINT AS ne, SUM(co)::BIGINT AS no
+      FROM cnt GROUP BY 1
+    ),
+    full_g AS (
+      SELECT sp.source, sp.bucket,
+             COALESCE(c.ce, 0) + 1 AS ce1, COALESCE(c.co, 0) + 1 AS co1,
+             t.ne + 6 AS ned, t.no + 6 AS nod
+      FROM spine sp LEFT JOIN cnt c
+        ON c.source = sp.source AND c.bucket = sp.bucket
+      JOIN tot t ON t.source = sp.source
+    ),
+    terms AS (
+      SELECT source,
+             floor(((ce1::DOUBLE / ned) - (co1::DOUBLE / nod))
+                   * ln((ce1::DOUBLE / ned) / (co1::DOUBLE / nod))
+                   * 1000000000 + 0.5)::BIGINT AS nano
+      FROM full_g
+    )
+    SELECT source, SUM(nano)::BIGINT AS psi_nano FROM terms GROUP BY 1
+    """,
+    "population-stability-index drift monitor per source (the data-"
+    "quality gate production pipelines run between ingestion batches): "
+    "fixed length-buckets, add-one smoothed even/odd-split "
+    "distributions, each PSI term integerized to nano-units BEFORE the "
+    "per-source sum (exact int64, reduction-order-proof); the bucket "
+    "spine is a broadcast-sized sources x 6 grid so zero-count buckets "
+    "still contribute their smoothed term",
+)
+def ext_quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select(
+        "source",
+        F.least(F.floor(F.col("n_chars") / 100), F.lit(5)).cast("long").alias("bucket"),
+        (F.col("doc_id") % 2 == 0).alias("even"),
+    )
+    cnt = d.groupBy("source", "bucket").agg(
+        F.count_if(F.col("even")).alias("ce"),
+        F.count_if(~F.col("even")).alias("co"),
+    )
+    tot = cnt.groupBy("source").agg(
+        F.sum("ce").alias("ne"), F.sum("co").alias("no")
+    )
+    spine = (
+        d.select("source")
+        .distinct()
+        .select("source", F.explode(F.sequence(F.lit(0), F.lit(5))).alias("b"))
+        .select("source", F.col("b").cast("long").alias("bucket"))
+    )
+    full_g = (
+        spine.join(cnt, ["source", "bucket"], "left")
+        .join(tot, "source")
+        .select(
+            "source",
+            (F.coalesce(F.col("ce"), F.lit(0)) + 1).alias("ce1"),
+            (F.coalesce(F.col("co"), F.lit(0)) + 1).alias("co1"),
+            (F.col("ne") + 6).alias("ned"),
+            (F.col("no") + 6).alias("nod"),
+        )
+    )
+    p = F.col("ce1") / F.col("ned")
+    q = F.col("co1") / F.col("nod")
+    terms = full_g.select(
+        "source",
+        F.floor((p - q) * F.log(p / q) * 1000000000 + 0.5).cast("long").alias("nano"),
+    )
+    return terms.groupBy("source").agg(F.sum("nano").alias("psi_nano"))
