@@ -300,24 +300,28 @@ def pagerank_bounded(
     """Bounded-iteration PageRank in EXACT integer micro-units — the
     multi-round companion to :func:`pagerank_step`.
 
-    r₀(v) = ``unit`` for every source node;
+    r₀(v) = ``unit`` for EVERY node (src ∪ dst);
     rₖ₊₁(v) = teleport + (``damping_pct`` · Σ_{u→v} (rₖ(u) div out(u))) div 100
-    with teleport = (100−damping_pct)·unit div 100. Every quantity is
-    int64 and every division is integral on non-negative values, so the
-    result is bit-identical in ANY engine and ANY reduction order — an
-    iterative graph algorithm that still carries a hard value-hash
-    oracle (fixed-k unrolled SQL).
+    with teleport = (100−damping_pct)·unit div 100, and an empty
+    in-neighbour sum contributing 0 — nodes with no in-edges KEEP the
+    bare teleport rank every round (rank state is a LEFT join onto the
+    full node set, the same stance as :func:`pagerank_step`; an early
+    version dropped such nodes from the frontier, which on a directed
+    chain emptied the output entirely). Every quantity is int64 and
+    every division is integral on non-negative values, so the result is
+    bit-identical in ANY engine and ANY reduction order — an iterative
+    graph algorithm that still carries a hard value-hash oracle
+    (fixed-k unrolled SQL).
 
     Scale: rank state stays distributed and keyed by node — nothing is
     broadcast or collected; each round is one src-keyed join plus one
-    dst-keyed partial-aggregated shuffle, the same per-round shape as
-    ``connected_components``. At the registry's bounded k ≤ 5 the
-    linear lineage is fine; for large k truncate with localCheckpoint
-    per round exactly as the CC loop above does. Nodes with no
-    in-edges leave the frontier after one round (their rank is the bare
-    teleport term) — pass a symmetrized edge set to rank an undirected
-    graph. int64 headroom: 100·unit·max_in_degree per node, ~9·10¹⁰
-    at unit=10⁶ and in-degree 10⁶ — five orders below overflow.
+    dst-keyed partial-aggregated shuffle and one node-keyed left join,
+    the same per-round shape as ``connected_components``. At the
+    registry's bounded k ≤ 5 the linear lineage is fine; for large k
+    truncate with localCheckpoint per round exactly as the CC loop
+    above does. int64 headroom: 100·unit·max_in_degree per node,
+    ~9·10¹⁰ at unit=10⁶ and in-degree 10⁶ — five orders below
+    overflow.
 
     ``checkpoint_every=n`` truncates lineage with a lazy
     localCheckpoint every n rounds (the CC loop's mechanism) so the
@@ -326,8 +330,13 @@ def pagerank_bounded(
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
     deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
     teleport = (100 - damping_pct) * unit // 100
-    r = deg.select(F.col("u").alias("node"), F.lit(unit).cast("long").alias("r"))
+    r = nodes.select("node", F.lit(unit).cast("long").alias("r"))
     # r's lineage re-enters deg and e every round — qualified aliases
     # keep the self-joins unambiguous without disabling the analyzer
     # check.
@@ -340,14 +349,21 @@ def pagerank_bounded(
                 F.expr("rr.r div dg.d").alias("share"),
             )
         )
-        r = (
+        gathered = (
             shares.alias("sh")
             .join(e.alias("ed"), F.col("sh.u") == F.col("ed.u"))
             .groupBy(F.col("ed.v"))
             .agg(F.sum(F.col("sh.share")).alias("s"))
+        )
+        r = (
+            nodes.alias("nd")
+            .join(gathered.alias("gt"), F.col("nd.node") == F.col("gt.v"), "left")
             .select(
-                F.col("v").alias("node"),
-                (F.lit(teleport) + F.expr(f"({damping_pct} * s) div 100"))
+                F.col("nd.node").alias("node"),
+                (
+                    F.lit(teleport)
+                    + F.expr(f"({damping_pct} * coalesce(gt.s, 0L)) div 100")
+                )
                 .cast("long")
                 .alias("r"),
             )

@@ -17,7 +17,7 @@ def frequent_pairs(
     df: DataFrame,
     basket_col: str,
     item_col: str,
-    min_item_support: int = 5,
+    min_item_support: int | None = None,
     min_pair_support: int = 2,
 ) -> DataFrame:
     """Frequent item PAIRS with a-priori pruning.
@@ -25,6 +25,11 @@ def frequent_pairs(
     A pair cannot reach ``min_pair_support`` unless BOTH items do
     (a-priori monotonicity), so items are support-filtered BEFORE the
     pair join — the pruning that makes the 2-itemset pass tractable.
+    The default ``min_item_support=None`` uses ``min_pair_support``,
+    which is the LOSSLESS setting; passing a larger value is an
+    explicit extra interestingness threshold (rare-item pairs are
+    dropped even when their pair support qualifies — the registry
+    query does this deliberately at 5), not pure pruning.
 
     Scale: per-basket distinct items → one keyed agg for item support;
     the self-join is keyed by basket id, so candidate volume is
@@ -34,6 +39,8 @@ def frequent_pairs(
     map-side-combined aggregate keyed by the pair. Output:
     (item_a, item_b, support) with item_a < item_b canonical order.
     """
+    if min_item_support is None:
+        min_item_support = min_pair_support
     items = df.select(
         F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
     ).distinct()

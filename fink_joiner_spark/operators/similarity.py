@@ -32,7 +32,17 @@ def _spread(df: DataFrame) -> DataFrame:
     scans as thousands of partitions, and an unconditional repartition
     there would be a full corpus shuffle bought for nothing. The probe
     (`df.rdd.getNumPartitions()`) materializes the physical plan once
-    at query-build time without running a job."""
+    at query-build time without running a job.
+
+    CONTRACT: call this on SCAN-stage inputs only (every in-repo call
+    site does). For an input whose lineage already contains a shuffle,
+    the probe reports the static pre-AQE partition count
+    (spark.sql.shuffle.partitions) — the repartition is skipped, and
+    AQE's size-based coalescing may still collapse the small exchange
+    to one partition at runtime. Compute-dense work AFTER a shuffle
+    needs its own EXPLICIT keyed repartition on the downstream join
+    keys (see semantic_dedup_keep's pair join), which is the correct
+    tool there anyway."""
     par = df.sparkSession.sparkContext.defaultParallelism
     try:
         n = df.rdd.getNumPartitions()
@@ -1532,6 +1542,47 @@ def edit_distance_pairs(
     )
 
 
+def assign_to_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+) -> DataFrame:
+    """Nearest-centroid (highest-cosine) assignment against a
+    broadcast centroid set; ties go to the LOWEST centroid id.
+
+    One scan pass plus one map-side-combined ``min_by`` shuffle — no
+    per-vector sort window. The order key is struct(-cos, cid): the
+    negation lives on the (always numeric) cosine, not on the id, so
+    any ORDERABLE cid type works — negating a string cid would coerce
+    to NULL under non-ANSI Spark and silently randomize tie-breaks.
+    Returns (vid, cid, vec). Shared by :func:`semantic_dedup_keep` and
+    the registry's k-means epoch.
+    """
+    v = _spread(df).select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    c = centroids.select(
+        F.col(centroids.columns[0]).alias("cid"),
+        F.col(centroids.columns[1]).alias("cvec"),
+    )
+    scored = v.crossJoin(F.broadcast(c)).select(
+        "vid", "vec", "cid", cosine(F.col("vec"), F.col("cvec")).alias("cos")
+    )
+    return (
+        scored.groupBy("vid")
+        .agg(
+            F.min_by(
+                F.struct(F.col("cid"), F.col("vec")),
+                F.struct((-F.col("cos")).alias("neg_cos"), F.col("cid")),
+            ).alias("best")
+        )
+        .select(
+            "vid",
+            F.col("best.cid").alias("cid"),
+            F.col("best.vec").alias("vec"),
+        )
+    )
+
+
 def semantic_dedup_keep(
     df: DataFrame,
     id_col: str,
@@ -1573,28 +1624,7 @@ def semantic_dedup_keep(
     or train with :func:`train_ivf_centroids`.
     """
     g = max(1, int(pair_grid))
-    v = _spread(df).select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
-    c = centroids.select(F.col(centroids.columns[0]).alias("cid"),
-                         F.col(centroids.columns[1]).alias("cvec"))
-    scored = v.crossJoin(F.broadcast(c)).select(
-        "vid", "vec", "cid", cosine(F.col("vec"), F.col("cvec")).alias("cos")
-    )
-    # best-cosine centroid, ties to the LOWEST cid: max_by over
-    # struct(cos, -cid) — one partial-aggregated shuffle, no window.
-    assigned = (
-        scored.groupBy("vid")
-        .agg(
-            F.max_by(
-                F.struct(F.col("cid"), F.col("vec")),
-                F.struct(F.col("cos"), (-F.col("cid")).alias("neg_cid")),
-            ).alias("best")
-        )
-        .select(
-            "vid",
-            F.col("best.cid").alias("cid"),
-            F.col("best.vec").alias("vec"),
-        )
-    )
+    assigned = assign_to_centroids(df, id_col, vec_col, centroids)
     grp = F.pmod(F.xxhash64(F.col("vid"), F.lit("semgrid")), F.lit(g))
     par = df.sparkSession.sparkContext.defaultParallelism
     # EXPLICIT keyed repartition before the pair join: the join input

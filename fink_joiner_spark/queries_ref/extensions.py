@@ -4068,19 +4068,26 @@ def simsearch_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem
     ),
     deg AS (SELECT src, COUNT(*)::BIGINT AS d FROM edges GROUP BY 1),
-    pr0 AS (SELECT src AS node, 1000000::BIGINT AS r FROM deg),
-    pr1 AS (SELECT e.dst AS node,
-                   (150000 + (85 * SUM(p.r // d.d)) // 100)::BIGINT AS r
-            FROM pr0 p JOIN deg d ON d.src = p.node
-            JOIN edges e ON e.src = p.node GROUP BY e.dst),
-    pr2 AS (SELECT e.dst AS node,
-                   (150000 + (85 * SUM(p.r // d.d)) // 100)::BIGINT AS r
-            FROM pr1 p JOIN deg d ON d.src = p.node
-            JOIN edges e ON e.src = p.node GROUP BY e.dst),
-    pr3 AS (SELECT e.dst AS node,
-                   (150000 + (85 * SUM(p.r // d.d)) // 100)::BIGINT AS r
-            FROM pr2 p JOIN deg d ON d.src = p.node
-            JOIN edges e ON e.src = p.node GROUP BY e.dst)
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    pr0 AS (SELECT node, 1000000::BIGINT AS r FROM nodes),
+    g1 AS (SELECT e.dst AS node, SUM(p.r // d.d)::BIGINT AS s
+           FROM pr0 p JOIN deg d ON d.src = p.node
+           JOIN edges e ON e.src = p.node GROUP BY e.dst),
+    pr1 AS (SELECT n.node,
+                   (150000 + (85 * COALESCE(g.s, 0)) // 100)::BIGINT AS r
+            FROM nodes n LEFT JOIN g1 g ON g.node = n.node),
+    g2 AS (SELECT e.dst AS node, SUM(p.r // d.d)::BIGINT AS s
+           FROM pr1 p JOIN deg d ON d.src = p.node
+           JOIN edges e ON e.src = p.node GROUP BY e.dst),
+    pr2 AS (SELECT n.node,
+                   (150000 + (85 * COALESCE(g.s, 0)) // 100)::BIGINT AS r
+            FROM nodes n LEFT JOIN g2 g ON g.node = n.node),
+    g3 AS (SELECT e.dst AS node, SUM(p.r // d.d)::BIGINT AS s
+           FROM pr2 p JOIN deg d ON d.src = p.node
+           JOIN edges e ON e.src = p.node GROUP BY e.dst),
+    pr3 AS (SELECT n.node,
+                   (150000 + (85 * COALESCE(g.s, 0)) // 100)::BIGINT AS r
+            FROM nodes n LEFT JOIN g3 g ON g.node = n.node)
     SELECT node, r AS rank_micro FROM pr3
     """,
     "bounded-iteration PageRank (3 rounds, damping 0.85) over the "
@@ -4219,6 +4226,7 @@ def ext_twap_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / ((n*sxx - sx*sx)::DOUBLE) / 100.0, 6) + 0.0
              AS intercept
     FROM s
+    WHERE n*sxx - sx*sx <> 0
     """,
     "per-group OLS trend (least-squares slope/intercept of value vs "
     "time): the five sufficient statistics (n, Σx, Σy, Σxy, Σx²) as "
@@ -4252,6 +4260,10 @@ def ext_group_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
     )
     nd = F.col("n").cast(dec)
+    # degenerate groups (single event, or every event in the same
+    # whole second) have a zero denominator — drop them instead of
+    # emitting NaN/Inf, which is a cross-engine formatting surface
+    s = s.where(nd * F.col("sxx") - F.col("sx") * F.col("sx") != 0)
     den = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
     return s.select(
         "event_type",
@@ -4397,28 +4409,13 @@ def ext_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     "feed the output back as centroids for full Lloyd training",
 )
 def ext_kmeans_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
-    from fink_joiner_spark.operators.similarity import _spread, cosine
+    from fink_joiner_spark.operators.similarity import assign_to_centroids
 
+    emb = table(spark, sf_dir, "embeddings")
     cent = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
     )
-    v = _spread(emb).select(
-        F.col("vec_id").alias("vid"), F.col("embedding").alias("vec")
-    )
-    scored = v.crossJoin(F.broadcast(cent)).select(
-        "vid", "vec", "cid", cosine(F.col("vec"), F.col("cvec")).alias("cos")
-    )
-    assigned = (
-        scored.groupBy("vid")
-        .agg(
-            F.max_by(
-                F.struct(F.col("cid"), F.col("vec")),
-                F.struct(F.col("cos"), (-F.col("cid")).alias("neg_cid")),
-            ).alias("best")
-        )
-        .select(F.col("best.cid").alias("cid"), F.col("best.vec").alias("vec"))
-    )
+    assigned = assign_to_centroids(emb, "vec_id", "embedding", cent)
     dims = assigned.select(
         "cid", F.posexplode("vec").alias("dim", "x")
     ).select(

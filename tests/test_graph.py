@@ -134,15 +134,28 @@ def test_pagerank_bounded_matches_python_reference(spark):
     out_deg = {}
     for s, _ in rows:
         out_deg[s] = out_deg.get(s, 0) + 1
-    r = {s: 1_000_000 for s in out_deg}
+    all_nodes = {s for s, _ in rows} | {d for _, d in rows}
+    r = {n: 1_000_000 for n in all_nodes}
     for _ in range(3):
         acc = {}
         for s, d in rows:
-            if s in r:
-                acc[d] = acc.get(d, 0) + r[s] // out_deg[s]
-        r = {v: 150_000 + (85 * a) // 100 for v, a in acc.items()}
+            acc[d] = acc.get(d, 0) + r[s] // out_deg[s]
+        r = {n: 150_000 + (85 * acc.get(n, 0)) // 100 for n in all_nodes}
     got = {x.node: x.rank_micro for x in graph.pagerank_bounded(edges, iters=3).collect()}
     assert got == r
+
+
+def test_pagerank_bounded_directed_chain_keeps_all_nodes(spark):
+    """Directed chain A->B->C: A has no in-edges and must KEEP the
+    bare teleport rank every round instead of leaving the output (the
+    frontier-drop bug emptied the result entirely at iters=3)."""
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src int, dst int")
+    out = {r.node: r.rank_micro for r in graph.pagerank_bounded(edges, iters=3).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[0] == 150_000
+    # B gets only A's teleport share after round 2: 150000 + 85% of 150000
+    assert out[1] == 150_000 + (85 * 150_000) // 100
+    assert out[0] < out[1] < out[2]
 
 
 def test_pagerank_bounded_checkpoint_identical(spark):

@@ -65,3 +65,14 @@ def test_frequent_pairs_matches_bruteforce(spark):
             want[(a, b)] = want.get((a, b), 0) + 1
     want = {k: v for k, v in want.items() if v >= 2}
     assert got == want
+
+
+def test_frequent_pairs_default_item_filter_is_lossless(spark):
+    """With the default (min_item_support=None -> min_pair_support),
+    the a-priori item filter is pure pruning: rare items that always
+    co-occur still surface."""
+    rows = [(1, "p"), (1, "q"), (2, "p"), (2, "q")]  # both items support 2
+    out = mining.frequent_pairs(
+        _baskets(spark, rows), "basket", "item", min_pair_support=2
+    ).collect()
+    assert {(r.item_a, r.item_b, r.support) for r in out} == {("p", "q", 2)}

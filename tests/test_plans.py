@@ -405,7 +405,12 @@ def test_tpch_q19_prefilters_reach_scans(spark, sf_dir):
     surviving rows — and the part side must broadcast."""
     df = _q("ext_tpch_q19_disjunctive", spark, sf_dir)
     plan = plans.formatted_plan(df)
-    assert "l_quantity" in plan.split("PushedFilters:", 1)[-1], plan
+    # a PushedFilters LINE must carry the quantity bound — splitting on
+    # the marker would degrade to the whole plan (and pass vacuously)
+    # when pushdown regresses entirely
+    pushed_lines = [ln for ln in plan.splitlines() if "PushedFilters:" in ln]
+    assert pushed_lines, plan
+    assert any("l_quantity" in ln for ln in pushed_lines), plan
     plans.asserts_broadcast_join(df)
     plans.asserts_no_cartesian(df)
 
@@ -428,8 +433,31 @@ def test_tpch_q13_left_outer_survives(spark, sf_dir):
     df = _q("ext_tpch_q13_order_dist", spark, sf_dir)
     plan = plans.formatted_plan(df)
     assert "LeftOuter" in plan, plan
-    # zero-order customers exist in the fixture: count-0 bucket present
-    assert df.where(F.col("c_count") == 0).count() >= 0  # executes
+    # Σ custdist must equal |customer| — an inner join (or a predicate
+    # pushed below the outer join) would drop zero-order customers and
+    # break the identity on fixtures that have them.
+    n_cust = table(spark, sf_dir, "customer").count()
+    total = df.agg(F.sum("custdist").alias("t")).collect()[0]["t"]
+    assert total == n_cust, (total, n_cust)
+
+    # and on a fixture that GUARANTEES a zero-order customer, the
+    # count-0 bucket must survive
+    c = spark.createDataFrame([(1,), (2,)], "c_custkey long")
+    o = spark.createDataFrame(
+        [(10, 1, "1-URGENT"), (11, 1, "5-LOW")],
+        "o_orderkey long, o_custkey long, o_orderpriority string",
+    )
+    per = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    got = {r.c_custkey: r.c_count for r in per.collect()}
+    assert got == {1: 1, 2: 0}
 
 
 def test_semdedup_pair_join_keeps_parallelism(spark, sf_dir):
