@@ -198,3 +198,73 @@ def resize_payload(
             ).astype("int64")
 
     return df.mapInPandas(run, _RESIZE_SCHEMA)
+
+
+def perceptual_hash(df: DataFrame, fake: bool = True) -> DataFrame:
+    """Per-payload 8-bit perceptual hash from the (stubbed) decoded
+    features: bit i is set when byte-bucket i holds MORE than its
+    uniform share (8·f_i > n_bytes — integer-exact, no float mean).
+    With a real codec the features are DCT coefficients and this is
+    classic pHash; the thresholding + pairing machinery is identical.
+    Emits (id, n_bytes, phash)."""
+    feats = extract_features(df, fake=fake, normalize=False)
+    phash = None
+    for i in range(FEATURE_DIM):
+        bit = F.when(
+            F.col("features")[i] * 8 > F.col("n_bytes"), F.lit(1 << i)
+        ).otherwise(F.lit(0))
+        phash = bit if phash is None else phash + bit
+    return feats.select("id", "n_bytes", phash.cast("long").alias("phash"))
+
+
+def phash_dup_pairs(df: DataFrame, fake: bool = True, max_hamming: int = 1) -> DataFrame:
+    """Perceptual near-dup pairs: payloads whose 8-bit perceptual
+    hashes differ in at most ``max_hamming`` bits (default 1).
+
+    Pigeonhole blocking, the simhash trick: hamming ≤ 1 over 8 bits
+    means the two 4-bit HALVES can't both differ, so candidates come
+    from an equi-join on (half-index, half-value) — never all-pairs —
+    and the exact hamming check (bit_count of xor) runs only inside
+    blocks. Emits (id_a, id_b, hamming) with id_a < id_b.
+
+    CAVEAT — hash entropy is the scale knob: pigeonhole blocking only
+    bounds candidates when hashes spread. A corpus whose payloads share
+    one byte-profile (e.g. same-language text through the stub decoder)
+    collapses into a handful of mega-blocks and the pair set approaches
+    all-pairs — measured 3.5M pairs over 5 000 synthetic docs. With a
+    real DCT-based pHash (or any decoder whose features discriminate),
+    the 2^8 hash space spreads and the blocks stay bounded; for low-
+    entropy regimes widen the hash before pairing.
+    """
+    h = perceptual_hash(df, fake=fake).select(
+        "id", "phash",
+        (F.col("phash") % 16).alias("lo"),
+        (F.col("phash") / 16).cast("long").alias("hi"),
+    )
+    blocks = h.select(
+        "id", "phash",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("half"), F.col("lo").alias("val")),
+                F.struct(F.lit(1).alias("half"), F.col("hi").alias("val")),
+            )
+        ).alias("b"),
+    ).select("id", "phash", F.col("b.half").alias("half"), F.col("b.val").alias("val"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.half") == F.col("b.half"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+            ).cast("long").alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.where(F.col("hamming") <= max_hamming)

@@ -4562,3 +4562,42 @@ def ext_quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((p - q) * F.log(p / q) * 1000000000 + 0.5).cast("long").alias("nano"),
     )
     return terms.groupBy("source").agg(F.sum("nano").alias("psi_nano"))
+
+
+@register(
+    "multimodal_phash",
+    """
+    WITH b AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS n_bytes,
+             [ (strpos('0123456789ABCDEF',
+                       substr(hex(encode(text)), 2*i, 1)) - 1) % 8
+               FOR i IN range(1, octet_length(encode(text)) + 1) ] AS buckets
+      FROM documents
+    )
+    SELECT doc_id AS id, n_bytes,
+           (CASE WHEN 8 * len(list_filter(buckets, x -> x = 0)) > n_bytes THEN 1 ELSE 0 END
+          + CASE WHEN 8 * len(list_filter(buckets, x -> x = 1)) > n_bytes THEN 2 ELSE 0 END
+          + CASE WHEN 8 * len(list_filter(buckets, x -> x = 2)) > n_bytes THEN 4 ELSE 0 END
+          + CASE WHEN 8 * len(list_filter(buckets, x -> x = 3)) > n_bytes THEN 8 ELSE 0 END
+          + CASE WHEN 8 * len(list_filter(buckets, x -> x = 4)) > n_bytes THEN 16 ELSE 0 END
+          + CASE WHEN 8 * len(list_filter(buckets, x -> x = 5)) > n_bytes THEN 32 ELSE 0 END
+          + CASE WHEN 8 * len(list_filter(buckets, x -> x = 6)) > n_bytes THEN 64 ELSE 0 END
+          + CASE WHEN 8 * len(list_filter(buckets, x -> x = 7)) > n_bytes THEN 128 ELSE 0 END
+           )::BIGINT AS phash
+    FROM b
+    """,
+    "per-payload perceptual hash over the multimodal codec stub "
+    "(pHash shape: over-uniform-share threshold bits from the decoded "
+    "features, integer-exact — 8*f_i > n_bytes, no float mean); the "
+    "pigeonhole pair join lives in multimodal.phash_dup_pairs "
+    "(unit-tested on payloads with distinct profiles — the synthetic "
+    "text corpus's byte histograms are too uniform for a meaningful "
+    "pair demo, as the operator docstring documents)",
+)
+def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import multimodal
+
+    docs = table(spark, sf_dir, "documents")
+    bin_df = multimodal.binarize(docs, "text", "doc_id")
+    return multimodal.perceptual_hash(bin_df, fake=True)

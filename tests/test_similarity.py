@@ -501,3 +501,36 @@ def test_hard_negative_topk_excludes_same_label(spark, sf_dir):
     got = {(r.nid, r.score, r.rank) for r in rows if r.qid == a0.vec_id}
     want = {(r.nid, r.score, r.rank) for r in ref.collect()}
     assert got == want
+
+
+def test_phash_dup_pairs_pigeonhole_exactness(spark):
+    """phash_dup_pairs must equal the brute-force hamming<=1 pair set
+    on payloads with DISTINCT byte profiles, and never emit a pair the
+    exact check rejects."""
+    from fink_joiner_spark.operators import multimodal
+
+    # engineered profiles: 0/1 near-dup (one byte moved), 2 far away
+    rows = [
+        (0, "aaaaaaaabbbbcc"),
+        (1, "aaaaaaaabbbbcd"),
+        (2, "zzzzyyyyxxxxwwwwvvvv"),
+        (3, "aaaaaaaabbbbcc"),  # exact duplicate of 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bin_df = multimodal.binarize(df, "text", "doc_id")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in multimodal.phash_dup_pairs(bin_df, fake=True).collect()
+    }
+    hashes = {
+        r.id: r.phash
+        for r in multimodal.perceptual_hash(bin_df, fake=True).collect()
+    }
+    want = {
+        (a, b): bin(hashes[a] ^ hashes[b]).count("1")
+        for a in hashes
+        for b in hashes
+        if a < b and bin(hashes[a] ^ hashes[b]).count("1") <= 1
+    }
+    assert got == want
+    assert (0, 3) in got and got[(0, 3)] == 0
