@@ -4601,3 +4601,87 @@ def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     bin_df = multimodal.binarize(docs, "text", "doc_id")
     return multimodal.perceptual_hash(bin_df, fake=True)
+
+
+@register(
+    "ext_curation_report",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    base AS (
+      SELECT source, COUNT(*)::BIGINT AS n_docs,
+             SUM(len(t))::BIGINT AS n_tokens
+      FROM toks GROUP BY 1
+    ),
+    seg AS (
+      SELECT doc_id, source, u AS s
+      FROM (SELECT doc_id, source,
+                   unnest([array_to_string(t[1+10*(i-1) : 10*i], ' ')
+                           FOR i IN generate_series(1, len(t) // 10)]) AS u
+            FROM toks)
+    ),
+    c AS (SELECT s, COUNT(*)::BIGINT AS n FROM seg GROUP BY 1),
+    dup AS (
+      SELECT seg.source,
+             COUNT(*) FILTER (c.n > 1)::BIGINT AS dup_segments,
+             COUNT(DISTINCT seg.doc_id) FILTER (c.n > 1)::BIGINT AS docs_with_dup
+      FROM seg JOIN c ON c.s = seg.s
+      GROUP BY 1
+    )
+    SELECT b.source, b.n_docs, b.n_tokens,
+           COALESCE(d.dup_segments, 0)::BIGINT AS dup_segments,
+           COALESCE(d.docs_with_dup, 0)::BIGINT AS docs_with_dup
+    FROM base b LEFT JOIN dup d ON d.source = b.source
+    """,
+    "per-source curation report (the dashboard a data team reads "
+    "before a training run): doc and token counts beside corpus-wide "
+    "duplicated-segment exposure (10-token segments occurring in more "
+    "than one place) — segment counting is one keyed shuffle, the "
+    "report is aggregate-sized; docs shorter than one segment still "
+    "count via the LEFT-joined base",
+)
+def ext_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import text as txt
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", txt.tokens(F.col("text")).alias("t")
+    )
+    base = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("t")).cast("long").alias("n_tokens"),
+    )
+    # sequence(1, 0) is DESCENDING in Spark — guard short docs out
+    # before generating segment indices
+    seg = (
+        toks.where(F.size("t") >= 10)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) div 10), "
+                    "i -> array_join(slice(t, 1 + 10*(i-1), 10), ' '))"
+                )
+            ).alias("s"),
+        )
+    )
+    c = seg.groupBy("s").agg(F.count(F.lit(1)).alias("n"))
+    segc = seg.join(c, "s")
+    dup = segc.groupBy("source").agg(
+        F.count_if(F.col("n") > 1).alias("dup_segments"),
+        F.count_distinct(F.when(F.col("n") > 1, F.col("doc_id"))).alias(
+            "docs_with_dup"
+        ),
+    )
+    return base.join(dup, "source", "left").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.coalesce(F.col("dup_segments"), F.lit(0)).cast("long").alias("dup_segments"),
+        F.coalesce(F.col("docs_with_dup"), F.lit(0)).cast("long").alias("docs_with_dup"),
+    )
