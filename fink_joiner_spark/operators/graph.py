@@ -328,7 +328,18 @@ def pagerank_bounded(
     plan stays bounded for large ``iters``; the default None keeps the
     linear plan, which is right for the bounded k ≤ 5 registry use.
     """
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    # The distinct edge set feeds deg, the node set, AND every round's
+    # gather join — 3+iters plan subtrees. A lazy localCheckpoint
+    # materializes it ONCE (RDD-block reuse across all consumers inside
+    # the single result job) instead of re-scanning/re-distincting the
+    # raw edges per consumer; blocks are released by free_checkpoints()
+    # after the result is consumed, the CC contract.
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    _PENDING_FREE.append(_ckpt_handle(e))
     deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     nodes = (
         e.select(F.col("u").alias("node"))
