@@ -4685,3 +4685,50 @@ def ext_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("dup_segments"), F.lit(0)).cast("long").alias("dup_segments"),
         F.coalesce(F.col("docs_with_dup"), F.lit(0)).cast("long").alias("docs_with_dup"),
     )
+
+
+_CLUSTER_SIZES_ORACLE = f"""
+WITH RECURSIVE {_CC_CTES},
+labeled AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+),
+sizes AS (
+  SELECT component, COUNT(*)::BIGINT AS cluster_size
+  FROM labeled GROUP BY 1
+)
+SELECT cluster_size, COUNT(*)::BIGINT AS n_clusters,
+       (cluster_size * COUNT(*))::BIGINT AS n_docs
+FROM sizes GROUP BY 1
+"""
+
+
+@register(
+    "ext_dedup_cluster_sizes",
+    _CLUSTER_SIZES_ORACLE,
+    "near-dup cluster-size distribution (the dedup report headline: "
+    "how much of the corpus duplicates at what multiplicity): "
+    "MinHash-LSH pairs -> connected components -> singleton-preserving "
+    "left join -> two tiny keyed aggs; output is at most "
+    "max-cluster-size rows",
+)
+def ext_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import graph, similarity
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = similarity.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, k=16, bands=4, threshold=0.8
+    )
+    comp = graph.connected_components(pairs)
+    labeled = docs.select("doc_id").join(
+        comp, docs.doc_id == comp.id, "left"
+    ).select(
+        "doc_id", F.coalesce(F.col("component"), F.col("doc_id")).alias("component")
+    )
+    sizes = labeled.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).cast("long").alias("n_docs"),
+    )
