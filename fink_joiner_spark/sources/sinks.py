@@ -84,3 +84,47 @@ def write_partitioned(df, path: str, partition_cols, mode: str = "overwrite") ->
     (PartitionFilters in the scan, zero data read elsewhere).
     """
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def side_output_sink(
+    df: DataFrame,
+    predicate,
+    good_path: str,
+    dlq_path: str,
+    checkpoint_location: str,
+    trigger_available_now: bool = True,
+) -> DataStreamWriter:
+    """Side-output / dead-letter-queue pattern (Flink's
+    ``OutputTag`` analog): rows passing ``predicate`` append to
+    ``good_path``, the rest append to ``dlq_path`` with the batch id
+    and a rejection timestamp column — the standard malformed-record
+    quarantine every production relay runs.
+
+    One ``foreachBatch`` evaluates the batch ONCE (persist) and writes
+    both splits; the streaming checkpoint makes redelivery re-run the
+    same batchId, and downstream readers dedupe on (_batch_id, row)
+    for effective exactly-once. At scale each split is an ordinary
+    partitioned parquet append — no extra shuffle beyond the split
+    filter, which is a scan-resident predicate.
+    """
+
+    def write_split(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.persist()
+        try:
+            batch.where(predicate).write.mode("append").parquet(good_path)
+            (
+                batch.where(~predicate)
+                .withColumn("_batch_id", F.lit(batch_id))
+                .withColumn("_rejected_at", F.current_timestamp())
+                .write.mode("append")
+                .parquet(dlq_path)
+            )
+        finally:
+            batch.unpersist()
+
+    w = df.writeStream.foreachBatch(write_split).option(
+        "checkpointLocation", checkpoint_location
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w

@@ -406,3 +406,32 @@ def test_rate_source_smoke(spark, tmp_path):
     q.awaitTermination()
     rows = spark.sql("SELECT COUNT(*) AS n, COUNT(DISTINCT bucket) AS b FROM rate_smoke").first()
     assert rows["b"] <= 10
+
+
+def test_side_output_sink_splits_good_and_dlq(spark, tmp_path):
+    """Dead-letter pattern: valid rows land in the good path, invalid
+    rows land in the DLQ with batch id + rejection timestamp; totals
+    conserve the input."""
+    from fink_joiner_spark.sources.sinks import side_output_sink
+    from fink_joiner_spark.sources.streaming import file_drip_feed
+
+    rows = [(i, ("ok" if i % 3 else "")) for i in range(30)]
+    df = spark.createDataFrame(rows, "seq long, payload string")
+    stream = file_drip_feed(spark, df, str(tmp_path / "stage"), "seq", n_files=3)
+    good = str(tmp_path / "good")
+    dlq = str(tmp_path / "dlq")
+    q = side_output_sink(
+        stream,
+        F.col("payload") != "",
+        good,
+        dlq,
+        str(tmp_path / "ckpt"),
+    ).start()
+    q.awaitTermination(120)
+
+    g = spark.read.parquet(good)
+    b = spark.read.parquet(dlq)
+    assert g.count() == 20 and b.count() == 10
+    assert g.where(F.col("payload") == "").count() == 0
+    assert set(b.columns) >= {"seq", "payload", "_batch_id", "_rejected_at"}
+    assert b.where(F.col("_batch_id").isNull()).count() == 0
