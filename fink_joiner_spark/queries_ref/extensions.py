@@ -4732,3 +4732,50 @@ def ext_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clusters"),
         (F.col("cluster_size") * F.count(F.lit(1))).cast("long").alias("n_docs"),
     )
+
+
+@register(
+    "stream_dlq_relay",
+    """
+    SELECT 'good' AS split, COUNT(*)::BIGINT AS n,
+           SUM(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS value_cents
+    FROM events WHERE value >= 1.0
+    UNION ALL
+    SELECT 'dlq' AS split, COUNT(*)::BIGINT AS n,
+           SUM(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS value_cents
+    FROM events WHERE NOT (value >= 1.0)
+    """,
+    "streaming relay with a side-output dead-letter queue (Flink "
+    "OutputTag analog) run END-TO-END: drip-fed events split per "
+    "micro-batch by a validity predicate into good/DLQ parquet "
+    "appends (foreachBatch, batch evaluated once), then both outputs "
+    "read back — totals hash-match the batch split, proving the relay "
+    "neither drops nor duplicates across micro-batches",
+)
+def stream_dlq_relay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from fink_joiner_spark.queries import STREAM_SHUFFLE_PARTITIONS, scoped_conf
+    from fink_joiner_spark.sources.sinks import side_output_sink
+    from fink_joiner_spark.sources.streaming import file_drip_feed
+
+    ev = table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="fjs_stream_dlq_")
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS):
+        stream = file_drip_feed(spark, ev, f"{work}/stage", "ts", n_files=3)
+        q = side_output_sink(
+            stream,
+            F.col("value") >= 1.0,
+            f"{work}/good",
+            f"{work}/dlq",
+            f"{work}/ckpt",
+        ).start()
+        q.awaitTermination()
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    good = spark.read.parquet(f"{work}/good").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(cents).alias("value_cents")
+    ).select(F.lit("good").alias("split"), "n", "value_cents")
+    dlq = spark.read.parquet(f"{work}/dlq").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(cents).alias("value_cents")
+    ).select(F.lit("dlq").alias("split"), "n", "value_cents")
+    return good.unionByName(dlq)
