@@ -4779,3 +4779,53 @@ def stream_dlq_relay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"), F.sum(cents).alias("value_cents")
     ).select(F.lit("dlq").alias("split"), "n", "value_cents")
     return good.unionByName(dlq)
+
+
+@register(
+    "ext_key_skew_report",
+    """
+    WITH c AS (
+      SELECT l_partkey AS k, COUNT(*)::BIGINT AS c
+      FROM lineitem GROUP BY 1
+    ),
+    r AS (SELECT k, c, ROW_NUMBER() OVER (ORDER BY c, k) AS i FROM c)
+    SELECT COUNT(*)::BIGINT AS n_keys,
+           SUM(c)::BIGINT AS n_rows,
+           MAX(c)::BIGINT AS max_count,
+           ROUND(2.0 * SUM(i * c) / (COUNT(*) * SUM(c))
+                 - (COUNT(*) + 1.0) / COUNT(*), 6) + 0.0 AS gini
+    FROM r
+    """,
+    "join-key skew diagnosis (the report you run BEFORE a big join): "
+    "per-key counts, max, and the exact Gini coefficient of the key "
+    "distribution — global count-order ranks come from the two-phase "
+    "range-offset pattern (log2-count range ids, driver sees only "
+    "~40 bucket counts), never a one-task ORDER BY window; Gini from "
+    "exact integer sums with two final double divisions",
+)
+def ext_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators.sampling import ordered_positions
+
+    li = table(spark, sf_dir, "lineitem")
+    counts = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    ranked = ordered_positions(
+        counts.withColumn("rng", F.floor(F.log2("c")).cast("int")),
+        "rng",
+        ["c", "k"],
+    ).withColumn("i", F.col("pos") + 1)
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.max("c").alias("max_count"),
+        (
+            F.round(
+                F.lit(2.0) * F.sum(F.col("i") * F.col("c"))
+                / (F.count(F.lit(1)) * F.sum("c"))
+                - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+                6,
+            )
+            + 0.0
+        ).alias("gini"),
+    )
