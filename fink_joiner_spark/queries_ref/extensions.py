@@ -4829,3 +4829,129 @@ def ext_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("gini"),
     )
+
+
+@register(
+    "ext_mode_per_group",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*)::BIGINT AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT user_id, event_type, cnt,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY cnt DESC, event_type ASC) AS rk
+      FROM c
+    )
+    SELECT user_id, event_type AS mode_type, cnt AS mode_count
+    FROM m WHERE rk = 1
+    """,
+    "deterministic mode per key (most frequent event type per user, "
+    "ties to the alphabetically first type): count agg then a "
+    "min_by over struct(-count, type) — the negation rides the "
+    "numeric count so ANY orderable value type works; two map-side-"
+    "combined shuffles, no window, no sort",
+)
+def ext_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    return c.groupBy("user_id").agg(
+        F.min_by(
+            F.struct(F.col("event_type"), F.col("cnt")),
+            F.struct((-F.col("cnt")).alias("neg"), F.col("event_type")),
+        ).alias("m")
+    ).select(
+        "user_id",
+        F.col("m.event_type").alias("mode_type"),
+        F.col("m.cnt").alias("mode_count"),
+    )
+
+
+@register(
+    "ext_topk_with_ties",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice_c, rk FROM (
+      SELECT o_custkey, o_orderkey,
+             floor(o_totalprice * 100 + 0.5)::BIGINT AS o_totalprice_c,
+             RANK() OVER (PARTITION BY o_custkey
+                          ORDER BY floor(o_totalprice * 100 + 0.5)::BIGINT DESC
+                         ) AS rk
+      FROM orders
+    ) WHERE rk <= 3
+    """,
+    "top-3 orders per customer WITH TIES (RANK, not ROW_NUMBER): "
+    "equal-priced orders at the boundary all survive — the semantics "
+    "difference that silently loses rows when row_number is used for "
+    "'top N' reporting; integer cents make the tie set engine-exact",
+)
+def ext_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("o_totalprice_c"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice_c").desc())
+    return (
+        o.withColumn("rk", F.rank().over(w).cast("long"))
+        .where(F.col("rk") <= 3)
+    )
+
+
+@register(
+    "ext_cusum_changepoints",
+    """
+    WITH daily AS (
+      SELECT (epoch(o_orderdate)::BIGINT // 86400) AS day_ord,
+             SUM(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS cents
+      FROM orders GROUP BY 1
+    ),
+    t AS (SELECT COUNT(*)::BIGINT AS n, SUM(cents)::BIGINT AS tot FROM daily),
+    dev AS (
+      SELECT day_ord, cents * t.n - t.tot AS dev
+      FROM daily CROSS JOIN t
+    ),
+    c AS (
+      SELECT day_ord,
+             SUM(dev) OVER (ORDER BY day_ord
+                            ROWS UNBOUNDED PRECEDING)::BIGINT AS cusum
+      FROM dev
+    )
+    SELECT day_ord, cusum FROM c
+    ORDER BY abs(cusum) DESC, day_ord ASC LIMIT 10
+    """,
+    "CUSUM change-point candidates over daily revenue (drift "
+    "detection): deviations scaled by n (cents*n - total) so the "
+    "series stays EXACT int64 with no mean division, inclusive global "
+    "prefix sum via the two-phase range-offset pattern (never a "
+    "one-task ORDER BY window over the day series), top-10 |CUSUM| "
+    "days via TakeOrdered — the fact table collapses to per-day "
+    "aggregates before anything global happens",
+)
+def ext_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators.aggregates import running_sum_by_value
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.floor(F.unix_timestamp("o_orderdate") / 86400)
+        .cast("long")
+        .alias("day_ord")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    t = daily.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").cast("long").alias("tot")
+    )
+    dev = daily.crossJoin(F.broadcast(t)).select(
+        "day_ord", (F.col("cents") * F.col("n") - F.col("tot")).alias("dev")
+    )
+    c = running_sum_by_value(dev, "day_ord", "dev", out_col="cusum")
+    return (
+        c.select("day_ord", F.col("cusum").cast("long").alias("cusum"))
+        .orderBy(F.abs(F.col("cusum")).desc(), F.col("day_ord").asc())
+        .limit(10)
+    )
