@@ -520,3 +520,30 @@ def test_ols_trend_uses_broadcast_origin_not_window(spark, sf_dir):
     plans.asserts_broadcast_join(df)
     plan = plans.formatted_plan(df)
     assert "Window" not in plan, plan
+
+
+def test_cusum_uses_takeordered_and_partitioned_prefix(spark, sf_dir):
+    """CUSUM's global pieces must stay aggregate-sized: top-10 via
+    TakeOrdered (no full sort) and the prefix sum via the audited
+    two-phase helper (no SinglePartition window)."""
+    df = _q("ext_cusum_changepoints", spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    # the prefix-sum window must ride a HASH exchange (two-phase
+    # helper); TakeOrdered's own SinglePartition merge is bounded
+    # (10 rows per partition) and legitimate, so don't blanket-ban it
+    assert "Arguments: hashpartitioning" in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_mode_per_group_no_window(spark, sf_dir):
+    df = _q("ext_mode_per_group", spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "Window" not in plan, plan
+    plans.asserts_whole_stage_codegen(df)
+
+
+def test_topk_with_ties_window_is_key_partitioned(spark, sf_dir):
+    df = _q("ext_topk_with_ties", spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "Window" in plan and "SinglePartition" not in plan, plan
