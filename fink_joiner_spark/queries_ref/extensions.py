@@ -4955,3 +4955,101 @@ def ext_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("cusum")).desc(), F.col("day_ord").asc())
         .limit(10)
     )
+
+
+@register(
+    "ext_json_props_stats",
+    """
+    SELECT event_type,
+           COUNT(*)::BIGINT AS n,
+           SUM(CAST(props->>'$.k' AS BIGINT))::BIGINT AS sum_k,
+           COUNT(DISTINCT CAST(props->>'$.k' AS BIGINT))::BIGINT
+             AS n_distinct_k,
+           MIN(CAST(props->>'$.k' AS BIGINT))::BIGINT AS min_k,
+           MAX(CAST(props->>'$.k' AS BIGINT))::BIGINT AS max_k
+    FROM events GROUP BY 1
+    """,
+    "semi-structured payload stats: the events.props JSON column "
+    "parsed with a PINNED schema (from_json, the repo's no-inference "
+    "stance — schema-on-read inference would be a full extra pass at "
+    "100 TB) and aggregated per type; the parse is codegen-resident "
+    "JacksonParser, one partial-agg shuffle",
+)
+def ext_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k BIGINT")["k"]
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.count_distinct(F.col("k")).alias("n_distinct_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+@register(
+    "ext_session_path_counts",
+    """
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts > LAG(ts) OVER w + INTERVAL 12 HOUR
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, event_type, ts, event_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM o
+    ),
+    paths AS (
+      SELECT user_id, session_idx,
+             string_agg(substring(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS path
+      FROM s GROUP BY 1, 2
+    )
+    SELECT path, COUNT(*)::BIGINT AS n_sessions
+    FROM paths GROUP BY 1
+    ORDER BY n_sessions DESC, path ASC LIMIT 20
+    """,
+    "top user journeys: gap-sessionize (the existing operator), then "
+    "an ORDER-SENSITIVE per-session path string (array_sort over "
+    "(ts, event_id, initial) structs — deterministic under any "
+    "shuffle order), then a path-keyed count and a top-20 heap; "
+    "per-user windows bound the sort, paths aggregate map-side",
+)
+def ext_session_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators.sessions import sessionize
+
+    ev = table(spark, sf_dir, "events")
+    s = sessionize(
+        ev, ["user_id"], "ts", gap="12 hours", tie_breakers=["event_id"]
+    )
+    paths = (
+        s.groupBy("user_id", "session_idx")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("ts"),
+                                F.col("event_id"),
+                                F.substring("event_type", 1, 1).alias("c"),
+                            )
+                        )
+                    ),
+                    lambda x: x["c"],
+                ),
+                "",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(20)
+    )
