@@ -381,4 +381,8 @@ def pagerank_bounded(
         )
         if checkpoint_every and (it + 1) % checkpoint_every == 0 and it + 1 < iters:
             r = r.localCheckpoint(eager=False)
+            # no per-round action runs here (unlike the CC loop's
+            # fingerprint), so these blocks can't be freed eagerly —
+            # they drain through free_checkpoints() with the result
+            _PENDING_FREE.append(_ckpt_handle(r))
     return r.select("node", F.col("r").alias("rank_micro"))

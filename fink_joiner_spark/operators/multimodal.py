@@ -209,9 +209,12 @@ def perceptual_hash(df: DataFrame, fake: bool = True) -> DataFrame:
     Emits (id, n_bytes, phash)."""
     feats = extract_features(df, fake=fake, normalize=False)
     phash = None
+    # uniform share threshold: bucket_i > n_bytes / FEATURE_DIM,
+    # kept integral as FEATURE_DIM * f_i > n_bytes — derived from the
+    # dim so widening the hash keeps the bits unbiased
     for i in range(FEATURE_DIM):
         bit = F.when(
-            F.col("features")[i] * 8 > F.col("n_bytes"), F.lit(1 << i)
+            F.col("features")[i] * FEATURE_DIM > F.col("n_bytes"), F.lit(1 << i)
         ).otherwise(F.lit(0))
         phash = bit if phash is None else phash + bit
     return feats.select("id", "n_bytes", phash.cast("long").alias("phash"))
@@ -235,11 +238,25 @@ def phash_dup_pairs(df: DataFrame, fake: bool = True, max_hamming: int = 1) -> D
     real DCT-based pHash (or any decoder whose features discriminate),
     the 2^8 hash space spreads and the blocks stay bounded; for low-
     entropy regimes widen the hash before pairing.
+
+    Two halves guarantee completeness ONLY for ``max_hamming <= 1``
+    (k+1 blocks are needed for hamming k — hamming-2 pairs can differ
+    once in EACH half and never share a block), so larger values are
+    rejected instead of silently under-returning.
     """
+    if max_hamming > 1:
+        raise ValueError(
+            "two-half pigeonhole blocking is complete only for "
+            f"max_hamming <= 1 (got {max_hamming}); split into "
+            "max_hamming + 1 blocks to go wider"
+        )
+    if FEATURE_DIM % 2:
+        raise ValueError("FEATURE_DIM must be even for the half split")
+    half_mod = 1 << (FEATURE_DIM // 2)
     h = perceptual_hash(df, fake=fake).select(
         "id", "phash",
-        (F.col("phash") % 16).alias("lo"),
-        (F.col("phash") / 16).cast("long").alias("hi"),
+        (F.col("phash") % half_mod).alias("lo"),
+        (F.col("phash") / half_mod).cast("long").alias("hi"),
     )
     blocks = h.select(
         "id", "phash",

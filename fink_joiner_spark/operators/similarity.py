@@ -1556,8 +1556,12 @@ def assign_to_centroids(
     negation lives on the (always numeric) cosine, not on the id, so
     any ORDERABLE cid type works — negating a string cid would coerce
     to NULL under non-ANSI Spark and silently randomize tie-breaks.
-    Returns (vid, cid, vec). Shared by :func:`semantic_dedup_keep` and
-    the registry's k-means epoch.
+    A NaN cosine (zero-norm centroid: 0/0) maps to -Infinity in the
+    negated key, preserving sort-NaN-as-greatest-cos — the ordering
+    both SQL engines give ``ORDER BY cos DESC`` (a bare ``-cos``
+    would flip it, since -NaN is still NaN and NaN sorts LAST under
+    min). Returns (vid, cid, vec). Shared by
+    :func:`semantic_dedup_keep` and the registry's k-means epoch.
     """
     v = _spread(df).select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
     c = centroids.select(
@@ -1567,12 +1571,15 @@ def assign_to_centroids(
     scored = v.crossJoin(F.broadcast(c)).select(
         "vid", "vec", "cid", cosine(F.col("vec"), F.col("cvec")).alias("cos")
     )
+    neg_cos = F.when(
+        F.isnan(F.col("cos")), F.lit(float("-inf"))
+    ).otherwise(-F.col("cos"))
     return (
         scored.groupBy("vid")
         .agg(
             F.min_by(
                 F.struct(F.col("cid"), F.col("vec")),
-                F.struct((-F.col("cos")).alias("neg_cos"), F.col("cid")),
+                F.struct(neg_cos.alias("neg_cos"), F.col("cid")),
             ).alias("best")
         )
         .select(

@@ -96,24 +96,38 @@ def side_output_sink(
 ) -> DataStreamWriter:
     """Side-output / dead-letter-queue pattern (Flink's
     ``OutputTag`` analog): rows passing ``predicate`` append to
-    ``good_path``, the rest append to ``dlq_path`` with the batch id
-    and a rejection timestamp column — the standard malformed-record
-    quarantine every production relay runs.
+    ``good_path``, the rest append to ``dlq_path`` with a rejection
+    timestamp column — the standard malformed-record quarantine every
+    production relay runs.
+
+    NULL-predicate rows (the classic malformed record a DLQ exists to
+    catch — the filter column itself is NULL) land in the DLQ: the
+    reject filter is ``NOT coalesce(predicate, false)``, so
+    good + DLQ always conserve the input. A bare ``~predicate`` would
+    silently drop them from BOTH outputs under three-valued logic.
 
     One ``foreachBatch`` evaluates the batch ONCE (persist) and writes
-    both splits; the streaming checkpoint makes redelivery re-run the
-    same batchId, and downstream readers dedupe on (_batch_id, row)
-    for effective exactly-once. At scale each split is an ordinary
-    partitioned parquet append — no extra shuffle beyond the split
-    filter, which is a scan-resident predicate.
+    both splits; BOTH outputs carry ``_batch_id``, so when the
+    streaming checkpoint re-runs a batchId after a partial failure
+    (good write landed, DLQ write died), downstream readers dedupe
+    either split on (_batch_id, row) for effective exactly-once. At
+    scale each split is an ordinary partitioned parquet append — no
+    extra shuffle beyond the split filter, which is a scan-resident
+    predicate.
     """
 
     def write_split(batch: DataFrame, batch_id: int) -> None:
+        keep = F.coalesce(predicate, F.lit(False))
         batch = batch.persist()
         try:
-            batch.where(predicate).write.mode("append").parquet(good_path)
             (
-                batch.where(~predicate)
+                batch.where(keep)
+                .withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(good_path)
+            )
+            (
+                batch.where(~keep)
                 .withColumn("_batch_id", F.lit(batch_id))
                 .withColumn("_rejected_at", F.current_timestamp())
                 .write.mode("append")

@@ -3,6 +3,7 @@ LSH recall vs exact baselines, multimodal feature shape, langid accuracy."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from fink_joiner_spark.catalog import table
@@ -534,3 +535,36 @@ def test_phash_dup_pairs_pigeonhole_exactness(spark):
     }
     assert got == want
     assert (0, 3) in got and got[(0, 3)] == 0
+
+
+def test_phash_dup_pairs_rejects_wide_hamming(spark):
+    """Two-half blocking is complete only for hamming <= 1 — wider
+    thresholds must raise instead of silently under-returning."""
+    from fink_joiner_spark.operators import multimodal
+
+    df = spark.createDataFrame([(0, "aa")], "doc_id long, text string")
+    bin_df = multimodal.binarize(df, "text", "doc_id")
+    with pytest.raises(ValueError, match="max_hamming"):
+        multimodal.phash_dup_pairs(bin_df, fake=True, max_hamming=2)
+
+
+def test_assign_to_centroids_zero_norm_centroid_fails_loudly(spark):
+    """Under this repo's ANSI sessions a zero-norm centroid makes the
+    cosine a divide-by-zero ERROR, not a silent NaN — assignment can
+    never silently diverge from the SQL oracle's NaN ordering. (The
+    min_by key still maps NaN -> -inf as belt-and-braces for non-ANSI
+    deployments.)"""
+    from pyspark.errors.exceptions.captured import ArithmeticException
+
+    from fink_joiner_spark.operators.similarity import assign_to_centroids
+
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(5, [0.0, 0.0]), (7, [1.0, 0.0])],  # cid 5 is zero-norm
+        "cid long, cvec array<double>",
+    )
+    with pytest.raises(ArithmeticException, match="DIVIDE_BY_ZERO"):
+        assign_to_centroids(vecs, "vec_id", "embedding", cents).collect()

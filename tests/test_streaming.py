@@ -415,7 +415,13 @@ def test_side_output_sink_splits_good_and_dlq(spark, tmp_path):
     from fink_joiner_spark.sources.sinks import side_output_sink
     from fink_joiner_spark.sources.streaming import file_drip_feed
 
-    rows = [(i, ("ok" if i % 3 else "")) for i in range(30)]
+    # every third row invalid; rows 28/29 have NULL payload — the
+    # predicate evaluates NULL there, and three-valued logic must not
+    # drop them from both outputs
+    rows = [(i, ("ok" if i % 3 else "")) for i in range(28)] + [
+        (28, None),
+        (29, None),
+    ]
     df = spark.createDataFrame(rows, "seq long, payload string")
     stream = file_drip_feed(spark, df, str(tmp_path / "stage"), "seq", n_files=3)
     good = str(tmp_path / "good")
@@ -431,7 +437,12 @@ def test_side_output_sink_splits_good_and_dlq(spark, tmp_path):
 
     g = spark.read.parquet(good)
     b = spark.read.parquet(dlq)
-    assert g.count() == 20 and b.count() == 10
+    assert g.count() + b.count() == 30  # conservation incl. NULL rows
+    assert g.count() == 18 and b.count() == 12
     assert g.where(F.col("payload") == "").count() == 0
+    assert b.where(F.col("seq") >= 28).count() == 2  # NULLs in DLQ
     assert set(b.columns) >= {"seq", "payload", "_batch_id", "_rejected_at"}
+    # BOTH splits carry the replay-dedupe key
+    assert "_batch_id" in g.columns
+    assert g.where(F.col("_batch_id").isNull()).count() == 0
     assert b.where(F.col("_batch_id").isNull()).count() == 0
