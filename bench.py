@@ -142,9 +142,37 @@ def _warm_interpreted_paths(spark, sf_dir: str) -> None:
     spark.catalog.clearCache()
 
 
+def _loadavg() -> list[float | None]:
+    try:
+        l1, l5, _ = os.getloadavg()
+        return [round(l1, 2), round(l5, 2)]
+    except OSError:
+        return [None, None]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    # Load self-certification (r5 verdict ask #2): record the 1-min load
+    # BEFORE Spark starts, wait (bounded) for a quiet box, and stamp the
+    # artifact with start load + a contended flag — so a reader can tell
+    # "slow code" from "loaded host" without cross-referencing BASELINE.
+    # The JVM-CPU totals (contention-invariant) are the normalized
+    # headline next to wall time.
+    max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "4"))
+    load_wait = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "120"))
+    waited = 0.0
+    while (_loadavg()[0] or 0) > max_load and waited < load_wait:
+        print(
+            f"bench: load {_loadavg()[0]} > {max_load}, waiting "
+            f"({waited:.0f}/{load_wait:.0f}s)", file=sys.stderr,
+        )
+        time.sleep(10)
+        waited += 10
+    load_avg_start = _loadavg()
+    load_contended = (load_avg_start[0] or 0) > max_load
+
     spark = get_spark("fink_joiner_spark-bench")
     fns = queries()
 
@@ -208,6 +236,7 @@ def main() -> None:
     for name, fn in fns.items():
         runs: list[float] = []
         cpus: list[float] = []
+        q_load = _loadavg()[0]
         for _ in range(reps):
             c0 = _jvm_cpu_seconds()
             t0 = time.perf_counter()
@@ -225,6 +254,11 @@ def main() -> None:
             else:
                 cpu_ok = False
             _reset_session_state(spark)
+        if not cpus:
+            # a rep failed before the post-run CPU sample (or sampling
+            # itself failed) — the total would silently understate JVM
+            # CPU if this query counted as 0 (ADVICE r5)
+            cpu_ok = False
         dt = sorted(runs)[(len(runs) - 1) // 2]  # lower median
         timings[name] = dt
         runs_detail[name] = {
@@ -232,6 +266,7 @@ def main() -> None:
             "min": min(runs),
             "runs": runs,
             "cpu_sec": (sorted(cpus)[(len(cpus) - 1) // 2] if cpus else None),
+            "load_at_start": q_load,
         }
         total += dt
         if cpus:
@@ -240,10 +275,7 @@ def main() -> None:
         print(f"bench {name}: median {dt}s over {runs}"
               f" cpu {runs_detail[name]['cpu_sec']}s", file=sys.stderr)
 
-    try:
-        load1, load5, _ = os.getloadavg()
-    except OSError:
-        load1 = load5 = None
+    ncpus = os.cpu_count() or 1
     summary = {
         "metric": "total_query_wall_time",
         "value": round(total, 3),
@@ -253,8 +285,18 @@ def main() -> None:
         "n_queries": len(timings),
         "reps": reps,
         "stat": "median",
+        # contention-invariant companion headline: JVM CPU seconds are
+        # what the queries actually burned regardless of co-tenants;
+        # cpu_sec_per_query is the load-independent per-query figure to
+        # compare across rounds when load_contended differs
         "total_jvm_cpu_sec": (round(total_cpu, 3) if cpu_ok else None),
-        "load_avg_end": [load1, load5],
+        "cpu_sec_per_query": (
+            round(total_cpu / max(1, len(timings)), 3) if cpu_ok else None
+        ),
+        "ncpus": ncpus,
+        "load_avg_start": load_avg_start,
+        "load_avg_end": _loadavg(),
+        "load_contended": load_contended,
     }
     # Full detail to a sidecar file (survives any stdout truncation).
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),

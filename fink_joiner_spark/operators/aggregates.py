@@ -148,11 +148,17 @@ def strict_running_max_by_value(
         .agg(F.max(value_col).alias("_m"))
         .collect()
     }
-    # suffix max over STRICTLY higher ranges, descending walk
+    # suffix max over STRICTLY higher ranges, descending walk.
+    # NULL-tolerant (ADVICE r5): a NULL order_col lands in range None
+    # (skipped — those rows drop at the broadcast join, matching the
+    # SQL semantics where NULL order never precedes anything), and an
+    # all-NULL-value range contributes nothing to the suffix max.
     above, acc = [], None
-    for r in sorted(range_max, reverse=True):
+    for r in sorted((k for k in range_max if k is not None), reverse=True):
         above.append((r, acc))
-        acc = range_max[r] if acc is None else max(acc, range_max[r])
+        m = range_max[r]
+        if m is not None:
+            acc = m if acc is None else max(acc, m)
     off_df = spark.createDataFrame(above, f"_rng int, _above {vtype}")
 
     w = (

@@ -52,29 +52,34 @@ _FEATURE_SCHEMA = T.StructType(
 )
 
 
-def decode_stub(payload: bytes, fake: bool, normalize: bool = True) -> list[float]:
+def decode_stub(
+    payload: bytes, fake: bool, normalize: bool = True, dim: int = FEATURE_DIM
+) -> list[float]:
     """The codec boundary. Real deployments plug PIL/ffmpeg/torchaudio
     here; this container has none, so only the deterministic fake path
     is available (byte-histogram moments — stable across runs).
 
     ``normalize=False`` returns the raw integer bucket counts — exact
     values with no float rounding, the right form for hash-compared
-    correctness oracles."""
+    correctness oracles. ``dim`` is the histogram width (bucket =
+    byte % dim); the perceptual-hash scale path widens it to 64."""
     if not fake:
         raise NotImplementedError(
             "media codecs unavailable in this environment; pass fake=True "
             "for the deterministic stand-in feature extractor"
         )
     n = max(1, len(payload))
-    buckets = [0] * FEATURE_DIM
+    buckets = [0] * dim
     for byte in payload:
-        buckets[byte % FEATURE_DIM] += 1
+        buckets[byte % dim] += 1
     if not normalize:
         return [float(b) for b in buckets]
     return [round(b / n, 6) for b in buckets]
 
 
-def extract_features(df: DataFrame, fake: bool = True, normalize: bool = True) -> DataFrame:
+def extract_features(
+    df: DataFrame, fake: bool = True, normalize: bool = True, dim: int = FEATURE_DIM
+) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
     ``mapInPandas`` keeps the existing partitioning (no shuffle); each
@@ -90,7 +95,7 @@ def extract_features(df: DataFrame, fake: bool = True, normalize: bool = True) -
                     "id": pdf["id"],
                     "n_bytes": pdf["payload"].map(len),
                     "features": pdf["payload"].map(
-                        lambda b: decode_stub(bytes(b), fake, normalize)
+                        lambda b: decode_stub(bytes(b), fake, normalize, dim)
                     ),
                 }
             )
@@ -200,78 +205,150 @@ def resize_payload(
     return df.mapInPandas(run, _RESIZE_SCHEMA)
 
 
-def perceptual_hash(df: DataFrame, fake: bool = True) -> DataFrame:
-    """Per-payload 8-bit perceptual hash from the (stubbed) decoded
-    features: bit i is set when byte-bucket i holds MORE than its
-    uniform share (8·f_i > n_bytes — integer-exact, no float mean).
-    With a real codec the features are DCT coefficients and this is
-    classic pHash; the thresholding + pairing machinery is identical.
-    Emits (id, n_bytes, phash)."""
-    feats = extract_features(df, fake=fake, normalize=False)
+# Hash width for the PAIRING scale path: 64 bits, the pHash standard.
+# The registered hash query keeps FEATURE_DIM=8 for its legacy oracle;
+# everything here is dim-driven so both widths share one code path.
+PHASH_BITS = 64
+
+
+def perceptual_hash(df: DataFrame, fake: bool = True, n_bits: int = FEATURE_DIM) -> DataFrame:
+    """Per-payload ``n_bits``-bit perceptual hash from the (stubbed)
+    decoded features: bit i is set when byte-bucket i holds MORE than
+    its uniform share (n_bits·f_i > n_bytes — integer-exact, no float
+    mean). With a real codec the features are DCT coefficients and this
+    is classic pHash; the thresholding + pairing machinery is identical.
+    Emits (id, n_bytes, phash). At ``n_bits=64`` the hash fills the
+    long — bit 63's weight is the signed two's-complement value, so
+    XOR/bit_count comparisons stay exact."""
+    if not 1 <= n_bits <= 64:
+        raise ValueError(f"n_bits must be in [1, 64], got {n_bits}")
+    feats = extract_features(df, fake=fake, normalize=False, dim=n_bits)
     phash = None
-    # uniform share threshold: bucket_i > n_bytes / FEATURE_DIM,
-    # kept integral as FEATURE_DIM * f_i > n_bytes — derived from the
-    # dim so widening the hash keeps the bits unbiased
-    for i in range(FEATURE_DIM):
+    # uniform share threshold: bucket_i > n_bytes / n_bits, kept
+    # integral as n_bits * f_i > n_bytes — derived from the dim so
+    # widening the hash keeps the bits unbiased
+    for i in range(n_bits):
+        weight = (1 << i) if i < 63 else -(1 << 63)
         bit = F.when(
-            F.col("features")[i] * FEATURE_DIM > F.col("n_bytes"), F.lit(1 << i)
+            F.col("features")[i] * n_bits > F.col("n_bytes"), F.lit(weight)
         ).otherwise(F.lit(0))
         phash = bit if phash is None else phash + bit
     return feats.select("id", "n_bytes", phash.cast("long").alias("phash"))
 
 
-def phash_dup_pairs(df: DataFrame, fake: bool = True, max_hamming: int = 1) -> DataFrame:
-    """Perceptual near-dup pairs: payloads whose 8-bit perceptual
-    hashes differ in at most ``max_hamming`` bits (default 1).
+def _strided_masks(n_bits: int, nblocks: int) -> list[int]:
+    """Signed-long bitmasks partitioning bit positions STRIDED (block j
+    holds bits {j, j+nblocks, …}), not contiguous. Strided matters for
+    real corpora: the stub decoder's informative buckets cluster (ASCII
+    text only populates byte%64 buckets 32-62, so a contiguous low half
+    is IDENTICALLY ZERO across all docs — one corpus-sized mega-block,
+    measured on the sf0.01 test tables); striding spreads whatever
+    entropy exists across every block (same corpus: max block 191/500
+    vs 500/500 contiguous)."""
+    masks = []
+    for j in range(nblocks):
+        m = 0
+        for i in range(j, n_bits, nblocks):
+            m |= 1 << i
+        if m >= 1 << 63:
+            m -= 1 << 64  # two's-complement view for LongType literals
+        masks.append(m)
+    return masks
 
-    Pigeonhole blocking, the simhash trick: hamming ≤ 1 over 8 bits
-    means the two 4-bit HALVES can't both differ, so candidates come
-    from an equi-join on (half-index, half-value) — never all-pairs —
-    and the exact hamming check (bit_count of xor) runs only inside
-    blocks. Emits (id_a, id_b, hamming) with id_a < id_b.
 
-    CAVEAT — hash entropy is the scale knob: pigeonhole blocking only
-    bounds candidates when hashes spread. A corpus whose payloads share
-    one byte-profile (e.g. same-language text through the stub decoder)
-    collapses into a handful of mega-blocks and the pair set approaches
-    all-pairs — measured 3.5M pairs over 5 000 synthetic docs. With a
-    real DCT-based pHash (or any decoder whose features discriminate),
-    the 2^8 hash space spreads and the blocks stay bounded; for low-
-    entropy regimes widen the hash before pairing.
+def phash_dup_pairs(
+    df: DataFrame,
+    fake: bool = True,
+    max_hamming: int = 1,
+    n_bits: int = PHASH_BITS,
+    max_block: int | None = 8192,
+    on_oversize: str = "warn",
+) -> DataFrame:
+    """Perceptual near-dup pairs: payloads whose ``n_bits``-bit
+    perceptual hashes differ in at most ``max_hamming`` bits.
 
-    Two halves guarantee completeness ONLY for ``max_hamming <= 1``
-    (k+1 blocks are needed for hamming k — hamming-2 pairs can differ
-    once in EACH half and never share a block), so larger values are
-    rejected instead of silently under-returning.
+    Pigeonhole blocking, the simhash trick generalized: hamming ≤ k
+    over ``max_hamming + 1 = k+1`` disjoint bit blocks means at least
+    one block is IDENTICAL (k flipped bits can't touch k+1 blocks), so
+    candidates come from an equi-join on (block-index, masked-hash) —
+    never all-pairs — and the exact hamming check (bit_count of xor)
+    runs only inside blocks. Blocks are strided bit sets
+    (:func:`_strided_masks`) so clustered informative bits spread
+    across every block. Emits (id_a, id_b, hamming) with id_a < id_b.
+
+    Scale guard (ENFORCED, r5 verdict ask #1 — mirrors the
+    edit-distance compound-key guard, similarity.py:1489): hash entropy
+    is the scale knob, and a corpus whose payloads share one byte
+    profile collapses blocks toward all-pairs. ``max_block`` bounds the
+    damage: any (block, value) group larger than it is EXCLUDED from
+    candidate generation, capping per-block join work at
+    max_block²/2 pairs. A pair is lost only if EVERY block it agrees
+    on is oversized — bounded recall degradation, never a quadratic
+    blow-up. ``on_oversize`` controls visibility: "warn" (default)
+    runs one aggregate-sized job and warns with the dropped-block
+    count, "error" raises instead, "skip" enforces silently with no
+    extra job. ``max_block=None`` disables the guard (exact, for
+    oracle comparison on corpora known to spread).
     """
-    if max_hamming > 1:
+    if max_hamming < 0:
+        raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
+    nblocks = max_hamming + 1
+    if nblocks > n_bits:
         raise ValueError(
-            "two-half pigeonhole blocking is complete only for "
-            f"max_hamming <= 1 (got {max_hamming}); split into "
-            "max_hamming + 1 blocks to go wider"
+            f"need max_hamming + 1 = {nblocks} non-empty blocks over "
+            f"{n_bits} bits — widen n_bits or lower max_hamming"
         )
-    if FEATURE_DIM % 2:
-        raise ValueError("FEATURE_DIM must be even for the half split")
-    half_mod = 1 << (FEATURE_DIM // 2)
-    h = perceptual_hash(df, fake=fake).select(
-        "id", "phash",
-        (F.col("phash") % half_mod).alias("lo"),
-        (F.col("phash") / half_mod).cast("long").alias("hi"),
-    )
+    h = perceptual_hash(df, fake=fake, n_bits=n_bits).select("id", "phash")
+    masks = _strided_masks(n_bits, nblocks)
+    # block value = phash & mask (no bit compaction needed — equality
+    # of masked hashes IS equality of the block's bits), one cheap
+    # bitwiseAND per block instead of per-bit shifts
     blocks = h.select(
-        "id", "phash",
+        "id",
+        "phash",
         F.explode(
             F.array(
-                F.struct(F.lit(0).alias("half"), F.col("lo").alias("val")),
-                F.struct(F.lit(1).alias("half"), F.col("hi").alias("val")),
+                *[
+                    F.struct(
+                        F.lit(j).alias("blk"),
+                        F.col("phash").bitwiseAND(F.lit(masks[j])).alias("val"),
+                    )
+                    for j in range(nblocks)
+                ]
             )
         ).alias("b"),
-    ).select("id", "phash", F.col("b.half").alias("half"), F.col("b.val").alias("val"))
+    ).select("id", "phash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
+    if max_block is not None:
+        sizes = blocks.groupBy("blk", "val").agg(F.count(F.lit(1)).alias("_n"))
+        if on_oversize in ("warn", "error"):
+            over = (
+                sizes.where(F.col("_n") > max_block)
+                .agg(F.count(F.lit(1)).alias("k"), F.sum("_n").alias("rows"))
+                .first()
+            )
+            if over["k"]:
+                msg = (
+                    f"phash_dup_pairs: {over['k']} block(s) exceed "
+                    f"max_block={max_block} (largest groups total "
+                    f"{over['rows']} rows) and are excluded from candidate "
+                    "generation — hash entropy is too low for this corpus; "
+                    "widen n_bits, improve the decoder, or raise max_block"
+                )
+                if on_oversize == "error":
+                    raise ValueError(msg)
+                import warnings
+
+                warnings.warn(msg, stacklevel=2)
+        elif on_oversize != "skip":
+            raise ValueError(f"on_oversize must be warn|error|skip, got {on_oversize!r}")
+        blocks = blocks.join(
+            sizes.where(F.col("_n") <= max_block).drop("_n"), ["blk", "val"]
+        )
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (
         a.join(
             b,
-            (F.col("a.half") == F.col("b.half"))
+            (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.val") == F.col("b.val"))
             & (F.col("a.id") < F.col("b.id")),
         )

@@ -960,12 +960,23 @@ def train_pq_codebooks(
         raise ValueError(f"dims {dims} not divisible by m={m} subspaces")
     sub = dims // m
     cb: list[list[list[float]]] = []
+    # Assignment runs in bounded chunks (ADVICE r5): the naive
+    # (train_max × n_codes × sub) difference tensor is ~2 GB at the
+    # 65536/256/16 defaults — chunking keeps each temporary at
+    # chunk × n_codes × sub floats (~33 MB) while staying BIT-IDENTICAL
+    # to the unchunked form (same per-element subtract/square/sum, same
+    # argmin tie-to-lowest-index; an ‖x‖²−2xCᵀ+‖C‖² expansion would be
+    # cheaper still but rounds differently and could flip near-ties).
+    chunk = 4096
     for j in range(m):
         S = X[:, j * sub : (j + 1) * sub]
         C = np.round(S[:n_codes], 6).copy()
         for _ in range(n_iters):
-            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
+            assign = np.empty(len(S), dtype=np.int64)
+            for s0 in range(0, len(S), chunk):
+                blk = S[s0 : s0 + chunk]
+                d2 = ((blk[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                assign[s0 : s0 + chunk] = d2.argmin(axis=1)
             new_c = C.copy()
             for code in range(n_codes):
                 members = S[assign == code]

@@ -119,3 +119,107 @@ def test_sink_builder_returns_configured_writer(spark, tmp_path):
     from pyspark.sql.streaming import DataStreamWriter
 
     assert isinstance(w, DataStreamWriter)
+
+
+# ---------------------------------------------------------------------------
+# Executed wire-format round-trips (r5 verdict ask #4): real bytes
+# through the decode paths, no broker needed
+# ---------------------------------------------------------------------------
+
+
+def test_avro_binary_spec_vectors():
+    """Pin the pure-Python codec to the published Avro binary spec
+    (zigzag varint longs, length-prefixed utf8) with known-bytes
+    vectors — the codec must interoperate with any real Avro reader,
+    not just round-trip against itself."""
+    from fink_joiner_spark.sources import avro_wire as aw
+
+    assert aw._write_long(0) == b"\x00"
+    assert aw._write_long(1) == b"\x02"
+    assert aw._write_long(-1) == b"\x01"
+    assert aw._write_long(2) == b"\x04"
+    assert aw._write_long(-2) == b"\x03"
+    assert aw._write_long(64) == b"\x80\x01"
+    assert aw._write_long(-64) == b"\x7f"
+    for v in (0, 1, -1, 63, -64, 64, 2**40, -(2**40), 2**63 - 1, -(2**63)):
+        assert aw._read_long(aw._write_long(v), 0) == (v, len(aw._write_long(v)))
+    fields = [("s", "string"), ("n", "long"), ("b", "boolean"), ("d", "double")]
+    enc = aw.encode_record(fields, {"s": "foo", "n": 1, "b": True, "d": 1.0})
+    assert enc == b"\x06foo" + b"\x02" + b"\x01" + b"\x00\x00\x00\x00\x00\x00\xf0?"
+    assert aw.decode_record(fields, enc) == {"s": "foo", "n": 1, "b": True, "d": 1.0}
+
+
+def test_avro_wire_roundtrip_executed(spark):
+    """S2/S3 executed: encode edge-case rows to Avro binary, wrap
+    base64 (the S3 producer shape), run the EXACT production unwrap
+    expression, decode, and compare values. Also pins that the unwrap
+    expression alone reproduces the original Avro bytes — the JVM-side
+    half of the S3 path is verified independently of the decoder."""
+    from pyspark.sql import functions as F
+
+    from fink_joiner_spark.sources import avro_wire as aw
+
+    schema = json.dumps(
+        {
+            "type": "record",
+            "name": "r",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "txt", "type": "string"},
+                {"name": "flag", "type": "boolean"},
+            ],
+        }
+    )
+    rows = [
+        (0, "", False),
+        (-1, "plain ascii", True),
+        (2**62, "unicode éß中文 \U0001f600", True),
+        (-(2**62), "embedded \"quotes\" and \\ slashes\nnewline", False),
+    ]
+    src = spark.createDataFrame(rows, "id long, txt string, flag boolean")
+    avro = aw.encode_df(src, schema, out_col="avro_bytes")
+
+    # JVM-side unwrap must invert the producer wrap byte-for-byte
+    wrapped = avro.select(
+        "avro_bytes", F.encode(F.base64("avro_bytes"), "utf-8").alias("value")
+    )
+    for r in wrapped.select(
+        "avro_bytes", F.unbase64(F.col("value").cast("string")).alias("back")
+    ).collect():
+        assert bytes(r.back) == bytes(r.avro_bytes)
+
+    wire = wrapped.select("value")
+    out = aw.kafka_avro_project_py(wire, schema, base64_wrapped=True)
+    assert out.schema.simpleString() == "struct<id:bigint,txt:string,flag:boolean>"
+    assert {(r.id, r.txt, r.flag) for r in out.collect()} == set(rows)
+
+    # unwrapped (S2) variant: raw avro bytes straight through
+    out2 = aw.kafka_avro_project_py(
+        avro.select(F.col("avro_bytes").alias("value")), schema
+    )
+    assert {(r.id, r.txt, r.flag) for r in out2.collect()} == set(rows)
+
+
+def test_avro_wire_rejects_unsupported_schema():
+    from fink_joiner_spark.sources import avro_wire as aw
+
+    with pytest.raises(ValueError, match="primitive"):
+        aw.parse_schema(
+            json.dumps(
+                {
+                    "type": "record",
+                    "name": "r",
+                    "fields": [{"name": "a", "type": {"type": "array", "items": "long"}}],
+                }
+            )
+        )
+    with pytest.raises(ValueError, match="record"):
+        aw.parse_schema(json.dumps({"type": "long"}))
+
+
+def test_avro_decode_rejects_trailing_bytes():
+    from fink_joiner_spark.sources import avro_wire as aw
+
+    fields = [("n", "long")]
+    with pytest.raises(ValueError, match="trailing"):
+        aw.decode_record(fields, aw.encode_record(fields, {"n": 7}) + b"\x00")

@@ -504,6 +504,17 @@ def test_hard_negative_topk_excludes_same_label(spark, sf_dir):
     assert got == want
 
 
+def _phash_brute_pairs(hashes, k):
+    """signed-long-safe brute-force hamming<=k pair set"""
+    return {
+        (a, b): bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1")
+        for a in hashes
+        for b in hashes
+        if a < b
+        and bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1") <= k
+    }
+
+
 def test_phash_dup_pairs_pigeonhole_exactness(spark):
     """phash_dup_pairs must equal the brute-force hamming<=1 pair set
     on payloads with DISTINCT byte profiles, and never emit a pair the
@@ -525,27 +536,80 @@ def test_phash_dup_pairs_pigeonhole_exactness(spark):
     }
     hashes = {
         r.id: r.phash
-        for r in multimodal.perceptual_hash(bin_df, fake=True).collect()
+        for r in multimodal.perceptual_hash(
+            bin_df, fake=True, n_bits=multimodal.PHASH_BITS
+        ).collect()
     }
-    want = {
-        (a, b): bin(hashes[a] ^ hashes[b]).count("1")
-        for a in hashes
-        for b in hashes
-        if a < b and bin(hashes[a] ^ hashes[b]).count("1") <= 1
-    }
-    assert got == want
+    assert got == _phash_brute_pairs(hashes, 1)
     assert (0, 3) in got and got[(0, 3)] == 0
 
 
-def test_phash_dup_pairs_rejects_wide_hamming(spark):
-    """Two-half blocking is complete only for hamming <= 1 — wider
-    thresholds must raise instead of silently under-returning."""
+def test_phash_dup_pairs_hamming2_three_blocks(spark):
+    """k+1-block pigeonhole must stay COMPLETE at max_hamming=2 (the
+    case the old two-half split rejected): equality with brute force
+    over a corpus engineered to hold hamming-2 pairs that differ once
+    in each contiguous half."""
     from fink_joiner_spark.operators import multimodal
 
-    df = spark.createDataFrame([(0, "aa")], "doc_id long, text string")
+    rows = [(i, t) for i, t in enumerate([
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dot",   # small edit
+        "the quick brown fox jumped over the lazy dog",  # small edit
+        "completely different payload profile zzzz 0123",
+        "the quick brown fox jumps over the lazy dog",   # exact dup
+        "lorem ipsum dolor sit amet consectetur adipis",
+    ])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
     bin_df = multimodal.binarize(df, "text", "doc_id")
-    with pytest.raises(ValueError, match="max_hamming"):
-        multimodal.phash_dup_pairs(bin_df, fake=True, max_hamming=2)
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in multimodal.phash_dup_pairs(
+            bin_df, fake=True, max_hamming=2
+        ).collect()
+    }
+    hashes = {
+        r.id: r.phash
+        for r in multimodal.perceptual_hash(
+            bin_df, fake=True, n_bits=multimodal.PHASH_BITS
+        ).collect()
+    }
+    assert got == _phash_brute_pairs(hashes, 2)
+
+
+def test_phash_dup_pairs_low_entropy_cap_enforced(spark):
+    """ADVERSARIAL low-entropy corpus (every payload shares one byte
+    profile → every hash identical → every block one mega-group): the
+    max_block guard must EXCLUDE the oversized blocks (bounded
+    candidates, here zero pairs) and warn — never run the quadratic
+    join. With the guard disabled the same corpus must return the full
+    n·(n-1)/2 pair set, proving the cap (not luck) bounded the work."""
+    import warnings
+
+    from fink_joiner_spark.operators import multimodal
+
+    n = 40
+    rows = [(i, "identical low entropy payload text") for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bin_df = multimodal.binarize(df, "text", "doc_id")
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        capped = multimodal.phash_dup_pairs(
+            bin_df, fake=True, max_block=8, on_oversize="warn"
+        ).collect()
+    assert capped == []
+    assert any("max_block" in str(w.message) for w in caught)
+
+    with pytest.raises(ValueError, match="max_block"):
+        multimodal.phash_dup_pairs(
+            bin_df, fake=True, max_block=8, on_oversize="error"
+        ).collect()
+
+    uncapped = multimodal.phash_dup_pairs(
+        bin_df, fake=True, max_block=None
+    ).collect()
+    assert len(uncapped) == n * (n - 1) // 2
+    assert all(r.hamming == 0 for r in uncapped)
 
 
 def test_assign_to_centroids_zero_norm_centroid_fails_loudly(spark):
