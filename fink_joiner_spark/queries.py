@@ -32,11 +32,20 @@ from contextlib import contextmanager  # noqa: E402
 # and every micro-batch pays a per-partition state-store open+commit
 # (with RocksDB: instance open, WAL, checkpoint upload) regardless of
 # data volume — so unlike batch shuffles (where AQE coalesces), this
-# must be sized to STATE volume, not cluster width. 8 partitions carry
-# the sf0.1 state comfortably (measured 6× over 32 on the stream-stream
-# interval join); a 1000-executor deployment sizes it to keys/partition
+# must be sized to STATE volume, not cluster width. 4 partitions carry
+# the sf0.1 state comfortably (measured r6: interval-join addBatch
+# ~2.4s at 8 partitions vs ~0.85s at 4, with 2 showing no further
+# gain); a 1000-executor deployment sizes it to keys/partition
 # ≈ state-store sweet spot, not to 1000.
-STREAM_SHUFFLE_PARTITIONS = "8"
+STREAM_SHUFFLE_PARTITIONS = "4"
+
+# The applyInPandasWithState operators want MORE partitions than the
+# JVM-stateful ones at the same state volume: their per-batch cost is
+# Arrow + Python grouped-state compute, which parallelizes across
+# Python workers (r6 measured: keyed_reduce/asof/tws each ~1s slower
+# at 4 than 8), while the JVM ops' cost is per-partition state-store
+# open/commit, which shrinks with fewer partitions.
+PYSTATE_SHUFFLE_PARTITIONS = "8"
 
 
 @contextmanager
@@ -58,6 +67,19 @@ def scoped_conf(spark: SparkSession, key: str, value: str):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
+
+
+@contextmanager
+def stream_finish_fast(spark: SparkSession):
+    """Skip the trailing no-data micro-batch (~1 s of state-store
+    open/commit against zero rows) for AvailableNow streaming demos
+    whose OUTPUT doesn't depend on a final watermark-advancement batch:
+    inner joins and dedup emit on arrival, complete-mode sinks re-emit
+    per batch, and unwatermarked Python-state ops never schedule one.
+    Queries that DO finalize on watermark (the LEFT interval join's
+    NULL emission, append-mode window close) must not use this."""
+    with scoped_conf(spark, "spark.sql.streaming.noDataMicroBatches.enabled", "false"):
+        yield
 
 
 @dataclass(frozen=True)

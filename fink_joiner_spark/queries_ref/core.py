@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from fink_joiner_spark.catalog import table
 from fink_joiner_spark.operators import dedup
-from fink_joiner_spark.queries import STREAM_SHUFFLE_PARTITIONS, register, scoped_conf
+from fink_joiner_spark.queries import PYSTATE_SHUFFLE_PARTITIONS, STREAM_SHUFFLE_PARTITIONS, register, scoped_conf, stream_finish_fast
 
 # ---------------------------------------------------------------------------
 # A1/A2 — latest-version-per-key dedup (CRMLSJoiner.scala:182)
@@ -700,8 +700,9 @@ def stream_dedup_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     work = tempfile.mkdtemp(prefix="fjs_stream_dedup_")
-    with scoped_conf(spark, "spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS):
-        stream = file_drip_feed(spark, ev, f"{work}/stage", "ts", n_files=4)
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS), \
+            stream_finish_fast(spark):
+        stream = file_drip_feed(spark, ev, f"{work}/stage", "ts", n_files=2)
         store = SnapshotStore(f"{work}/snap", ["user_id"], "ts", ["event_id"])
         run_dedup_stream(stream, store).awaitTermination()
     snap = store.read(spark)
@@ -749,8 +750,9 @@ def stream_asof_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe, build, on="user_id", probe_ts="ts_s", build_ts="ts_s", build_cols=["b_id"]
     )
     work = tempfile.mkdtemp(prefix="fjs_stream_asof_")
-    with scoped_conf(spark, "spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS):
-        stream = file_drip_feed(spark, tagged, f"{work}/stage", "ts", n_files=4)
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", PYSTATE_SHUFFLE_PARTITIONS), \
+            stream_finish_fast(spark):
+        stream = file_drip_feed(spark, tagged, f"{work}/stage", "ts", n_files=2)
         out = stateful.streaming_asof_join(stream)
         q = (
             out.writeStream.format("memory").queryName("q_stream_asof")
@@ -782,8 +784,9 @@ def stream_keyed_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
     work = tempfile.mkdtemp(prefix="fjs_stream_reduce_")
-    with scoped_conf(spark, "spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS):
-        stream = file_drip_feed(spark, ev, f"{work}/stage", "ts", n_files=3)
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", PYSTATE_SHUFFLE_PARTITIONS), \
+            stream_finish_fast(spark):
+        stream = file_drip_feed(spark, ev, f"{work}/stage", "ts", n_files=2)
         out = stateful.streaming_keyed_reduce(
             stream, "user_id", "event_type", ["ts", "event_id"], sep="|"
         )
@@ -825,8 +828,9 @@ def stream_dedup_tws_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.unix_micros("ts").alias("ts_us"), "event_id", "event_type"
     )
     work = tempfile.mkdtemp(prefix="fjs_stream_tws_")
-    with scoped_conf(spark, "spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS):
-        stream = file_drip_feed(spark, ev, f"{work}/stage", "ts_us", n_files=3)
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", PYSTATE_SHUFFLE_PARTITIONS), \
+            stream_finish_fast(spark):
+        stream = file_drip_feed(spark, ev, f"{work}/stage", "ts_us", n_files=2)
         out = stateful.streaming_dedup_retract(
             stream, "user_id", "ts_us", "event_id", "event_type"
         )
@@ -956,9 +960,9 @@ def stream_snapshot_join_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     work = tempfile.mkdtemp(prefix="fjs_pipe_")
     streams = [
-        StreamDef("clicks", file_drip_feed(spark, clicks, f"{work}/s1", "ts", 3),
+        StreamDef("clicks", file_drip_feed(spark, clicks, f"{work}/s1", "ts", 2),
                   ["user_id"], "ts", ["event_id"]),
-        StreamDef("errors", file_drip_feed(spark, errors, f"{work}/s2", "e_ts", 3),
+        StreamDef("errors", file_drip_feed(spark, errors, f"{work}/s2", "e_ts", 2),
                   ["e_user_id"], "e_ts", ["e_event_id"]),
     ]
 
@@ -968,7 +972,8 @@ def stream_snapshot_join_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
             "event_id", "user_id", F.col("e_event_id").alias("err_event_id")
         )
 
-    with scoped_conf(spark, "spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS):
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS), \
+            stream_finish_fast(spark):
         stores = run_snapshot_join_pipeline(spark, streams, join_fn, work)
     return stores["result"].read(spark)
 
@@ -1085,7 +1090,8 @@ def stream_windowed_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_seconds(F.col("doc_id") % 60).alias("ts"),
     )
     work = tempfile.mkdtemp(prefix="fjs_stream_wc_")
-    with scoped_conf(spark, "spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS):
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS), \
+            stream_finish_fast(spark):
         stream = file_drip_feed(spark, timed, f"{work}/stage", "ts", n_files=3)
         words = stream.select(
             "ts", F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
@@ -1118,7 +1124,8 @@ def stream_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     work = tempfile.mkdtemp(prefix="fjs_stream_cnt_")
-    with scoped_conf(spark, "spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS):
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS), \
+            stream_finish_fast(spark):
         stream = file_drip_feed(spark, ev, f"{work}/stage", "ts", n_files=3)
         out = stream.agg(F.count(F.lit(1)).alias("cnt"))
         q = (
@@ -1154,7 +1161,8 @@ def stream_proctime_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     work = tempfile.mkdtemp(prefix="fjs_stream_proc_")
-    with scoped_conf(spark, "spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS):
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS), \
+            stream_finish_fast(spark):
         stream = file_drip_feed(spark, ev, f"{work}/stage", "ts", n_files=3)
         out = proctime_windowed_count(stream, "10 seconds", keys=["event_type"])
         q = (
@@ -1309,7 +1317,8 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     customer = table(spark, sf_dir, "customer")
     work = tempfile.mkdtemp(prefix="fjs_stream_static_")
-    with scoped_conf(spark, "spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS):
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS), \
+            stream_finish_fast(spark):
         stream = file_drip_feed(spark, ev, f"{work}/stage", "ts", n_files=3)
         joined = stream.join(
             F.broadcast(customer), stream.user_id == customer.c_custkey, "left"
@@ -1564,11 +1573,12 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("e_ts"),
     )
     work = tempfile.mkdtemp(prefix="fjs_ss_join_")
-    with scoped_conf(spark, "spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS):
-        sc = file_drip_feed(spark, clicks, f"{work}/c", "c_ts", n_files=3).withWatermark(
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS), \
+            stream_finish_fast(spark):
+        sc = file_drip_feed(spark, clicks, f"{work}/c", "c_ts", n_files=2).withWatermark(
             "c_ts", "1 hour"
         )
-        se = file_drip_feed(spark, errors, f"{work}/e", "e_ts", n_files=3).withWatermark(
+        se = file_drip_feed(spark, errors, f"{work}/e", "e_ts", n_files=2).withWatermark(
             "e_ts", "1 hour"
         )
         joined = sc.join(
@@ -1618,7 +1628,8 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     ev = table(spark, sf_dir, "events").select("event_id", "ts")
     doubled = ev.unionByName(ev)  # every event arrives twice
     work = tempfile.mkdtemp(prefix="fjs_stream_ddww_")
-    with scoped_conf(spark, "spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS):
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS), \
+            stream_finish_fast(spark):
         stream = file_drip_feed(spark, doubled, f"{work}/stage", "ts", n_files=3)
         deduped = (
             stream.withWatermark("ts", "100 seconds")
@@ -1732,10 +1743,10 @@ def stream_stream_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFr
     )
     work = tempfile.mkdtemp(prefix="fjs_ss_ljoin_")
     with scoped_conf(spark, "spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS):
-        sc = file_drip_feed(spark, clicks, f"{work}/c", "c_ts", n_files=3).withWatermark(
+        sc = file_drip_feed(spark, clicks, f"{work}/c", "c_ts", n_files=2).withWatermark(
             "c_ts", "1 hour"
         )
-        se = file_drip_feed(spark, errors, f"{work}/e", "e_ts", n_files=3).withWatermark(
+        se = file_drip_feed(spark, errors, f"{work}/e", "e_ts", n_files=2).withWatermark(
             "e_ts", "1 hour"
         )
         joined = sc.join(

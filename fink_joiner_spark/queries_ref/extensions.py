@@ -4816,13 +4816,18 @@ def ext_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_dlq_relay(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
-    from fink_joiner_spark.queries import STREAM_SHUFFLE_PARTITIONS, scoped_conf
+    from fink_joiner_spark.queries import (
+        STREAM_SHUFFLE_PARTITIONS,
+        scoped_conf,
+        stream_finish_fast,
+    )
     from fink_joiner_spark.sources.sinks import side_output_sink
     from fink_joiner_spark.sources.streaming import file_drip_feed
 
     ev = table(spark, sf_dir, "events")
     work = tempfile.mkdtemp(prefix="fjs_stream_dlq_")
-    with scoped_conf(spark, "spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS):
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS), \
+            stream_finish_fast(spark):
         stream = file_drip_feed(spark, ev, f"{work}/stage", "ts", n_files=3)
         q = side_output_sink(
             stream,
