@@ -1396,49 +1396,35 @@ def jaccard_pairs_prefix(
     * **exact verify**: surviving candidates re-join the full sorted
       arrays once, keyed by the pair, and intersect exactly.
 
+    **Skew guard (r6, edit-distance parity)**: the candidate join's
+    EQUALITY key is the compound ``(prefix shingle, length bucket)``,
+    not the shingle alone. A bare-shingle key hash-partitions every
+    doc sharing one boilerplate prefix shingle into ONE cell, and the
+    length filter — a non-equi condition — only prunes row pairs
+    *inside* that cell after the quadratic pairing, one-tasking the
+    join on a pathological corpus. Buckets are geometric with ratio
+    1/t (``floor(ln n / ln(1/t))``): a qualifying pair satisfies
+    ``t·na ≤ nb ≤ na/t``, so with pairs oriented smaller-set-first the
+    probe side covers at most 2 buckets, enumerated by applying the
+    SAME bucket expression to the exact integer range endpoints
+    (monotonicity makes the cover float-safe — no ulp can drop a
+    pair). Identical-length duplicates still share a cell, but there
+    the true output is itself quadratic. Verified adversarially in
+    ``tests/test_similarity.py`` (common-prefix, spread-length corpus
+    must split across cells with output identical to brute force).
+
     Plan shape: shingle-keyed DF aggregate (map-side combined),
-    re-collect per doc, prefix explode, prefix-keyed candidate join,
-    pair-keyed verify join. Every shuffle is keyed; nothing all-pairs.
+    re-collect per doc, prefix explode, (prefix, length-bucket)-keyed
+    candidate join, pair-keyed verify join. Every shuffle is keyed;
+    nothing all-pairs.
     """
-    sh = _spread(df).select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("shingles")
-    ).where(F.size("shingles") > 0)
-
-    post = sh.select("id", F.explode("shingles").alias("s"))
-    freq = post.groupBy("s").agg(F.count(F.lit(1)).alias("df_s"))
-    # canonical rarest-first order per doc, rebuilt via sort_array on
-    # (df, shingle) structs — one shingle-keyed join + one doc-keyed agg
-    canon = (
-        post.join(freq, "s")
-        .groupBy("id")
-        .agg(F.sort_array(F.collect_list(F.struct("df_s", "s"))).alias("_o"))
-        .select(
-            "id",
-            F.transform("_o", lambda x: x["s"]).alias("sorted_sh"),
-            F.size("_o").alias("n_sh"),
-        )
-    )
-    # Exact-integer threshold arithmetic: t as micro-units so that
-    # ceil(t*n) and the length filters never hinge on a float ulp
-    # (10 * 0.7 is 7.000000000000001 in IEEE double — ceil'ing THAT
-    # shortens the prefix and the filter t*nb <= na flips, both
-    # silently dropping qualifying pairs; caught in review).
-    t_micro = round(threshold * 1_000_000)
-    # prefix length: n - ceil(t*n) + 1, integer form
-    ceil_tn = F.expr(f"(n_sh * {t_micro} + 999999) div 1000000")
-    prefix = canon.select(
-        "id",
-        "n_sh",
-        F.explode(
-            F.slice("sorted_sh", 1, (F.col("n_sh") - ceil_tn + 1).cast("int"))
-        ).alias("s"),
-    ).select("id", "n_sh", F.xxhash64("s").alias("s"))
-
-    a, b = prefix.alias("a"), prefix.alias("b")
+    sh, postings, t_micro = _prefix_postings(df, id_col, text_col, n, threshold)
+    a, b = postings.alias("a"), postings.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.lb") == F.col("b.lb"))
             & (F.col("a.id") < F.col("b.id"))
             # length filter: |larger| ≤ |smaller| / t (else J < t)
             & (F.col("b.n_sh") * t_micro <= F.col("a.n_sh") * 1_000_000)
@@ -1466,6 +1452,87 @@ def jaccard_pairs_prefix(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def _prefix_postings(
+    df: DataFrame, id_col: str, text_col: str, n: int, threshold: float
+) -> tuple[DataFrame, DataFrame, int]:
+    """Posting-list construction for :func:`jaccard_pairs_prefix`,
+    exposed separately so the skew-guard tests can assert on the ACTUAL
+    candidate cells the join partitions by. Returns
+    ``(shingled docs, postings, t_micro)`` where the postings carry
+    the compound ``(s, lb)`` equality key: ``s`` the hashed prefix
+    shingle, ``lb`` a geometric length bucket. Each doc posts at BOTH
+    its own bucket ``bkt(n)`` and the top qualifying-partner bucket
+    ``bkt(floor(n/t))`` (≤ 2 distinct values), and the pair join is a
+    symmetric self-join of this one frame: a qualifying pair (na ≤
+    nb ≤ na/t) always meets because bkt(nb) lies in a's posted range
+    and b posts bkt(nb) itself. Keeping both join sides the IDENTICAL
+    subtree lets AQE reuse one shuffle materialization — an
+    asymmetric index/probe split re-evaluated the expensive canonical-
+    order subtree and cost ~50% at sf0.1."""
+    import math
+
+    sh = _spread(df).select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("shingles")
+    ).where(F.size("shingles") > 0)
+
+    post = sh.select("id", F.explode("shingles").alias("s"))
+    freq = post.groupBy("s").agg(F.count(F.lit(1)).alias("df_s"))
+    # canonical rarest-first order per doc, rebuilt via sort_array on
+    # (df, shingle) structs — one shingle-keyed join + one doc-keyed agg
+    canon = (
+        post.join(freq, "s")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list(F.struct("df_s", "s"))).alias("_o"))
+        .select(
+            "id",
+            F.transform("_o", lambda x: x["s"]).alias("sorted_sh"),
+            F.size("_o").alias("n_sh"),
+        )
+    )
+    # Exact-integer threshold arithmetic: t as micro-units so that
+    # ceil(t*n) and the length filters never hinge on a float ulp
+    # (10 * 0.7 is 7.000000000000001 in IEEE double — ceil'ing THAT
+    # shortens the prefix and the filter t*nb <= na flips, both
+    # silently dropping qualifying pairs; caught in review).
+    t_micro = round(threshold * 1_000_000)
+
+    # geometric length bucket, ratio 1/t. Cover is float-safe: the
+    # SAME monotone expression is applied to the exact integer range
+    # endpoints, so bucket(nb) for any qualifying nb is inside
+    # [bucket(n), bucket(hi)] by monotonicity alone — no ulp analysis
+    # of the log is load-bearing.
+    log_ratio = math.log(1_000_000 / t_micro) if t_micro < 1_000_000 else None
+
+    def _bkt(n: Column) -> Column:
+        if log_ratio is None:  # t == 1: same-length only
+            return n.cast("int")
+        return F.floor(F.log(n.cast("double")) / F.lit(log_ratio)).cast("int")
+
+    # buckets computed ONCE PER DOC here (pre-explode), not per
+    # posting row: lb = own bucket (index key), lb_hi = bucket of the
+    # largest qualifying partner size floor(n/t)
+    ceil_tn = F.expr(f"(n_sh * {t_micro} + 999999) div 1000000")
+    hi = F.expr(f"(n_sh * 1000000) div {t_micro}")
+    prefix = canon.select(
+        "id",
+        "n_sh",
+        _bkt(F.col("n_sh")).alias("lb"),
+        _bkt(hi).alias("lb_hi"),
+        F.explode(
+            F.slice("sorted_sh", 1, (F.col("n_sh") - ceil_tn + 1).cast("int"))
+        ).alias("s"),
+    ).select("id", "n_sh", "lb", "lb_hi", F.xxhash64("s").alias("s"))
+
+    # symmetric postings: every doc posts at bkt(n) and (when
+    # different) bkt(floor(n/t)) — explode of a ≤2-element array keeps
+    # this ONE subtree used for both join sides
+    postings = prefix.select(
+        "id", "n_sh", "s",
+        F.explode(F.array_distinct(F.array("lb", "lb_hi"))).alias("lb"),
+    )
+    return sh, postings, t_micro
 
 
 def edit_distance_pairs(

@@ -378,3 +378,55 @@ def test_bigram_nll_repetition_scores_lower(spark):
     assert out[1].nll_micro < out[2].nll_micro
     # per-term exactness: repeated doc = 8 identical transitions
     assert out[1].nll_micro % 8 == 0
+
+
+def test_winnowing_posting_cap_bounds_boilerplate_block(spark):
+    """Adversarial corpus for the winnowing pair join: every doc
+    embeds the SAME long boilerplate block, so (by the winnowing
+    guarantee) at least one selected fingerprint is shared by ALL
+    docs — an uncapped fingerprint-keyed join pools the whole corpus
+    into that posting cell. ``max_doc_freq`` must (a) bound every
+    surviving posting list and (b) yield exactly the documented
+    semantics: pair counts over the KEPT fingerprints only."""
+    import random
+
+    from fink_joiner_spark.operators import text as text_ops
+
+    rnd = random.Random(7)
+    alpha = "abcdefghijklmnopqrstuvwxyz "
+    boiler = "".join(rnd.choice(alpha) for _ in range(80))
+    rows = []
+    for i in range(60):
+        own = "".join(rnd.choice(alpha) for _ in range(rnd.randrange(30, 120)))
+        rows.append((i, own + boiler))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    fp = text_ops.winnowed_fingerprints(df, "doc_id", "text", gram_len=20, window=8)
+    posting = {}
+    for r in fp.select("doc_id", "fp").distinct().collect():
+        posting.setdefault(r.fp, set()).add(r.doc_id)
+    # the mega-block exists: some boilerplate fingerprint hits all docs
+    assert max(len(v) for v in posting.values()) == 60
+
+    cap = 10
+    got = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in text_ops.winnowing_pairs(
+            df, "doc_id", "text", gram_len=20, window=8,
+            min_shared=1, max_doc_freq=cap,
+        ).collect()
+    }
+    # expected: recompute pair counts over fingerprints with df <= cap
+    want = {}
+    for docs in posting.values():
+        if len(docs) > cap:
+            continue
+        for a in docs:
+            for b in docs:
+                if a < b:
+                    want[(a, b)] = want.get((a, b), 0) + 1
+    assert got == want
+    # and every surviving cell is bounded by the cap — the join's
+    # worst candidate block is cap^2/2, never corpus^2
+    kept = [v for v in posting.values() if len(v) <= cap]
+    assert kept and max(len(v) for v in kept) <= cap

@@ -632,3 +632,56 @@ def test_assign_to_centroids_zero_norm_centroid_fails_loudly(spark):
     )
     with pytest.raises(ArithmeticException, match="DIVIDE_BY_ZERO"):
         assign_to_centroids(vecs, "vec_id", "embedding", cents).collect()
+
+
+def test_jaccard_prefix_skew_guard_splits_length_spread_block(spark):
+    """Adversarial corpus for the (prefix-shingle, length-bucket)
+    compound candidate key: a tiny vocabulary makes EVERY shingle
+    corpus-common, so prefix filtering cannot avoid posting shared
+    shingles, while doc lengths spread geometrically across many
+    buckets. The guard must (a) keep the output identical to the
+    all-pairs brute force and (b) actually split the shared-shingle
+    posting blocks by length — the bare-shingle key would pool docs of
+    every length into one cell and the length filter (a non-equi join
+    condition) would only prune pairs AFTER the quadratic pairing."""
+    import random
+
+    rnd = random.Random(42)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    rows = []
+    for i in range(150):
+        # lengths 12 .. ~300, geometric spread over many 1/0.8 buckets
+        length = int(12 * (1.023 ** i))
+        rows.append((i, " ".join(rnd.choice(vocab) for _ in range(length))))
+    df = spark.createDataFrame(rows, "doc long, text string")
+
+    want = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in similarity.jaccard_pairs(df, "doc", "text", n=3, threshold=0.8).collect()
+    }
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in similarity.jaccard_pairs_prefix(
+            df, "doc", "text", n=3, threshold=0.8
+        ).collect()
+    }
+    assert got == want
+
+    _, postings, _ = similarity._prefix_postings(df, "doc", "text", 3, 0.8)
+    bare = max(
+        r["count"]
+        for r in postings.select("id", "s").distinct().groupBy("s").count().collect()
+    )
+    comp = max(r["count"] for r in postings.groupBy("s", "lb").count().collect())
+    # the corpus-common shingles pool a quarter+ of the docs under the
+    # bare key (measured 43/150 with this seed) …
+    assert bare > 35, f"corpus not adversarial enough (bare max {bare})"
+    # … and the compound key must break that pool up: even though each
+    # doc posts at 2 buckets, no (shingle, bucket) cell may approach
+    # the bare-key pool
+    assert comp <= bare // 2, (bare, comp)
+    # posting fan-out is bounded: at most 2 buckets per (doc, shingle)
+    fan = max(
+        r["count"] for r in postings.groupBy("id", "s", "n_sh").count().collect()
+    )
+    assert fan <= 2, fan
