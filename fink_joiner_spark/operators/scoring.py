@@ -101,6 +101,19 @@ def bm25_scores(
     )
     # document frequency per term (distinct docs containing it)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return _bm25_from_stats(tf, dfreq, stats, k1, b)
+
+
+def _bm25_from_stats(
+    tf: DataFrame, dfreq: DataFrame, stats: DataFrame, k1: float, b: float
+) -> DataFrame:
+    """Shared BM25 scoring tail: per-(doc, term) tf rows + per-term df
+    + corpus scalars → per-doc score. ONE implementation used by both
+    the scan-time :func:`bm25_scores` and the persisted-index probe
+    :func:`bm25_indexed_scores`, so the micropoint arithmetic (and
+    therefore the hash-level result) cannot drift between the two
+    paths. ``tf``: (doc_id, dl, term, tf); ``dfreq``: (term, df);
+    ``stats``: one row (n_docs, sum_dl) — exact integers all."""
     scored = (
         tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
@@ -140,3 +153,104 @@ def bm25_scores(
             (F.round(F.col("micro") / 1e6, 6) + F.lit(0.0)).alias("score"),
         )
     )
+
+
+def build_bm25_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dest_path: str,
+    n_buckets: int = 32,
+) -> None:
+    """Persist a FULL-VOCABULARY BM25 index — the production shape for
+    repeated retrieval queries, where re-tokenizing 100 TB per query
+    (what :func:`bm25_scores` does) is the dominant cost.
+
+    Layout (three parquet datasets under ``dest_path``):
+
+    * ``postings/`` — (doc_id, dl, term, tf), partitioned by
+      ``pb = pmod(xxhash64(term), n_buckets)``. Hash-bucketing the
+      TERM (not dictionary-partitioning it) keeps the directory count
+      fixed at ``n_buckets`` regardless of vocabulary size (a web
+      corpus has ~10^8 terms — one dir per term is catalog poison),
+      while still letting a probe for k query terms partition-prune
+      to ≤ k buckets. ``dl`` is denormalized into the posting row so
+      the probe never touches a corpus-sized doc-stats table.
+    * ``terms/`` — (term, df), partitioned the same way.
+    * ``meta/`` — one row (n_docs, sum_dl, n_buckets).
+
+    The probe is :func:`bm25_indexed_scores`; both paths share
+    :func:`_bm25_from_stats`, so an indexed probe returns bit-identical
+    scores to the scan-time operator for the same terms.
+    """
+    import os
+
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("dl"),
+        toks.alias("toks"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        F.lit(n_buckets).alias("n_buckets"),
+    )
+    tf = (
+        base.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    pb = F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+    tf.withColumn("pb", pb).write.mode("overwrite").partitionBy("pb").parquet(
+        os.path.join(dest_path, "postings")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dfreq.withColumn("pb", pb).write.mode("overwrite").partitionBy("pb").parquet(
+        os.path.join(dest_path, "terms")
+    )
+    stats.write.mode("overwrite").parquet(os.path.join(dest_path, "meta"))
+
+
+def bm25_indexed_scores(
+    spark,
+    index_path: str,
+    query_terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 scores for ``query_terms`` served from a persisted index
+    (:func:`build_bm25_index`) — the probe path never scans the
+    corpus: it reads only the ≤ ``len(query_terms)`` postings buckets
+    whose partition value matches a query term's hash (partition
+    pruning on ``pb``; the ``term IN (...)`` residual then min/max-
+    prunes row groups inside them). Bucket ids for the probe literals
+    are computed with the SAME engine expression the build used
+    (``pmod(xxhash64(term), n_buckets)``), on a ≤ k-row local frame —
+    hashing must never be reimplemented driver-side.
+
+    Scores are bit-identical to :func:`bm25_scores` on the source
+    corpus (shared :func:`_bm25_from_stats` arithmetic; verified by
+    plan audit + hash oracle in the registered query).
+    """
+    import os
+
+    terms = [t.lower() for t in query_terms]
+    meta = spark.read.parquet(os.path.join(index_path, "meta"))
+    n_buckets = meta.select("n_buckets").first()[0]
+    tlit = spark.createDataFrame([(t,) for t in terms], "term string")
+    pbs = [
+        r.pb
+        for r in tlit.select(
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("pb")
+        ).collect()
+    ]  # bounded: one scalar per query term
+    term_filter = F.col("pb").isin(pbs) & F.col("term").isin(terms)
+    tf = spark.read.parquet(os.path.join(index_path, "postings")).where(
+        term_filter
+    ).select("doc_id", "dl", "term", "tf")
+    dfreq = spark.read.parquet(os.path.join(index_path, "terms")).where(
+        term_filter
+    ).select("term", "df")
+    stats = meta.select("n_docs", "sum_dl")
+    return _bm25_from_stats(tf, dfreq, stats, k1, b)

@@ -864,6 +864,106 @@ def topk_ivf(
     )
 
 
+def build_ivf_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dest_path: str,
+    n_cells: int = 16,
+    train_iters: int = 0,
+) -> None:
+    """Persist an IVF index — the production shape when the same
+    corpus serves many ANN queries: the O(corpus) cell-assignment pass
+    runs ONCE at build time instead of per query, and the index layout
+    (vectors partitioned by cell id) turns each probe's cell
+    restriction into parquet partition pruning rather than a filter
+    over a full scan.
+
+    Layout under ``dest_path``:
+
+    * ``vectors/`` — (nid, nvec, cell) partitioned by ``cell``; the
+      directory count equals ``n_cells`` (the √n rule keeps that
+      catalog-friendly at any corpus size).
+    * ``centroids/`` — the (cell_id, centroid) codebook (tiny).
+
+    Assignment/centroid semantics are exactly :func:`topk_ivf`'s
+    (md5-seeded or Lloyd-trained, dot/‖c‖ argmax, lowest-cell ties),
+    so an all-cells probe returns bit-identical results to the
+    unindexed operator. Probe with :func:`topk_ivf_indexed`.
+    """
+    import os
+
+    c = _spread(df).select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"))
+    if train_iters > 0:
+        seeds = train_ivf_centroids(
+            df, id_col, vec_col, n_cells=n_cells, n_iters=train_iters
+        )
+    else:
+        seeds = _seed_centroids(c, n_cells)
+    cells_arr = _cells_arr(seeds)
+    assigned = c.crossJoin(F.broadcast(cells_arr)).select(
+        "nid", "nvec", F.element_at(_nearest_cells(F.col("nvec"), 1), 1).alias("cell")
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(dest_path, "vectors")
+    )
+    seeds.write.mode("overwrite").parquet(os.path.join(dest_path, "centroids"))
+
+
+def topk_ivf_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    qid_col: str,
+    qvec_col: str,
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ANN top-k served from a persisted IVF index
+    (:func:`build_ivf_index`) — the probe path reads ONLY the
+    partitions of the cells any query probes: the probed cell ids (≤
+    |queries|·nprobe scalars, computed with the same broadcast-codebook
+    ranking the build used) become partition-pruning literals on the
+    ``cell`` directory column, and the per-query cell restriction is
+    then the usual broadcast equi-join on cell. No corpus scan, no
+    assignment pass — both were paid once at build time.
+
+    Bit-identical to :func:`topk_ivf` with the same codebook (verified
+    by equality + pruning plan audit in ``tests/test_lake.py``).
+    """
+    import os
+
+    from pyspark.sql import Window
+
+    seeds = spark.read.parquet(os.path.join(index_path, "centroids"))
+    cells_arr = _cells_arr(seeds)
+    q = queries.select(F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qvec"))
+    probes = q.crossJoin(F.broadcast(cells_arr)).select(
+        "qid", "qvec", F.explode(_nearest_cells(F.col("qvec"), nprobe)).alias("cell")
+    )
+    # bounded collect: one scalar per (query, probed cell)
+    cell_ids = [r.cell for r in probes.select("cell").distinct().collect()]
+    base = (
+        spark.read.parquet(os.path.join(index_path, "vectors"))
+        .where(F.col("cell").isin(cell_ids))
+        .select("nid", "nvec", F.col("cell").cast("long").alias("cell"))
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(base, "cell")
+        .filter(F.col("qid") != F.col("nid"))
+        .select(
+            "qid", "nid", F.round(cosine(F.col("qvec"), F.col("nvec")), 4).alias("score")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "score", "rank")
+    )
+
+
 def _cb_literal(cb: list[list[list[float]]]) -> Column:
     """The PQ codebook as a nested array literal column
     (array<array<array<double>>> — m × n_codes × sub). Literal leaves

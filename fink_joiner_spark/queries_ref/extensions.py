@@ -1178,6 +1178,32 @@ def simsearch_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "simsearch_topk_ivf_indexed",
+    _TOPK_ORACLE,
+    "ANN top-10 from a PERSISTED IVF index (cell-partitioned vectors "
+    "written once, probe partition-prunes to the probed cells — no "
+    "corpus rescan, no per-query assignment pass); all-cell probing "
+    "at <=1000 vectors makes the output exactly brute force (hard "
+    "oracle); pruning plan-audited in tests/test_lake.py",
+)
+def simsearch_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from fink_joiner_spark.operators import similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    n_cells = 16
+    exact = emb.count() <= _ANN_EXACT_MAX
+    work = tempfile.mkdtemp(prefix="fjs_ivf_idx_")
+    similarity.build_ivf_index(emb, "vec_id", "embedding", work, n_cells=n_cells)
+    return similarity.topk_ivf_indexed(
+        spark, work, queries, "vec_id", "embedding",
+        k=10, nprobe=n_cells if exact else 4,
+    )
+
+
+@register(
     "ext_lake_compact_clustered",
     """
     SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
@@ -1354,6 +1380,40 @@ def text_bm25_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scoring.bm25_scores(
         docs, "doc_id", "text", ["join", "filter", "window"], k1=1.2, b=0.75
     )
+
+
+_BM25_INDEXED_ORACLE = f"""
+WITH scored AS ({_BM25_ORACLE})
+SELECT doc_id, n_terms_matched, score
+FROM scored
+QUALIFY ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) <= 20
+"""
+
+
+@register(
+    "ext_bm25_index_probe",
+    _BM25_INDEXED_ORACLE,
+    "persisted-index retrieval (the production shape for repeated "
+    "queries): full-vocabulary BM25 postings written once, hash-"
+    "bucket-partitioned by term (fixed dir count at any vocabulary "
+    "size), then the probe partition-prunes to <= |query| buckets and "
+    "never rescans the corpus — scores bit-identical to the scan-time "
+    "operator via the shared micropoint tail; top-20 by (score, "
+    "doc_id). Plan-audited in tests/test_lake.py (probe input files "
+    "all inside probed buckets)",
+)
+def ext_bm25_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from fink_joiner_spark.operators import scoring
+
+    docs = table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="fjs_bm25_idx_")
+    scoring.build_bm25_index(docs, "doc_id", "text", work, n_buckets=32)
+    probe = scoring.bm25_indexed_scores(
+        spark, work, ["join", "filter", "window"], k1=1.2, b=0.75
+    )
+    return probe.orderBy(F.col("score").desc(), "doc_id").limit(20)
 
 
 @register(

@@ -101,3 +101,120 @@ def test_read_files_xml_roundtrip(spark, tmp_path):
         spark, str(p), format="xml", schema="doc_id long, lang string", rowTag="row"
     )
     assert {tuple(r) for r in df.collect()} == {(1, "en"), (2, "fr")}
+
+
+def test_bm25_index_probe_prunes_and_matches_scan_path(spark, sf_dir, tmp_path):
+    """The persisted-index probe must (a) return bit-identical scores
+    to the scan-time bm25_scores for the same terms and (b) actually
+    partition-prune: every input file of the probe plan lies inside a
+    probed pb= bucket directory, and the probed bucket count is <= the
+    query term count while the index holds many more buckets."""
+    import re
+
+    from fink_joiner_spark.operators import scoring
+
+    docs = _docs(spark, sf_dir)
+    idx = str(tmp_path / "bm25_idx")
+    scoring.build_bm25_index(docs, "doc_id", "text", idx, n_buckets=32)
+
+    terms = ["join", "filter", "window"]
+    probe = scoring.bm25_indexed_scores(spark, idx, terms)
+    want = {
+        (r.doc_id, r.n_terms_matched, r.score)
+        for r in scoring.bm25_scores(docs, "doc_id", "text", terms).collect()
+    }
+    got = {(r.doc_id, r.n_terms_matched, r.score) for r in probe.collect()}
+    assert got == want and got
+
+    # pruning audit: the index has many buckets, the probe reads few.
+    # inputFiles() lists the WHOLE table (it ignores pruning), so the
+    # runtime signal is input_file_name() over the probe's own filter:
+    # the files a scan with that filter actually reads.
+    all_buckets = {
+        m.group(1)
+        for f in spark.read.parquet(f"{idx}/postings").inputFiles()
+        for m in [re.search(r"pb=(\d+)", f)]
+        if m
+    }
+    assert len(all_buckets) > 10  # vocabulary spreads over many buckets
+
+    n_buckets = 32
+    pbs = [
+        r.pb
+        for r in spark.createDataFrame([(t,) for t in terms], "term string")
+        .select(F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("pb"))
+        .collect()
+    ]
+    filt = F.col("pb").isin(pbs) & F.col("term").isin(terms)
+    read_files = {
+        r.f
+        for r in spark.read.parquet(f"{idx}/postings")
+        .where(filt)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+    probed = {re.search(r"pb=(\d+)", f).group(1) for f in read_files}
+    assert probed and len(probed) <= len(terms), (probed, terms)
+    # and the probe's static plan carries the partition filter
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "pb" in plan.split(
+        "PartitionFilters: ["
+    )[1].split("]")[0]
+
+
+def test_ivf_index_probe_prunes_and_matches_unindexed(spark, sf_dir, tmp_path):
+    """The persisted IVF probe must return exactly what topk_ivf
+    returns for the same codebook, and must READ only the probed cell
+    partitions (runtime input_file_name audit), not the whole index."""
+    import os
+    import re
+
+    from fink_joiner_spark.operators import similarity
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    idx = str(tmp_path / "ivf_idx")
+    similarity.build_ivf_index(emb, "vec_id", "embedding", idx, n_cells=16)
+
+    queries = emb.filter(F.col("vec_id") < 2)  # 2 queries, nprobe 2
+    got = {
+        tuple(r)
+        for r in similarity.topk_ivf_indexed(
+            spark, idx, queries, "vec_id", "embedding", k=5, nprobe=2
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in similarity.topk_ivf(
+            emb, queries, "vec_id", "embedding", "vec_id", "embedding",
+            k=5, n_cells=16, nprobe=2,
+        ).collect()
+    }
+    assert got == want and got
+
+    # runtime pruning audit: ≤ |queries|·nprobe = 4 of the 16 cell
+    # partitions are actually read by the probe's filtered scan
+    all_cells = {
+        m.group(1)
+        for f in spark.read.parquet(f"{idx}/vectors").inputFiles()
+        for m in [re.search(r"cell=(\d+)", f)]
+        if m
+    }
+    assert len(all_cells) >= 8  # seeds spread vectors over many cells
+    seeds = spark.read.parquet(f"{idx}/centroids")
+    cells_arr = similarity._cells_arr(seeds)
+    probes = (
+        queries.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+        .crossJoin(F.broadcast(cells_arr))
+        .select(F.explode(similarity._nearest_cells(F.col("qvec"), 2)).alias("cell"))
+    )
+    cell_ids = [r.cell for r in probes.distinct().collect()]
+    read_cells = {
+        re.search(r"cell=(\d+)", r.f).group(1)
+        for r in spark.read.parquet(f"{idx}/vectors")
+        .where(F.col("cell").isin(cell_ids))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+    assert read_cells and len(read_cells) <= 4, (read_cells, all_cells)
