@@ -212,6 +212,97 @@ def build_bm25_index(
     stats.write.mode("overwrite").parquet(os.path.join(dest_path, "meta"))
 
 
+def update_bm25_index(
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_path: str,
+) -> None:
+    """Incrementally fold NEW documents into a persisted BM25 index
+    (:func:`build_bm25_index`) — the maintenance path for an append-
+    only corpus, where re-tokenizing 100 TB to admit a 0.1% delta is
+    the thing a production index exists to avoid. Cost is
+    O(delta corpus) + O(term stats of the touched buckets), never
+    O(existing corpus):
+
+    * ``postings/`` — delta rows APPEND as new files; existing posting
+      files are never rewritten (asserted in ``tests/test_lake.py``).
+    * ``terms/`` — per-term df must MERGE (df_new = df_old + df_delta),
+      so the delta's buckets are rewritten via DYNAMIC partition
+      overwrite: old term rows of the affected buckets (partition-
+      pruned read) union the delta, re-aggregated, and only those
+      ``pb=`` directories are replaced — untouched buckets keep their
+      files.
+    * ``meta/`` — corpus scalars re-written with the delta added
+      (exact integers; read before overwrite).
+
+    ``new_docs`` must be NEW ids: re-ingesting an already-indexed doc
+    would double-count its postings (dedup upstream — this is an
+    append log, not an upsert).
+    """
+    import os
+
+    spark = new_docs.sparkSession
+    meta_old = spark.read.parquet(os.path.join(index_path, "meta")).first()
+    n_buckets = int(meta_old["n_buckets"])
+
+    toks = tokens(F.col(text_col))
+    base = new_docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("dl"),
+        toks.alias("toks"),
+    )
+    delta = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).first()
+    tf = (
+        base.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    pb = F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+    tf.withColumn("pb", pb).write.mode("append").partitionBy("pb").parquet(
+        os.path.join(index_path, "postings")
+    )
+
+    delta_df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).withColumn(
+        "pb", pb
+    )
+    # affected buckets as literals → the old-terms read partition-prunes
+    pbs = [r.pb for r in delta_df.select("pb").distinct().collect()]
+    old_terms = (
+        spark.read.parquet(os.path.join(index_path, "terms"))
+        .where(F.col("pb").isin(pbs))
+        .select("term", "df", F.col("pb").cast("long").alias("pb"))
+    )
+    merged = (
+        old_terms.unionByName(delta_df.select("term", "df", "pb"))
+        .groupBy("pb", "term")
+        .agg(F.sum("df").alias("df"))
+        .select("term", "df", "pb")
+    )
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy("pb").parquet(
+            os.path.join(index_path, "terms")
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+
+    new_meta = spark.createDataFrame(
+        [
+            (
+                int(meta_old["n_docs"]) + int(delta["n_docs"] or 0),
+                int(meta_old["sum_dl"]) + int(delta["sum_dl"] or 0),
+                n_buckets,
+            )
+        ],
+        "n_docs long, sum_dl long, n_buckets int",
+    )
+    new_meta.write.mode("overwrite").parquet(os.path.join(index_path, "meta"))
+
+
 def bm25_indexed_scores(
     spark,
     index_path: str,

@@ -1417,6 +1417,37 @@ def ext_bm25_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_bm25_index_incremental",
+    _BM25_INDEXED_ORACLE,
+    "incremental index maintenance (append-only corpus growth): the "
+    "BM25 index is built on HALF the corpus, the other half folded in "
+    "via update_bm25_index — delta postings append (existing files "
+    "never rewritten), term df merged with dynamic partition "
+    "overwrite of only the touched buckets, corpus scalars updated "
+    "exactly. The probe after the update must hash-match the full-"
+    "corpus oracle: any double count, lost bucket, or stale scalar "
+    "breaks it",
+)
+def ext_bm25_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from fink_joiner_spark.operators import scoring
+
+    docs = table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="fjs_bm25_inc_")
+    scoring.build_bm25_index(
+        docs.where(F.col("doc_id") % 2 == 0), "doc_id", "text", work, n_buckets=32
+    )
+    scoring.update_bm25_index(
+        docs.where(F.col("doc_id") % 2 == 1), "doc_id", "text", work
+    )
+    probe = scoring.bm25_indexed_scores(
+        spark, work, ["join", "filter", "window"], k1=1.2, b=0.75
+    )
+    return probe.orderBy(F.col("score").desc(), "doc_id").limit(20)
+
+
+@register(
     "ext_value_histogram",
     """
     SELECT floor(value / 25.0)::BIGINT AS bin, COUNT(*)::BIGINT AS n,

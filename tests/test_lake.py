@@ -218,3 +218,43 @@ def test_ivf_index_probe_prunes_and_matches_unindexed(spark, sf_dir, tmp_path):
         .collect()
     }
     assert read_cells and len(read_cells) <= 4, (read_cells, all_cells)
+
+
+def test_bm25_incremental_update_appends_and_matches_full_build(spark, sf_dir, tmp_path):
+    """Folding a delta into the index must (a) yield probe scores
+    identical to a from-scratch build over the union, (b) APPEND
+    postings — every pre-update posting file still present afterwards
+    — and (c) leave terms/ buckets untouched by the delta alone."""
+    import os
+
+    from fink_joiner_spark.operators import scoring
+
+    docs = _docs(spark, sf_dir)
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+
+    inc = str(tmp_path / "inc_idx")
+    scoring.build_bm25_index(old, "doc_id", "text", inc, n_buckets=32)
+    before = set(spark.read.parquet(f"{inc}/postings").inputFiles())
+    scoring.update_bm25_index(new, "doc_id", "text", inc)
+    after = set(spark.read.parquet(f"{inc}/postings").inputFiles())
+    assert before <= after and len(after) > len(before)
+
+    full = str(tmp_path / "full_idx")
+    scoring.build_bm25_index(docs, "doc_id", "text", full, n_buckets=32)
+
+    terms = ["join", "filter", "window"]
+    got = {
+        tuple(r)
+        for r in scoring.bm25_indexed_scores(spark, inc, terms).collect()
+    }
+    want = {
+        tuple(r)
+        for r in scoring.bm25_indexed_scores(spark, full, terms).collect()
+    }
+    assert got == want and got
+
+    # meta scalars exact
+    m_inc = spark.read.parquet(os.path.join(inc, "meta")).first()
+    m_full = spark.read.parquet(os.path.join(full, "meta")).first()
+    assert (m_inc["n_docs"], m_inc["sum_dl"]) == (m_full["n_docs"], m_full["sum_dl"])
