@@ -303,6 +303,49 @@ def update_bm25_index(
     new_meta.write.mode("overwrite").parquet(os.path.join(index_path, "meta"))
 
 
+def bm25_index_stream_sink(
+    stream_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_path: str,
+    checkpoint_location: str,
+    trigger_available_now: bool = True,
+):
+    """Continuous index ingestion: a ``foreachBatch`` sink that folds
+    every micro-batch of new documents into a persisted BM25 index via
+    :func:`update_bm25_index` — the streaming end of the index
+    lifecycle (build → stream-maintain → probe).
+
+    Replay contract: the streaming checkpoint re-runs a batchId after
+    a failure, and :func:`update_bm25_index` is NOT idempotent
+    (postings append + df merge), so each applied batch drops a marker
+    under ``_applied_batches/`` and replayed batchIds are skipped —
+    exactly-once as long as the update itself completed. A crash
+    MID-update (postings landed, marker didn't) re-applies the batch
+    and double-counts it: closing that window needs an atomically-
+    committing table format (Delta/Iceberg MERGE) for the index
+    datasets — the documented production upgrade; plain parquet
+    cannot express the transactional rename.
+    """
+    import os
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(index_path, "_applied_batches", f"batch={batch_id}")
+        if os.path.exists(marker):
+            return  # replayed batchId — already folded in
+        if batch.isEmpty():
+            return
+        update_bm25_index(batch, id_col, text_col, index_path)
+        os.makedirs(marker, exist_ok=True)
+
+    w = stream_docs.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint_location
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w
+
+
 def bm25_indexed_scores(
     spark,
     index_path: str,

@@ -1448,6 +1448,46 @@ def ext_bm25_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_bm25_index_maintenance",
+    _BM25_INDEXED_ORACLE,
+    "streaming index ingestion end-to-end: BM25 index built on half "
+    "the corpus, the other half drip-fed as a document stream and "
+    "folded in per micro-batch (foreachBatch -> update_bm25_index, "
+    "applied-batch markers make checkpoint replays no-ops); the probe "
+    "after the stream drains must hash-match the full-corpus oracle — "
+    "any dropped batch, double-fold, or stale scalar breaks it",
+)
+def stream_bm25_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from fink_joiner_spark.operators import scoring
+    from fink_joiner_spark.queries import (
+        STREAM_SHUFFLE_PARTITIONS,
+        scoped_conf,
+        stream_finish_fast,
+    )
+    from fink_joiner_spark.sources.streaming import file_drip_feed
+
+    docs = table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="fjs_bm25_stream_")
+    idx = f"{work}/idx"
+    scoring.build_bm25_index(
+        docs.where(F.col("doc_id") % 2 == 0), "doc_id", "text", idx, n_buckets=32
+    )
+    delta = docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS), \
+            stream_finish_fast(spark):
+        stream = file_drip_feed(spark, delta, f"{work}/stage", "doc_id", n_files=2)
+        scoring.bm25_index_stream_sink(
+            stream, "doc_id", "text", idx, f"{work}/ckpt"
+        ).start().awaitTermination()
+    probe = scoring.bm25_indexed_scores(
+        spark, idx, ["join", "filter", "window"], k1=1.2, b=0.75
+    )
+    return probe.orderBy(F.col("score").desc(), "doc_id").limit(20)
+
+
+@register(
     "ext_value_histogram",
     """
     SELECT floor(value / 25.0)::BIGINT AS bin, COUNT(*)::BIGINT AS n,

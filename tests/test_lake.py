@@ -258,3 +258,49 @@ def test_bm25_incremental_update_appends_and_matches_full_build(spark, sf_dir, t
     m_inc = spark.read.parquet(os.path.join(inc, "meta")).first()
     m_full = spark.read.parquet(os.path.join(full, "meta")).first()
     assert (m_inc["n_docs"], m_inc["sum_dl"]) == (m_full["n_docs"], m_full["sum_dl"])
+
+
+def test_bm25_stream_sink_replay_is_noop(spark, sf_dir, tmp_path):
+    """Checkpoint-replay contract: losing the streaming checkpoint and
+    re-delivering every batch must not double-fold the index — the
+    applied-batch markers skip them. Probe and meta must be unchanged
+    and equal the full-corpus build."""
+    import shutil
+
+    from fink_joiner_spark.operators import scoring
+    from fink_joiner_spark.sources.streaming import file_drip_feed
+
+    docs = _docs(spark, sf_dir)
+    idx = str(tmp_path / "stream_idx")
+    scoring.build_bm25_index(
+        docs.where(F.col("doc_id") % 2 == 0), "doc_id", "text", idx, n_buckets=32
+    )
+    delta = docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    stage = str(tmp_path / "stage")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(delta.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{stage}/f*")
+        )
+        scoring.bm25_index_stream_sink(
+            stream, "doc_id", "text", idx, ckpt
+        ).start().awaitTermination()
+
+    file_drip_feed(spark, delta, stage, "doc_id", n_files=2)
+    run(str(tmp_path / "ckpt1"))
+    meta1 = spark.read.parquet(f"{idx}/meta").first()
+
+    # full redelivery: fresh checkpoint, same staged files
+    shutil.rmtree(str(tmp_path / "ckpt1"))
+    run(str(tmp_path / "ckpt2"))
+    meta2 = spark.read.parquet(f"{idx}/meta").first()
+    assert (meta1["n_docs"], meta1["sum_dl"]) == (meta2["n_docs"], meta2["sum_dl"])
+
+    full = str(tmp_path / "full_idx2")
+    scoring.build_bm25_index(docs, "doc_id", "text", full, n_buckets=32)
+    terms = ["join", "filter", "window"]
+    got = {tuple(r) for r in scoring.bm25_indexed_scores(spark, idx, terms).collect()}
+    want = {tuple(r) for r in scoring.bm25_indexed_scores(spark, full, terms).collect()}
+    assert got == want and got
