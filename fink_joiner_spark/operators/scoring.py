@@ -346,6 +346,51 @@ def bm25_index_stream_sink(
     return w
 
 
+def compact_bm25_index(spark, index_path: str, target_file_mb: float = 128) -> int:
+    """Defragment a streamed-into BM25 index: every
+    :func:`update_bm25_index` fold appends new posting files, so after
+    N streaming batches each ``pb=`` bucket holds ~N small files and
+    probe latency decays into file-open overhead (the classic small-
+    files problem). Rewrites ``postings/`` bucket-by-bucket — same
+    partition layout, ~``target_file_mb`` files, sorted by ``term``
+    within each file so row-group min/max stats prune the ``term IN``
+    residual — via one dynamic-partition-overwrite job. Term stats and
+    meta are untouched (compaction moves bytes, never counts).
+    Returns the number of files requested.
+
+    Production cadence: run it off the maintenance schedule (size- or
+    file-count-triggered), exactly like any lake table compaction
+    (`lake.compact`). The rewrite lands in a sibling directory and is
+    swapped in (Spark refuses — correctly — to overwrite a path it is
+    reading); the swap itself is two renames, so as with every plain-
+    parquet maintenance here, a concurrent probe during the swap
+    window needs the table-format upgrade (Delta/Iceberg) for full
+    isolation.
+    """
+    import math
+    import os
+    import shutil
+
+    from fink_joiner_spark.operators.lake import dataset_bytes
+
+    postings = os.path.join(index_path, "postings")
+    src = spark.read.parquet(postings)
+    n = max(1, math.ceil(dataset_bytes(src) / (target_file_mb * 1024 * 1024)))
+    staged = postings + "_compacting"
+    (
+        src.repartition(n, "pb")
+        .sortWithinPartitions("pb", "term")
+        .write.mode("overwrite")
+        .partitionBy("pb")
+        .parquet(staged)
+    )
+    retired = postings + "_retired"
+    os.rename(postings, retired)
+    os.rename(staged, postings)
+    shutil.rmtree(retired)
+    return n
+
+
 def bm25_indexed_scores(
     spark,
     index_path: str,

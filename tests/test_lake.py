@@ -304,3 +304,37 @@ def test_bm25_stream_sink_replay_is_noop(spark, sf_dir, tmp_path):
     got = {tuple(r) for r in scoring.bm25_indexed_scores(spark, idx, terms).collect()}
     want = {tuple(r) for r in scoring.bm25_indexed_scores(spark, full, terms).collect()}
     assert got == want and got
+
+
+def test_bm25_index_compaction_shrinks_files_probe_unchanged(spark, sf_dir, tmp_path):
+    """After several incremental folds fragment the postings, compaction
+    must cut the file count while leaving probe results bit-identical
+    and the partition layout (pb= dirs) intact."""
+    import re
+
+    from fink_joiner_spark.operators import scoring
+
+    docs = _docs(spark, sf_dir)
+    idx = str(tmp_path / "frag_idx")
+    scoring.build_bm25_index(
+        docs.where(F.col("doc_id") % 4 == 0), "doc_id", "text", idx, n_buckets=32
+    )
+    for rem in (1, 2, 3):  # three folds -> ~4x files per bucket
+        scoring.update_bm25_index(
+            docs.where(F.col("doc_id") % 4 == rem), "doc_id", "text", idx
+        )
+    terms = ["join", "filter", "window"]
+    before = {
+        tuple(r) for r in scoring.bm25_indexed_scores(spark, idx, terms).collect()
+    }
+    n_files_before = len(spark.read.parquet(f"{idx}/postings").inputFiles())
+
+    scoring.compact_bm25_index(spark, idx)
+
+    files_after = spark.read.parquet(f"{idx}/postings").inputFiles()
+    assert len(files_after) < n_files_before / 2
+    assert all(re.search(r"pb=\d+", f) for f in files_after)  # layout kept
+    after = {
+        tuple(r) for r in scoring.bm25_indexed_scores(spark, idx, terms).collect()
+    }
+    assert after == before and after
