@@ -191,25 +191,32 @@ def build_bm25_index(
         F.size(toks).cast("long").alias("dl"),
         toks.alias("toks"),
     )
-    stats = base.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("dl").alias("sum_dl"),
-        F.lit(n_buckets).alias("n_buckets"),
-    )
+    # tf feeds BOTH the postings write and the df aggregate, and base
+    # feeds tf + the corpus scalars — without pinning, each consumer
+    # re-tokenizes the corpus (the single dominant cost of the build)
     tf = (
         base.select("doc_id", "dl", F.explode("toks").alias("term"))
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
     )
-    pb = F.pmod(F.xxhash64("term"), F.lit(n_buckets))
-    tf.withColumn("pb", pb).write.mode("overwrite").partitionBy("pb").parquet(
-        os.path.join(dest_path, "postings")
-    )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    dfreq.withColumn("pb", pb).write.mode("overwrite").partitionBy("pb").parquet(
-        os.path.join(dest_path, "terms")
-    )
-    stats.write.mode("overwrite").parquet(os.path.join(dest_path, "meta"))
+    try:
+        stats = base.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("sum_dl"),
+            F.lit(n_buckets).alias("n_buckets"),
+        )
+        pb = F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+        tf.withColumn("pb", pb).write.mode("overwrite").partitionBy("pb").parquet(
+            os.path.join(dest_path, "postings")
+        )
+        dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        dfreq.withColumn("pb", pb).write.mode("overwrite").partitionBy("pb").parquet(
+            os.path.join(dest_path, "terms")
+        )
+        stats.write.mode("overwrite").parquet(os.path.join(dest_path, "meta"))
+    finally:
+        tf.unpersist()
 
 
 def update_bm25_index(
@@ -252,43 +259,53 @@ def update_bm25_index(
         F.size(toks).cast("long").alias("dl"),
         toks.alias("toks"),
     )
-    delta = base.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
-    ).first()
+    # pin the delta's tokenized tf ONCE: it feeds the postings append,
+    # the affected-bucket collect, and the terms merge — unpinned,
+    # each consumer re-tokenizes the delta. At demo scale the fold is
+    # dominated by fixed per-job overhead either way; at a real delta
+    # size the recompute would be the dominant term.
+    pb = F.pmod(F.xxhash64("term"), F.lit(n_buckets))
     tf = (
         base.select("doc_id", "dl", F.explode("toks").alias("term"))
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("pb", pb)
+        .persist()
     )
-    pb = F.pmod(F.xxhash64("term"), F.lit(n_buckets))
-    tf.withColumn("pb", pb).write.mode("append").partitionBy("pb").parquet(
-        os.path.join(index_path, "postings")
-    )
-
-    delta_df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).withColumn(
-        "pb", pb
-    )
-    # affected buckets as literals → the old-terms read partition-prunes
-    pbs = [r.pb for r in delta_df.select("pb").distinct().collect()]
-    old_terms = (
-        spark.read.parquet(os.path.join(index_path, "terms"))
-        .where(F.col("pb").isin(pbs))
-        .select("term", "df", F.col("pb").cast("long").alias("pb"))
-    )
-    merged = (
-        old_terms.unionByName(delta_df.select("term", "df", "pb"))
-        .groupBy("pb", "term")
-        .agg(F.sum("df").alias("df"))
-        .select("term", "df", "pb")
-    )
-    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        merged.write.mode("overwrite").partitionBy("pb").parquet(
-            os.path.join(index_path, "terms")
+        delta = base.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+        ).first()
+        tf.write.mode("append").partitionBy("pb").parquet(
+            os.path.join(index_path, "postings")
         )
+
+        delta_df = tf.groupBy("pb", "term").agg(F.count(F.lit(1)).alias("df"))
+        # affected buckets as literals → the old-terms read partition-prunes
+        pbs = [r.pb for r in delta_df.select("pb").distinct().collect()]
+        old_terms = (
+            spark.read.parquet(os.path.join(index_path, "terms"))
+            .where(F.col("pb").isin(pbs))
+            .select("term", "df", F.col("pb").cast("long").alias("pb"))
+        )
+        merged = (
+            old_terms.unionByName(delta_df.select("term", "df", "pb"))
+            .groupBy("pb", "term")
+            .agg(F.sum("df").alias("df"))
+            .select("term", "df", "pb")
+        )
+        old_mode = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.write.mode("overwrite").partitionBy("pb").parquet(
+                os.path.join(index_path, "terms")
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+        tf.unpersist()
 
     new_meta = spark.createDataFrame(
         [

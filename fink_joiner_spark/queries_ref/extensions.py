@@ -1471,10 +1471,16 @@ def stream_bm25_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
     docs = table(spark, sf_dir, "documents")
     work = tempfile.mkdtemp(prefix="fjs_bm25_stream_")
     idx = f"{work}/idx"
+    # build carries 3/4 of the corpus, the stream folds the rest in two
+    # micro-batches — enough to exercise multi-batch maintenance; the
+    # oracle still covers the WHOLE corpus, so a dropped or double-
+    # folded batch can't hide. 8 buckets: the fold rewrites term stats
+    # per batch, and per-directory task overhead dominates at demo
+    # scale (pruning-ratio coverage lives in tests/test_lake.py at 32)
     scoring.build_bm25_index(
-        docs.where(F.col("doc_id") % 2 == 0), "doc_id", "text", idx, n_buckets=32
+        docs.where(F.col("doc_id") % 4 != 1), "doc_id", "text", idx, n_buckets=8
     )
-    delta = docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    delta = docs.where(F.col("doc_id") % 4 == 1).select("doc_id", "text")
     with scoped_conf(spark, "spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS), \
             stream_finish_fast(spark):
         stream = file_drip_feed(spark, delta, f"{work}/stage", "doc_id", n_files=2)
