@@ -910,6 +910,40 @@ def build_ivf_index(
     seeds.write.mode("overwrite").parquet(os.path.join(dest_path, "centroids"))
 
 
+def update_ivf_index(
+    new_vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_path: str,
+) -> None:
+    """Incrementally fold NEW vectors into a persisted IVF index
+    (:func:`build_ivf_index`): assign the delta against the index's
+    FROZEN codebook (read back, broadcast — the same expression the
+    build used) and append to the matching cell partitions. Cost is
+    O(delta); existing cell files are never rewritten.
+
+    Freezing the codebook is the standard serving posture (FAISS adds
+    to a trained index the same way): assignment stays consistent for
+    every query, at the price of gradual cell imbalance as the data
+    distribution drifts — monitor cell sizes and retrain/rebuild
+    offline when skew exceeds budget (the documented maintenance
+    cadence). ``new_vectors`` must be NEW ids (append log, not
+    upsert).
+    """
+    import os
+
+    spark = new_vectors.sparkSession
+    seeds = spark.read.parquet(os.path.join(index_path, "centroids"))
+    cells_arr = _cells_arr(seeds)
+    c = new_vectors.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"))
+    assigned = c.crossJoin(F.broadcast(cells_arr)).select(
+        "nid", "nvec", F.element_at(_nearest_cells(F.col("nvec"), 1), 1).alias("cell")
+    )
+    assigned.write.mode("append").partitionBy("cell").parquet(
+        os.path.join(index_path, "vectors")
+    )
+
+
 def topk_ivf_indexed(
     spark,
     index_path: str,

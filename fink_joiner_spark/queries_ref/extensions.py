@@ -1448,6 +1448,39 @@ def ext_bm25_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "simsearch_ivf_index_incremental",
+    _TOPK_ORACLE,
+    "incremental IVF index maintenance: index built on half the "
+    "vectors, the rest folded in against the FROZEN codebook (delta "
+    "assignment append — existing cell files never rewritten); the "
+    "probe after the fold must match the brute-force oracle exactly "
+    "under all-cell probing at small sf — a lost or misassigned "
+    "vector breaks the hash",
+)
+def simsearch_ivf_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from fink_joiner_spark.operators import similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    n_cells = 16
+    exact = emb.count() <= _ANN_EXACT_MAX
+    work = tempfile.mkdtemp(prefix="fjs_ivf_inc_")
+    similarity.build_ivf_index(
+        emb.where(F.col("vec_id") % 2 == 0), "vec_id", "embedding", work,
+        n_cells=n_cells,
+    )
+    similarity.update_ivf_index(
+        emb.where(F.col("vec_id") % 2 == 1), "vec_id", "embedding", work
+    )
+    return similarity.topk_ivf_indexed(
+        spark, work, queries, "vec_id", "embedding",
+        k=10, nprobe=n_cells if exact else 4,
+    )
+
+
+@register(
     "stream_bm25_index_maintenance",
     _BM25_INDEXED_ORACLE,
     "streaming index ingestion end-to-end: BM25 index built on half "

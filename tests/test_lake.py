@@ -338,3 +338,41 @@ def test_bm25_index_compaction_shrinks_files_probe_unchanged(spark, sf_dir, tmp_
         tuple(r) for r in scoring.bm25_indexed_scores(spark, idx, terms).collect()
     }
     assert after == before and after
+
+
+def test_ivf_incremental_update_appends_and_matches_frozen_codebook(spark, sf_dir, tmp_path):
+    """Folding delta vectors in must (a) append — no pre-update cell
+    file rewritten — and (b) probe identically to running topk_ivf
+    over the union with the index's own (frozen) codebook."""
+    import os
+
+    from fink_joiner_spark.operators import similarity
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    idx = str(tmp_path / "ivf_inc")
+    similarity.build_ivf_index(
+        emb.where(F.col("vec_id") % 2 == 0), "vec_id", "embedding", idx, n_cells=16
+    )
+    before = set(spark.read.parquet(f"{idx}/vectors").inputFiles())
+    similarity.update_ivf_index(
+        emb.where(F.col("vec_id") % 2 == 1), "vec_id", "embedding", idx
+    )
+    after = set(spark.read.parquet(f"{idx}/vectors").inputFiles())
+    assert before <= after and len(after) > len(before)
+
+    queries = emb.filter(F.col("vec_id") < 4)
+    got = {
+        tuple(r)
+        for r in similarity.topk_ivf_indexed(
+            spark, idx, queries, "vec_id", "embedding", k=5, nprobe=3
+        ).collect()
+    }
+    seeds = spark.read.parquet(f"{idx}/centroids")
+    want = {
+        tuple(r)
+        for r in similarity.topk_ivf(
+            emb, queries, "vec_id", "embedding", "vec_id", "embedding",
+            k=5, nprobe=3, centroids=seeds,
+        ).collect()
+    }
+    assert got == want and got
