@@ -191,9 +191,13 @@ def build_bm25_index(
         F.size(toks).cast("long").alias("dl"),
         toks.alias("toks"),
     )
-    # tf feeds BOTH the postings write and the df aggregate, and base
-    # feeds tf + the corpus scalars — without pinning, each consumer
-    # re-tokenizes the corpus (the single dominant cost of the build)
+    # pin BOTH frames with >1 consumer: base feeds the corpus scalars
+    # AND tf (zero-token docs exist only in base — stats can't come
+    # from tf), tf feeds the postings write AND the df aggregate.
+    # Unpinned, every consumer re-tokenizes the corpus — the single
+    # dominant cost of the build (persist spills to local disk at
+    # scale; two extra tokenize passes over 100 TB cost more).
+    base = base.persist()
     tf = (
         base.select("doc_id", "dl", F.explode("toks").alias("term"))
         .groupBy("doc_id", "dl", "term")
@@ -217,6 +221,7 @@ def build_bm25_index(
         stats.write.mode("overwrite").parquet(os.path.join(dest_path, "meta"))
     finally:
         tf.unpersist()
+        base.unpersist()
 
 
 def update_bm25_index(
@@ -259,11 +264,13 @@ def update_bm25_index(
         F.size(toks).cast("long").alias("dl"),
         toks.alias("toks"),
     )
-    # pin the delta's tokenized tf ONCE: it feeds the postings append,
-    # the affected-bucket collect, and the terms merge — unpinned,
-    # each consumer re-tokenizes the delta. At demo scale the fold is
-    # dominated by fixed per-job overhead either way; at a real delta
-    # size the recompute would be the dominant term.
+    # pin base (delta scalars + tf derivation — zero-token docs exist
+    # only here) and the tokenized tf (postings append, affected-
+    # bucket collect, terms merge): unpinned, each consumer
+    # re-tokenizes the delta. At demo scale the fold is dominated by
+    # fixed per-job overhead either way; at a real delta size the
+    # recompute would be the dominant term.
+    base = base.persist()
     pb = F.pmod(F.xxhash64("term"), F.lit(n_buckets))
     tf = (
         base.select("doc_id", "dl", F.explode("toks").alias("term"))
@@ -306,6 +313,7 @@ def update_bm25_index(
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
     finally:
         tf.unpersist()
+        base.unpersist()
 
     new_meta = spark.createDataFrame(
         [
@@ -336,10 +344,16 @@ def bm25_index_stream_sink(
     Replay contract: the streaming checkpoint re-runs a batchId after
     a failure, and :func:`update_bm25_index` is NOT idempotent
     (postings append + df merge), so each applied batch drops a marker
-    under ``_applied_batches/`` and replayed batchIds are skipped —
-    exactly-once as long as the update itself completed. A crash
-    MID-update (postings landed, marker didn't) re-applies the batch
-    and double-counts it: closing that window needs an atomically-
+    under ``_applied_batches/`` and replays are skipped. The marker is
+    keyed by (batchId, CONTENT digest — row count + bit_xor of id
+    hashes, order-independent), not batchId alone: a bare-batchId
+    marker would also match a legitimately NEW stream attached to the
+    same index with a fresh checkpoint (Spark numbers every query's
+    batches from 0), silently dropping its documents. With the digest,
+    a re-delivery of the same rows skips and new data folds — only a
+    redelivery REBATCHED across different boundaries double-folds,
+    and a crash MID-update (postings landed, marker didn't)
+    re-applies that batch: closing those windows needs an atomically-
     committing table format (Delta/Iceberg MERGE) for the index
     datasets — the documented production upgrade; plain parquet
     cannot express the transactional rename.
@@ -347,11 +361,21 @@ def bm25_index_stream_sink(
     import os
 
     def fold(batch: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(index_path, "_applied_batches", f"batch={batch_id}")
-        if os.path.exists(marker):
-            return  # replayed batchId — already folded in
-        if batch.isEmpty():
+        dig = batch.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                f"bit_xor(xxhash64(cast({id_col} as string)))"
+            ).alias("h"),  # XOR: order-independent, can't overflow
+        ).first()
+        if not dig["n"]:
             return
+        marker = os.path.join(
+            index_path,
+            "_applied_batches",
+            f"batch={batch_id}_n{dig['n']}_h{dig['h']}",
+        )
+        if os.path.exists(marker):
+            return  # same batch, same content — already folded in
         update_bm25_index(batch, id_col, text_col, index_path)
         os.makedirs(marker, exist_ok=True)
 
@@ -391,17 +415,33 @@ def compact_bm25_index(spark, index_path: str, target_file_mb: float = 128) -> i
     from fink_joiner_spark.operators.lake import dataset_bytes
 
     postings = os.path.join(index_path, "postings")
+    staged = postings + "_compacting"
+    retired = postings + "_retired"
+    # crash recovery from a previous run, BEFORE any expensive work:
+    # a leftover staged dir is an incomplete rewrite (drop it); a
+    # leftover retired dir beside a live postings dir is debris from a
+    # crash after the swap (drop it); retired WITHOUT postings means
+    # the crash hit between the two renames — roll the old data back.
+    if os.path.exists(retired) and not os.path.exists(postings):
+        os.rename(retired, postings)
+    shutil.rmtree(retired, ignore_errors=True)
+    shutil.rmtree(staged, ignore_errors=True)
+
     src = spark.read.parquet(postings)
     n = max(1, math.ceil(dataset_bytes(src) / (target_file_mb * 1024 * 1024)))
-    staged = postings + "_compacting"
+    # range-partition on (pb, term): unlike repartition(n, "pb") —
+    # which hashes on pb alone and therefore collapses each bucket to
+    # ONE output file no matter how big — ranges SPLIT an oversized
+    # bucket across several term-contiguous partitions, so the
+    # partitionBy write emits ~target-sized, term-sorted files per
+    # bucket
     (
-        src.repartition(n, "pb")
+        src.repartitionByRange(n, "pb", "term")
         .sortWithinPartitions("pb", "term")
         .write.mode("overwrite")
         .partitionBy("pb")
         .parquet(staged)
     )
-    retired = postings + "_retired"
     os.rename(postings, retired)
     os.rename(staged, postings)
     shutil.rmtree(retired)

@@ -935,7 +935,11 @@ def update_ivf_index(
     spark = new_vectors.sparkSession
     seeds = spark.read.parquet(os.path.join(index_path, "centroids"))
     cells_arr = _cells_arr(seeds)
-    c = new_vectors.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"))
+    # _spread as in the build: a delta delivered as one file would run
+    # the per-row codebook argmax single-threaded otherwise
+    c = _spread(new_vectors).select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")
+    )
     assigned = c.crossJoin(F.broadcast(cells_arr)).select(
         "nid", "nvec", F.element_at(_nearest_cells(F.col("nvec"), 1), 1).alias("cell")
     )

@@ -261,10 +261,13 @@ def test_bm25_incremental_update_appends_and_matches_full_build(spark, sf_dir, t
 
 
 def test_bm25_stream_sink_replay_is_noop(spark, sf_dir, tmp_path):
-    """Checkpoint-replay contract: losing the streaming checkpoint and
-    re-delivering every batch must not double-fold the index — the
-    applied-batch markers skip them. Probe and meta must be unchanged
-    and equal the full-corpus build."""
+    """Replay contract, both directions: (1) losing the streaming
+    checkpoint and re-delivering the SAME batches must not double-fold
+    the index (content-digest markers skip them), while (2) a NEW
+    stream attached with a fresh checkpoint carrying NEW documents —
+    whose batch ids also start at 0 — MUST fold (a bare-batchId marker
+    would silently drop it). Final probe equals the full-corpus
+    build."""
     import shutil
 
     from fink_joiner_spark.operators import scoring
@@ -273,14 +276,14 @@ def test_bm25_stream_sink_replay_is_noop(spark, sf_dir, tmp_path):
     docs = _docs(spark, sf_dir)
     idx = str(tmp_path / "stream_idx")
     scoring.build_bm25_index(
-        docs.where(F.col("doc_id") % 2 == 0), "doc_id", "text", idx, n_buckets=32
+        docs.where(F.col("doc_id") % 4 == 0), "doc_id", "text", idx, n_buckets=32
     )
-    delta = docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "text")
-    stage = str(tmp_path / "stage")
+    delta1 = docs.where(F.col("doc_id") % 4 == 1).select("doc_id", "text")
+    delta2 = docs.where(F.col("doc_id") % 4 >= 2).select("doc_id", "text")
 
-    def run(ckpt):
+    def run(stage, ckpt):
         stream = (
-            spark.readStream.schema(delta.schema)
+            spark.readStream.schema(delta1.schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(f"{stage}/f*")
         )
@@ -288,15 +291,24 @@ def test_bm25_stream_sink_replay_is_noop(spark, sf_dir, tmp_path):
             stream, "doc_id", "text", idx, ckpt
         ).start().awaitTermination()
 
-    file_drip_feed(spark, delta, stage, "doc_id", n_files=2)
-    run(str(tmp_path / "ckpt1"))
+    stage1 = str(tmp_path / "stage1")
+    file_drip_feed(spark, delta1, stage1, "doc_id", n_files=2)
+    run(stage1, str(tmp_path / "ckpt1"))
     meta1 = spark.read.parquet(f"{idx}/meta").first()
 
-    # full redelivery: fresh checkpoint, same staged files
+    # (1) full redelivery: fresh checkpoint, same staged files → no-op
     shutil.rmtree(str(tmp_path / "ckpt1"))
-    run(str(tmp_path / "ckpt2"))
+    run(stage1, str(tmp_path / "ckpt2"))
     meta2 = spark.read.parquet(f"{idx}/meta").first()
     assert (meta1["n_docs"], meta1["sum_dl"]) == (meta2["n_docs"], meta2["sum_dl"])
+
+    # (2) new stream, new docs, fresh checkpoint (batch ids restart at
+    # 0) → MUST be folded in, not skipped
+    stage2 = str(tmp_path / "stage2")
+    file_drip_feed(spark, delta2, stage2, "doc_id", n_files=2)
+    run(stage2, str(tmp_path / "ckpt3"))
+    meta3 = spark.read.parquet(f"{idx}/meta").first()
+    assert meta3["n_docs"] > meta2["n_docs"]
 
     full = str(tmp_path / "full_idx2")
     scoring.build_bm25_index(docs, "doc_id", "text", full, n_buckets=32)
@@ -376,3 +388,36 @@ def test_ivf_incremental_update_appends_and_matches_frozen_codebook(spark, sf_di
         ).collect()
     }
     assert got == want and got
+
+
+def test_bm25_compaction_recovers_from_crash_states(spark, sf_dir, tmp_path):
+    """A compaction that crashed mid-swap (postings renamed away, new
+    data not yet in place) or post-swap (retired debris left behind)
+    must be repaired automatically by the next run, with probe results
+    intact."""
+    import os
+    import shutil
+
+    from fink_joiner_spark.operators import scoring
+
+    docs = _docs(spark, sf_dir)
+    idx = str(tmp_path / "crash_idx")
+    scoring.build_bm25_index(docs, "doc_id", "text", idx, n_buckets=8)
+    terms = ["join", "filter", "window"]
+    want = {tuple(r) for r in scoring.bm25_indexed_scores(spark, idx, terms).collect()}
+
+    # crash between the two renames: postings gone, retired holds data
+    os.rename(f"{idx}/postings", f"{idx}/postings_retired")
+    os.makedirs(f"{idx}/postings_compacting")  # plus a stale staged dir
+    scoring.compact_bm25_index(spark, idx)
+    got = {tuple(r) for r in scoring.bm25_indexed_scores(spark, idx, terms).collect()}
+    assert got == want
+    assert not os.path.exists(f"{idx}/postings_retired")
+    assert not os.path.exists(f"{idx}/postings_compacting")
+
+    # crash after the swap: retired debris beside live postings
+    shutil.copytree(f"{idx}/postings", f"{idx}/postings_retired")
+    scoring.compact_bm25_index(spark, idx)
+    got = {tuple(r) for r in scoring.bm25_indexed_scores(spark, idx, terms).collect()}
+    assert got == want
+    assert not os.path.exists(f"{idx}/postings_retired")
