@@ -87,8 +87,13 @@ def get_spark(
     # whole-stage-codegen classes to exhaust the JVM's default 240 MB
     # code cache mid-suite; once full the JIT silently stops compiling
     # and heavy queries degrade 5-15× (measured: one bench run 334 s vs
-    # 190 s with 1g). Reservation is virtual — committed lazily.
-    extra_opts = "-XX:ReservedCodeCacheSize=1g"
+    # 190 s with 1g). Round 6, at 174 queries, 1g itself started
+    # showing the same signature — wall AND JVM-CPU creeping up
+    # run-over-run with hot queries degrading (210 s/764 CPU-s at 1g
+    # vs 202 s/705 CPU-s at 2g, same tree) — so the reservation now
+    # tracks the registry size with headroom. Reservation is virtual —
+    # committed lazily, so an oversized value costs address space only.
+    extra_opts = "-XX:ReservedCodeCacheSize=2g"
     user_opts = os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS")
     if user_opts:
         # JVM-launch-time flags (honored only when this builder starts
