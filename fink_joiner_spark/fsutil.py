@@ -1,0 +1,125 @@
+"""Filesystem side effects through the Hadoop FileSystem API.
+
+Index maintenance (streaming replay markers, compaction staging/swap,
+partition-level upserts) needs exists/mkdirs/rename/delete against the
+SAME filesystem the datasets live on. Python's ``os``/``shutil`` only
+see the driver's local disk: ``os.path.exists("s3a://…")`` is always
+False and ``os.rename`` on a URI raises — on HDFS/S3 (the stated
+100 TB posture) a local-FS marker check silently re-folds replayed
+micro-batches and a local rename crashes compaction outright.
+
+Every helper here resolves the ``org.apache.hadoop.fs.FileSystem``
+for the path's OWN scheme (``file:``, ``hdfs:``, ``s3a:``, …) via the
+active session's Hadoop configuration, so the semantics are identical
+on a laptop and a 1000-executor cluster. These are driver-side
+metadata operations (one py4j call each) on a bounded number of paths
+— markers, partition directories, dataset roots — never per-row or
+per-file-of-a-large-scan work.
+
+Atomicity caveat (same as everywhere in the plain-parquet lifecycle):
+``rename`` is atomic on HDFS and POSIX but copy+delete on S3A; a
+concurrent reader during a swap window needs the Delta/Iceberg
+upgrade documented in :mod:`fink_joiner_spark.operators.scoring`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+class HadoopFS:
+    """Thin wrapper over ``org.apache.hadoop.fs.FileSystem`` for one
+    base path's scheme. Methods accept plain path strings (any scheme
+    resolvable by the session's Hadoop conf)."""
+
+    def __init__(self, spark: SparkSession, base_path: str):
+        self._jvm = spark._jvm
+        self._conf = spark._jsc.hadoopConfiguration()
+        self._fs = self._path(base_path).getFileSystem(self._conf)
+
+    def _path(self, p: str):
+        return self._jvm.org.apache.hadoop.fs.Path(p)
+
+    def exists(self, p: str) -> bool:
+        return bool(self._fs.exists(self._path(p)))
+
+    def mkdirs(self, p: str) -> bool:
+        return bool(self._fs.mkdirs(self._path(p)))
+
+    def rename(self, src: str, dst: str) -> bool:
+        """FileSystem.rename — atomic dir move on HDFS/POSIX. Returns
+        False (does not raise) when src is missing or dst exists; the
+        callers that need must-succeed semantics check the result."""
+        return bool(self._fs.rename(self._path(src), self._path(dst)))
+
+    def delete(self, p: str, recursive: bool = True) -> bool:
+        """Delete if present; False when the path didn't exist."""
+        return bool(self._fs.delete(self._path(p), recursive))
+
+    def file_bytes(self, p: str) -> int:
+        return int(self._fs.getFileStatus(self._path(p)).getLen())
+
+    def list_dirs(self, p: str) -> list[str]:
+        """Names (not full URIs) of child directories of ``p``."""
+        out = []
+        for st in self._fs.listStatus(self._path(p)):
+            if st.isDirectory():
+                out.append(st.getPath().getName())
+        return out
+
+
+def swap_partition_dirs(
+    fs: HadoopFS, live_root: str, staged_root: str, partition_dirs: list[str]
+) -> None:
+    """Move freshly-written partition directories from a staged dataset
+    into the live one, replacing any existing directory of the same
+    name — the partition-scoped analog of the compaction whole-dataset
+    swap, used by index upsert/merge writers so a rewrite never reads
+    and overwrites the same path in one job (Spark's read/write-conflict
+    staging semantics are version-sensitive; an explicit stage+rename
+    is not).
+
+    ``partition_dirs`` are directory names like ``pb=3``. Per
+    directory: live → ``<name>__retired`` → delete, staged → live.
+    Crash window: a crash between the two renames leaves a
+    ``__retired`` sibling and no live dir — repaired on the next call
+    by :func:`repair_partition_dirs` (invoked here first). The staged
+    root is removed at the end.
+    """
+    repair_partition_dirs(fs, live_root)
+    for name in partition_dirs:
+        live = f"{live_root}/{name}"
+        staged = f"{staged_root}/{name}"
+        retired = f"{live_root}/{name}__retired"
+        if not fs.exists(staged):
+            # partition present in the plan but produced no rows (e.g.
+            # every doc of a bucket was deleted): retire the live dir
+            fs.delete(retired)
+            if fs.exists(live):
+                fs.rename(live, retired)
+                fs.delete(retired)
+            continue
+        fs.delete(retired)
+        if fs.exists(live):
+            fs.rename(live, retired)
+        fs.rename(staged, live)
+        fs.delete(retired)
+    fs.delete(staged_root)
+
+
+def repair_partition_dirs(fs: HadoopFS, live_root: str) -> None:
+    """Roll back debris from a crashed :func:`swap_partition_dirs`: a
+    ``<name>__retired`` dir with no live ``<name>`` sibling means the
+    crash hit between the two renames — restore the old data; with a
+    live sibling it is post-swap debris — drop it."""
+    if not fs.exists(live_root):
+        return
+    for name in fs.list_dirs(live_root):
+        if not name.endswith("__retired"):
+            continue
+        live = f"{live_root}/{name[: -len('__retired')]}"
+        retired = f"{live_root}/{name}"
+        if fs.exists(live):
+            fs.delete(retired)
+        else:
+            fs.rename(retired, live)

@@ -37,14 +37,22 @@ def dataset_bytes(df: DataFrame) -> int:
     """Total on-disk size of the files backing a (file-sourced) frame.
 
     Uses the file list the scan already resolved — no extra listing.
-    Only local paths are sized here; on a cluster this would go through
-    the Hadoop FileSystem API (same information, same cost).
+    Local paths are sized with one ``stat`` each; any other scheme
+    (hdfs://, s3a://, …) goes through the Hadoop FileSystem API, so
+    compaction sizing is correct off the driver's local disk too.
     """
+    from fink_joiner_spark.fsutil import HadoopFS
+
     total = 0
+    fs: HadoopFS | None = None
     for f in df.inputFiles():
         p = f.removeprefix("file:")
         if os.path.exists(p):
             total += os.path.getsize(p)
+        else:
+            if fs is None:
+                fs = HadoopFS(df.sparkSession, f)
+            total += fs.file_bytes(f)
     return total
 
 
@@ -75,6 +83,69 @@ def compact(
     else:
         out = df.repartition(n)
     out.write.mode("overwrite").parquet(dest_path)
+    return n
+
+
+def compact_partitioned(
+    spark: SparkSession,
+    data_path: str,
+    partition_col: str,
+    range_cols: Sequence[str],
+    target_file_mb: float = 128,
+) -> int:
+    """Defragment a PARTITIONED parquet dataset in place, preserving
+    its ``<partition_col>=`` directory layout — the maintenance pass
+    for any append-maintained index dataset (BM25 ``postings/`` by
+    ``pb``, IVF ``vectors/`` by ``cell``), where every incremental fold
+    appends ~one file per partition and probe latency decays into
+    file-open overhead after N batches.
+
+    Rewrite: ``repartitionByRange(n, *range_cols)`` +
+    ``sortWithinPartitions`` — unlike ``repartition(n, partition_col)``
+    (which hashes on the dir key alone and collapses each partition to
+    ONE output file no matter how big), ranges SPLIT an oversized
+    partition across several key-contiguous tasks, so the partitioned
+    write emits ~``target_file_mb`` files sorted by the secondary key
+    — row-group min/max stats then prune the probe's residual filter.
+    Returns the number of files requested.
+
+    The rewrite lands in a sibling ``_compacting`` directory and is
+    swapped in (Spark refuses — correctly — to overwrite a path it is
+    reading). All side effects (crash repair, the two-rename swap) go
+    through the Hadoop FileSystem API for the DATASET's own scheme, so
+    the pass behaves identically on local disk, HDFS, and S3A; as with
+    every plain-parquet maintenance job here, a concurrent reader
+    inside the swap window needs the Delta/Iceberg upgrade for full
+    isolation (rename is copy+delete on S3A).
+
+    Crash recovery runs BEFORE any expensive work: a leftover staged
+    dir is an incomplete rewrite (drop it); a leftover ``_retired``
+    dir beside live data is post-swap debris (drop it); ``_retired``
+    WITHOUT live data means the crash hit between the two renames —
+    roll the old data back.
+    """
+    from fink_joiner_spark.fsutil import HadoopFS
+
+    fs = HadoopFS(spark, data_path)
+    staged = data_path + "_compacting"
+    retired = data_path + "_retired"
+    if fs.exists(retired) and not fs.exists(data_path):
+        fs.rename(retired, data_path)
+    fs.delete(retired)
+    fs.delete(staged)
+
+    src = spark.read.parquet(data_path)
+    n = max(1, math.ceil(dataset_bytes(src) / (target_file_mb * 1024 * 1024)))
+    (
+        src.repartitionByRange(n, partition_col, *range_cols)
+        .sortWithinPartitions(partition_col, *range_cols)
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(staged)
+    )
+    fs.rename(data_path, retired)
+    fs.rename(staged, data_path)
+    fs.delete(retired)
     return n
 
 

@@ -177,6 +177,16 @@ def build_bm25_index(
       to ≤ k buckets. ``dl`` is denormalized into the posting row so
       the probe never touches a corpus-sized doc-stats table.
     * ``terms/`` — (term, df), partitioned the same way.
+    * ``docs/`` — the FORWARD index: one row per document
+      ``(doc_id, dl, pbs)`` where ``pbs`` is the distinct set of
+      postings buckets holding the doc's terms, partitioned by
+      ``db = pmod(xxhash64(doc_id), n_buckets)``. This is what makes
+      :func:`upsert_bm25_index` O(delta + touched buckets) instead of
+      O(full postings scan): re-ingesting a changed document finds the
+      buckets its OLD postings live in from ≤ |delta-id-buckets|
+      pruned directories — the standard inverted+forward pairing
+      (Lucene stores the same two views). The pbs array is ≤
+      ``n_buckets`` ints per doc — a tiny fraction of postings volume.
     * ``meta/`` — one row (n_docs, sum_dl, n_buckets).
 
     The probe is :func:`bm25_indexed_scores`; both paths share
@@ -220,7 +230,30 @@ def build_bm25_index(
     dfreq.withColumn("pb", pb).write.mode("overwrite").partitionBy("pb").parquet(
         os.path.join(dest_path, "terms")
     )
+    _doc_rows(base, n_buckets).write.mode("overwrite").partitionBy("db").parquet(
+        os.path.join(dest_path, "docs")
+    )
     stats.write.mode("overwrite").parquet(os.path.join(dest_path, "meta"))
+
+
+def _doc_rows(base: DataFrame, n_buckets: int) -> DataFrame:
+    """Forward-index rows for :func:`build_bm25_index`'s ``docs/``
+    dataset: (doc_id, dl, pbs, db). ``base`` is the tokenized frame
+    (doc_id, dl, toks). Token-less docs keep an empty pbs array so
+    membership (and the meta scalars) stay exact for them too."""
+    pbs = F.array_distinct(
+        F.transform(
+            "toks", lambda t: F.pmod(F.xxhash64(t), F.lit(n_buckets))
+        )
+    )
+    return base.select(
+        "doc_id",
+        "dl",
+        pbs.alias("pbs"),
+        F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(n_buckets)).alias(
+            "db"
+        ),
+    )
 
 
 def update_bm25_index(
@@ -238,18 +271,23 @@ def update_bm25_index(
 
     * ``postings/`` — delta rows APPEND as new files; existing posting
       files are never rewritten (asserted in ``tests/test_lake.py``).
-    * ``terms/`` — per-term df must MERGE (df_new = df_old + df_delta),
-      so the delta's buckets are rewritten via DYNAMIC partition
-      overwrite: old term rows of the affected buckets (partition-
-      pruned read) union the delta, re-aggregated, and only those
-      ``pb=`` directories are replaced — untouched buckets keep their
-      files.
+    * ``terms/`` — per-term df must MERGE (df_new = df_old + df_delta):
+      old term rows of the affected buckets (partition-pruned read)
+      union the delta, re-aggregate, land in a STAGED sibling
+      directory, and only the touched ``pb=`` directories are swapped
+      in via FileSystem renames — untouched buckets keep their files,
+      and the job never reads and overwrites one path (Spark's
+      read/write-conflict staging for dynamic overwrite is version-
+      sensitive; an explicit stage+swap is not).
+    * ``docs/`` — forward-index rows for the delta APPEND (same
+      pruning role as at build time — see :func:`build_bm25_index`).
     * ``meta/`` — corpus scalars re-written with the delta added
       (exact integers; read before overwrite).
 
     ``new_docs`` must be NEW ids: re-ingesting an already-indexed doc
-    would double-count its postings (dedup upstream — this is an
-    append log, not an upsert).
+    would double-count its postings — that workload is exactly
+    :func:`upsert_bm25_index` (latest-version semantics, the
+    reference's signature dedup contract, CRMLSJoiner.scala:182).
     """
     import os
 
@@ -284,6 +322,9 @@ def update_bm25_index(
     tf.write.mode("append").partitionBy("pb").parquet(
         os.path.join(index_path, "postings")
     )
+    _doc_rows(base, n_buckets).write.mode("append").partitionBy("db").parquet(
+        os.path.join(index_path, "docs")
+    )
 
     delta_df = tf.groupBy("pb", "term").agg(F.count(F.lit(1)).alias("df"))
     # affected buckets as literals → the old-terms read partition-prunes
@@ -299,22 +340,177 @@ def update_bm25_index(
         .agg(F.sum("df").alias("df"))
         .select("term", "df", "pb")
     )
-    old_mode = spark.conf.get(
-        "spark.sql.sources.partitionOverwriteMode", "static"
+    _staged_bucket_rewrite(
+        merged, os.path.join(index_path, "terms"), "pb", pbs
     )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        merged.write.mode("overwrite").partitionBy("pb").parquet(
-            os.path.join(index_path, "terms")
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
 
     new_meta = spark.createDataFrame(
         [
             (
                 int(meta_old["n_docs"]) + delta_n_docs,
                 int(meta_old["sum_dl"]) + delta_sum_dl,
+                n_buckets,
+            )
+        ],
+        "n_docs long, sum_dl long, n_buckets int",
+    )
+    new_meta.write.mode("overwrite").parquet(os.path.join(index_path, "meta"))
+
+
+def _staged_bucket_rewrite(
+    merged: DataFrame, live_root: str, partition_col: str, values: list
+) -> None:
+    """Replace the ``<partition_col>=<v>`` directories of a live
+    partitioned dataset with ``merged``'s content for exactly those
+    partitions: write to a staged sibling (so the rewrite never reads
+    and overwrites one path in a single job), then swap each touched
+    directory in via Hadoop FileSystem renames — correct on local
+    disk, HDFS, and S3A alike. A partition in ``values`` that
+    ``merged`` produced no rows for is retired (its docs were all
+    deleted). Crash debris from an interrupted prior swap is repaired
+    first (see :func:`fink_joiner_spark.fsutil.swap_partition_dirs`).
+    """
+    from fink_joiner_spark.fsutil import HadoopFS, swap_partition_dirs
+
+    spark = merged.sparkSession
+    staged_root = live_root + "_staging"
+    fs = HadoopFS(spark, live_root)
+    fs.delete(staged_root)
+    merged.write.mode("overwrite").partitionBy(partition_col).parquet(staged_root)
+    swap_partition_dirs(
+        fs, live_root, staged_root, [f"{partition_col}={v}" for v in values]
+    )
+
+
+def upsert_bm25_index(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_path: str,
+) -> None:
+    """LATEST-VERSION upsert of documents into a persisted BM25 index —
+    the reference's signature semantics (a changed listing replaces its
+    previous version, CRMLSJoiner.scala:182) applied to the index
+    lifecycle: re-ingesting a changed document first retracts its old
+    postings, then folds the new version in, so the probe afterwards
+    hash-matches a from-scratch rebuild over the latest corpus.
+
+    Cost is O(delta + touched buckets), never O(existing corpus) or
+    O(full postings scan): the ``docs/`` forward index (partition-
+    pruned to the delta ids' ≤ n_buckets ``db=`` directories) yields
+    each previous version's posting-bucket set directly, so only the
+    union of old and new posting buckets is read and rewritten:
+
+    * ``postings/`` — affected buckets rewritten as (existing rows
+      minus the upserted ids' old rows) ∪ delta rows, via staged
+      write + FileSystem partition-dir swap;
+    * ``terms/`` — per-term df RECOMPUTED from the merged postings of
+      the affected buckets (a term's postings live entirely in its own
+      hash bucket, so the bucket-local recount is exact — simpler and
+      no less bounded than incremental add/subtract);
+    * ``docs/`` — affected ``db=`` buckets rewritten the same way;
+    * ``meta/`` — n_docs grows only by genuinely-new ids; sum_dl moves
+      by (new lengths − replaced lengths), all exact integers.
+
+    ``docs`` must carry one row per id (dedup a multi-version delta to
+    its latest upstream — `dedup.latest_per_key` is the operator).
+    Pure inserts (no id previously indexed) degrade to exactly the
+    append fast-path of :func:`update_bm25_index`, which remains the
+    cheaper call when the caller KNOWS ids are new.
+    """
+    import os
+
+    spark = docs.sparkSession
+    meta_old = spark.read.parquet(os.path.join(index_path, "meta")).first()
+    n_buckets = int(meta_old["n_buckets"])
+
+    toks = tokens(F.col(text_col))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("dl"),
+        toks.alias("toks"),
+    )
+    new_doc_rows = _doc_rows(base, n_buckets)
+
+    # previous versions of the upserted ids, found via the pruned
+    # forward index: read ≤ |delta db buckets| directories, semi-join
+    # on id. ids is O(delta) — the join is the standard shuffled
+    # equi-join (broadcast when small; AQE decides).
+    ids = new_doc_rows.select("doc_id", "db")
+    dbs = [r.db for r in ids.select("db").distinct().collect()]  # ≤ n_buckets
+    docs_path = os.path.join(index_path, "docs")
+    old_docs_live = spark.read.parquet(docs_path).where(F.col("db").isin(dbs))
+    prev = old_docs_live.join(
+        ids.select("doc_id").distinct(), "doc_id", "semi"
+    ).select("doc_id", "dl", "pbs")
+
+    prev_agg = prev.agg(
+        F.count(F.lit(1)).alias("n_prev"), F.sum("dl").alias("dl_prev")
+    ).first()
+    n_prev = int(prev_agg["n_prev"] or 0)
+    dl_prev = int(prev_agg["dl_prev"] or 0)
+    # distributed distinct — the collect is bounded at ≤ n_buckets ints
+    # (collect_list of every pbs array would funnel the delta into one
+    # row; this never does)
+    old_pbs = [
+        r.pb for r in prev.select(F.explode("pbs").alias("pb")).distinct().collect()
+    ]
+
+    pb = F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+    tf_new = (
+        base.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("pb", pb)
+    )
+    delta = base.agg(
+        F.count(F.lit(1)).alias("n_new"), F.sum("dl").alias("dl_new")
+    ).first()
+    n_new = int(delta["n_new"] or 0)
+    dl_new = int(delta["dl_new"] or 0)
+
+    if n_prev == 0:
+        # pure insert: the append fast-path IS the correct plan
+        update_bm25_index(docs, id_col, text_col, index_path)
+        return
+
+    new_pbs = [r.pb for r in tf_new.select("pb").distinct().collect()]
+    pbs_affected = sorted(set(old_pbs) | set(new_pbs))
+
+    postings_path = os.path.join(index_path, "postings")
+    kept = (
+        spark.read.parquet(postings_path)
+        .where(F.col("pb").isin(pbs_affected))
+        .select("doc_id", "dl", "term", "tf", F.col("pb").cast("long").alias("pb"))
+        .join(ids.select("doc_id").distinct(), "doc_id", "anti")
+    )
+    merged_postings = kept.unionByName(tf_new)
+    _staged_bucket_rewrite(merged_postings, postings_path, "pb", pbs_affected)
+
+    # df recount, bucket-local and exact: every posting row of a term
+    # lives in the term's own hash bucket, so counting rows per term in
+    # the freshly-swapped buckets is the full-corpus df for those terms
+    terms_path = os.path.join(index_path, "terms")
+    new_terms = (
+        spark.read.parquet(postings_path)
+        .where(F.col("pb").isin(pbs_affected))
+        .groupBy(F.col("pb").cast("long").alias("pb"), "term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .select("term", "df", "pb")
+    )
+    _staged_bucket_rewrite(new_terms, terms_path, "pb", pbs_affected)
+
+    kept_docs = old_docs_live.join(
+        ids.select("doc_id").distinct(), "doc_id", "anti"
+    ).select("doc_id", "dl", "pbs", F.col("db").cast("long").alias("db"))
+    merged_docs = kept_docs.unionByName(new_doc_rows)
+    _staged_bucket_rewrite(merged_docs, docs_path, "db", dbs)
+
+    new_meta = spark.createDataFrame(
+        [
+            (
+                int(meta_old["n_docs"]) + n_new - n_prev,
+                int(meta_old["sum_dl"]) + dl_new - dl_prev,
                 n_buckets,
             )
         ],
@@ -352,10 +548,21 @@ def bm25_index_stream_sink(
     committing table format (Delta/Iceberg MERGE) for the index
     datasets — the documented production upgrade; plain parquet
     cannot express the transactional rename.
+
+    Marker checks and creation go through the Hadoop FileSystem API
+    for the INDEX path's own scheme — on HDFS/S3 a driver-local
+    ``os.path.exists`` is always False, which would silently re-fold
+    every replayed batch (the exact corruption the markers prevent).
+    SINGLE WRITER required: the marker protocol serializes batches of
+    ONE stream; two concurrent streams folding into the same index
+    interleave unguarded (their postings appends race the terms
+    merges) — fan multiple feeds into one stream (union upstream)
+    or upgrade the index datasets to a transactional table format.
     """
-    import os
 
     def fold(batch: DataFrame, batch_id: int) -> None:
+        from fink_joiner_spark.fsutil import HadoopFS
+
         dig = batch.agg(
             F.count(F.lit(1)).alias("n"),
             F.expr(
@@ -364,15 +571,15 @@ def bm25_index_stream_sink(
         ).first()
         if not dig["n"]:
             return
-        marker = os.path.join(
-            index_path,
-            "_applied_batches",
-            f"batch={batch_id}_n{dig['n']}_h{dig['h']}",
+        marker = (
+            f"{index_path}/_applied_batches/"
+            f"batch={batch_id}_n{dig['n']}_h{dig['h']}"
         )
-        if os.path.exists(marker):
+        fs = HadoopFS(batch.sparkSession, index_path)
+        if fs.exists(marker):
             return  # same batch, same content — already folded in
         update_bm25_index(batch, id_col, text_col, index_path)
-        os.makedirs(marker, exist_ok=True)
+        fs.mkdirs(marker)  # one atomic leaf-dir create (HDFS/POSIX)
 
     w = stream_docs.writeStream.foreachBatch(fold).option(
         "checkpointLocation", checkpoint_location
@@ -390,57 +597,23 @@ def compact_bm25_index(spark, index_path: str, target_file_mb: float = 128) -> i
     files problem). Rewrites ``postings/`` bucket-by-bucket — same
     partition layout, ~``target_file_mb`` files, sorted by ``term``
     within each file so row-group min/max stats prune the ``term IN``
-    residual — via one dynamic-partition-overwrite job. Term stats and
+    residual — in one staged rewrite job. Term stats and
     meta are untouched (compaction moves bytes, never counts).
     Returns the number of files requested.
 
     Production cadence: run it off the maintenance schedule (size- or
     file-count-triggered), exactly like any lake table compaction
-    (`lake.compact`). The rewrite lands in a sibling directory and is
-    swapped in (Spark refuses — correctly — to overwrite a path it is
-    reading); the swap itself is two renames, so as with every plain-
-    parquet maintenance here, a concurrent probe during the swap
-    window needs the table-format upgrade (Delta/Iceberg) for full
-    isolation.
+    (`lake.compact`). Delegates to :func:`lake.compact_partitioned`
+    — staged rewrite + FileSystem-API swap with crash repair, correct
+    on local disk, HDFS, and S3A; as with every plain-parquet
+    maintenance here, a concurrent probe during the swap window needs
+    the table-format upgrade (Delta/Iceberg) for full isolation.
     """
-    import math
-    import os
-    import shutil
+    from fink_joiner_spark.operators.lake import compact_partitioned
 
-    from fink_joiner_spark.operators.lake import dataset_bytes
-
-    postings = os.path.join(index_path, "postings")
-    staged = postings + "_compacting"
-    retired = postings + "_retired"
-    # crash recovery from a previous run, BEFORE any expensive work:
-    # a leftover staged dir is an incomplete rewrite (drop it); a
-    # leftover retired dir beside a live postings dir is debris from a
-    # crash after the swap (drop it); retired WITHOUT postings means
-    # the crash hit between the two renames — roll the old data back.
-    if os.path.exists(retired) and not os.path.exists(postings):
-        os.rename(retired, postings)
-    shutil.rmtree(retired, ignore_errors=True)
-    shutil.rmtree(staged, ignore_errors=True)
-
-    src = spark.read.parquet(postings)
-    n = max(1, math.ceil(dataset_bytes(src) / (target_file_mb * 1024 * 1024)))
-    # range-partition on (pb, term): unlike repartition(n, "pb") —
-    # which hashes on pb alone and therefore collapses each bucket to
-    # ONE output file no matter how big — ranges SPLIT an oversized
-    # bucket across several term-contiguous partitions, so the
-    # partitionBy write emits ~target-sized, term-sorted files per
-    # bucket
-    (
-        src.repartitionByRange(n, "pb", "term")
-        .sortWithinPartitions("pb", "term")
-        .write.mode("overwrite")
-        .partitionBy("pb")
-        .parquet(staged)
+    return compact_partitioned(
+        spark, f"{index_path}/postings", "pb", ["term"], target_file_mb
     )
-    os.rename(postings, retired)
-    os.rename(staged, postings)
-    shutil.rmtree(retired)
-    return n
 
 
 def bm25_indexed_scores(

@@ -948,6 +948,29 @@ def update_ivf_index(
     )
 
 
+def compact_ivf_index(spark, index_path: str, target_file_mb: float = 128) -> int:
+    """Defragment a streamed-into IVF index: every
+    :func:`update_ivf_index` fold appends ~one file per touched cell,
+    so after N deltas each ``cell=`` partition holds ~N small files
+    and probe latency decays into file-open overhead — the identical
+    small-files decay :func:`scoring.compact_bm25_index` exists to fix
+    for the BM25 sibling. Rewrites ``vectors/`` with the ``cell=``
+    partition layout preserved and files nid-sorted within each cell
+    (row-group min/max stats then prune id-restricted reads), via the
+    shared staged-rewrite + FileSystem-swap pass
+    (:func:`lake.compact_partitioned` — crash-repaired, correct on
+    local disk/HDFS/S3A). Centroids are untouched (compaction moves
+    bytes, never assignments); probe results are bit-identical before
+    and after (asserted in ``tests/test_lake.py``). Returns the number
+    of files requested.
+    """
+    from fink_joiner_spark.operators.lake import compact_partitioned
+
+    return compact_partitioned(
+        spark, f"{index_path}/vectors", "cell", ["nid"], target_file_mb
+    )
+
+
 def topk_ivf_indexed(
     spark,
     index_path: str,
@@ -981,10 +1004,15 @@ def topk_ivf_indexed(
     )
     # bounded collect: one scalar per (query, probed cell)
     cell_ids = [r.cell for r in probes.select("cell").distinct().collect()]
+    # cast the partition column back to the CODEBOOK's cell_id type —
+    # cell ids are raw corpus ids under the seeded codebook and may be
+    # strings; a hardcoded long cast would NULL them out and the probe
+    # would silently return zero rows
+    cell_type = dict(seeds.dtypes)["cell_id"]
     base = (
         spark.read.parquet(os.path.join(index_path, "vectors"))
         .where(F.col("cell").isin(cell_ids))
-        .select("nid", "nvec", F.col("cell").cast("long").alias("cell"))
+        .select("nid", "nvec", F.col("cell").cast(cell_type).alias("cell"))
     )
     scored = (
         F.broadcast(probes)
@@ -1542,12 +1570,13 @@ def jaccard_pairs_prefix(
     *inside* that cell after the quadratic pairing, one-tasking the
     join on a pathological corpus. Buckets are geometric with ratio
     1/t (``floor(ln n / ln(1/t))``): a qualifying pair satisfies
-    ``t·na ≤ nb ≤ na/t``, so with pairs oriented smaller-set-first the
-    probe side covers at most 2 buckets, enumerated by applying the
-    SAME bucket expression to the exact integer range endpoints
-    (monotonicity makes the cover float-safe — no ulp can drop a
-    pair). Identical-length duplicates still share a cell, but there
-    the true output is itself quadratic. Verified adversarially in
+    ``t·na ≤ nb ≤ na/t``, so with pairs oriented smaller-set-first
+    each doc posts at EVERY bucket in ``[bkt(n), bkt(floor(n/t))]``
+    (≤ 3 values) — the partner's own bucket always lies inside that
+    range by monotonicity of the bucket expression over the exact
+    integer endpoints, so the cover is complete with no ulp analysis
+    of the log load-bearing. Identical-length duplicates still share
+    a cell, but there the true output is itself quadratic. Verified adversarially in
     ``tests/test_similarity.py`` (common-prefix, spread-length corpus
     must split across cells with output identical to brute force).
 
@@ -1556,6 +1585,11 @@ def jaccard_pairs_prefix(
     candidate join, pair-keyed verify join. Every shuffle is keyed;
     nothing all-pairs.
     """
+    if not 0 < threshold <= 1:
+        # t=0 would divide by zero in the geometric bucket ratio (and
+        # means "every pair" — an all-pairs join nobody should ask a
+        # prefix filter for); t>1 is vacuous
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     sh, postings, t_micro = _prefix_postings(df, id_col, text_col, n, threshold)
     a, b = postings.alias("a"), postings.alias("b")
     cand = (
@@ -1663,12 +1697,19 @@ def _prefix_postings(
         ).alias("s"),
     ).select("id", "n_sh", "lb", "lb_hi", F.xxhash64("s").alias("s"))
 
-    # symmetric postings: every doc posts at bkt(n) and (when
-    # different) bkt(floor(n/t)) — explode of a ≤2-element array keeps
-    # this ONE subtree used for both join sides
+    # symmetric postings: every doc posts at EVERY bucket in
+    # [bkt(n), bkt(floor(n/t))] — a sequence, not just the two
+    # endpoints. The endpoints alone leave a hole when floor(log n /
+    # log r) lands on an exact integer boundary and bkt(hi) =
+    # bkt(n)+2: a partner whose size buckets into the unposted middle
+    # value would need its own simultaneous boundary error to still
+    # meet. Posting the full range (≤3 values — n/t/n < r² by
+    # construction, +1 boundary slack) makes the cover complete by
+    # monotonicity alone, at ≤1 extra posting per doc. This stays ONE
+    # subtree used for both join sides (AQE reuses the shuffle).
     postings = prefix.select(
         "id", "n_sh", "s",
-        F.explode(F.array_distinct(F.array("lb", "lb_hi"))).alias("lb"),
+        F.explode(F.sequence(F.col("lb"), F.col("lb_hi"))).alias("lb"),
     )
     return sh, postings, t_micro
 
