@@ -37,22 +37,29 @@ def dataset_bytes(df: DataFrame) -> int:
     """Total on-disk size of the files backing a (file-sourced) frame.
 
     Uses the file list the scan already resolved — no extra listing.
-    Local paths are sized with one ``stat`` each; any other scheme
-    (hdfs://, s3a://, …) goes through the Hadoop FileSystem API, so
-    compaction sizing is correct off the driver's local disk too.
+    Local paths (no scheme, or ``file:``) are sized with one ``stat``
+    each; any other scheme (hdfs://, s3a://, …) goes through the
+    Hadoop FileSystem API, with ONE FileSystem resolved per
+    (scheme, authority) — a frame whose files span filesystems (two
+    S3 endpoints, hdfs + s3a) sizes each file against its own FS
+    rather than throwing Hadoop's "Wrong FS".
     """
+    from urllib.parse import urlparse
+
     from fink_joiner_spark.fsutil import HadoopFS
 
     total = 0
-    fs: HadoopFS | None = None
+    fs_cache: dict[tuple[str, str], HadoopFS] = {}
     for f in df.inputFiles():
-        p = f.removeprefix("file:")
-        if os.path.exists(p):
-            total += os.path.getsize(p)
-        else:
-            if fs is None:
-                fs = HadoopFS(df.sparkSession, f)
-            total += fs.file_bytes(f)
+        u = urlparse(f)
+        if u.scheme in ("", "file"):
+            total += os.path.getsize(u.path)
+            continue
+        key = (u.scheme, u.netloc)
+        fs = fs_cache.get(key)
+        if fs is None:
+            fs = fs_cache[key] = HadoopFS(df.sparkSession, f)
+        total += fs.file_bytes(f)
     return total
 
 
@@ -122,9 +129,13 @@ def compact_partitioned(
     dir is an incomplete rewrite (drop it); a leftover ``_retired``
     dir beside live data is post-swap debris (drop it); ``_retired``
     WITHOUT live data means the crash hit between the two renames —
-    roll the old data back.
+    roll the old data back. PER-PARTITION debris from a crashed
+    partition-scoped swap (an upsert/merge's ``pb=3__retired`` INSIDE
+    the dataset, :func:`fsutil.swap_partition_dirs`) is repaired too:
+    read as-is it would both duplicate stale rows into the rewrite and
+    flip the inferred partition-column type to string.
     """
-    from fink_joiner_spark.fsutil import HadoopFS
+    from fink_joiner_spark.fsutil import HadoopFS, repair_partition_dirs
 
     fs = HadoopFS(spark, data_path)
     staged = data_path + "_compacting"
@@ -133,6 +144,7 @@ def compact_partitioned(
         fs.rename(retired, data_path)
     fs.delete(retired)
     fs.delete(staged)
+    repair_partition_dirs(fs, data_path)
 
     src = spark.read.parquet(data_path)
     n = max(1, math.ceil(dataset_bytes(src) / (target_file_mb * 1024 * 1024)))
@@ -152,6 +164,63 @@ def compact_partitioned(
 def file_count(spark: SparkSession, path: str) -> int:
     """Number of data files in a parquet dataset (hygiene metric)."""
     return len(spark.read.parquet(path).inputFiles())
+
+
+def partition_stats(
+    df: DataFrame, partition_col: str, hot_ratio: float = 2.0
+) -> DataFrame:
+    """Per-partition health of a partitioned dataset — the imbalance
+    monitor behind every frozen-layout index here. An IVF index serves
+    against a frozen codebook and a BM25 index against a fixed bucket
+    count; both accumulate skew as streamed-in data drifts from the
+    build-time distribution, and the documented maintenance cadence
+    ("monitor cell sizes, retrain/rebuild offline past budget" —
+    ``similarity.update_ivf_index``) needs a number to watch. This is
+    that number.
+
+    Emits one row per partition value: ``n_rows``, ``n_files`` (the
+    small-files decay that :func:`compact_partitioned` fixes),
+    ``skew_ratio`` = n_rows / mean-rows-per-partition, and ``hot`` —
+    true when the partition exceeds ``hot_ratio``× the mean, the
+    retrain/compact trigger. The hot test is exact integer arithmetic
+    (``n_rows·n_parts·1e6 ≥ ratio_micro·total``), so the flag can
+    never flip on a float ulp; ``skew_ratio`` itself is one division,
+    rounded.
+
+    Plan: one scan restricted to the partition column plus file names
+    (both metadata-derived — no data pages read), one partial-agg
+    shuffle of O(partitions) rows, and the totals broadcast back.
+    Cheap enough to run after every maintenance fold.
+    """
+    from pyspark.sql import functions as F
+
+    ratio_micro = round(hot_ratio * 1_000_000)
+    # input_file_name() is non-deterministic to the analyzer: project
+    # it BEFORE the aggregate (disallowed as an aggregate argument)
+    stats = (
+        df.select(F.col(partition_col), F.input_file_name().alias("_file"))
+        .groupBy(partition_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("_file").alias("n_files"),
+        )
+    )
+    totals = stats.agg(
+        F.sum("n_rows").alias("_total"), F.count(F.lit(1)).alias("_n_parts")
+    )
+    return stats.crossJoin(F.broadcast(totals)).select(
+        partition_col,
+        "n_rows",
+        "n_files",
+        (
+            F.round(F.col("n_rows") * F.col("_n_parts") / F.col("_total"), 6)
+            + F.lit(0.0)
+        ).alias("skew_ratio"),
+        (
+            F.col("n_rows") * F.col("_n_parts") * F.lit(1_000_000)
+            >= F.lit(ratio_micro) * F.col("_total")
+        ).alias("hot"),
+    )
 
 
 def morton_key(x, y, bits: int = 16):

@@ -187,7 +187,13 @@ def build_bm25_index(
       pruned directories — the standard inverted+forward pairing
       (Lucene stores the same two views). The pbs array is ≤
       ``n_buckets`` ints per doc — a tiny fraction of postings volume.
-    * ``meta/`` — one row (n_docs, sum_dl, n_buckets).
+    * ``meta/`` — one row (n_docs, sum_dl, n_buckets, fwd_full).
+      ``fwd_full`` is the forward-index format marker: True means
+      ``docs/`` covers the WHOLE corpus, which is the precondition for
+      :func:`upsert_bm25_index` (an index built before ``docs/``
+      existed has at best a partial forward index, and an upsert
+      trusting it would silently skip retraction of pre-upgrade
+      documents — the marker makes that a loud error instead).
 
     The probe is :func:`bm25_indexed_scores`; both paths share
     :func:`_bm25_from_stats`, so an indexed probe returns bit-identical
@@ -216,6 +222,7 @@ def build_bm25_index(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("sum_dl"),
         F.lit(n_buckets).alias("n_buckets"),
+        F.lit(True).alias("fwd_full"),
     )
     tf = (
         base.select("doc_id", "dl", F.explode("toks").alias("term"))
@@ -281,6 +288,12 @@ def update_bm25_index(
       sensitive; an explicit stage+swap is not).
     * ``docs/`` — forward-index rows for the delta APPEND (same
       pruning role as at build time — see :func:`build_bm25_index`).
+      Skipped on an index whose meta lacks the ``fwd_full`` marker
+      (built before the forward index existed): appending delta rows
+      to a PARTIAL forward index cannot make it complete, and a later
+      upsert trusting it would silently skip retraction of
+      pre-upgrade documents — such an index keeps ``fwd_full=false``
+      and :func:`upsert_bm25_index` refuses it loudly.
     * ``meta/`` — corpus scalars re-written with the delta added
       (exact integers; read before overwrite).
 
@@ -294,6 +307,7 @@ def update_bm25_index(
     spark = new_docs.sparkSession
     meta_old = spark.read.parquet(os.path.join(index_path, "meta")).first()
     n_buckets = int(meta_old["n_buckets"])
+    fwd_full = bool(meta_old.asDict().get("fwd_full", False))
 
     toks = tokens(F.col(text_col))
     base = new_docs.select(
@@ -322,9 +336,10 @@ def update_bm25_index(
     tf.write.mode("append").partitionBy("pb").parquet(
         os.path.join(index_path, "postings")
     )
-    _doc_rows(base, n_buckets).write.mode("append").partitionBy("db").parquet(
-        os.path.join(index_path, "docs")
-    )
+    if fwd_full:
+        _doc_rows(base, n_buckets).write.mode("append").partitionBy("db").parquet(
+            os.path.join(index_path, "docs")
+        )
 
     delta_df = tf.groupBy("pb", "term").agg(F.count(F.lit(1)).alias("df"))
     # affected buckets as literals → the old-terms read partition-prunes
@@ -350,9 +365,10 @@ def update_bm25_index(
                 int(meta_old["n_docs"]) + delta_n_docs,
                 int(meta_old["sum_dl"]) + delta_sum_dl,
                 n_buckets,
+                fwd_full,
             )
         ],
-        "n_docs long, sum_dl long, n_buckets int",
+        "n_docs long, sum_dl long, n_buckets int, fwd_full boolean",
     )
     new_meta.write.mode("overwrite").parquet(os.path.join(index_path, "meta"))
 
@@ -417,12 +433,43 @@ def upsert_bm25_index(
     Pure inserts (no id previously indexed) degrade to exactly the
     append fast-path of :func:`update_bm25_index`, which remains the
     cheaper call when the caller KNOWS ids are new.
+
+    Preconditions and crash consistency:
+
+    * the index meta must carry ``fwd_full=true`` (written by every
+      :func:`build_bm25_index`): an index built before the forward
+      index existed has at best a PARTIAL ``docs/``, and an upsert
+      trusting it would silently skip retraction of pre-upgrade
+      documents, double-counting their postings — refused loudly.
+    * the four datasets are swapped one after another, each swap
+      individually crash-repaired, but a crash BETWEEN swaps leaves
+      e.g. postings new / terms old. Before the first swap an INTENT
+      marker (``_upsert_intent/``, one parquet row: a content digest
+      of the delta plus the precomputed affected-bucket lists and
+      final meta scalars) is written and it is deleted only after
+      ``meta/`` lands. A leftover marker therefore means a
+      half-applied upsert: re-running the upsert with the SAME delta
+      (digest-checked) completes it exactly — every dataset rewrite
+      is idempotent given the recorded bucket lists, and the final
+      scalars come from the marker rather than being recomputed from
+      possibly-already-swapped state. A DIFFERENT delta while a
+      marker is pending is refused (finish the pending one first).
+      :func:`bm25_upsert_pending` is the cheap detector.
     """
     import os
+
+    from fink_joiner_spark.fsutil import HadoopFS
 
     spark = docs.sparkSession
     meta_old = spark.read.parquet(os.path.join(index_path, "meta")).first()
     n_buckets = int(meta_old["n_buckets"])
+    if not bool(meta_old.asDict().get("fwd_full", False)):
+        raise ValueError(
+            "upsert_bm25_index requires a full forward index (docs/): this "
+            "index predates it (meta lacks fwd_full=true). Rebuild with "
+            "build_bm25_index to upgrade — proceeding would silently skip "
+            f"retraction of pre-upgrade documents. Index: {index_path}"
+        )
 
     toks = tokens(F.col(text_col))
     base = docs.select(
@@ -432,29 +479,19 @@ def upsert_bm25_index(
     )
     new_doc_rows = _doc_rows(base, n_buckets)
 
-    # previous versions of the upserted ids, found via the pruned
-    # forward index: read ≤ |delta db buckets| directories, semi-join
-    # on id. ids is O(delta) — the join is the standard shuffled
-    # equi-join (broadcast when small; AQE decides).
+    # order-independent content digest of the delta (ids + token
+    # arrays): identifies "the same upsert re-run" for crash repair
+    dig = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64(F.col("doc_id").cast("string"), "toks")).alias("h"),
+    ).first()
+    dig_n, dig_h = int(dig["n"] or 0), int(dig["h"] or 0)
+
     ids = new_doc_rows.select("doc_id", "db")
     dbs = [r.db for r in ids.select("db").distinct().collect()]  # ≤ n_buckets
     docs_path = os.path.join(index_path, "docs")
-    old_docs_live = spark.read.parquet(docs_path).where(F.col("db").isin(dbs))
-    prev = old_docs_live.join(
-        ids.select("doc_id").distinct(), "doc_id", "semi"
-    ).select("doc_id", "dl", "pbs")
-
-    prev_agg = prev.agg(
-        F.count(F.lit(1)).alias("n_prev"), F.sum("dl").alias("dl_prev")
-    ).first()
-    n_prev = int(prev_agg["n_prev"] or 0)
-    dl_prev = int(prev_agg["dl_prev"] or 0)
-    # distributed distinct — the collect is bounded at ≤ n_buckets ints
-    # (collect_list of every pbs array would funnel the delta into one
-    # row; this never does)
-    old_pbs = [
-        r.pb for r in prev.select(F.explode("pbs").alias("pb")).distinct().collect()
-    ]
+    intent_path = os.path.join(index_path, "_upsert_intent")
+    fs = HadoopFS(spark, index_path)
 
     pb = F.pmod(F.xxhash64("term"), F.lit(n_buckets))
     tf_new = (
@@ -463,19 +500,70 @@ def upsert_bm25_index(
         .agg(F.count(F.lit(1)).alias("tf"))
         .withColumn("pb", pb)
     )
-    delta = base.agg(
-        F.count(F.lit(1)).alias("n_new"), F.sum("dl").alias("dl_new")
-    ).first()
-    n_new = int(delta["n_new"] or 0)
-    dl_new = int(delta["dl_new"] or 0)
 
-    if n_prev == 0:
-        # pure insert: the append fast-path IS the correct plan
-        update_bm25_index(docs, id_col, text_col, index_path)
-        return
+    if fs.exists(intent_path):
+        # a prior upsert crashed between dataset swaps: only the SAME
+        # delta can complete it (each rewrite below is idempotent, and
+        # the recorded bucket lists/final scalars are immune to which
+        # datasets already swapped)
+        intent = spark.read.parquet(intent_path).first()
+        if (int(intent["dig_n"]), int(intent["dig_h"])) != (dig_n, dig_h):
+            raise ValueError(
+                "a previous upsert_bm25_index on this index was interrupted "
+                "mid-swap and a DIFFERENT delta was offered: re-run the "
+                "original delta to complete it (idempotent), or rebuild the "
+                f"index. Pending intent: {intent_path}"
+            )
+        pbs_affected = sorted(int(v) for v in intent["pbs_affected"])
+        dbs = sorted(int(v) for v in intent["dbs"])
+        final_n_docs = int(intent["final_n_docs"])
+        final_sum_dl = int(intent["final_sum_dl"])
+    else:
+        # previous versions of the upserted ids, found via the pruned
+        # forward index: read ≤ |delta db buckets| directories,
+        # semi-join on id. ids is O(delta) — the join is the standard
+        # shuffled equi-join (broadcast when small; AQE decides).
+        old_docs_live = spark.read.parquet(docs_path).where(F.col("db").isin(dbs))
+        prev = old_docs_live.join(
+            ids.select("doc_id").distinct(), "doc_id", "semi"
+        ).select("doc_id", "dl", "pbs")
 
-    new_pbs = [r.pb for r in tf_new.select("pb").distinct().collect()]
-    pbs_affected = sorted(set(old_pbs) | set(new_pbs))
+        prev_agg = prev.agg(
+            F.count(F.lit(1)).alias("n_prev"), F.sum("dl").alias("dl_prev")
+        ).first()
+        n_prev = int(prev_agg["n_prev"] or 0)
+        dl_prev = int(prev_agg["dl_prev"] or 0)
+        # distributed distinct — the collect is bounded at ≤ n_buckets
+        # ints (collect_list of every pbs array would funnel the delta
+        # into one row; this never does)
+        old_pbs = [
+            r.pb
+            for r in prev.select(F.explode("pbs").alias("pb")).distinct().collect()
+        ]
+
+        if n_prev == 0:
+            # pure insert: the append fast-path IS the correct plan.
+            # No intent marker — this path inherits update's contract
+            # (a crash mid-append needs the Delta/Iceberg upgrade).
+            update_bm25_index(docs, id_col, text_col, index_path)
+            return
+
+        delta = base.agg(
+            F.count(F.lit(1)).alias("n_new"), F.sum("dl").alias("dl_new")
+        ).first()
+        n_new = int(delta["n_new"] or 0)
+        dl_new = int(delta["dl_new"] or 0)
+        new_pbs = [r.pb for r in tf_new.select("pb").distinct().collect()]
+        pbs_affected = sorted(int(v) for v in set(old_pbs) | set(new_pbs))
+        final_n_docs = int(meta_old["n_docs"]) + n_new - n_prev
+        final_sum_dl = int(meta_old["sum_dl"]) + dl_new - dl_prev
+
+        spark.createDataFrame(
+            [(dig_n, dig_h, pbs_affected, sorted(int(v) for v in dbs),
+              final_n_docs, final_sum_dl)],
+            "dig_n long, dig_h long, pbs_affected array<long>, "
+            "dbs array<long>, final_n_docs long, final_sum_dl long",
+        ).write.mode("overwrite").parquet(intent_path)
 
     postings_path = os.path.join(index_path, "postings")
     kept = (
@@ -500,23 +588,39 @@ def upsert_bm25_index(
     )
     _staged_bucket_rewrite(new_terms, terms_path, "pb", pbs_affected)
 
-    kept_docs = old_docs_live.join(
-        ids.select("doc_id").distinct(), "doc_id", "anti"
-    ).select("doc_id", "dl", "pbs", F.col("db").cast("long").alias("db"))
+    # read back (not the else-branch frame): on a crash re-run docs/
+    # may already hold the new rows — the anti-join ∪ new rows rewrite
+    # is idempotent either way
+    kept_docs = (
+        spark.read.parquet(docs_path)
+        .where(F.col("db").isin(dbs))
+        .join(ids.select("doc_id").distinct(), "doc_id", "anti")
+        .select("doc_id", "dl", "pbs", F.col("db").cast("long").alias("db"))
+    )
     merged_docs = kept_docs.unionByName(new_doc_rows)
     _staged_bucket_rewrite(merged_docs, docs_path, "db", dbs)
 
     new_meta = spark.createDataFrame(
-        [
-            (
-                int(meta_old["n_docs"]) + n_new - n_prev,
-                int(meta_old["sum_dl"]) + dl_new - dl_prev,
-                n_buckets,
-            )
-        ],
-        "n_docs long, sum_dl long, n_buckets int",
+        [(final_n_docs, final_sum_dl, n_buckets, True)],
+        "n_docs long, sum_dl long, n_buckets int, fwd_full boolean",
     )
     new_meta.write.mode("overwrite").parquet(os.path.join(index_path, "meta"))
+    fs.delete(intent_path)
+
+
+def bm25_upsert_pending(spark, index_path: str) -> bool:
+    """True when a :func:`upsert_bm25_index` intent marker is pending —
+    i.e. an upsert crashed between dataset swaps and the index is in a
+    half-applied state until the SAME delta is re-run. One FileSystem
+    existence check (any scheme); probes still run but may mix old and
+    new state until the repair completes."""
+    import os
+
+    from fink_joiner_spark.fsutil import HadoopFS
+
+    return HadoopFS(spark, index_path).exists(
+        os.path.join(index_path, "_upsert_intent")
+    )
 
 
 def bm25_index_stream_sink(

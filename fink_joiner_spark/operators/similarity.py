@@ -1634,12 +1634,15 @@ def _prefix_postings(
     candidate cells the join partitions by. Returns
     ``(shingled docs, postings, t_micro)`` where the postings carry
     the compound ``(s, lb)`` equality key: ``s`` the hashed prefix
-    shingle, ``lb`` a geometric length bucket. Each doc posts at BOTH
-    its own bucket ``bkt(n)`` and the top qualifying-partner bucket
-    ``bkt(floor(n/t))`` (≤ 2 distinct values), and the pair join is a
-    symmetric self-join of this one frame: a qualifying pair (na ≤
-    nb ≤ na/t) always meets because bkt(nb) lies in a's posted range
-    and b posts bkt(nb) itself. Keeping both join sides the IDENTICAL
+    shingle, ``lb`` a geometric length bucket. Each doc posts at EVERY
+    bucket in the closed range ``[bkt(n), bkt(floor(n/t))]`` — a full
+    ``F.sequence`` cover, ≤ 3 distinct values since n/t/n < ratio² —
+    and the pair join is a symmetric self-join of this one frame: a
+    qualifying pair (na ≤ nb ≤ na/t) always meets because bkt(nb)
+    lies in a's posted range by monotonicity alone and b posts
+    bkt(nb) itself (the earlier two-endpoint posting left a boundary
+    hole when the range spanned three buckets). Keeping both join
+    sides the IDENTICAL
     subtree lets AQE reuse one shuffle materialization — an
     asymmetric index/probe split re-evaluated the expensive canonical-
     order subtree and cost ~50% at sf0.1."""

@@ -183,6 +183,31 @@ def _correctness_history(root: str | None = None) -> tuple[frozenset[str], froze
 _R3_REGRESSED, _HISTORY_VERIFIED = _correctness_history()
 
 
+# Queries whose BEHAVIOR changed in the round being shipped — the
+# round-end priority hook the r7 verification-window blind spot called
+# for: the 50-entry driver window must re-prove every query whose
+# implementing code changed this round, ahead of rotation (a query can
+# be "ever verified" yet stale the moment its module is edited).
+# Maintained by hand at round end; superseded rows age out naturally
+# once the next CORRECTNESS file records them green.
+#
+# Round 8: the BM25 index lifecycle gained the fwd_full forward-index
+# marker (meta schema) and the upsert intent-marker protocol
+# (scoring.py build/update/upsert); lake.dataset_bytes was rewritten
+# per-scheme and compact_partitioned gained partition-debris repair
+# (lake.py — ext_lake_compact_clustered routes through compact);
+# plus the two r7 behavior changes the r7 window missed
+# (dedup_jaccard_prefix posting-cover rewrite, simsearch IVF cell-type
+# cast) now get their driver rows.
+_ROUND_CHANGED = frozenset({
+    "ext_bm25_index_probe", "ext_bm25_index_incremental",
+    "stream_bm25_index_maintenance", "ext_bm25_index_upsert",
+    "ext_index_partition_stats", "ext_lake_compact_clustered",
+    "dedup_jaccard_prefix", "simsearch_topk_ivf_indexed",
+    "simsearch_ivf_index_incremental",
+})
+
+
 # Every query with a green hash-match row in ANY driver round —
 # derived from the CORRECTNESS files, falling back to the r1 list if
 # none are readable. Everything else has never been driver-verified
@@ -194,10 +219,12 @@ def _driver_order() -> list[str]:
     names = list(REGISTRY)
     regressed = [n for n in names if n in _R3_REGRESSED]
     rest = [n for n in names if n not in _R3_REGRESSED]
+    changed = [n for n in rest if n in _ROUND_CHANGED]
+    rest = [n for n in rest if n not in _ROUND_CHANGED]
     never_verified = [n for n in rest if n not in _EVER_VERIFIED]
     keep = [n for n in rest if n in _EVER_VERIFIED and n not in _R1_ROTATE_OUT]
     deferred = [n for n in rest if n in _R1_ROTATE_OUT]
-    return regressed + never_verified + keep + deferred
+    return regressed + changed + never_verified + keep + deferred
 
 
 def queries() -> dict[str, QueryFn]:

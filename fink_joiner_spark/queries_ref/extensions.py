@@ -5389,3 +5389,93 @@ def kafka_avro_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return avro_wire.kafka_avro_project_py(
         wire, _AVRO_ORDERS_SCHEMA, base64_wrapped=True
     )
+
+
+@register(
+    "ext_bm25_index_upsert",
+    _BM25_INDEXED_ORACLE,
+    "latest-version index upsert (the reference's signature semantics "
+    "applied to the index lifecycle, CRMLSJoiner.scala:182): the index "
+    "is built on a STALE corpus — half the docs' text mangled, a "
+    "quarter of the docs missing — then the true latest versions are "
+    "upserted in one call (retract old postings via the docs/ forward "
+    "index, fold new ones, bucket-local df recount, exact meta). The "
+    "probe afterwards must hash-match the full-corpus oracle, i.e. a "
+    "from-scratch rebuild: any unretracted posting, double count, "
+    "missed bucket, or stale scalar breaks it",
+)
+def ext_bm25_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from fink_joiner_spark.operators import scoring
+
+    docs = table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="fjs_bm25_upsert_")
+    # stale corpus: even ids carry reversed (wrong) text, ids %4==3
+    # don't exist yet
+    stale = docs.where(F.col("doc_id") % 4 != 3).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 2 == 0, F.reverse(F.col("text"))).otherwise(
+            F.col("text")
+        ),
+    )
+    scoring.build_bm25_index(stale, "doc_id", "text", work, n_buckets=16)
+    delta = docs.where(
+        (F.col("doc_id") % 2 == 0) | (F.col("doc_id") % 4 == 3)
+    ).select("doc_id", "text")
+    scoring.upsert_bm25_index(delta, "doc_id", "text", work)
+    probe = scoring.bm25_indexed_scores(
+        spark, work, ["join", "filter", "window"], k1=1.2, b=0.75
+    )
+    return probe.orderBy(F.col("score").desc(), "doc_id").limit(20)
+
+
+@register(
+    "ext_index_partition_stats",
+    """
+    WITH s AS (
+      SELECT CASE WHEN doc_id % 4 = 0 THEN 0 ELSE doc_id % 16 END::BIGINT
+               AS bucket,
+             COUNT(*)::BIGINT AS n_rows
+      FROM documents GROUP BY 1
+    ),
+    t AS (SELECT SUM(n_rows)::BIGINT AS total, COUNT(*)::BIGINT AS np FROM s)
+    SELECT bucket, n_rows,
+           ROUND(n_rows * np / (1.0 * total), 6) + 0.0 AS skew_ratio,
+           (n_rows * np * 1000000 >= 2000000 * total) AS hot
+    FROM s CROSS JOIN t
+    """,
+    "partition imbalance monitor (the retrain/compact trigger every "
+    "frozen-layout index needs — IVF cells drift under a frozen "
+    "codebook, BM25 buckets under a fixed bucket count): a skew-by-"
+    "construction partitioned dataset (~25% of rows funneled into one "
+    "partition) is written, and partition_stats must flag exactly the "
+    "hot partition — skew_ratio is one rounded division, the hot test "
+    "pure integer arithmetic, so the flag can never flip on a float "
+    "ulp. Applied to REAL IVF cell= / BM25 pb= layouts in "
+    "tests/test_lake.py",
+)
+def ext_index_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from fink_joiner_spark.operators import lake
+
+    docs = table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="fjs_pstats_")
+    skewed = docs.select(
+        F.when(F.col("doc_id") % 4 == 0, F.lit(0))
+        .otherwise(F.col("doc_id") % 16)
+        .cast("long")
+        .alias("bucket"),
+        "doc_id",
+        "n_chars",
+    )
+    skewed.write.mode("overwrite").partitionBy("bucket").parquet(work)
+    back = spark.read.parquet(work)
+    stats = lake.partition_stats(back, "bucket", hot_ratio=2.0)
+    return stats.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "n_rows",
+        "skew_ratio",
+        "hot",
+    )

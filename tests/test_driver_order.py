@@ -18,8 +18,15 @@ def test_ordering_buckets():
     # regressed-at-latest-round queries must occupy the head
     n_reg = sum(1 for n in names if n in Q._R3_REGRESSED)
     assert names[:n_reg] == [n for n in names if n in Q._R3_REGRESSED]
+    # behavior-changed-this-round queries come right after: the window
+    # must re-prove them even though they may be "ever verified"
+    changed = [n for n in names if n in Q._ROUND_CHANGED and n not in Q._R3_REGRESSED]
+    n_chg = len(changed)
+    assert names[n_reg:n_reg + n_chg] == changed
+    # the whole changed set must land inside the driver's 50-row window
+    assert n_reg + n_chg <= 50, "changed set overflows the verification window"
     # never-verified comes before anything ever verified (post-head)
-    tail = names[n_reg:]
+    tail = names[n_reg + n_chg:]
     seen_verified = False
     for n in tail:
         if n in Q._EVER_VERIFIED and n not in Q._R1_ROTATE_OUT:

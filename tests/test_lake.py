@@ -421,3 +421,353 @@ def test_bm25_compaction_recovers_from_crash_states(spark, sf_dir, tmp_path):
     got = {tuple(r) for r in scoring.bm25_indexed_scores(spark, idx, terms).collect()}
     assert got == want
     assert not os.path.exists(f"{idx}/postings_retired")
+
+
+def test_bm25_upsert_matches_rebuild_and_is_idempotent(spark, sf_dir, tmp_path):
+    """upsert_bm25_index's contract end-to-end: an index built on a
+    STALE corpus (changed text for half the docs — including docs
+    whose distinctive tokens disappear entirely — plus missing docs)
+    must, after one upsert of the latest versions, probe bit-identical
+    to a from-scratch rebuild; a second identical upsert must be a
+    no-op (idempotent); meta scalars stay exact throughout."""
+    import os
+
+    from fink_joiner_spark.operators import scoring
+
+    docs = _docs(spark, sf_dir)
+    idx = str(tmp_path / "upsert_idx")
+    # stale: even ids carry a DIFFERENT token set (every token of the
+    # true text deleted, replaced by a marker token unique to the
+    # stale version); ids %4==3 missing
+    stale = docs.where(F.col("doc_id") % 4 != 3).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("staleonlytoken marker "), F.reverse(F.col("text"))),
+        ).otherwise(F.col("text")),
+    )
+    scoring.build_bm25_index(stale, "doc_id", "text", idx, n_buckets=16)
+    # the stale-only token must be probeable before the upsert...
+    assert scoring.bm25_indexed_scores(spark, idx, ["staleonlytoken"]).count() > 0
+
+    delta = docs.where(
+        (F.col("doc_id") % 2 == 0) | (F.col("doc_id") % 4 == 3)
+    ).select("doc_id", "text")
+    scoring.upsert_bm25_index(delta, "doc_id", "text", idx)
+    # ...and fully retracted after it (deleted-token coverage)
+    assert scoring.bm25_indexed_scores(spark, idx, ["staleonlytoken"]).count() == 0
+    assert not scoring.bm25_upsert_pending(spark, idx)
+
+    full = str(tmp_path / "rebuild_idx")
+    scoring.build_bm25_index(docs, "doc_id", "text", full, n_buckets=16)
+    terms = ["join", "filter", "window"]
+    want = {tuple(r) for r in scoring.bm25_indexed_scores(spark, full, terms).collect()}
+    got = {tuple(r) for r in scoring.bm25_indexed_scores(spark, idx, terms).collect()}
+    assert got == want and got
+    m_idx = spark.read.parquet(os.path.join(idx, "meta")).first()
+    m_full = spark.read.parquet(os.path.join(full, "meta")).first()
+    assert (m_idx["n_docs"], m_idx["sum_dl"]) == (m_full["n_docs"], m_full["sum_dl"])
+    assert m_idx["fwd_full"] is True
+
+    # double-upsert idempotency: same delta again, nothing may move
+    scoring.upsert_bm25_index(delta, "doc_id", "text", idx)
+    again = {tuple(r) for r in scoring.bm25_indexed_scores(spark, idx, terms).collect()}
+    assert again == want
+    m2 = spark.read.parquet(os.path.join(idx, "meta")).first()
+    assert (m2["n_docs"], m2["sum_dl"]) == (m_full["n_docs"], m_full["sum_dl"])
+
+
+def test_bm25_upsert_refuses_index_without_forward_marker(spark, sf_dir, tmp_path):
+    """An index whose meta lacks fwd_full=true (built before the
+    forward index existed) must be refused LOUDLY: proceeding would
+    silently skip retraction of pre-upgrade documents and double-count
+    their postings. update_bm25_index on such an index keeps working
+    (its postings/terms/meta math needs no forward index) but must not
+    claim forward completeness."""
+    import os
+
+    import pytest
+
+    from fink_joiner_spark.operators import scoring
+
+    docs = _docs(spark, sf_dir)
+    idx = str(tmp_path / "legacy_idx")
+    scoring.build_bm25_index(
+        docs.where(F.col("doc_id") % 2 == 0), "doc_id", "text", idx, n_buckets=8
+    )
+    # simulate a pre-forward-index build: strip the marker from meta
+    m = spark.read.parquet(os.path.join(idx, "meta")).first()
+    spark.createDataFrame(
+        [(int(m["n_docs"]), int(m["sum_dl"]), int(m["n_buckets"]))],
+        "n_docs long, sum_dl long, n_buckets int",
+    ).write.mode("overwrite").parquet(os.path.join(idx, "meta"))
+
+    delta = docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    with pytest.raises(ValueError, match="fwd_full"):
+        scoring.upsert_bm25_index(delta, "doc_id", "text", idx)
+
+    # update still folds correctly and keeps the legacy marker False
+    scoring.update_bm25_index(delta, "doc_id", "text", idx)
+    m2 = spark.read.parquet(os.path.join(idx, "meta")).first()
+    assert m2["fwd_full"] is False
+    full = str(tmp_path / "legacy_full")
+    scoring.build_bm25_index(docs, "doc_id", "text", full, n_buckets=8)
+    terms = ["join", "filter", "window"]
+    got = {tuple(r) for r in scoring.bm25_indexed_scores(spark, idx, terms).collect()}
+    want = {tuple(r) for r in scoring.bm25_indexed_scores(spark, full, terms).collect()}
+    assert got == want and got
+
+
+def test_bm25_upsert_crash_between_swaps_recovers(spark, sf_dir, tmp_path, monkeypatch):
+    """The intent-marker protocol: an upsert killed between the
+    postings swap and the terms swap leaves a pending marker; a
+    DIFFERENT delta is refused; re-running the SAME delta completes
+    the half-applied upsert exactly (probe == from-scratch rebuild)
+    and clears the marker."""
+    import pytest
+
+    import fink_joiner_spark.operators.scoring as scoring
+
+    docs = _docs(spark, sf_dir)
+    idx = str(tmp_path / "crashy_idx")
+    stale = docs.where(F.col("doc_id") % 4 != 3).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 2 == 0, F.reverse(F.col("text"))).otherwise(
+            F.col("text")
+        ),
+    )
+    scoring.build_bm25_index(stale, "doc_id", "text", idx, n_buckets=16)
+    delta = docs.where(
+        (F.col("doc_id") % 2 == 0) | (F.col("doc_id") % 4 == 3)
+    ).select("doc_id", "text")
+
+    real_rewrite = scoring._staged_bucket_rewrite
+    calls = {"n": 0}
+
+    def crash_after_postings(merged, live_root, partition_col, values):
+        calls["n"] += 1
+        if calls["n"] == 2:  # postings swapped; kill before terms
+            raise RuntimeError("simulated crash between postings and terms swap")
+        return real_rewrite(merged, live_root, partition_col, values)
+
+    monkeypatch.setattr(scoring, "_staged_bucket_rewrite", crash_after_postings)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        scoring.upsert_bm25_index(delta, "doc_id", "text", idx)
+    monkeypatch.setattr(scoring, "_staged_bucket_rewrite", real_rewrite)
+
+    assert scoring.bm25_upsert_pending(spark, idx)
+
+    # a different delta cannot complete someone else's half-applied upsert
+    other = docs.where(F.col("doc_id") % 4 == 1).select("doc_id", "text")
+    with pytest.raises(ValueError, match="interrupted"):
+        scoring.upsert_bm25_index(other, "doc_id", "text", idx)
+
+    # the SAME delta completes it
+    scoring.upsert_bm25_index(delta, "doc_id", "text", idx)
+    assert not scoring.bm25_upsert_pending(spark, idx)
+
+    full = str(tmp_path / "crashy_full")
+    scoring.build_bm25_index(docs, "doc_id", "text", full, n_buckets=16)
+    terms = ["join", "filter", "window"]
+    got = {tuple(r) for r in scoring.bm25_indexed_scores(spark, idx, terms).collect()}
+    want = {tuple(r) for r in scoring.bm25_indexed_scores(spark, full, terms).collect()}
+    assert got == want and got
+    m_idx = spark.read.parquet(f"{idx}/meta").first()
+    m_full = spark.read.parquet(f"{full}/meta").first()
+    assert (m_idx["n_docs"], m_idx["sum_dl"]) == (m_full["n_docs"], m_full["sum_dl"])
+
+
+def test_ivf_index_compaction_shrinks_files_probe_unchanged(spark, sf_dir, tmp_path):
+    """compact_ivf_index (mirror of the BM25 compaction test): after
+    repeated incremental folds fragment the cell partitions, compaction
+    must cut the file count while keeping the cell= layout and probe
+    results bit-identical."""
+    import os
+    import re
+
+    from fink_joiner_spark.operators import similarity
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    idx = str(tmp_path / "ivf_frag")
+    similarity.build_ivf_index(
+        emb.where(F.col("vec_id") % 4 == 0), "vec_id", "embedding", idx, n_cells=8
+    )
+    for rem in (1, 2, 3):  # three folds -> ~4x files per cell
+        similarity.update_ivf_index(
+            emb.where(F.col("vec_id") % 4 == rem), "vec_id", "embedding", idx
+        )
+    queries = emb.filter(F.col("vec_id") < 4)
+    before = {
+        tuple(r)
+        for r in similarity.topk_ivf_indexed(
+            spark, idx, queries, "vec_id", "embedding", k=5, nprobe=3
+        ).collect()
+    }
+    n_before = len(spark.read.parquet(f"{idx}/vectors").inputFiles())
+
+    similarity.compact_ivf_index(spark, idx)
+
+    files_after = spark.read.parquet(f"{idx}/vectors").inputFiles()
+    assert len(files_after) < n_before / 2
+    assert all(re.search(r"cell=[^/]+", f) for f in files_after)  # layout kept
+    after = {
+        tuple(r)
+        for r in similarity.topk_ivf_indexed(
+            spark, idx, queries, "vec_id", "embedding", k=5, nprobe=3
+        ).collect()
+    }
+    assert after == before and after
+
+
+def test_partition_swap_crash_debris_is_repaired(spark, sf_dir, tmp_path):
+    """Crash debris from a partition-scoped swap (upsert/merge), both
+    windows: a ``pb=N__retired`` dir WITHOUT a live sibling (crash
+    between the two renames) must be rolled back by the next swap's
+    repair preamble; WITH a live sibling (post-swap crash) it must be
+    dropped — and compact_partitioned must repair both too, instead of
+    reading the debris as a legitimate string-typed partition."""
+    import os
+    import shutil
+
+    from fink_joiner_spark.fsutil import HadoopFS, repair_partition_dirs
+    from fink_joiner_spark.operators import scoring
+
+    docs = _docs(spark, sf_dir)
+    idx = str(tmp_path / "debris_idx")
+    scoring.build_bm25_index(docs, "doc_id", "text", idx, n_buckets=8)
+    terms = ["join", "filter", "window"]
+    want = {tuple(r) for r in scoring.bm25_indexed_scores(spark, idx, terms).collect()}
+    postings = f"{idx}/postings"
+    fs = HadoopFS(spark, postings)
+
+    # mid-swap debris: live dir renamed away, not yet replaced
+    os.rename(f"{postings}/pb=3", f"{postings}/pb=3__retired")
+    repair_partition_dirs(fs, postings)
+    assert os.path.exists(f"{postings}/pb=3")
+    assert not os.path.exists(f"{postings}/pb=3__retired")
+    got = {tuple(r) for r in scoring.bm25_indexed_scores(spark, idx, terms).collect()}
+    assert got == want
+
+    # post-swap debris beside live data: compact_partitioned must drop
+    # it BEFORE reading (else stale rows duplicate into the rewrite and
+    # the partition column type flips to string)
+    shutil.copytree(f"{postings}/pb=3", f"{postings}/pb=3__retired")
+    scoring.compact_bm25_index(spark, idx)
+    assert not os.path.exists(f"{postings}/pb=3__retired")
+    got = {tuple(r) for r in scoring.bm25_indexed_scores(spark, idx, terms).collect()}
+    assert got == want
+    assert dict(spark.read.parquet(postings).dtypes)["pb"] != "string"
+
+    # mid-swap debris is likewise repaired by compaction
+    os.rename(f"{postings}/pb=5", f"{postings}/pb=5__retired")
+    scoring.compact_bm25_index(spark, idx)
+    got = {tuple(r) for r in scoring.bm25_indexed_scores(spark, idx, terms).collect()}
+    assert got == want
+
+
+def test_index_lifecycle_through_explicit_file_scheme_uris(spark, sf_dir, tmp_path):
+    """The FS-API port must resolve EXPLICIT scheme-qualified paths
+    through Path.getFileSystem, not driver-local assumptions: a full
+    index lifecycle — build, stream-sink markers, upsert swap,
+    compaction — driven entirely through ``file:`` URIs, plus
+    dataset_bytes sizing a scheme-qualified frame."""
+    import os
+
+    from fink_joiner_spark.operators import lake, scoring
+    from fink_joiner_spark.sources.streaming import file_drip_feed
+
+    docs = _docs(spark, sf_dir)
+    idx = f"file:{tmp_path}/uri_idx"  # explicit scheme everywhere below
+    stale = docs.where(F.col("doc_id") % 4 == 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 8 == 0, F.reverse(F.col("text"))).otherwise(
+            F.col("text")
+        ),
+    )
+    scoring.build_bm25_index(stale, "doc_id", "text", idx, n_buckets=8)
+
+    # stream-sink markers through the scheme (local stage/ckpt is fine
+    # — the marker protocol lives at the INDEX path)
+    delta_stream = docs.where(F.col("doc_id") % 4 == 1).select("doc_id", "text")
+    stream = file_drip_feed(
+        spark, delta_stream, str(tmp_path / "uri_stage"), "doc_id", n_files=2
+    )
+    scoring.bm25_index_stream_sink(
+        stream, "doc_id", "text", idx, str(tmp_path / "uri_ckpt")
+    ).start().awaitTermination()
+    assert os.path.isdir(f"{tmp_path}/uri_idx/_applied_batches")
+
+    # upsert swap through the scheme (retract path: %8==0 docs change)
+    delta = docs.where(
+        (F.col("doc_id") % 8 == 0) | (F.col("doc_id") % 4 >= 2)
+    ).select("doc_id", "text")
+    scoring.upsert_bm25_index(delta, "doc_id", "text", idx)
+
+    # compaction through the scheme
+    scoring.compact_bm25_index(spark, idx)
+
+    full = str(tmp_path / "uri_full")
+    scoring.build_bm25_index(docs, "doc_id", "text", full, n_buckets=8)
+    terms = ["join", "filter", "window"]
+    got = {tuple(r) for r in scoring.bm25_indexed_scores(spark, idx, terms).collect()}
+    want = {tuple(r) for r in scoring.bm25_indexed_scores(spark, full, terms).collect()}
+    assert got == want and got
+
+    # dataset_bytes sizes scheme-qualified files (and equals the
+    # unqualified-path sizing of the same dataset)
+    via_uri = lake.dataset_bytes(spark.read.parquet(f"{idx}/postings"))
+    via_path = lake.dataset_bytes(
+        spark.read.parquet(f"{tmp_path}/uri_idx/postings")
+    )
+    assert via_uri == via_path > 0
+
+
+def test_partition_stats_monitors_real_index_layouts(spark, sf_dir, tmp_path):
+    """partition_stats over REAL index layouts: totals must tie out on
+    BM25 pb= buckets; on an IVF index a drifted delta (every vector a
+    near-duplicate of one corpus vector) must funnel into one cell and
+    flip that cell's hot flag — the documented retrain trigger for a
+    frozen codebook; n_files must grow with incremental folds (the
+    compaction trigger)."""
+    import os
+
+    from fink_joiner_spark.operators import lake, scoring, similarity
+
+    docs = _docs(spark, sf_dir)
+    idx = str(tmp_path / "mon_bm25")
+    scoring.build_bm25_index(docs, "doc_id", "text", idx, n_buckets=8)
+    pstats = lake.partition_stats(
+        spark.read.parquet(f"{idx}/postings"), "pb", hot_ratio=2.0
+    )
+    rows = pstats.collect()
+    total = spark.read.parquet(f"{idx}/postings").count()
+    assert sum(r["n_rows"] for r in rows) == total
+    assert all(r["n_files"] >= 1 for r in rows)
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ivf = str(tmp_path / "mon_ivf")
+    similarity.build_ivf_index(emb, "vec_id", "embedding", ivf, n_cells=8)
+    before = {
+        r["cell"]: r
+        for r in lake.partition_stats(
+            spark.read.parquet(f"{ivf}/vectors"), "cell", hot_ratio=2.0
+        ).collect()
+    }
+
+    # drift: a delta of near-duplicates of ONE existing vector — the
+    # frozen codebook funnels all of them into that vector's cell
+    n_corpus = emb.count()
+    anchor = emb.limit(1).select("embedding").first()["embedding"]
+    dup = spark.createDataFrame(
+        [(n_corpus + i, [v + 1e-6 for v in anchor]) for i in range(2 * n_corpus)],
+        "vec_id long, embedding array<float>",
+    )
+    similarity.update_ivf_index(dup, "vec_id", "embedding", ivf)
+    after = lake.partition_stats(
+        spark.read.parquet(f"{ivf}/vectors"), "cell", hot_ratio=2.0
+    ).collect()
+    hot = [r for r in after if r["hot"]]
+    assert len(hot) == 1, f"expected exactly the drifted cell hot: {after}"
+    assert hot[0]["skew_ratio"] > 2.0
+    # the fold appended files into the hot cell: n_files grew there
+    assert hot[0]["n_files"] > before[hot[0]["cell"]]["n_files"]
