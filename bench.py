@@ -176,6 +176,24 @@ def main() -> None:
     spark = get_spark("fink_joiner_spark-bench")
     fns = queries()
 
+    # Optional subset run (measurement tooling only — the driver runs
+    # the full suite): SPARK_GRAFT_BENCH_ONLY="name1,name2" or a
+    # "prefix*" glob. Same harness (noop sink, median-of-reps, JVM-CPU
+    # sampling), so subset numbers are comparable to full-suite rows.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        import fnmatch
+
+        pats = [p.strip() for p in only.split(",") if p.strip()]
+        fns = {
+            n: f
+            for n, f in fns.items()
+            if any(fnmatch.fnmatch(n, p) for p in pats)
+        }
+        if not fns:
+            print(f"bench: no queries match {pats!r}", file=sys.stderr)
+            sys.exit(1)
+
     # warmup: JVM + parquet footer caches, so the first timed query
     # isn't charged session startup
     for t in ("events", "orders", "lineitem", "customer", "documents", "embeddings"):

@@ -70,6 +70,44 @@ def scoped_conf(spark: SparkSession, key: str, value: str):
 
 
 @contextmanager
+def stream_state_confs(spark: SparkSession, partitions: str):
+    """State-store tuning shared by every streaming demo query:
+
+    * shuffle partitions scoped to the STATE volume (see
+      ``STREAM_SHUFFLE_PARTITIONS`` / ``PYSTATE_SHUFFLE_PARTITIONS``);
+    * RocksDB CHANGELOG checkpointing — each commit uploads the
+      batch's changelog instead of a full snapshot (snapshots move to
+      background maintenance), cutting the per-partition commit cost
+      that dominates short micro-batches. Measured r8 (sf0.1, idle,
+      paired A/B): −6-11% wall across the JVM-stateful demos, neutral
+      on the Python-state ones;
+    * ``trackTotalNumberOfRows=false`` — skips the per-put/delete
+      bookkeeping behind the numRowsTotal metric (measured another
+      ~9% off the 6-query stream sample). Production deployments that
+      alert on state-row counts re-enable it; the demos don't read it.
+
+    Both RocksDB knobs are read at query start, so scoping them works
+    per demo; checkpoints here are always fresh (tempdirs), so the
+    changelog checkpoint-format difference can never clash with an
+    existing checkpoint's format.
+    """
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", partitions), \
+            scoped_conf(
+                spark,
+                "spark.sql.streaming.stateStore.rocksdb."
+                "changelogCheckpointing.enabled",
+                "true",
+            ), \
+            scoped_conf(
+                spark,
+                "spark.sql.streaming.stateStore.rocksdb."
+                "trackTotalNumberOfRows",
+                "false",
+            ):
+        yield
+
+
+@contextmanager
 def stream_finish_fast(spark: SparkSession):
     """Skip the trailing no-data micro-batch (~1 s of state-store
     open/commit against zero rows) for AvailableNow streaming demos

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from fink_joiner_spark.catalog import table
 from fink_joiner_spark.operators import dedup
-from fink_joiner_spark.queries import PYSTATE_SHUFFLE_PARTITIONS, STREAM_SHUFFLE_PARTITIONS, register, scoped_conf, stream_finish_fast
+from fink_joiner_spark.queries import PYSTATE_SHUFFLE_PARTITIONS, STREAM_SHUFFLE_PARTITIONS, register, stream_finish_fast, stream_state_confs
 
 # ---------------------------------------------------------------------------
 # A1/A2 — latest-version-per-key dedup (CRMLSJoiner.scala:182)
@@ -700,7 +700,7 @@ def stream_dedup_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     work = tempfile.mkdtemp(prefix="fjs_stream_dedup_")
-    with scoped_conf(spark, "spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS), \
+    with stream_state_confs(spark, STREAM_SHUFFLE_PARTITIONS), \
             stream_finish_fast(spark):
         stream = file_drip_feed(spark, ev, f"{work}/stage", "ts", n_files=2)
         store = SnapshotStore(f"{work}/snap", ["user_id"], "ts", ["event_id"])
@@ -750,7 +750,7 @@ def stream_asof_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe, build, on="user_id", probe_ts="ts_s", build_ts="ts_s", build_cols=["b_id"]
     )
     work = tempfile.mkdtemp(prefix="fjs_stream_asof_")
-    with scoped_conf(spark, "spark.sql.shuffle.partitions", PYSTATE_SHUFFLE_PARTITIONS), \
+    with stream_state_confs(spark, PYSTATE_SHUFFLE_PARTITIONS), \
             stream_finish_fast(spark):
         stream = file_drip_feed(spark, tagged, f"{work}/stage", "ts", n_files=2)
         out = stateful.streaming_asof_join(stream)
@@ -784,7 +784,7 @@ def stream_keyed_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
     work = tempfile.mkdtemp(prefix="fjs_stream_reduce_")
-    with scoped_conf(spark, "spark.sql.shuffle.partitions", PYSTATE_SHUFFLE_PARTITIONS), \
+    with stream_state_confs(spark, PYSTATE_SHUFFLE_PARTITIONS), \
             stream_finish_fast(spark):
         stream = file_drip_feed(spark, ev, f"{work}/stage", "ts", n_files=2)
         out = stateful.streaming_keyed_reduce(
@@ -828,7 +828,7 @@ def stream_dedup_tws_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.unix_micros("ts").alias("ts_us"), "event_id", "event_type"
     )
     work = tempfile.mkdtemp(prefix="fjs_stream_tws_")
-    with scoped_conf(spark, "spark.sql.shuffle.partitions", PYSTATE_SHUFFLE_PARTITIONS), \
+    with stream_state_confs(spark, PYSTATE_SHUFFLE_PARTITIONS), \
             stream_finish_fast(spark):
         stream = file_drip_feed(spark, ev, f"{work}/stage", "ts_us", n_files=2)
         out = stateful.streaming_dedup_retract(
@@ -972,7 +972,7 @@ def stream_snapshot_join_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
             "event_id", "user_id", F.col("e_event_id").alias("err_event_id")
         )
 
-    with scoped_conf(spark, "spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS), \
+    with stream_state_confs(spark, STREAM_SHUFFLE_PARTITIONS), \
             stream_finish_fast(spark):
         stores = run_snapshot_join_pipeline(spark, streams, join_fn, work)
     return stores["result"].read(spark)
@@ -1090,7 +1090,7 @@ def stream_windowed_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_seconds(F.col("doc_id") % 60).alias("ts"),
     )
     work = tempfile.mkdtemp(prefix="fjs_stream_wc_")
-    with scoped_conf(spark, "spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS), \
+    with stream_state_confs(spark, STREAM_SHUFFLE_PARTITIONS), \
             stream_finish_fast(spark):
         stream = file_drip_feed(spark, timed, f"{work}/stage", "ts", n_files=3)
         words = stream.select(
@@ -1124,7 +1124,7 @@ def stream_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     work = tempfile.mkdtemp(prefix="fjs_stream_cnt_")
-    with scoped_conf(spark, "spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS), \
+    with stream_state_confs(spark, STREAM_SHUFFLE_PARTITIONS), \
             stream_finish_fast(spark):
         stream = file_drip_feed(spark, ev, f"{work}/stage", "ts", n_files=3)
         out = stream.agg(F.count(F.lit(1)).alias("cnt"))
@@ -1161,7 +1161,7 @@ def stream_proctime_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     work = tempfile.mkdtemp(prefix="fjs_stream_proc_")
-    with scoped_conf(spark, "spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS), \
+    with stream_state_confs(spark, STREAM_SHUFFLE_PARTITIONS), \
             stream_finish_fast(spark):
         stream = file_drip_feed(spark, ev, f"{work}/stage", "ts", n_files=3)
         out = proctime_windowed_count(stream, "10 seconds", keys=["event_type"])
@@ -1317,7 +1317,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     customer = table(spark, sf_dir, "customer")
     work = tempfile.mkdtemp(prefix="fjs_stream_static_")
-    with scoped_conf(spark, "spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS), \
+    with stream_state_confs(spark, STREAM_SHUFFLE_PARTITIONS), \
             stream_finish_fast(spark):
         stream = file_drip_feed(spark, ev, f"{work}/stage", "ts", n_files=3)
         joined = stream.join(
@@ -1573,7 +1573,7 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("e_ts"),
     )
     work = tempfile.mkdtemp(prefix="fjs_ss_join_")
-    with scoped_conf(spark, "spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS), \
+    with stream_state_confs(spark, STREAM_SHUFFLE_PARTITIONS), \
             stream_finish_fast(spark):
         sc = file_drip_feed(spark, clicks, f"{work}/c", "c_ts", n_files=2).withWatermark(
             "c_ts", "1 hour"
@@ -1628,7 +1628,7 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     ev = table(spark, sf_dir, "events").select("event_id", "ts")
     doubled = ev.unionByName(ev)  # every event arrives twice
     work = tempfile.mkdtemp(prefix="fjs_stream_ddww_")
-    with scoped_conf(spark, "spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS), \
+    with stream_state_confs(spark, STREAM_SHUFFLE_PARTITIONS), \
             stream_finish_fast(spark):
         stream = file_drip_feed(spark, doubled, f"{work}/stage", "ts", n_files=3)
         deduped = (
@@ -1742,7 +1742,7 @@ def stream_stream_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFr
         spark.createDataFrame([(-2, -2, far)], errors.schema)
     )
     work = tempfile.mkdtemp(prefix="fjs_ss_ljoin_")
-    with scoped_conf(spark, "spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS):
+    with stream_state_confs(spark, STREAM_SHUFFLE_PARTITIONS):
         sc = file_drip_feed(spark, clicks, f"{work}/c", "c_ts", n_files=2).withWatermark(
             "c_ts", "1 hour"
         )

@@ -1496,8 +1496,8 @@ def stream_bm25_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
     from fink_joiner_spark.operators import scoring
     from fink_joiner_spark.queries import (
         STREAM_SHUFFLE_PARTITIONS,
-        scoped_conf,
         stream_finish_fast,
+        stream_state_confs,
     )
     from fink_joiner_spark.sources.streaming import file_drip_feed
 
@@ -1514,7 +1514,7 @@ def stream_bm25_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
         docs.where(F.col("doc_id") % 4 != 1), "doc_id", "text", idx, n_buckets=8
     )
     delta = docs.where(F.col("doc_id") % 4 == 1).select("doc_id", "text")
-    with scoped_conf(spark, "spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS), \
+    with stream_state_confs(spark, STREAM_SHUFFLE_PARTITIONS), \
             stream_finish_fast(spark):
         stream = file_drip_feed(spark, delta, f"{work}/stage", "doc_id", n_files=2)
         scoring.bm25_index_stream_sink(
@@ -4988,15 +4988,15 @@ def stream_dlq_relay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from fink_joiner_spark.queries import (
         STREAM_SHUFFLE_PARTITIONS,
-        scoped_conf,
         stream_finish_fast,
+        stream_state_confs,
     )
     from fink_joiner_spark.sources.sinks import side_output_sink
     from fink_joiner_spark.sources.streaming import file_drip_feed
 
     ev = table(spark, sf_dir, "events")
     work = tempfile.mkdtemp(prefix="fjs_stream_dlq_")
-    with scoped_conf(spark, "spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS), \
+    with stream_state_confs(spark, STREAM_SHUFFLE_PARTITIONS), \
             stream_finish_fast(spark):
         stream = file_drip_feed(spark, ev, f"{work}/stage", "ts", n_files=3)
         q = side_output_sink(
