@@ -701,9 +701,11 @@ def compact_bm25_index(spark, index_path: str, target_file_mb: float = 128) -> i
     files problem). Rewrites ``postings/`` bucket-by-bucket — same
     partition layout, ~``target_file_mb`` files, sorted by ``term``
     within each file so row-group min/max stats prune the ``term IN``
-    residual — in one staged rewrite job. Term stats and
-    meta are untouched (compaction moves bytes, never counts).
-    Returns the number of files requested.
+    residual — in one staged rewrite job. The ``docs/`` forward index
+    (also append-maintained, so it fragments the same way) is
+    compacted too when present, id-sorted within its ``db=`` layout.
+    Term stats and meta are untouched (compaction moves bytes, never
+    counts). Returns the number of postings files requested.
 
     Production cadence: run it off the maintenance schedule (size- or
     file-count-triggered), exactly like any lake table compaction
@@ -713,11 +715,17 @@ def compact_bm25_index(spark, index_path: str, target_file_mb: float = 128) -> i
     maintenance here, a concurrent probe during the swap window needs
     the table-format upgrade (Delta/Iceberg) for full isolation.
     """
+    from fink_joiner_spark.fsutil import HadoopFS
     from fink_joiner_spark.operators.lake import compact_partitioned
 
-    return compact_partitioned(
+    n = compact_partitioned(
         spark, f"{index_path}/postings", "pb", ["term"], target_file_mb
     )
+    if HadoopFS(spark, index_path).exists(f"{index_path}/docs"):
+        compact_partitioned(
+            spark, f"{index_path}/docs", "db", ["doc_id"], target_file_mb
+        )
+    return n
 
 
 def bm25_indexed_scores(

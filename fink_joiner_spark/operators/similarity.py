@@ -971,6 +971,101 @@ def compact_ivf_index(spark, index_path: str, target_file_mb: float = 128) -> in
     )
 
 
+def _swap_dataset(fs, live: str, staged: str) -> None:
+    """Whole-dataset two-rename swap (live → ``_retired`` → delete,
+    staged → live) through the Hadoop FileSystem API — the same move
+    :func:`lake.compact_partitioned` makes, factored out so retrain's
+    crash-simulation test can interpose on exactly this step."""
+    retired = live + "_retired"
+    fs.delete(retired)
+    if fs.exists(live):
+        fs.rename(live, retired)
+    fs.rename(staged, live)
+    fs.delete(retired)
+
+
+def retrain_ivf_index(
+    spark,
+    index_path: str,
+    n_cells: int | None = None,
+    train_iters: int = 0,
+) -> None:
+    """Retrain the codebook of a persisted IVF index from its CURRENT
+    vectors and reassign every vector — the remedial action behind the
+    :func:`lake.partition_stats` hot trigger. A frozen codebook
+    (:func:`update_ivf_index`) accumulates cell imbalance as streamed-in
+    data drifts from the build-time distribution; once the monitor
+    fires, this pass re-derives the codebook from what the index
+    actually holds (seeded, or ``train_iters`` Lloyd iterations over
+    the bounded md5-ordered sample) and rewrites ``vectors/`` in the
+    new cell layout. Cost: one O(index) assignment pass — the same
+    bill as a build, minus re-reading the source table.
+
+    Crash consistency: the vector SET is invariant under retraining
+    (only the ``cell`` column changes), and seeding/training/assignment
+    are deterministic functions of that set — so re-running the retrain
+    from ANY interruption point converges to the identical final state.
+    An intent marker (``_retrain_intent/``) is written before the first
+    swap and cleared after the second; a leftover marker
+    (:func:`ivf_retrain_pending`) means vectors/ and centroids/ may
+    disagree (probes mis-prune) until the re-run completes. As with
+    every plain-parquet maintenance pass here, concurrent probes during
+    the swap window need the Delta/Iceberg upgrade for full isolation.
+    """
+    import os
+
+    from fink_joiner_spark.fsutil import HadoopFS
+
+    fs = HadoopFS(spark, index_path)
+    # roll back debris from an interrupted prior retrain/compaction
+    for name in ("vectors", "centroids"):
+        live = os.path.join(index_path, name)
+        if fs.exists(live + "_retired") and not fs.exists(live):
+            fs.rename(live + "_retired", live)
+        fs.delete(live + "_retired")
+        fs.delete(live + "_retrain")
+
+    vectors_path = os.path.join(index_path, "vectors")
+    centroids_path = os.path.join(index_path, "centroids")
+    if n_cells is None:
+        n_cells = spark.read.parquet(centroids_path).count()
+
+    c = _spread(spark.read.parquet(vectors_path)).select("nid", "nvec")
+    if train_iters > 0:
+        seeds = train_ivf_centroids(
+            c, "nid", "nvec", n_cells=n_cells, n_iters=train_iters
+        )
+    else:
+        seeds = _seed_centroids(c, n_cells)
+    cells_arr = _cells_arr(seeds)
+    assigned = c.crossJoin(F.broadcast(cells_arr)).select(
+        "nid", "nvec", F.element_at(_nearest_cells(F.col("nvec"), 1), 1).alias("cell")
+    )
+
+    intent = os.path.join(index_path, "_retrain_intent")
+    fs.mkdirs(intent)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        vectors_path + "_retrain"
+    )
+    seeds.write.mode("overwrite").parquet(centroids_path + "_retrain")
+    _swap_dataset(fs, vectors_path, vectors_path + "_retrain")
+    _swap_dataset(fs, centroids_path, centroids_path + "_retrain")
+    fs.delete(intent)
+
+
+def ivf_retrain_pending(spark, index_path: str) -> bool:
+    """True when a :func:`retrain_ivf_index` intent marker is pending —
+    vectors/ and centroids/ may disagree until the retrain is re-run
+    (idempotent; see its docstring). One FileSystem existence check."""
+    import os
+
+    from fink_joiner_spark.fsutil import HadoopFS
+
+    return HadoopFS(spark, index_path).exists(
+        os.path.join(index_path, "_retrain_intent")
+    )
+
+
 def topk_ivf_indexed(
     spark,
     index_path: str,

@@ -5479,3 +5479,41 @@ def ext_index_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "skew_ratio",
         "hot",
     )
+
+
+@register(
+    "simsearch_ivf_retrain",
+    _TOPK_ORACLE,
+    "IVF codebook retraining (the remedial action behind the "
+    "ext_index_partition_stats hot trigger): index built on half the "
+    "vectors, the rest folded in against the FROZEN codebook (the "
+    "drift scenario), then retrain_ivf_index re-derives the codebook "
+    "from the index's own vectors (2 Lloyd iterations) and rewrites "
+    "the cell layout via staged write + FS swaps. The probe after the "
+    "retrain must match the brute-force oracle exactly under all-cell "
+    "probing — a vector lost or mis-assigned during the rewrite "
+    "breaks the hash; assignment self-consistency + crash repair in "
+    "tests/test_lake.py",
+)
+def simsearch_ivf_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from fink_joiner_spark.operators import similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    n_cells = 16
+    exact = emb.count() <= _ANN_EXACT_MAX
+    work = tempfile.mkdtemp(prefix="fjs_ivf_retrain_")
+    similarity.build_ivf_index(
+        emb.where(F.col("vec_id") % 2 == 0), "vec_id", "embedding", work,
+        n_cells=n_cells,
+    )
+    similarity.update_ivf_index(
+        emb.where(F.col("vec_id") % 2 == 1), "vec_id", "embedding", work
+    )
+    similarity.retrain_ivf_index(spark, work, train_iters=2)
+    return similarity.topk_ivf_indexed(
+        spark, work, queries, "vec_id", "embedding",
+        k=10, nprobe=n_cells if exact else 4,
+    )

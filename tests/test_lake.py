@@ -771,3 +771,127 @@ def test_partition_stats_monitors_real_index_layouts(spark, sf_dir, tmp_path):
     assert hot[0]["skew_ratio"] > 2.0
     # the fold appended files into the hot cell: n_files grew there
     assert hot[0]["n_files"] > before[hot[0]["cell"]]["n_files"]
+
+
+def test_ivf_retrain_reassigns_consistently_and_survives_crash(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """retrain_ivf_index: after a frozen-codebook drift, retraining
+    must (a) leave every stored vector's cell equal to the argmax
+    against the NEW codebook (self-consistency — the property a crash
+    between the two dataset swaps breaks), (b) keep the all-cell probe
+    exactly brute force, and (c) recover from a crash between the
+    vectors swap and the centroids swap by simply re-running."""
+    import os
+
+    import pytest
+
+    import fink_joiner_spark.operators.similarity as similarity
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    idx = str(tmp_path / "retrain_idx")
+    similarity.build_ivf_index(
+        emb.where(F.col("vec_id") % 2 == 0), "vec_id", "embedding", idx, n_cells=8
+    )
+    similarity.update_ivf_index(
+        emb.where(F.col("vec_id") % 2 == 1), "vec_id", "embedding", idx
+    )
+
+    def assert_consistent():
+        seeds = spark.read.parquet(f"{idx}/centroids")
+        cell_type = dict(seeds.dtypes)["cell_id"]
+        vecs = spark.read.parquet(f"{idx}/vectors").select(
+            "nid", "nvec", F.col("cell").cast(cell_type).alias("cell")
+        )
+        recomputed = vecs.crossJoin(
+            F.broadcast(similarity._cells_arr(seeds))
+        ).select(
+            "nid",
+            "cell",
+            F.element_at(
+                similarity._nearest_cells(F.col("nvec"), 1), 1
+            ).alias("want"),
+        )
+        assert recomputed.filter(F.col("cell") != F.col("want")).count() == 0
+
+    # crash between the two swaps: vectors/ new, centroids/ old
+    real_swap = similarity._swap_dataset
+    calls = {"n": 0}
+
+    def crash_on_centroids(fs, live, staged):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash before centroids swap")
+        return real_swap(fs, live, staged)
+
+    monkeypatch.setattr(similarity, "_swap_dataset", crash_on_centroids)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        similarity.retrain_ivf_index(spark, idx, train_iters=2)
+    monkeypatch.setattr(similarity, "_swap_dataset", real_swap)
+    assert similarity.ivf_retrain_pending(spark, idx)
+
+    # re-run completes it: deterministic from the (invariant) vector set
+    similarity.retrain_ivf_index(spark, idx, train_iters=2)
+    assert not similarity.ivf_retrain_pending(spark, idx)
+    assert_consistent()
+    # trained codebook: 8 cells keyed 0..7
+    seeds = spark.read.parquet(f"{idx}/centroids")
+    assert sorted(r["cell_id"] for r in seeds.collect()) == list(range(8))
+
+    # all-cell probe == brute force over the same corpus
+    queries = emb.filter(F.col("vec_id") < 4)
+    got = {
+        tuple(r)
+        for r in similarity.topk_ivf_indexed(
+            spark, idx, queries, "vec_id", "embedding", k=5, nprobe=8
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in similarity.topk_bruteforce(
+            emb, queries, "vec_id", "embedding", "vec_id", "embedding", k=5
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_bm25_compaction_defragments_forward_index_too(spark, sf_dir, tmp_path):
+    """docs/ is append-maintained like postings/ and fragments the same
+    way; compaction must shrink its file count, keep the db= layout,
+    and leave a subsequent UPSERT (the forward index's whole purpose)
+    bit-correct."""
+    import re
+
+    from fink_joiner_spark.operators import scoring
+
+    docs = _docs(spark, sf_dir)
+    idx = str(tmp_path / "fwd_frag")
+    stale_text = F.when(
+        F.col("doc_id") % 2 == 0, F.reverse(F.col("text"))
+    ).otherwise(F.col("text"))
+    scoring.build_bm25_index(
+        docs.where(F.col("doc_id") % 4 == 0).withColumn("text", stale_text),
+        "doc_id", "text", idx, n_buckets=8,
+    )
+    for rem in (1, 2, 3):
+        scoring.update_bm25_index(
+            docs.where(F.col("doc_id") % 4 == rem).withColumn("text", stale_text),
+            "doc_id", "text", idx,
+        )
+    n_before = len(spark.read.parquet(f"{idx}/docs").inputFiles())
+    scoring.compact_bm25_index(spark, idx)
+    files_after = spark.read.parquet(f"{idx}/docs").inputFiles()
+    assert len(files_after) < n_before / 2
+    assert all(re.search(r"db=\d+", f) for f in files_after)
+
+    # the compacted forward index still drives an exact upsert
+    scoring.upsert_bm25_index(
+        docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "text"),
+        "doc_id", "text", idx,
+    )
+    full = str(tmp_path / "fwd_full")
+    scoring.build_bm25_index(docs, "doc_id", "text", full, n_buckets=8)
+    terms = ["join", "filter", "window"]
+    got = {tuple(r) for r in scoring.bm25_indexed_scores(spark, idx, terms).collect()}
+    want = {tuple(r) for r in scoring.bm25_indexed_scores(spark, full, terms).collect()}
+    assert got == want and got
