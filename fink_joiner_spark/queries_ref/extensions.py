@@ -5517,3 +5517,329 @@ def simsearch_ivf_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, work, queries, "vec_id", "embedding",
         k=10, nprobe=n_cells if exact else 4,
     )
+
+
+@register(
+    "ext_tpch_q7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           ROUND(SUM(volume_cents)::BIGINT / 100.0, 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l.l_shipdate)::BIGINT AS l_year,
+             floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)::BIGINT
+               AS volume_cents
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l.l_shipdate >= '1996-01-01' AND l.l_shipdate < '1998-01-01'
+    ) GROUP BY 1, 2, 3
+    """,
+    "TPC-H Q7 shape (volume shipping): a 6-way star with the SAME "
+    "dimension joined twice under different roles (supplier vs "
+    "customer nation) and a symmetric nation-pair disjunction — the "
+    "two nation dims broadcast, the disjunction prunes after both "
+    "role joins; one grouped rounded-sum shuffle",
+)
+def ext_tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = table(spark, sf_dir, "supplier")
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        s.join(li, s.s_suppkey == li.l_suppkey)
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(pair)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                        + 0.5
+                    ).cast("long")
+                )
+                / 100.0,
+                2,
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "ext_tpch_q8_market_share",
+    """
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / SUM(volume), 6) + 0.0 AS mkt_share
+    FROM (
+      SELECT year(o.o_orderdate)::BIGINT AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN region r ON n1.n_regionkey = r.r_regionkey
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+    ) GROUP BY o_year
+    """,
+    "TPC-H Q8 shape (national market share): an 8-way join — part "
+    "filter + region gate on the CUSTOMER side, the supplier nation "
+    "re-joined purely as a labeling dim — feeding a conditional-share "
+    "ratio per year; all dims broadcast, one fact-table shuffle",
+)
+def ext_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_rk")
+    )
+    r = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol.alias("volume"),
+            "nation",
+        )
+    )
+    return base.groupBy("o_year").agg(
+        (
+            F.round(
+                F.sum(
+                    F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(
+                        0.0
+                    )
+                )
+                / F.sum("volume"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "ext_tpch_q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name,
+           ROUND(SUM(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                           + 0.5)::BIGINT)::BIGINT / 100.0, 2) AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1996-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey ASC
+    LIMIT 20
+    """,
+    "TPC-H Q10 shape (returned-item reporting): quarter + returnflag "
+    "filters push to the two fact scans, nation broadcasts, one "
+    "grouped revenue shuffle, deterministic top-20 heap (revenue "
+    "DESC, custkey tiebreak)",
+)
+def ext_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = table(spark, sf_dir, "nation")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            # exact integer cents: the raw double SUM differs in the
+            # last ulp between engines (summation order) and 1-in-~500
+            # groups lands on a .005 rounding boundary — caught live
+            # at sf0.01 (307843.595 → .60 vs .59)
+            F.round(
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                        + 0.5
+                    ).cast("long")
+                )
+                / 100.0,
+                2,
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+
+
+@register(
+    "ext_tpch_q14_promo_revenue",
+    """
+    SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) + 0.0
+             AS promo_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= '1996-09-01' AND l.l_shipdate < '1996-10-01'
+    """,
+    "TPC-H Q14 shape (promotion effect): one month of lineitem joined "
+    "to part (dim broadcasts), a conditional-share global ratio — the "
+    "month filter pushes to the fact scan and only three fact columns "
+    "are read",
+)
+def ext_tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
+    )
+    p = table(spark, sf_dir, "part")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.round(
+                    100.0
+                    * F.sum(
+                        F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0)
+                    )
+                    / F.sum(vol),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@register(
+    "ext_tpch_q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             ROUND(SUM(floor(l_extendedprice * (1 - l_discount) * 100
+                             + 0.5)::BIGINT)::BIGINT / 100.0, 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+      GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+    "TPC-H Q15 shape (top supplier): a derived revenue view consumed "
+    "twice — once for the global MAX (one-row broadcast), once as the "
+    "join input — the classic scalar-subquery decorrelation; ties on "
+    "the rounded max all emit, exactly like the spec",
+)
+def ext_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        # exact cents (see ext_tpch_q10): the MAX-equality gate must
+        # never hinge on a cross-engine ulp in a float SUM
+        F.round(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                    + 0.5
+                ).cast("long")
+            )
+            / 100.0,
+            2,
+        ).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = table(spark, sf_dir, "supplier")
+    return (
+        s.join(rev, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "ext_tpch_q18_large_volume",
+    """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           epoch_us(o.o_orderdate) AS orderdate_us,
+           ROUND(o.o_totalprice, 2) AS totalprice,
+           CAST(SUM(l.l_quantity) AS BIGINT) AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 150
+    )
+    GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+    "TPC-H Q18 shape (large-volume customers): the grouped-HAVING IN "
+    "subquery decorrelated to a LEFT SEMI join against the aggregated "
+    "order quantities — the fact table is aggregated ONCE and reused "
+    "for both the gate and the output sum",
+)
+def ext_tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    qty = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("sum_qty"))
+    big = qty.where(F.col("sum_qty") > 150)
+    return (
+        o.join(big, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(qty, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "orderdate_us"
+            ),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.col("sum_qty").cast("long").alias("sum_qty"),
+        )
+    )
