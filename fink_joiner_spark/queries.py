@@ -243,6 +243,11 @@ _ROUND_CHANGED = frozenset({
     "ext_index_partition_stats", "ext_lake_compact_clustered",
     "dedup_jaccard_prefix", "simsearch_topk_ivf_indexed",
     "simsearch_ivf_index_incremental",
+    # r8 exact-cents hardening of money sums (cross-engine float-SUM
+    # ulp flipped a .005 rounding boundary, caught live in q10):
+    "a6_tumbling_window_20min", "ext_format_relay_json",
+    "ext_tpch_q1_pricing", "ext_tpch_q3_shipping",
+    "ext_tpch_q5_local_volume",
 })
 
 

@@ -349,7 +349,8 @@ def a5_tumbling_window_5s(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT (epoch_us(ts) // 1200000000) * 1200000000 AS window_start_us,
            event_type,
            COUNT(*) AS cnt,
-           ROUND(SUM(value), 2) AS sum_value
+           ROUND(SUM(floor(value * 100 + 0.5)::BIGINT)::BIGINT / 100.0, 2)
+             AS sum_value
     FROM events GROUP BY 1, 2
     """,
     "20 min SQL TUMBLE with keyed agg (FlinkJoiner_backup.txt:653-665)",
@@ -365,7 +366,12 @@ def a6_tumbling_window_20min(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["event_type"],
         aggs=[
             F.count(F.lit(1)).alias("cnt"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            # exact integer cents: a float SUM's last ulp differs
+            # between engines and can flip a .005 rounding boundary
+            # (hit live in ext_tpch_q10, round 8)
+            F.round(
+                F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")) / 100.0, 2
+            ).alias("sum_value"),
         ],
     )
     return win.select(
@@ -1457,9 +1463,12 @@ def ext_global_sort_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(SUM(floor(l_extendedprice * 100 + 0.5)::BIGINT)::BIGINT
+                 / 100.0, 2) AS sum_base_price,
+           ROUND(SUM(floor(l_extendedprice * (1 - l_discount) * 100
+                           + 0.5)::BIGINT)::BIGINT / 100.0, 2) AS sum_disc_price,
+           ROUND(SUM(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100
+                           + 0.5)::BIGINT)::BIGINT / 100.0, 2) AS sum_charge,
            ROUND(AVG(l_quantity), 4) AS avg_qty,
            ROUND(AVG(l_discount), 6) AS avg_disc,
            COUNT(*) AS count_order
@@ -1478,9 +1487,23 @@ def ext_tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").cast("long").alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            # money sums in exact integer cents (cross-engine float-SUM
+            # ulp can flip a rounding boundary — hit live in q10, r8)
+            F.round(
+                F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long"))
+                / 100.0, 2,
+            ).alias("sum_base_price"),
+            F.round(
+                F.sum(F.floor(disc_price * 100 + 0.5).cast("long")) / 100.0, 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.floor(disc_price * (1 + F.col("l_tax")) * 100 + 0.5).cast(
+                        "long"
+                    )
+                )
+                / 100.0, 2,
+            ).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),

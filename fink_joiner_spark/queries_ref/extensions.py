@@ -1239,7 +1239,8 @@ def ext_lake_compact_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type, COUNT(*) AS n_events,
            MAX(epoch_us(ts)) AS max_ts_us,
-           ROUND(SUM(value), 2) AS sum_value
+           ROUND(SUM(floor(value * 100 + 0.5)::BIGINT)::BIGINT / 100.0, 2)
+             AS sum_value
     FROM events GROUP BY event_type
     """,
     "format relay (load_poc_data_topic.py analog): events -> JSON-lines "
@@ -1270,7 +1271,11 @@ def ext_format_relay_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.max("ts_us").alias("max_ts_us"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        # exact cents (see ext_tpch_q10): immune to cross-engine
+        # float-SUM ulp at rounding boundaries
+        F.round(
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")) / 100.0, 2
+        ).alias("sum_value"),
     )
 
 
@@ -3364,7 +3369,8 @@ def ext_latest_by_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_tpch_q3_shipping",
     """
     SELECT l.l_orderkey,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           ROUND(SUM(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                           + 0.5)::BIGINT)::BIGINT / 100.0, 2) AS revenue,
            epoch_us(o.o_orderdate) AS orderdate_us
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -3387,8 +3393,16 @@ def ext_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(l, l.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
+            # exact cents (see ext_tpch_q10): the top-10 heap must not
+            # hinge on a cross-engine float-SUM ulp
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                        + 0.5
+                    ).cast("long")
+                )
+                / 100.0, 2,
             ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
@@ -3407,7 +3421,8 @@ def ext_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_tpch_q5_local_volume",
     """
     SELECT n.n_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           ROUND(SUM(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                           + 0.5)::BIGINT)::BIGINT / 100.0, 2) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -3441,8 +3456,15 @@ def ext_tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
+            # exact cents (see ext_tpch_q10)
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                        + 0.5
+                    ).cast("long")
+                )
+                / 100.0, 2,
             ).alias("revenue")
         )
     )
