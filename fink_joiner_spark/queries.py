@@ -247,7 +247,7 @@ _ROUND_CHANGED = frozenset({
     # ulp flipped a .005 rounding boundary, caught live in q10):
     "a6_tumbling_window_20min", "ext_format_relay_json",
     "ext_tpch_q1_pricing", "ext_tpch_q3_shipping",
-    "ext_tpch_q5_local_volume",
+    "ext_tpch_q5_local_volume", "kmeans_step", "ext_embedding_mean_pool",
 })
 
 

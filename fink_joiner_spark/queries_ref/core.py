@@ -1470,7 +1470,8 @@ def ext_global_sort_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SUM(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100
                            + 0.5)::BIGINT)::BIGINT / 100.0, 2) AS sum_charge,
            ROUND(AVG(l_quantity), 4) AS avg_qty,
-           ROUND(AVG(l_discount), 6) AS avg_disc,
+           ROUND(SUM(floor(l_discount * 1000000 + 0.5)::BIGINT)::BIGINT
+                 / 1000000.0 / COUNT(*), 6) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= DATE '1998-09-02'
@@ -1504,8 +1505,14 @@ def ext_tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 / 100.0, 2,
             ).alias("sum_charge"),
+            # avg_qty: quantities are integral, their double SUM is
+            # exact at any order — safe to AVG directly. avg_disc is
+            # an order-dependent float sum -> exact micro-units
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(
+                F.sum(F.floor(F.col("l_discount") * 1e6 + 0.5).cast("long"))
+                / 1e6 / F.count(F.lit(1)), 6,
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )

@@ -970,7 +970,10 @@ assigned AS (
   FROM scored
 )
 SELECT cid AS centroid_id, COUNT(*) AS n_assigned,
-       ROUND(AVG(c0), 4) AS mean_c0, ROUND(AVG(vecsum), 4) AS mean_vecsum
+       ROUND(SUM(floor(c0 * 1000000 + 0.5)::BIGINT)::BIGINT
+             / 1000000.0 / COUNT(*), 4) + 0.0 AS mean_c0,
+       ROUND(SUM(floor(vecsum * 1000000 + 0.5)::BIGINT)::BIGINT
+             / 1000000.0 / COUNT(*), 4) + 0.0 AS mean_vecsum
 FROM assigned WHERE rk = 1 GROUP BY cid
 """
 
@@ -1007,10 +1010,25 @@ def kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cid").asc())
     assigned = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    # per-row micro-integerization before the group AVG: the per-row
+    # values are deterministic (strict fold / element read) but a float
+    # SUM across rows is summation-order-dependent between engines
     return assigned.groupBy(F.col("cid").alias("centroid_id")).agg(
         F.count(F.lit(1)).alias("n_assigned"),
-        F.round(F.avg("c0"), 4).alias("mean_c0"),
-        F.round(F.avg("vecsum"), 4).alias("mean_vecsum"),
+        (
+            F.round(
+                F.sum(F.floor(F.col("c0") * 1e6 + 0.5).cast("long"))
+                / 1e6 / F.count(F.lit(1)), 4,
+            )
+            + F.lit(0.0)
+        ).alias("mean_c0"),
+        (
+            F.round(
+                F.sum(F.floor(F.col("vecsum") * 1e6 + 0.5).cast("long"))
+                / 1e6 / F.count(F.lit(1)), 4,
+            )
+            + F.lit(0.0)
+        ).alias("mean_vecsum"),
     )
 
 
@@ -1283,7 +1301,8 @@ def ext_format_relay_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_embedding_mean_pool",
     """
     SELECT vec_id % 16 AS group_id, CAST(i - 1 AS INT) AS pos,
-           ROUND(AVG(embedding[i]::DOUBLE), 4) + 0.0 AS avg_v,
+           ROUND(SUM(floor(embedding[i]::DOUBLE * 1000000 + 0.5)::BIGINT)::BIGINT
+                 / 1000000.0 / COUNT(*), 4) + 0.0 AS avg_v,
            COUNT(*) AS n
     FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
     GROUP BY 1, 2
@@ -1300,9 +1319,18 @@ def ext_embedding_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode("embedding").alias("pos", "v"),
     )
     return ex.groupBy("group_id", "pos").agg(
-        # + 0.0 normalizes IEEE negative zero (ROUND(-1e-6, 4) is -0.0
-        # in Spark but 0.0 in DuckDB; they hash differently)
-        (F.round(F.avg(F.col("v").cast("double")), 4) + F.lit(0.0)).alias("avg_v"),
+        # micro-units before the cross-row SUM (order-dependent float
+        # sum between engines); + 0.0 normalizes IEEE negative zero
+        # (ROUND(-1e-6, 4) is -0.0 in Spark but 0.0 in DuckDB)
+        (
+            F.round(
+                F.sum(
+                    F.floor(F.col("v").cast("double") * 1e6 + 0.5).cast("long")
+                )
+                / 1e6 / F.count(F.lit(1)), 4,
+            )
+            + F.lit(0.0)
+        ).alias("avg_v"),
         F.count(F.lit(1)).alias("n"),
     )
 
