@@ -608,6 +608,141 @@ def upsert_bm25_index(
     fs.delete(intent_path)
 
 
+def delete_from_bm25_index(
+    ids: DataFrame,
+    id_col: str,
+    index_path: str,
+) -> int:
+    """Delete documents from a persisted BM25 index — the retract-only
+    complement of :func:`upsert_bm25_index` (together with build/
+    update they close the index's CRUD surface; the reference's
+    latest-version semantics treat a tombstoned listing exactly like a
+    replaced one minus the re-insert, CRMLSJoiner.scala:182).
+
+    Cost is O(touched buckets), never a full postings scan: the
+    ``docs/`` forward index (partition-pruned to the ids' ``db=``
+    directories) yields each doc's posting-bucket set; only those
+    buckets are rewritten (postings minus the ids' rows), per-term df
+    is recounted bucket-locally, the ids' forward rows are dropped,
+    and meta shrinks by exact integer deltas. A bucket whose every
+    posting belonged to deleted docs is retired outright
+    (:func:`fink_joiner_spark.fsutil.swap_partition_dirs` handles the
+    produced-no-rows case). Ids not present in the index are ignored;
+    returns the number of documents actually deleted.
+
+    Same preconditions and crash protocol as the upsert: ``fwd_full``
+    required; an intent marker (delta digest + bucket lists + final
+    scalars) spans the three dataset swaps, so a crash between swaps
+    is detectable (:func:`bm25_upsert_pending` — the markers share a
+    path) and repaired exactly by re-running the SAME delete.
+    """
+    import os
+
+    from fink_joiner_spark.fsutil import HadoopFS
+
+    spark = ids.sparkSession
+    meta_old = spark.read.parquet(os.path.join(index_path, "meta")).first()
+    n_buckets = int(meta_old["n_buckets"])
+    if not bool(meta_old.asDict().get("fwd_full", False)):
+        raise ValueError(
+            "delete_from_bm25_index requires a full forward index (docs/): "
+            "this index predates it (meta lacks fwd_full=true). Rebuild with "
+            f"build_bm25_index to upgrade. Index: {index_path}"
+        )
+
+    key = ids.select(F.col(id_col).alias("doc_id")).distinct().select(
+        "doc_id",
+        F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(n_buckets)).alias(
+            "db"
+        ),
+    )
+    dig = key.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64(F.col("doc_id").cast("string"))).alias("h"),
+    ).first()
+    dig_n, dig_h = int(dig["n"] or 0), int(dig["h"] or 0)
+
+    docs_path = os.path.join(index_path, "docs")
+    intent_path = os.path.join(index_path, "_upsert_intent")
+    fs = HadoopFS(spark, index_path)
+    dbs = [r.db for r in key.select("db").distinct().collect()]  # ≤ n_buckets
+
+    if fs.exists(intent_path):
+        intent = spark.read.parquet(intent_path).first()
+        if (int(intent["dig_n"]), int(intent["dig_h"])) != (dig_n, dig_h):
+            raise ValueError(
+                "a previous upsert/delete on this index was interrupted "
+                "mid-swap and a DIFFERENT delta was offered: re-run the "
+                "original delta to complete it, or rebuild the index. "
+                f"Pending intent: {intent_path}"
+            )
+        pbs_affected = sorted(int(v) for v in intent["pbs_affected"])
+        dbs = sorted(int(v) for v in intent["dbs"])
+        final_n_docs = int(intent["final_n_docs"])
+        final_sum_dl = int(intent["final_sum_dl"])
+        n_prev = int(meta_old["n_docs"]) - final_n_docs
+    else:
+        prev = (
+            spark.read.parquet(docs_path)
+            .where(F.col("db").isin(dbs))
+            .join(key.select("doc_id"), "doc_id", "semi")
+            .select("doc_id", "dl", "pbs")
+        )
+        prev_agg = prev.agg(
+            F.count(F.lit(1)).alias("n_prev"), F.sum("dl").alias("dl_prev")
+        ).first()
+        n_prev = int(prev_agg["n_prev"] or 0)
+        dl_prev = int(prev_agg["dl_prev"] or 0)
+        if n_prev == 0:
+            return 0  # nothing indexed under these ids
+        pbs_affected = sorted(
+            int(r.pb)
+            for r in prev.select(F.explode("pbs").alias("pb")).distinct().collect()
+        )
+        final_n_docs = int(meta_old["n_docs"]) - n_prev
+        final_sum_dl = int(meta_old["sum_dl"]) - dl_prev
+        spark.createDataFrame(
+            [(dig_n, dig_h, pbs_affected, sorted(int(v) for v in dbs),
+              final_n_docs, final_sum_dl)],
+            "dig_n long, dig_h long, pbs_affected array<long>, "
+            "dbs array<long>, final_n_docs long, final_sum_dl long",
+        ).write.mode("overwrite").parquet(intent_path)
+
+    postings_path = os.path.join(index_path, "postings")
+    kept = (
+        spark.read.parquet(postings_path)
+        .where(F.col("pb").isin(pbs_affected))
+        .select("doc_id", "dl", "term", "tf", F.col("pb").cast("long").alias("pb"))
+        .join(key.select("doc_id"), "doc_id", "anti")
+    )
+    _staged_bucket_rewrite(kept, postings_path, "pb", pbs_affected)
+
+    terms_path = os.path.join(index_path, "terms")
+    new_terms = (
+        spark.read.parquet(postings_path)
+        .where(F.col("pb").isin(pbs_affected))
+        .groupBy(F.col("pb").cast("long").alias("pb"), "term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .select("term", "df", "pb")
+    )
+    _staged_bucket_rewrite(new_terms, terms_path, "pb", pbs_affected)
+
+    kept_docs = (
+        spark.read.parquet(docs_path)
+        .where(F.col("db").isin(dbs))
+        .join(key.select("doc_id"), "doc_id", "anti")
+        .select("doc_id", "dl", "pbs", F.col("db").cast("long").alias("db"))
+    )
+    _staged_bucket_rewrite(kept_docs, docs_path, "db", dbs)
+
+    spark.createDataFrame(
+        [(final_n_docs, final_sum_dl, n_buckets, True)],
+        "n_docs long, sum_dl long, n_buckets int, fwd_full boolean",
+    ).write.mode("overwrite").parquet(os.path.join(index_path, "meta"))
+    fs.delete(intent_path)
+    return n_prev
+
+
 def bm25_upsert_pending(spark, index_path: str) -> bool:
     """True when a :func:`upsert_bm25_index` intent marker is pending —
     i.e. an upsert crashed between dataset swaps and the index is in a

@@ -9,8 +9,15 @@ Conventions:
 * every computed column is aliased identically in Spark and oracle SQL;
 * timestamps are emitted as epoch microseconds (BIGINT) — avoids
   tz/precision drift between Spark and DuckDB;
-* floating aggregates are rounded (2-6 dp) so summation order can't
-  flip the value hash.
+* aggregates over DECIMAL-VALUED doubles (money, rates, vector
+  components) integerize PER ROW (``floor(x·10^k + 0.5)``, identical
+  IEEE ops in both engines) and SUM exact integers, dividing once at
+  the end — rounding the raw float SUM is NOT enough: its last ulp is
+  summation-order-dependent and decimal data lands exactly ON rounding
+  boundaries (~1/500 money groups; q10 flipped live in round 8).
+  Rounding suffices only where the sum itself is exact (integral
+  doubles) or the true value is irrational (ratios, logs, cosines —
+  boundary landings have measure ~ulp).
 """
 
 from __future__ import annotations

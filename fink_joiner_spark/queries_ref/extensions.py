@@ -5893,3 +5893,39 @@ def ext_tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_qty").cast("long").alias("sum_qty"),
         )
     )
+
+
+@register(
+    "ext_bm25_index_delete",
+    _BM25_INDEXED_ORACLE,
+    "index document deletion (the retract-only complement of the "
+    "upsert, closing the index CRUD surface): the index is built on "
+    "the corpus PLUS junk documents (reversed text under disjoint "
+    "ids), then delete_from_bm25_index retracts the junk via the "
+    "docs/ forward index — O(touched buckets), buckets whose every "
+    "posting was junk are retired outright, df recounted bucket-"
+    "locally, meta shrunk exactly. The probe afterwards must hash-"
+    "match the clean-corpus oracle, i.e. an index the junk never "
+    "entered",
+)
+def ext_bm25_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from fink_joiner_spark.operators import scoring
+
+    docs = table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="fjs_bm25_del_")
+    junk = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.reverse(F.col("text")).alias("text"),
+    ).where(F.col("doc_id") % 3 == 0)
+    dirty = docs.select("doc_id", "text").unionByName(junk)
+    scoring.build_bm25_index(dirty, "doc_id", "text", work, n_buckets=16)
+    n = scoring.delete_from_bm25_index(
+        junk.select("doc_id"), "doc_id", work
+    )
+    assert n > 0
+    probe = scoring.bm25_indexed_scores(
+        spark, work, ["join", "filter", "window"], k1=1.2, b=0.75
+    )
+    return probe.orderBy(F.col("score").desc(), "doc_id").limit(20)

@@ -895,3 +895,73 @@ def test_bm25_compaction_defragments_forward_index_too(spark, sf_dir, tmp_path):
     got = {tuple(r) for r in scoring.bm25_indexed_scores(spark, idx, terms).collect()}
     want = {tuple(r) for r in scoring.bm25_indexed_scores(spark, full, terms).collect()}
     assert got == want and got
+
+
+def test_bm25_delete_matches_clean_rebuild_and_retires_buckets(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """delete_from_bm25_index: after deleting the junk half, the probe
+    must be bit-identical to an index the junk never entered; a term
+    living ONLY in deleted docs must vanish; re-deleting is a no-op;
+    meta shrinks exactly; and a crash between the postings and terms
+    swaps is repaired by re-running the SAME delete."""
+    import os
+
+    import pytest
+
+    import fink_joiner_spark.operators.scoring as scoring
+
+    docs = _docs(spark, sf_dir)
+    idx = str(tmp_path / "del_idx")
+    junk = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("junkonlytoken "), F.reverse(F.col("text"))).alias("text"),
+    )
+    dirty = docs.select("doc_id", "text").unionByName(junk)
+    scoring.build_bm25_index(dirty, "doc_id", "text", idx, n_buckets=16)
+    assert scoring.bm25_indexed_scores(spark, idx, ["junkonlytoken"]).count() > 0
+
+    # crash between postings swap and terms swap, then repair
+    real_rewrite = scoring._staged_bucket_rewrite
+    calls = {"n": 0}
+
+    def crash_after_postings(merged, live_root, partition_col, values):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash between postings and terms swap")
+        return real_rewrite(merged, live_root, partition_col, values)
+
+    monkeypatch.setattr(scoring, "_staged_bucket_rewrite", crash_after_postings)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        scoring.delete_from_bm25_index(junk.select("doc_id"), "doc_id", idx)
+    monkeypatch.setattr(scoring, "_staged_bucket_rewrite", real_rewrite)
+    assert scoring.bm25_upsert_pending(spark, idx)
+
+    # a different delta is refused while the intent is pending
+    with pytest.raises(ValueError, match="interrupted"):
+        scoring.delete_from_bm25_index(
+            docs.select("doc_id").limit(3), "doc_id", idx
+        )
+
+    n = scoring.delete_from_bm25_index(junk.select("doc_id"), "doc_id", idx)
+    assert n == junk.count()
+    assert not scoring.bm25_upsert_pending(spark, idx)
+    # the junk-only term is fully retracted
+    assert scoring.bm25_indexed_scores(spark, idx, ["junkonlytoken"]).count() == 0
+
+    clean = str(tmp_path / "clean_idx")
+    scoring.build_bm25_index(
+        docs.select("doc_id", "text"), "doc_id", "text", clean, n_buckets=16
+    )
+    terms = ["join", "filter", "window"]
+    got = {tuple(r) for r in scoring.bm25_indexed_scores(spark, idx, terms).collect()}
+    want = {tuple(r) for r in scoring.bm25_indexed_scores(spark, clean, terms).collect()}
+    assert got == want and got
+    m_idx = spark.read.parquet(os.path.join(idx, "meta")).first()
+    m_clean = spark.read.parquet(os.path.join(clean, "meta")).first()
+    assert (m_idx["n_docs"], m_idx["sum_dl"]) == (m_clean["n_docs"], m_clean["sum_dl"])
+
+    # idempotent: deleting already-gone ids is a zero no-op
+    assert scoring.delete_from_bm25_index(junk.select("doc_id"), "doc_id", idx) == 0
+    again = {tuple(r) for r in scoring.bm25_indexed_scores(spark, idx, terms).collect()}
+    assert again == want
