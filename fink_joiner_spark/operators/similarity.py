@@ -1053,6 +1053,56 @@ def retrain_ivf_index(
     fs.delete(intent)
 
 
+def delete_from_ivf_index(ids: DataFrame, id_col: str, index_path: str) -> int:
+    """Delete vectors from a persisted IVF index — the retract
+    complement of :func:`update_ivf_index` (build / update / retrain /
+    compact / delete close the index's maintenance surface).
+
+    Two passes: (1) find the deleted ids' cells with a scan restricted
+    to the ``(nid, cell)`` columns — column pruning makes this read a
+    thin slice of the index, and the collect is bounded at ≤ n_cells
+    scalars; (2) rewrite ONLY the affected cell partitions (anti-join)
+    via the staged write + FileSystem partition-dir swap shared with
+    the BM25 side — a cell whose every vector is deleted is retired
+    outright. The codebook is untouched (deletion changes membership,
+    never assignment). Ids not in the index are ignored; returns the
+    number of vectors actually deleted.
+
+    Pass (1) is O(index nid-column); a deployment with frequent
+    deletes amortizes it by maintaining an id-hash forward map (the
+    BM25 ``docs/`` design) — the documented upgrade. Crash window: a
+    crash mid-swap is repaired by the swap's own preamble
+    (:func:`fsutil.repair_partition_dirs`); re-running the same delete
+    is a no-op for already-rewritten cells (anti-join of absent ids).
+    """
+    import os
+
+    spark = ids.sparkSession
+    vectors_path = os.path.join(index_path, "vectors")
+    key = ids.select(F.col(id_col).alias("nid")).distinct()
+    membership = spark.read.parquet(vectors_path).select("nid", "cell")
+    # O(delta) key side: plain equi-joins, AQE broadcasts when small
+    hit = membership.join(key, "nid", "semi")
+    cells = [r.cell for r in hit.select("cell").distinct().collect()]
+    n_del = hit.count()
+    if not cells:
+        return 0
+
+    from fink_joiner_spark.operators.scoring import _staged_bucket_rewrite
+
+    cell_type = dict(
+        spark.read.parquet(os.path.join(index_path, "centroids")).dtypes
+    )["cell_id"]
+    kept = (
+        spark.read.parquet(vectors_path)
+        .where(F.col("cell").isin(cells))
+        .select("nid", "nvec", F.col("cell").cast(cell_type).alias("cell"))
+        .join(key, "nid", "anti")
+    )
+    _staged_bucket_rewrite(kept, vectors_path, "cell", cells)
+    return n_del
+
+
 def ivf_retrain_pending(spark, index_path: str) -> bool:
     """True when a :func:`retrain_ivf_index` intent marker is pending —
     vectors/ and centroids/ may disagree until the retrain is re-run

@@ -5929,3 +5929,44 @@ def ext_bm25_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, work, ["join", "filter", "window"], k1=1.2, b=0.75
     )
     return probe.orderBy(F.col("score").desc(), "doc_id").limit(20)
+
+
+@register(
+    "simsearch_ivf_delete",
+    _TOPK_ORACLE,
+    "IVF vector deletion (retract complement of update, closing the "
+    "IVF maintenance surface): index built on the corpus PLUS junk "
+    "vectors under disjoint ids, then delete_from_ivf_index retracts "
+    "the junk — membership found from a (nid, cell)-pruned scan, only "
+    "the affected cell partitions rewritten, codebook untouched. The "
+    "all-cell probe afterwards must match the brute-force oracle over "
+    "the clean corpus exactly — a junk vector surviving anywhere "
+    "breaks the hash",
+)
+def simsearch_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from fink_joiner_spark.operators import similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    n_cells = 16
+    exact = emb.count() <= _ANN_EXACT_MAX
+    work = tempfile.mkdtemp(prefix="fjs_ivf_del_")
+    junk = emb.where(F.col("vec_id") % 3 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.reverse(F.col("embedding")).alias("embedding"),
+    )
+    dirty = emb.select("vec_id", "embedding").unionByName(junk)
+    # all-cell probing at small sf makes the probe exactly brute force
+    # over whatever vectors REMAIN, whatever the codebook — so the
+    # junk-polluted build's seeds can't mask a surviving junk vector
+    similarity.build_ivf_index(dirty, "vec_id", "embedding", work, n_cells=n_cells)
+    n = similarity.delete_from_ivf_index(
+        junk.select("vec_id"), "vec_id", work
+    )
+    assert n > 0
+    return similarity.topk_ivf_indexed(
+        spark, work, queries, "vec_id", "embedding",
+        k=10, nprobe=n_cells if exact else 4,
+    )

@@ -965,3 +965,83 @@ def test_bm25_delete_matches_clean_rebuild_and_retires_buckets(
     assert scoring.delete_from_bm25_index(junk.select("doc_id"), "doc_id", idx) == 0
     again = {tuple(r) for r in scoring.bm25_indexed_scores(spark, idx, terms).collect()}
     assert again == want
+
+
+def test_ivf_delete_rewrites_only_affected_cells(spark, sf_dir, tmp_path):
+    """delete_from_ivf_index must (a) leave probe results identical to
+    an index the junk never entered (same codebook), (b) rewrite ONLY
+    the affected cell partitions — untouched cells keep their files —
+    (c) retire a cell whose every vector is deleted, and (d) treat
+    absent ids as a zero no-op."""
+    import os
+
+    from fink_joiner_spark.operators import similarity
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    idx = str(tmp_path / "ivf_del")
+    junk = emb.where(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.reverse(F.col("embedding")).alias("embedding"),
+    )
+    dirty = emb.select("vec_id", "embedding").unionByName(junk)
+    similarity.build_ivf_index(dirty, "vec_id", "embedding", idx, n_cells=8)
+
+    before_files = {
+        f: True for f in spark.read.parquet(f"{idx}/vectors").inputFiles()
+    }
+    junk_cells = {
+        r.cell
+        for r in spark.read.parquet(f"{idx}/vectors")
+        .join(junk.select(F.col("vec_id").alias("nid")), "nid", "semi")
+        .select("cell").distinct().collect()
+    }
+    n = similarity.delete_from_ivf_index(junk.select("vec_id"), "vec_id", idx)
+    assert n == junk.count()
+
+    after_files = set(spark.read.parquet(f"{idx}/vectors").inputFiles())
+    untouched = {
+        f for f in before_files
+        if not any(f"cell={c}/" in f or f"cell={c}%" in f for c in junk_cells)
+    }
+    assert untouched <= after_files  # untouched cells keep their files
+
+    # probe == index built without the junk, same (frozen) codebook
+    queries = emb.filter(F.col("vec_id") < 4)
+    seeds = spark.read.parquet(f"{idx}/centroids")
+    got = {
+        tuple(r)
+        for r in similarity.topk_ivf_indexed(
+            spark, idx, queries, "vec_id", "embedding", k=5, nprobe=8
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in similarity.topk_ivf(
+            emb, queries, "vec_id", "embedding", "vec_id", "embedding",
+            k=5, nprobe=8, n_cells=8, centroids=seeds,
+        ).collect()
+    }
+    assert got == want and got
+
+    # absent ids: zero no-op
+    assert similarity.delete_from_ivf_index(
+        junk.select("vec_id"), "vec_id", idx
+    ) == 0
+
+    # retire-a-whole-cell: delete every remaining vector of one cell
+    some_cell = sorted(
+        r.cell for r in spark.read.parquet(f"{idx}/vectors")
+        .select("cell").distinct().collect()
+    )[0]
+    victims = (
+        spark.read.parquet(f"{idx}/vectors")
+        .where(F.col("cell") == some_cell)
+        .select(F.col("nid").alias("vec_id"))
+    )
+    n_victims = victims.count()
+    assert similarity.delete_from_ivf_index(victims, "vec_id", idx) == n_victims
+    remaining_cells = {
+        r.cell for r in spark.read.parquet(f"{idx}/vectors")
+        .select("cell").distinct().collect()
+    }
+    assert str(some_cell) not in {str(c) for c in remaining_cells}
