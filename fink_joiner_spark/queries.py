@@ -255,6 +255,16 @@ _ROUND_CHANGED = frozenset({
     "a6_tumbling_window_20min", "ext_format_relay_json",
     "ext_tpch_q1_pricing", "ext_tpch_q3_shipping",
     "ext_tpch_q5_local_volume", "kmeans_step", "ext_embedding_mean_pool",
+    # r8 stream_state_confs (changelog checkpointing + row-tracking
+    # off) touched every streaming demo's runtime confs — results are
+    # conf-invariant by design, but the rule is "module changed →
+    # driver re-proves":
+    "stream_dedup_snapshot", "stream_asof_stateful", "stream_keyed_reduce",
+    "stream_dedup_tws_retract", "stream_snapshot_join_pipeline",
+    "stream_windowed_wordcount", "stream_running_count",
+    "stream_proctime_window", "stream_static_join",
+    "stream_stream_interval_join", "stream_dedup_within_watermark",
+    "stream_stream_interval_join_left", "stream_dlq_relay",
 })
 
 
