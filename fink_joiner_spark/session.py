@@ -93,6 +93,14 @@ def get_spark(
     # vs 202 s/705 CPU-s at 2g, same tree) — so the reservation now
     # tracks the registry size with headroom. Reservation is virtual —
     # committed lazily, so an oversized value costs address space only.
+    # 2g is also the JVM's HARD CEILING (ReservedCodeCacheSize max
+    # 2048M — a 3g attempt refuses to boot). Investigated at 185
+    # queries (round 8) when one full run showed an 8× CPU blowup on
+    # ext_hybrid_search_rrf: a rerun with identical flags measured it
+    # at its normal 2.5 CPU-s and stderr carried no compiler-disabled
+    # warnings — a transient host event, not cache exhaustion. If the
+    # registry ever genuinely outgrows 2g, the lever is fewer codegen
+    # classes (shared query shapes), not a bigger reservation.
     extra_opts = "-XX:ReservedCodeCacheSize=2g"
     user_opts = os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS")
     if user_opts:
