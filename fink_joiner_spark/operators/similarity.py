@@ -1053,6 +1053,60 @@ def retrain_ivf_index(
     fs.delete(intent)
 
 
+def ivf_index_stream_sink(
+    stream_vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_path: str,
+    checkpoint_location: str,
+    trigger_available_now: bool = True,
+):
+    """Continuous IVF ingestion: a ``foreachBatch`` sink folding every
+    micro-batch of new vectors into a persisted IVF index via
+    :func:`update_ivf_index` — the streaming end of the IVF lifecycle
+    (build → stream-maintain → monitor → retrain/compact → probe),
+    mirroring :func:`scoring.bm25_index_stream_sink`.
+
+    Same replay contract as the BM25 sink (its docstring is the full
+    statement): ``update_ivf_index`` is an append and NOT idempotent,
+    so each applied batch drops a marker under ``_applied_batches/``
+    keyed by (batchId, content digest — row count + order-independent
+    bit_xor of id hashes), through the Hadoop FileSystem API for the
+    index path's own scheme. Re-delivered batches skip; a NEW stream
+    with a fresh checkpoint (batch ids restart at 0) still folds.
+    SINGLE WRITER required; Delta/Iceberg is the upgrade for
+    crash-mid-append and concurrent-writer isolation.
+    """
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        from fink_joiner_spark.fsutil import HadoopFS
+
+        dig = batch.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(
+                F.xxhash64(F.col(id_col).cast("string"))
+            ).alias("h"),
+        ).first()
+        if not dig["n"]:
+            return
+        marker = (
+            f"{index_path}/_applied_batches/"
+            f"batch={batch_id}_n{dig['n']}_h{dig['h']}"
+        )
+        fs = HadoopFS(batch.sparkSession, index_path)
+        if fs.exists(marker):
+            return
+        update_ivf_index(batch, id_col, vec_col, index_path)
+        fs.mkdirs(marker)
+
+    w = stream_vectors.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint_location
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w
+
+
 def delete_from_ivf_index(ids: DataFrame, id_col: str, index_path: str) -> int:
     """Delete vectors from a persisted IVF index — the retract
     complement of :func:`update_ivf_index` (build / update / retrain /

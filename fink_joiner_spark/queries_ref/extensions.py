@@ -5970,3 +5970,49 @@ def simsearch_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, work, queries, "vec_id", "embedding",
         k=10, nprobe=n_cells if exact else 4,
     )
+
+
+@register(
+    "stream_ivf_index_maintenance",
+    _TOPK_ORACLE,
+    "streaming IVF ingestion end-to-end (the missing stream leg of "
+    "the IVF lifecycle, mirroring stream_bm25_index_maintenance): "
+    "index built on half the vectors, the rest drip-fed as a stream "
+    "and folded per micro-batch against the FROZEN codebook "
+    "(foreachBatch -> update_ivf_index, content-digest applied-batch "
+    "markers make checkpoint replays no-ops); the all-cell probe "
+    "after the stream drains must match the brute-force oracle "
+    "exactly — a dropped or double-folded batch breaks the hash",
+)
+def stream_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from fink_joiner_spark.operators import similarity
+    from fink_joiner_spark.queries import (
+        STREAM_SHUFFLE_PARTITIONS,
+        stream_finish_fast,
+        stream_state_confs,
+    )
+    from fink_joiner_spark.sources.streaming import file_drip_feed
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    n_cells = 16
+    exact = emb.count() <= _ANN_EXACT_MAX
+    work = tempfile.mkdtemp(prefix="fjs_ivf_stream_")
+    idx = f"{work}/idx"
+    similarity.build_ivf_index(
+        emb.where(F.col("vec_id") % 2 == 0), "vec_id", "embedding", idx,
+        n_cells=n_cells,
+    )
+    delta = emb.where(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
+    with stream_state_confs(spark, STREAM_SHUFFLE_PARTITIONS), \
+            stream_finish_fast(spark):
+        stream = file_drip_feed(spark, delta, f"{work}/stage", "vec_id", n_files=2)
+        similarity.ivf_index_stream_sink(
+            stream, "vec_id", "embedding", idx, f"{work}/ckpt"
+        ).start().awaitTermination()
+    return similarity.topk_ivf_indexed(
+        spark, idx, queries, "vec_id", "embedding",
+        k=10, nprobe=n_cells if exact else 4,
+    )

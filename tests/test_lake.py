@@ -1045,3 +1045,68 @@ def test_ivf_delete_rewrites_only_affected_cells(spark, sf_dir, tmp_path):
         .select("cell").distinct().collect()
     }
     assert str(some_cell) not in {str(c) for c in remaining_cells}
+
+
+def test_ivf_stream_sink_replay_is_noop(spark, sf_dir, tmp_path):
+    """IVF streaming ingestion replay contract (mirror of the BM25
+    sink test): re-delivering the same staged files under a fresh
+    checkpoint must not double-fold (content-digest markers), while a
+    new stream with NEW vectors — batch ids restarting at 0 — must
+    fold; the drained index probes identically to topk_ivf over the
+    union with the frozen codebook."""
+    import os
+    import shutil
+
+    from fink_joiner_spark.operators import similarity
+    from fink_joiner_spark.sources.streaming import file_drip_feed
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    idx = str(tmp_path / "ivf_stream")
+    similarity.build_ivf_index(
+        emb.where(F.col("vec_id") % 4 == 0), "vec_id", "embedding", idx, n_cells=8
+    )
+    d1 = emb.where(F.col("vec_id") % 4 == 1).select("vec_id", "embedding")
+    d2 = emb.where(F.col("vec_id") % 4 >= 2).select("vec_id", "embedding")
+
+    def run(stage, ckpt):
+        stream = (
+            spark.readStream.schema(d1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{stage}/f*")
+        )
+        similarity.ivf_index_stream_sink(
+            stream, "vec_id", "embedding", idx, ckpt
+        ).start().awaitTermination()
+
+    stage1 = str(tmp_path / "s1")
+    file_drip_feed(spark, d1, stage1, "vec_id", n_files=2)
+    run(stage1, str(tmp_path / "c1"))
+    n1 = spark.read.parquet(f"{idx}/vectors").count()
+
+    # full redelivery, fresh checkpoint -> no-op
+    shutil.rmtree(str(tmp_path / "c1"))
+    run(stage1, str(tmp_path / "c2"))
+    assert spark.read.parquet(f"{idx}/vectors").count() == n1
+
+    # new stream, new vectors, fresh checkpoint -> must fold
+    stage2 = str(tmp_path / "s2")
+    file_drip_feed(spark, d2, stage2, "vec_id", n_files=2)
+    run(stage2, str(tmp_path / "c3"))
+    assert spark.read.parquet(f"{idx}/vectors").count() > n1
+
+    queries = emb.filter(F.col("vec_id") < 4)
+    seeds = spark.read.parquet(f"{idx}/centroids")
+    got = {
+        tuple(r)
+        for r in similarity.topk_ivf_indexed(
+            spark, idx, queries, "vec_id", "embedding", k=5, nprobe=8
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in similarity.topk_ivf(
+            emb, queries, "vec_id", "embedding", "vec_id", "embedding",
+            k=5, nprobe=8, n_cells=8, centroids=seeds,
+        ).collect()
+    }
+    assert got == want and got
