@@ -1184,3 +1184,50 @@ def test_upsert_rewrites_only_affected_buckets(spark, sf_dir, tmp_path):
     for f in before_d.symmetric_difference(after_d):
         m = re.search(r"db=(\d+)", f)
         assert m and int(m.group(1)) in dbs, f"unaffected db bucket rewritten: {f}"
+
+
+def test_pending_upsert_intent_blocks_delete_and_vice_versa(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The shared intent-marker path means a half-applied upsert and a
+    delete can never interleave: each op's digest covers its own delta
+    shape (upsert: ids+tokens; delete: ids), so the OTHER op — or the
+    same op with a different delta — is refused until the original
+    completes."""
+    import pytest
+
+    import fink_joiner_spark.operators.scoring as scoring
+
+    docs = _docs(spark, sf_dir)
+    idx = str(tmp_path / "interleave_idx")
+    scoring.build_bm25_index(docs, "doc_id", "text", idx, n_buckets=8)
+
+    delta = docs.where(F.col("doc_id") < 20).select(
+        "doc_id", F.lit("replacement text").alias("text")
+    )
+    real = scoring._staged_bucket_rewrite
+    calls = {"n": 0}
+
+    def crash_second(merged, live_root, partition_col, values):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("boom")
+        return real(merged, live_root, partition_col, values)
+
+    monkeypatch.setattr(scoring, "_staged_bucket_rewrite", crash_second)
+    with pytest.raises(RuntimeError):
+        scoring.upsert_bm25_index(delta, "doc_id", "text", idx)
+    monkeypatch.setattr(scoring, "_staged_bucket_rewrite", real)
+    assert scoring.bm25_upsert_pending(spark, idx)
+
+    # a delete of the SAME ids is still a different operation (digest
+    # covers tokens for the upsert) -> refused
+    with pytest.raises(ValueError, match="interrupted"):
+        scoring.delete_from_bm25_index(delta.select("doc_id"), "doc_id", idx)
+
+    # completing the upsert clears the marker; the delete then works
+    scoring.upsert_bm25_index(delta, "doc_id", "text", idx)
+    assert not scoring.bm25_upsert_pending(spark, idx)
+    assert scoring.delete_from_bm25_index(
+        delta.select("doc_id"), "doc_id", idx
+    ) == delta.count()
