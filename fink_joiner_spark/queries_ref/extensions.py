@@ -6016,3 +6016,46 @@ def stream_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, idx, queries, "vec_id", "embedding",
         k=10, nprobe=n_cells if exact else 4,
     )
+
+
+@register(
+    "ext_schema_evolution_read",
+    """
+    SELECT lang, COUNT(*)::BIGINT AS n,
+           COUNT(doc_id)::BIGINT AS n_ids,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM (
+      SELECT doc_id, n_chars,
+             CASE WHEN doc_id % 2 = 0 THEN lang ELSE NULL END AS lang
+      FROM documents
+    ) GROUP BY lang
+    """,
+    "schema-evolution read (the lake reality: yesterday's files lack "
+    "today's columns): v1 files written WITHOUT the lang column and "
+    "v2 files WITH it land in one dataset; a mergeSchema read unions "
+    "the schemas and fills the missing column with NULL — the "
+    "aggregate over the merged frame must hash-match computing the "
+    "same NULL-fill over the source table. Schema-pinned reads stay "
+    "the default (read_files); mergeSchema is the migration-window "
+    "escape hatch, paid as a footer pass over every file",
+)
+def ext_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from fink_joiner_spark.sources.batch import read_files
+
+    docs = table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="fjs_evolve_")
+    # v1 vintage: no lang column (odd ids); v2 vintage: with lang
+    docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "n_chars").write.mode(
+        "overwrite"
+    ).parquet(f"{work}/v1")
+    docs.where(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "n_chars", "lang"
+    ).write.mode("append").parquet(f"{work}/v1")
+    merged = read_files(spark, f"{work}/v1", "parquet", mergeSchema="true")
+    return merged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("doc_id").alias("n_ids"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
