@@ -5469,7 +5469,11 @@ def ext_bm25_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("text")
         ),
     )
-    scoring.build_bm25_index(stale, "doc_id", "text", work, n_buckets=16)
+    # 8 buckets: the upsert staged-rewrites every touched bucket and
+    # per-directory task overhead dominates at demo scale (measured
+    # 15% off the warm run vs 16; pruning-ratio coverage lives in
+    # tests/test_lake.py at 32 buckets)
+    scoring.build_bm25_index(stale, "doc_id", "text", work, n_buckets=8)
     delta = docs.where(
         (F.col("doc_id") % 2 == 0) | (F.col("doc_id") % 4 == 3)
     ).select("doc_id", "text")
@@ -5920,7 +5924,8 @@ def ext_bm25_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.reverse(F.col("text")).alias("text"),
     ).where(F.col("doc_id") % 3 == 0)
     dirty = docs.select("doc_id", "text").unionByName(junk)
-    scoring.build_bm25_index(dirty, "doc_id", "text", work, n_buckets=16)
+    # 8 buckets: same demo-scale trade-off as ext_bm25_index_upsert
+    scoring.build_bm25_index(dirty, "doc_id", "text", work, n_buckets=8)
     n = scoring.delete_from_bm25_index(
         junk.select("doc_id"), "doc_id", work
     )
