@@ -101,7 +101,22 @@ def get_spark(
     # warnings — a transient host event, not cache exhaustion. If the
     # registry ever genuinely outgrows 2g, the lever is fewer codegen
     # classes (shared query shapes), not a bigger reservation.
-    extra_opts = "-XX:ReservedCodeCacheSize=2g"
+    # PerMethod/PerBytecodeRecompilationCutoff=-1: with ~190 distinct
+    # query plans sharing one JVM, HotSpot's made-not-compilable cutoff
+    # (~400 deopts) stochastically dropped interpreted-HOF-heavy
+    # queries off the compiled cliff for the rest of the process —
+    # 10-50× real-CPU blowups that moved between queries run to run
+    # and never reproduced standalone (code cache, GC, and host steal
+    # all instrumented and ruled out). Disabling the cutoff keeps
+    # recompilation available indefinitely: two full benches after the
+    # change ran with ZERO rep-spread outliers at the session's best
+    # totals (232/244 s vs 244-329 s with defaults, each of those with
+    # at least one blowup).
+    extra_opts = (
+        "-XX:ReservedCodeCacheSize=2g "
+        "-XX:PerMethodRecompilationCutoff=-1 "
+        "-XX:PerBytecodeRecompilationCutoff=-1"
+    )
     user_opts = os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS")
     if user_opts:
         # JVM-launch-time flags (honored only when this builder starts
