@@ -884,3 +884,63 @@ def bigram_nll(
         F.count(F.lit(1)).alias("n_bigrams"),
         (-F.sum("micro_log")).alias("nll_micro"),
     )
+
+
+def canonical_url(url) -> Column:
+    """Canonical form of a URL column — the standard precursor to
+    URL-keyed web-corpus dedup (the same page crawled as
+    ``HTTP://WWW.Site.COM:80/p?utm_source=x&a=1#top`` and
+    ``http://site.com/p?a=1`` must collapse to ONE key before any
+    content-level dedup runs, or every near-dup family doubles).
+
+    Normalizations (each a deliberate, documented policy):
+
+    * scheme and host lowercased; a leading ``www.`` stripped;
+    * default ports dropped (``:80`` for http, ``:443`` for https);
+      any other explicit port kept;
+    * empty path becomes ``/``;
+    * query string: tracking parameters removed (``utm_*``, ``gclid``,
+      ``fbclid``), remaining params SORTED (param order is not
+      semantic for the overwhelming majority of endpoints — the
+      classic false-negative source) and rejoined;
+    * fragment dropped (never sent to the server).
+
+    Pure column algebra — regexp extraction + array sort/filter/join,
+    codegen-resident, no UDF — and every step is mirrored exactly in
+    the DuckDB oracle of the registered query (identical regexes,
+    valid in both Java regex and RE2).
+    """
+    from pyspark.sql import functions as F
+
+    u = url if hasattr(url, "cast") else F.col(url)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    host = F.regexp_replace(
+        F.regexp_extract(hostport, r"^([^:]*)", 1), r"^www\.", ""
+    )
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    default_port = (
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+        | (port == "")
+    )
+    portpart = F.when(default_port, F.lit("")).otherwise(F.concat(F.lit(":"), port))
+    path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    rawq = F.regexp_extract(u, r"\?([^#]*)", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(rawq, "&"),
+            lambda p: (p != "")
+            & ~p.rlike(r"^(utm_[a-z0-9]+|gclid|fbclid)="),
+        )
+    )
+    q = F.array_join(params, "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        portpart,
+        path,
+        F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
+    )

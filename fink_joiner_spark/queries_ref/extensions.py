@@ -6064,3 +6064,82 @@ def ext_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("doc_id").alias("n_ids"),
         F.sum("n_chars").cast("long").alias("sum_chars"),
     )
+
+
+_URL_MESSY = """
+      CASE doc_id % 4
+        WHEN 0 THEN 'HTTP://WWW.ExAmple' || CAST(doc_id % 20 AS VARCHAR)
+                    || '.COM:80/p/' || CAST(doc_id % 50 AS VARCHAR)
+                    || '?utm_source=a&x=1#frag'
+        WHEN 1 THEN 'http://example' || CAST(doc_id % 20 AS VARCHAR)
+                    || '.com/p/' || CAST(doc_id % 50 AS VARCHAR) || '?x=1'
+        WHEN 2 THEN 'HTTPS://ExAmple' || CAST(doc_id % 20 AS VARCHAR)
+                    || '.COM:443/p/' || CAST(doc_id % 50 AS VARCHAR)
+                    || '?b=2&utm_campaign=z&a=1'
+        ELSE 'https://www.example' || CAST(doc_id % 20 AS VARCHAR)
+             || '.com/p/' || CAST(doc_id % 50 AS VARCHAR) || '?a=1&b=2'
+      END
+"""
+
+_URL_CANON_ORACLE = f"""
+WITH raw AS (
+  SELECT doc_id, {_URL_MESSY} AS url FROM documents
+),
+parts AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
+           AS hostport,
+         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+           AS rawpath,
+         regexp_extract(url, '\\?([^#]*)', 1) AS rawq
+  FROM raw
+),
+norm AS (
+  SELECT doc_id, scheme,
+         regexp_replace(regexp_extract(hostport, '^([^:]*)', 1), '^www\\.', '')
+           AS host,
+         regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+         CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
+         array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+           p -> p <> '' AND NOT regexp_matches(p,
+                  '^(utm_[a-z0-9]+|gclid|fbclid)='))), '&') AS q
+  FROM parts
+)
+SELECT scheme || '://' || host
+       || (CASE WHEN (scheme = 'http' AND port = '80')
+                  OR (scheme = 'https' AND port = '443')
+                  OR port = '' THEN '' ELSE ':' || port END)
+       || path || (CASE WHEN q = '' THEN '' ELSE '?' || q END)
+         AS canonical_url,
+       COUNT(*)::BIGINT AS n_variants,
+       COUNT(DISTINCT doc_id)::BIGINT AS n_docs
+FROM norm GROUP BY 1
+"""
+
+
+@register(
+    "text_url_canonicalize",
+    _URL_CANON_ORACLE,
+    "URL canonicalization (the precursor to URL-keyed web-corpus "
+    "dedup): four messy variants per logical page — case-shuffled "
+    "scheme/host, www prefix, explicit default ports, tracking "
+    "params, unordered query strings, fragments — must collapse to "
+    "one canonical key (lowercase, www/port/fragment stripped, "
+    "utm_*/gclid/fbclid dropped, params sorted). Pure regexp + array "
+    "column algebra, codegen-resident, regexes valid in both Java "
+    "regex and RE2 so Spark and DuckDB parse identically",
+)
+def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators.text import canonical_url
+
+    docs = table(spark, sf_dir, "documents")
+    messy = docs.select(
+        "doc_id", F.expr(_URL_MESSY.replace("VARCHAR", "STRING")).alias("url")
+    )
+    return messy.select("doc_id", canonical_url(F.col("url")).alias("canonical_url")).groupBy(
+        "canonical_url"
+    ).agg(
+        F.count(F.lit(1)).alias("n_variants"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )

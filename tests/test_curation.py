@@ -430,3 +430,25 @@ def test_winnowing_posting_cap_bounds_boilerplate_block(spark):
     # worst candidate block is cap^2/2, never corpus^2
     kept = [v for v in posting.values() if len(v) <= cap]
     assert kept and max(len(v) for v in kept) <= cap
+
+
+def test_canonical_url_edge_cases(spark):
+    """Non-default explicit ports kept; empty path -> '/'; all-tracking
+    query drops to no '?'; param sort is stable; fragment-only tail
+    dropped; mixed-case scheme+host lowered; www stripped only as a
+    PREFIX label."""
+    from pyspark.sql import functions as F
+
+    from fink_joiner_spark.operators.text import canonical_url
+
+    cases = [
+        ("HTTPS://WWW.Ex.COM:8443/a?z=1&a=2#f", "https://ex.com:8443/a?a=2&z=1"),
+        ("http://EX.com:80", "http://ex.com/"),
+        ("https://ex.com:443/?utm_source=x&gclid=1", "https://ex.com/"),
+        ("http://wwwx.com/p", "http://wwwx.com/p"),  # not a www. prefix
+        ("http://ex.com/p?fbclid=abc&b=2&a=1", "http://ex.com/p?a=1&b=2"),
+        ("HTTP://ex.com:8080/#frag", "http://ex.com:8080/"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(canonical_url(F.col("url"))).collect()]
+    assert got == [want for _, want in cases]
