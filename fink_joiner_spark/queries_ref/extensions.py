@@ -6143,3 +6143,76 @@ def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_variants"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
+
+
+@register(
+    "ext_csv_corrupt_records",
+    """
+    SELECT COUNT(*) FILTER (WHERE doc_id % 3 <> 1)::BIGINT AS n_good,
+           COUNT(*) FILTER (WHERE doc_id % 3 = 1)::BIGINT AS n_corrupt,
+           CAST(SUM(CASE WHEN doc_id % 3 <> 1 THEN n_chars END) AS BIGINT)
+             AS sum_chars_good
+    FROM documents
+    """,
+    "malformed-ingest handling (the web-scale reality: a fraction of "
+    "every delivery is garbage): a CSV where every third row is "
+    "corrupted (wrong arity / non-numeric field) is read in PERMISSIVE "
+    "mode with a corrupt-record column — bad rows route to the side "
+    "column instead of killing the job or silently vanishing; good/"
+    "corrupt counts and the good-row checksum must match the parity "
+    "oracle exactly. FAILFAST stays the right mode for pinned-schema "
+    "internal data; PERMISSIVE + quarantine column is the ingest edge",
+)
+def ext_csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    docs = table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="fjs_corrupt_")
+    # one CSV line per doc: ids %3==1 get a malformed line (non-numeric
+    # id field + wrong arity); the rest are well-formed (text omitted —
+    # free-text in hand-built CSV is its own quoting project)
+    lines = docs.select(
+        F.when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("not_a_number;"), F.col("lang")),
+        )
+        .otherwise(
+            F.concat_ws(
+                ",",
+                F.col("doc_id").cast("string"),
+                F.col("lang"),
+                F.col("n_chars").cast("string"),
+            )
+        )
+        .alias("value")
+    )
+    lines.coalesce(1).write.mode("overwrite").text(f"{work}/csv")
+    # CSV parser column pruning decides corruptness against the PRUNED
+    # required schema — an aggregate touching only (_bad, n_chars)
+    # re-parses with 2 required fields and the malformed rows stop
+    # being malformed (observed live: n_corrupt silently 0). Disable
+    # pruning for this read; the full-schema parse is the semantics
+    # the quarantine column exists for.
+    from fink_joiner_spark.queries import scoped_conf
+
+    with scoped_conf(spark, "spark.sql.csv.parser.columnPruning.enabled", "false"):
+        parsed = (
+            spark.read.schema("doc_id LONG, lang STRING, n_chars LONG, _bad STRING")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_bad")
+            .csv(f"{work}/csv")
+        )
+        # materialize INSIDE the scope: the conf is read when the scan
+        # executes, and the returned frame is collected by the caller
+        # after the scope restores (a cache could evict and silently
+        # re-parse pruned) — the parquet write pins the parse result
+        parsed.write.mode("overwrite").parquet(f"{work}/parsed")
+    back = spark.read.parquet(f"{work}/parsed")
+    # a corrupt row has _bad set (the raw line) and NULL typed fields
+    return back.agg(
+        F.count(F.when(F.col("_bad").isNull(), 1)).alias("n_good"),
+        F.count(F.when(F.col("_bad").isNotNull(), 1)).alias("n_corrupt"),
+        F.sum(F.when(F.col("_bad").isNull(), F.col("n_chars"))).cast("long").alias(
+            "sum_chars_good"
+        ),
+    )
