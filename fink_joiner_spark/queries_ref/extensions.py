@@ -6216,3 +6216,38 @@ def ext_csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_chars_good"
         ),
     )
+
+
+@register(
+    "ext_bm25_index_compaction",
+    _BM25_INDEXED_ORACLE,
+    "index compaction through the gate (the last maintenance op that "
+    "was pytest-only): three incremental folds fragment the postings "
+    "(~4 files per bucket), compact_bm25_index rewrites them at the "
+    "same pb= layout term-sorted (and defragments the docs/ forward "
+    "index), with the in-query assertion that the file count actually "
+    "halved; the probe afterwards must still hash-match the full-"
+    "corpus oracle — compaction moves bytes, never counts",
+)
+def ext_bm25_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from fink_joiner_spark.operators import scoring
+
+    docs = table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="fjs_bm25_compact_")
+    scoring.build_bm25_index(
+        docs.where(F.col("doc_id") % 4 == 0), "doc_id", "text", work, n_buckets=8
+    )
+    for rem in (1, 2, 3):
+        scoring.update_bm25_index(
+            docs.where(F.col("doc_id") % 4 == rem), "doc_id", "text", work
+        )
+    n_before = len(spark.read.parquet(f"{work}/postings").inputFiles())
+    scoring.compact_bm25_index(spark, work)
+    n_after = len(spark.read.parquet(f"{work}/postings").inputFiles())
+    assert n_after < n_before / 2, (n_before, n_after)
+    probe = scoring.bm25_indexed_scores(
+        spark, work, ["join", "filter", "window"], k1=1.2, b=0.75
+    )
+    return probe.orderBy(F.col("score").desc(), "doc_id").limit(20)
