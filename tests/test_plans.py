@@ -547,3 +547,24 @@ def test_topk_with_ties_window_is_key_partitioned(spark, sf_dir):
     df = _q("ext_topk_with_ties", spark, sf_dir)
     plan = plans.formatted_plan(df)
     assert "Window" in plan and "SinglePartition" not in plan, plan
+
+
+def test_tpch_q14_pushdown_pruning_broadcast(spark, sf_dir):
+    """The round-8 TPC-H shapes must keep the plan a 100 TB plan: the
+    month filter reaches the lineitem scan (PushedFilters), the fact
+    scan reads only the four needed columns (ReadSchema), and the part
+    dim joins as a broadcast — no shuffle of the fact side for a dim
+    lookup."""
+    import re
+
+    from fink_joiner_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    df = REGISTRY["ext_tpch_q14_promo_revenue"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThanOrEqual(l_shipdate" in plan  # filter at the scan
+    m = re.search(r"ReadSchema: struct<(l_[^>]*)>", plan)
+    assert m, plan[:500]
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_partkey", "l_extendedprice", "l_discount", "l_shipdate"}
+    assert "BroadcastHashJoin" in plan
