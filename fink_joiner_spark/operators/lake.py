@@ -44,7 +44,7 @@ def dataset_bytes(df: DataFrame) -> int:
     S3 endpoints, hdfs + s3a) sizes each file against its own FS
     rather than throwing Hadoop's "Wrong FS".
     """
-    from urllib.parse import urlparse
+    from urllib.parse import unquote, urlparse
 
     from fink_joiner_spark.fsutil import HadoopFS
 
@@ -53,8 +53,13 @@ def dataset_bytes(df: DataFrame) -> int:
     for f in df.inputFiles():
         u = urlparse(f)
         if u.scheme in ("", "file"):
-            total += os.path.getsize(u.path)
-            continue
+            # inputFiles() entries are URI-encoded (space → %20):
+            # decode before stat, and fall back to the Hadoop FS API
+            # for anything the decoded local stat still can't see
+            p = unquote(u.path)
+            if os.path.exists(p):
+                total += os.path.getsize(p)
+                continue
         key = (u.scheme, u.netloc)
         fs = fs_cache.get(key)
         if fs is None:
@@ -217,8 +222,15 @@ def partition_stats(
             + F.lit(0.0)
         ).alias("skew_ratio"),
         (
-            F.col("n_rows") * F.col("_n_parts") * F.lit(1_000_000)
-            >= F.lit(ratio_micro) * F.col("_total")
+            # decimal(38,0) operands: the product n_rows·n_parts·1e6
+            # exceeds long range near ~9.2e12 rows·parts (reachable at
+            # the 100 TB posture) and would silently wrap with ANSI
+            # off, flipping the retrain trigger — decimal arithmetic
+            # keeps the comparison exact at any realistic scale
+            F.col("n_rows").cast("decimal(38,0)")
+            * F.col("_n_parts")
+            * F.lit(1_000_000)
+            >= F.lit(ratio_micro).cast("decimal(38,0)") * F.col("_total")
         ).alias("hot"),
     )
 

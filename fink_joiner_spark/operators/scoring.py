@@ -458,9 +458,19 @@ def upsert_bm25_index(
     """
     import os
 
-    from fink_joiner_spark.fsutil import HadoopFS
+    from fink_joiner_spark.fsutil import HadoopFS, repair_partition_dirs
 
     spark = docs.sparkSession
+    fs = HadoopFS(spark, index_path)
+    # Roll back swap debris BEFORE any live dataset is read: a prior
+    # run crashed BETWEEN the two renames of a partition swap leaves
+    # pb=N__retired and no live pb=N — a read taken before repair
+    # would miss that bucket's existing rows and the rewrite below
+    # would bake the loss in permanently. (swap_partition_dirs repairs
+    # too, but only after merged.write has already materialized the
+    # read — too late.)
+    for _root in ("postings", "terms", "docs"):
+        repair_partition_dirs(fs, os.path.join(index_path, _root))
     meta_old = spark.read.parquet(os.path.join(index_path, "meta")).first()
     n_buckets = int(meta_old["n_buckets"])
     if not bool(meta_old.asDict().get("fwd_full", False)):
@@ -472,11 +482,15 @@ def upsert_bm25_index(
         )
 
     toks = tokens(F.col(text_col))
+    # pinned: base feeds the digest, forward rows, and posting rows
+    # across three swapped rewrites — a caller delta deriving from this
+    # index's own datasets must not re-execute after the first swap
+    # (and the tokenize pass runs once). O(delta) blocks.
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(toks).cast("long").alias("dl"),
         toks.alias("toks"),
-    )
+    ).localCheckpoint()
     new_doc_rows = _doc_rows(base, n_buckets)
 
     # order-independent content digest of the delta (ids + token
@@ -491,7 +505,6 @@ def upsert_bm25_index(
     dbs = [r.db for r in ids.select("db").distinct().collect()]  # ≤ n_buckets
     docs_path = os.path.join(index_path, "docs")
     intent_path = os.path.join(index_path, "_upsert_intent")
-    fs = HadoopFS(spark, index_path)
 
     pb = F.pmod(F.xxhash64("term"), F.lit(n_buckets))
     tf_new = (
@@ -638,9 +651,16 @@ def delete_from_bm25_index(
     """
     import os
 
-    from fink_joiner_spark.fsutil import HadoopFS
+    from fink_joiner_spark.fsutil import HadoopFS, repair_partition_dirs
 
     spark = ids.sparkSession
+    fs = HadoopFS(spark, index_path)
+    # repair-before-read, same reason as the upsert: a crash between
+    # the two renames of a prior partition swap must be rolled back
+    # before the membership/kept reads below, or this run rewrites the
+    # affected bucket without its surviving rows
+    for _root in ("postings", "terms", "docs"):
+        repair_partition_dirs(fs, os.path.join(index_path, _root))
     meta_old = spark.read.parquet(os.path.join(index_path, "meta")).first()
     n_buckets = int(meta_old["n_buckets"])
     if not bool(meta_old.asDict().get("fwd_full", False)):
@@ -650,12 +670,15 @@ def delete_from_bm25_index(
             f"build_bm25_index to upgrade. Index: {index_path}"
         )
 
+    # pinned for the same reason as the upsert's base: the anti-joins
+    # below execute after swaps, and the caller's ids frame may derive
+    # from this index's own datasets
     key = ids.select(F.col(id_col).alias("doc_id")).distinct().select(
         "doc_id",
         F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(n_buckets)).alias(
             "db"
         ),
-    )
+    ).localCheckpoint()
     dig = key.agg(
         F.count(F.lit(1)).alias("n"),
         F.bit_xor(F.xxhash64(F.col("doc_id").cast("string"))).alias("h"),
@@ -664,7 +687,6 @@ def delete_from_bm25_index(
 
     docs_path = os.path.join(index_path, "docs")
     intent_path = os.path.join(index_path, "_upsert_intent")
-    fs = HadoopFS(spark, index_path)
     dbs = [r.db for r in key.select("db").distinct().collect()]  # ≤ n_buckets
 
     if fs.exists(intent_path):

@@ -864,6 +864,44 @@ def topk_ivf(
     )
 
 
+def _ivf_db(nid_col: Column, n_fwd_buckets: int) -> Column:
+    """Forward-map bucket of an id: hash-pmod, same recipe as the BM25
+    ``db=`` bucketing (scoring._doc_rows) so the two indexes share one
+    mental model."""
+    return F.pmod(F.xxhash64(nid_col.cast("string")), F.lit(n_fwd_buckets))
+
+
+def _ivf_fwd_rows(assigned: DataFrame, n_fwd_buckets: int) -> DataFrame:
+    """(nid, cell, db) forward-map rows from an assignment frame. The
+    cell is stored as STRING — the partition-directory rendering — so
+    the map's schema is stable whatever the codebook's cell_id type."""
+    return assigned.select(
+        "nid",
+        F.col("cell").cast("string").alias("cell"),
+        _ivf_db(F.col("nid"), n_fwd_buckets).alias("db"),
+    )
+
+
+def _ivf_meta(spark, fs, index_path: str):
+    """Index meta row, or None for a pre-forward-map index."""
+    import os
+
+    meta_path = os.path.join(index_path, "meta")
+    if not fs.exists(meta_path):
+        return None
+    return spark.read.parquet(meta_path).first()
+
+
+def _typed_cells(values, cell_type: str) -> list:
+    """Sorted distinct cell values coerced to the codebook's cell_id
+    type (the forward map stores them as strings), so `.isin` filters
+    partition-prune and swap directory names render exactly as
+    ``partitionBy`` wrote them."""
+    if cell_type in ("tinyint", "smallint", "int", "bigint"):
+        return sorted({int(v) for v in values})
+    return sorted({str(v) for v in values})
+
+
 def build_ivf_index(
     df: DataFrame,
     id_col: str,
@@ -871,6 +909,7 @@ def build_ivf_index(
     dest_path: str,
     n_cells: int = 16,
     train_iters: int = 0,
+    n_fwd_buckets: int = 16,
 ) -> None:
     """Persist an IVF index — the production shape when the same
     corpus serves many ANN queries: the O(corpus) cell-assignment pass
@@ -885,6 +924,16 @@ def build_ivf_index(
       directory count equals ``n_cells`` (the √n rule keeps that
       catalog-friendly at any corpus size).
     * ``centroids/`` — the (cell_id, centroid) codebook (tiny).
+    * ``ids/`` — the id→cell FORWARD MAP: (nid, cell) partitioned by
+      ``db`` = hash(nid) % n_fwd_buckets (the BM25 ``docs/`` design).
+      Upsert/delete membership discovery prunes to the delta ids'
+      ≤ n_fwd_buckets ``db=`` directories instead of scanning the
+      (nid, cell) columns of EVERY cell — O(delta buckets), the
+      difference between a per-delete full-index column scan and a
+      bounded read at 100 TB.
+    * ``meta/`` — one row: n_cells, n_fwd_buckets, ``fwd_full=true``
+      (the format marker: maintenance ops REFUSE a pre-forward-map
+      index rather than corrupt it).
 
     Assignment/centroid semantics are exactly :func:`topk_ivf`'s
     (md5-seeded or Lloyd-trained, dot/‖c‖ argmax, lowest-cell ties),
@@ -907,7 +956,14 @@ def build_ivf_index(
     assigned.write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(dest_path, "vectors")
     )
+    _ivf_fwd_rows(assigned, n_fwd_buckets).write.mode("overwrite").partitionBy(
+        "db"
+    ).parquet(os.path.join(dest_path, "ids"))
     seeds.write.mode("overwrite").parquet(os.path.join(dest_path, "centroids"))
+    df.sparkSession.createDataFrame(
+        [(n_cells, n_fwd_buckets, True)],
+        "n_cells int, n_fwd_buckets int, fwd_full boolean",
+    ).write.mode("overwrite").parquet(os.path.join(dest_path, "meta"))
 
 
 def update_ivf_index(
@@ -928,9 +984,19 @@ def update_ivf_index(
     distribution drifts — monitor cell sizes and retrain/rebuild
     offline when skew exceeds budget (the documented maintenance
     cadence). ``new_vectors`` must be NEW ids (append log, not
-    upsert).
+    upsert — :func:`upsert_ivf_index` is the call that retracts a
+    re-ingested id's previous version first).
+
+    The ``ids/`` forward map is appended too (FIRST, then vectors: a
+    crash between the appends then leaves a forward row without its
+    vector, which every downstream membership read tolerates — the
+    reverse order would leave a vector invisible to delete/upsert).
+    Crash mid-append still needs the Delta/Iceberg upgrade, as the
+    stream sink's docstring records.
     """
     import os
+
+    from fink_joiner_spark.fsutil import HadoopFS
 
     spark = new_vectors.sparkSession
     seeds = spark.read.parquet(os.path.join(index_path, "centroids"))
@@ -940,9 +1006,17 @@ def update_ivf_index(
     c = _spread(new_vectors).select(
         F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")
     )
+    # pinned: the forward-map and vectors appends are two jobs — one
+    # argmax pass instead of two, and a caller frame deriving from the
+    # index can't be perturbed by the first append
     assigned = c.crossJoin(F.broadcast(cells_arr)).select(
         "nid", "nvec", F.element_at(_nearest_cells(F.col("nvec"), 1), 1).alias("cell")
-    )
+    ).localCheckpoint()
+    meta = _ivf_meta(spark, HadoopFS(spark, index_path), index_path)
+    if meta is not None and bool(meta.asDict().get("fwd_full", False)):
+        _ivf_fwd_rows(assigned, int(meta["n_fwd_buckets"])).write.mode(
+            "append"
+        ).partitionBy("db").parquet(os.path.join(index_path, "ids"))
     assigned.write.mode("append").partitionBy("cell").parquet(
         os.path.join(index_path, "vectors")
     )
@@ -1003,30 +1077,83 @@ def retrain_ivf_index(
 
     Crash consistency: the vector SET is invariant under retraining
     (only the ``cell`` column changes), and seeding/training/assignment
-    are deterministic functions of that set — so re-running the retrain
-    from ANY interruption point converges to the identical final state.
-    An intent marker (``_retrain_intent/``) is written before the first
-    swap and cleared after the second; a leftover marker
-    (:func:`ivf_retrain_pending`) means vectors/ and centroids/ may
-    disagree (probes mis-prune) until the re-run completes. As with
-    every plain-parquet maintenance pass here, concurrent probes during
-    the swap window need the Delta/Iceberg upgrade for full isolation.
+    are deterministic functions of that set AND the retrain parameters
+    — so re-running the retrain from ANY interruption point converges
+    to the identical final state PROVIDED the same parameters are
+    offered. The intent marker (``_retrain_intent/``) therefore
+    records (n_cells, train_iters): a re-entry with a pending marker
+    adopts the recorded n_cells when the caller passed None and
+    REFUSES mismatching explicit parameters (a resize retrain that
+    crashed after the vectors swap must not silently converge to the
+    old cell count). The marker is written before the first swap and
+    cleared after the last; a leftover marker
+    (:func:`ivf_retrain_pending`) means vectors/, centroids/ and ids/
+    may disagree (probes mis-prune) until the re-run completes. As
+    with every plain-parquet maintenance pass here, concurrent probes
+    during the swap window need the Delta/Iceberg upgrade for full
+    isolation.
+
+    The ``ids/`` forward map is rewritten in the same pass (every
+    vector's cell changes), and a pre-forward-map index is UPGRADED
+    for free here: retrain already reads every vector, so it writes
+    the map + ``fwd_full`` meta that upsert/delete require.
     """
     import os
 
-    from fink_joiner_spark.fsutil import HadoopFS
+    from fink_joiner_spark.fsutil import HadoopFS, repair_partition_dirs
 
     fs = HadoopFS(spark, index_path)
-    # roll back debris from an interrupted prior retrain/compaction
-    for name in ("vectors", "centroids"):
+    vectors_path = os.path.join(index_path, "vectors")
+    centroids_path = os.path.join(index_path, "centroids")
+    ids_path = os.path.join(index_path, "ids")
+    if fs.exists(os.path.join(index_path, "_ivf_maint_intent")):
+        raise ValueError(
+            "an upsert/delete on this index was interrupted mid-swap "
+            "(_ivf_maint_intent pending): re-run it with the SAME delta to "
+            "complete it before retraining — a retrain from the half-applied "
+            f"state would silently drop the pending maintenance. {index_path}"
+        )
+    # roll back debris from an interrupted prior retrain/compaction,
+    # and partition-swap debris from completed-then-crashed upserts
+    for name in ("vectors", "centroids", "ids"):
         live = os.path.join(index_path, name)
         if fs.exists(live + "_retired") and not fs.exists(live):
             fs.rename(live + "_retired", live)
         fs.delete(live + "_retired")
         fs.delete(live + "_retrain")
+    repair_partition_dirs(fs, vectors_path)
+    repair_partition_dirs(fs, ids_path)
 
-    vectors_path = os.path.join(index_path, "vectors")
-    centroids_path = os.path.join(index_path, "centroids")
+    intent = os.path.join(index_path, "_retrain_intent")
+    if fs.exists(intent):
+        # a prior retrain crashed between swaps: validate the offered
+        # parameters against the recorded operation (legacy empty-dir
+        # markers carry none — treat the caller's as authoritative)
+        try:
+            rec = spark.read.parquet(intent).first()
+        except Exception:
+            rec = None
+        if rec is not None:
+            rec_cells = None if rec["n_cells"] is None else int(rec["n_cells"])
+            if n_cells is None:
+                n_cells = rec_cells
+            elif rec_cells is not None and int(n_cells) != rec_cells:
+                raise ValueError(
+                    "a previous retrain_ivf_index was interrupted mid-swap "
+                    f"with n_cells={rec_cells}; re-run with the same "
+                    f"parameters (got n_cells={n_cells}) or the index "
+                    f"converges to a mixed layout. Pending: {intent}"
+                )
+            if int(rec["train_iters"]) != int(train_iters):
+                raise ValueError(
+                    "a previous retrain_ivf_index was interrupted mid-swap "
+                    f"with train_iters={int(rec['train_iters'])}; re-run "
+                    f"with the same parameters (got train_iters="
+                    f"{train_iters}). Pending: {intent}"
+                )
+
+    meta = _ivf_meta(spark, fs, index_path)
+    n_fwd_buckets = int(meta["n_fwd_buckets"]) if meta is not None else 16
     if n_cells is None:
         n_cells = spark.read.parquet(centroids_path).count()
 
@@ -1042,14 +1169,28 @@ def retrain_ivf_index(
         "nid", "nvec", F.element_at(_nearest_cells(F.col("nvec"), 1), 1).alias("cell")
     )
 
-    intent = os.path.join(index_path, "_retrain_intent")
-    fs.mkdirs(intent)
+    spark.createDataFrame(
+        [(int(n_cells), int(train_iters))], "n_cells int, train_iters int"
+    ).write.mode("overwrite").parquet(intent)
     assigned.write.mode("overwrite").partitionBy("cell").parquet(
         vectors_path + "_retrain"
     )
+    # forward map from the staged vectors' (nid, cell) columns — a thin
+    # column scan, NOT a second O(index·n_cells) assignment pass
+    staged_assigned = spark.read.parquet(vectors_path + "_retrain").select(
+        "nid", "cell"
+    )
+    _ivf_fwd_rows(staged_assigned, n_fwd_buckets).write.mode(
+        "overwrite"
+    ).partitionBy("db").parquet(ids_path + "_retrain")
     seeds.write.mode("overwrite").parquet(centroids_path + "_retrain")
     _swap_dataset(fs, vectors_path, vectors_path + "_retrain")
+    _swap_dataset(fs, ids_path, ids_path + "_retrain")
     _swap_dataset(fs, centroids_path, centroids_path + "_retrain")
+    spark.createDataFrame(
+        [(int(n_cells), n_fwd_buckets, True)],
+        "n_cells int, n_fwd_buckets int, fwd_full boolean",
+    ).write.mode("overwrite").parquet(os.path.join(index_path, "meta"))
     fs.delete(intent)
 
 
@@ -1107,54 +1248,295 @@ def ivf_index_stream_sink(
     return w
 
 
-def delete_from_ivf_index(ids: DataFrame, id_col: str, index_path: str) -> int:
-    """Delete vectors from a persisted IVF index — the retract
-    complement of :func:`update_ivf_index` (build / update / retrain /
-    compact / delete close the index's maintenance surface).
+def _ivf_maint_entry(spark, index_path: str, op: str):
+    """Shared upsert/delete preamble: repair swap debris BEFORE any
+    live read (the read-before-repair hole: a crash between the two
+    renames of a prior partition swap leaves ``cell=N__retired`` and
+    no live ``cell=N`` — a membership or kept-rows read taken first
+    misses that data and the rewrite bakes the loss in), refuse a
+    pending retrain, and refuse a pre-forward-map index. Returns
+    (fs, meta row)."""
+    import os
 
-    Two passes: (1) find the deleted ids' cells with a scan restricted
-    to the ``(nid, cell)`` columns — column pruning makes this read a
-    thin slice of the index, and the collect is bounded at ≤ n_cells
-    scalars; (2) rewrite ONLY the affected cell partitions (anti-join)
-    via the staged write + FileSystem partition-dir swap shared with
-    the BM25 side — a cell whose every vector is deleted is retired
-    outright. The codebook is untouched (deletion changes membership,
-    never assignment). Ids not in the index are ignored; returns the
-    number of vectors actually deleted.
+    from fink_joiner_spark.fsutil import HadoopFS, repair_partition_dirs
 
-    Pass (1) is O(index nid-column); a deployment with frequent
-    deletes amortizes it by maintaining an id-hash forward map (the
-    BM25 ``docs/`` design) — the documented upgrade. Crash window: a
-    crash mid-swap is repaired by the swap's own preamble
-    (:func:`fsutil.repair_partition_dirs`); re-running the same delete
-    is a no-op for already-rewritten cells (anti-join of absent ids).
+    fs = HadoopFS(spark, index_path)
+    if fs.exists(os.path.join(index_path, "_retrain_intent")):
+        raise ValueError(
+            "a retrain_ivf_index on this index was interrupted mid-swap "
+            "(_retrain_intent pending): re-run the retrain to completion "
+            f"before {op} — vectors/centroids/ids may disagree. {index_path}"
+        )
+    repair_partition_dirs(fs, os.path.join(index_path, "vectors"))
+    repair_partition_dirs(fs, os.path.join(index_path, "ids"))
+    meta = _ivf_meta(spark, fs, index_path)
+    if meta is None or not bool(meta.asDict().get("fwd_full", False)):
+        raise ValueError(
+            f"{op} requires the id→cell forward map (ids/): this index "
+            "predates it (no meta with fwd_full=true). retrain_ivf_index "
+            "upgrades it in place (one O(index) pass) — proceeding on the "
+            "vectors-only layout would cost a full-index membership scan "
+            f"per call at scale. Index: {index_path}"
+        )
+    return fs, meta
+
+
+def upsert_ivf_index(
+    new_vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_path: str,
+) -> None:
+    """LATEST-VERSION upsert of vectors into a persisted IVF index —
+    the reference's signature semantics (a changed listing replaces
+    its previous version, CRMLSJoiner.scala:182) applied to the vector
+    index, closing CRUD parity with the BM25 side: re-ingesting a
+    changed embedding for an existing id first retracts the old
+    vector (whatever cell it sits in), then folds the new one against
+    the FROZEN codebook, so a probe afterwards hash-matches an index
+    built from scratch over the latest vectors — never the
+    double-indexed both-versions state the plain append would leave.
+
+    Cost is O(delta + touched partitions), never O(index): the
+    ``ids/`` forward map — partition-pruned to the delta ids'
+    ≤ n_fwd_buckets ``db=`` directories — yields each previous
+    version's cell directly; only (old cells ∪ new cells) of
+    ``vectors/`` and the delta's ``db=`` buckets of ``ids/`` are
+    rewritten, via the staged write + FileSystem partition-dir swap
+    shared with the BM25 side. The codebook is untouched. A delta of
+    entirely NEW ids degrades to exactly :func:`update_ivf_index`'s
+    append fast-path.
+
+    ``new_vectors`` must carry one row per id (dedup a multi-version
+    delta to its latest upstream — `dedup.latest_per_key`).
+
+    Crash consistency mirrors :func:`scoring.upsert_bm25_index`: ONE
+    intent marker (``_ivf_maint_intent/`` — an order-independent
+    content digest of the delta plus the precomputed partition lists)
+    spans both dataset rewrites; a leftover marker means a
+    half-applied upsert, completed exactly by re-running the SAME
+    delta (each rewrite is idempotent given the recorded lists) and a
+    DIFFERENT delta is refused. :func:`ivf_maint_pending` detects it.
+    Swap debris from a crash INSIDE a partition swap is rolled back
+    at entry, before any live read.
     """
     import os
 
-    spark = ids.sparkSession
-    vectors_path = os.path.join(index_path, "vectors")
-    key = ids.select(F.col(id_col).alias("nid")).distinct()
-    membership = spark.read.parquet(vectors_path).select("nid", "cell")
-    # O(delta) key side: plain equi-joins, AQE broadcasts when small
-    hit = membership.join(key, "nid", "semi")
-    cells = [r.cell for r in hit.select("cell").distinct().collect()]
-    n_del = hit.count()
-    if not cells:
-        return 0
-
     from fink_joiner_spark.operators.scoring import _staged_bucket_rewrite
 
-    cell_type = dict(
-        spark.read.parquet(os.path.join(index_path, "centroids")).dtypes
-    )["cell_id"]
+    spark = new_vectors.sparkSession
+    vectors_path = os.path.join(index_path, "vectors")
+    ids_path = os.path.join(index_path, "ids")
+    intent_path = os.path.join(index_path, "_ivf_maint_intent")
+    fs, meta = _ivf_maint_entry(spark, index_path, "upsert_ivf_index")
+    n_fwd = int(meta["n_fwd_buckets"])
+
+    seeds = spark.read.parquet(os.path.join(index_path, "centroids"))
+    cell_type = dict(seeds.dtypes)["cell_id"]
+    cells_arr = _cells_arr(seeds)
+    c = _spread(new_vectors).select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")
+    )
+    # pin the assigned delta: (a) the caller's frame may derive from
+    # this index's own datasets (delete-what's-in-cell-X shapes), and
+    # its lineage re-executed AFTER the first partition swap would read
+    # deleted files; (b) assigned feeds three jobs — pinning runs the
+    # codebook argmax once. O(delta) blocks, never index-sized.
+    assigned = c.crossJoin(F.broadcast(cells_arr)).select(
+        "nid", "nvec", F.element_at(_nearest_cells(F.col("nvec"), 1), 1).alias("cell")
+    ).localCheckpoint()
+    fwd_new = _ivf_fwd_rows(assigned, n_fwd)
+
+    # order-independent content digest of the delta (ids + vectors):
+    # identifies "the same upsert re-run" for crash repair. Derived
+    # from the PINNED frame, as is every later use — nothing below may
+    # re-execute the caller's lineage once swaps begin.
+    dig = assigned.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64(F.col("nid").cast("string"), "nvec")).alias("h"),
+    ).first()
+    dig_n, dig_h = int(dig["n"] or 0), int(dig["h"] or 0)
+    key = assigned.select("nid").distinct()
+    dbs = [int(r.db) for r in fwd_new.select("db").distinct().collect()]
+
+    if fs.exists(intent_path):
+        intent = spark.read.parquet(intent_path).first()
+        if (int(intent["dig_n"]), int(intent["dig_h"]), str(intent["op"])) != (
+            dig_n, dig_h, "upsert",
+        ):
+            raise ValueError(
+                "a previous upsert/delete on this IVF index was interrupted "
+                "mid-swap and a DIFFERENT delta was offered: re-run the "
+                "original delta to complete it (idempotent), or rebuild the "
+                f"index. Pending intent: {intent_path}"
+            )
+        cells = _typed_cells(intent["cells"], cell_type)
+        dbs = sorted(int(v) for v in intent["dbs"])
+    else:
+        # previous versions of the upserted ids, via the pruned forward
+        # map: read ≤ |delta db buckets| directories, semi-join on id
+        prev = (
+            spark.read.parquet(ids_path)
+            .where(F.col("db").isin(dbs))
+            .join(key, "nid", "semi")
+        )
+        old_cells = [r.cell for r in prev.select("cell").distinct().collect()]
+        if not old_cells:
+            # pure insert: the append fast-path IS the correct plan.
+            # No intent marker — this path inherits update's contract.
+            update_ivf_index(new_vectors, id_col, vec_col, index_path)
+            return
+        new_cells = [
+            str(r.cell) for r in assigned.select("cell").distinct().collect()
+        ]
+        cells = _typed_cells(set(old_cells) | set(new_cells), cell_type)
+        spark.createDataFrame(
+            [(
+                "upsert", dig_n, dig_h,
+                [str(v) for v in cells], sorted(dbs), 0,
+            )],
+            "op string, dig_n long, dig_h long, cells array<string>, "
+            "dbs array<long>, n_prev long",
+        ).write.mode("overwrite").parquet(intent_path)
+
     kept = (
         spark.read.parquet(vectors_path)
         .where(F.col("cell").isin(cells))
         .select("nid", "nvec", F.col("cell").cast(cell_type).alias("cell"))
         .join(key, "nid", "anti")
     )
+    merged = kept.unionByName(
+        assigned.select("nid", "nvec", F.col("cell").cast(cell_type).alias("cell"))
+    )
+    _staged_bucket_rewrite(merged, vectors_path, "cell", cells)
+
+    kept_ids = (
+        spark.read.parquet(ids_path)
+        .where(F.col("db").isin(dbs))
+        .join(key, "nid", "anti")
+        .select("nid", "cell", F.col("db").cast("long").alias("db"))
+    )
+    _staged_bucket_rewrite(kept_ids.unionByName(fwd_new), ids_path, "db", dbs)
+    fs.delete(intent_path)
+
+
+def delete_from_ivf_index(ids: DataFrame, id_col: str, index_path: str) -> int:
+    """Delete vectors from a persisted IVF index — the retract
+    complement of :func:`update_ivf_index` (build / update / upsert /
+    retrain / compact / delete close the index's CRUD surface).
+
+    Membership discovery reads the ``ids/`` forward map pruned to the
+    delta ids' ``db=`` buckets — O(delta buckets), never the
+    all-cell (nid, cell) column scan of the pre-forward-map layout —
+    then ONLY the affected cell partitions of ``vectors/`` and the
+    delta's ``db=`` buckets of ``ids/`` are rewritten (anti-join) via
+    the staged write + FileSystem partition-dir swap shared with the
+    BM25 side; a cell whose every vector is deleted is retired
+    outright. The codebook is untouched (deletion changes membership,
+    never assignment). Ids not in the index are ignored; returns the
+    number of vectors actually deleted.
+
+    Crash protocol mirrors :func:`upsert_ivf_index`: swap debris is
+    rolled back at entry BEFORE the membership read (a crash inside a
+    prior swap must not make a retired cell invisible), and one intent
+    marker (delta digest + partition lists + the delete count) spans
+    the two rewrites — a leftover marker is completed by re-running
+    the SAME delete and refuses a different one
+    (:func:`ivf_maint_pending`).
+    """
+    import os
+
+    from fink_joiner_spark.operators.scoring import _staged_bucket_rewrite
+
+    spark = ids.sparkSession
+    vectors_path = os.path.join(index_path, "vectors")
+    ids_path = os.path.join(index_path, "ids")
+    intent_path = os.path.join(index_path, "_ivf_maint_intent")
+    fs, meta = _ivf_maint_entry(spark, index_path, "delete_from_ivf_index")
+    n_fwd = int(meta["n_fwd_buckets"])
+
+    # pinned for the same reason as the upsert's assigned frame: the
+    # caller's ids may derive from this index (delete-a-whole-cell
+    # reads vectors/), and the anti-joins below execute after swaps
+    key = ids.select(F.col(id_col).alias("nid")).distinct().withColumn(
+        "db", _ivf_db(F.col("nid"), n_fwd)
+    ).localCheckpoint()
+    dig = key.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64(F.col("nid").cast("string"))).alias("h"),
+    ).first()
+    dig_n, dig_h = int(dig["n"] or 0), int(dig["h"] or 0)
+    cell_type = dict(
+        spark.read.parquet(os.path.join(index_path, "centroids")).dtypes
+    )["cell_id"]
+    dbs = [int(r.db) for r in key.select("db").distinct().collect()]
+
+    if fs.exists(intent_path):
+        intent = spark.read.parquet(intent_path).first()
+        if (int(intent["dig_n"]), int(intent["dig_h"]), str(intent["op"])) != (
+            dig_n, dig_h, "delete",
+        ):
+            raise ValueError(
+                "a previous upsert/delete on this IVF index was interrupted "
+                "mid-swap and a DIFFERENT delta was offered: re-run the "
+                "original delta to complete it (idempotent), or rebuild the "
+                f"index. Pending intent: {intent_path}"
+            )
+        cells = _typed_cells(intent["cells"], cell_type)
+        dbs = sorted(int(v) for v in intent["dbs"])
+        n_del = int(intent["n_prev"])
+    else:
+        # membership via the pruned forward map: O(delta db buckets)
+        hit = (
+            spark.read.parquet(ids_path)
+            .where(F.col("db").isin(dbs))
+            .join(key.select("nid"), "nid", "semi")
+        )
+        cells_raw = [r.cell for r in hit.select("cell").distinct().collect()]
+        n_del = hit.count()
+        if not cells_raw:
+            return 0
+        cells = _typed_cells(cells_raw, cell_type)
+        spark.createDataFrame(
+            [(
+                "delete", dig_n, dig_h,
+                [str(v) for v in cells], sorted(dbs), n_del,
+            )],
+            "op string, dig_n long, dig_h long, cells array<string>, "
+            "dbs array<long>, n_prev long",
+        ).write.mode("overwrite").parquet(intent_path)
+
+    kept = (
+        spark.read.parquet(vectors_path)
+        .where(F.col("cell").isin(cells))
+        .select("nid", "nvec", F.col("cell").cast(cell_type).alias("cell"))
+        .join(key.select("nid"), "nid", "anti")
+    )
     _staged_bucket_rewrite(kept, vectors_path, "cell", cells)
+
+    kept_ids = (
+        spark.read.parquet(ids_path)
+        .where(F.col("db").isin(dbs))
+        .join(key.select("nid"), "nid", "anti")
+        .select("nid", "cell", F.col("db").cast("long").alias("db"))
+    )
+    _staged_bucket_rewrite(kept_ids, ids_path, "db", dbs)
+    fs.delete(intent_path)
     return n_del
+
+
+def ivf_maint_pending(spark, index_path: str) -> bool:
+    """True when an :func:`upsert_ivf_index`/:func:`delete_from_ivf_index`
+    intent marker is pending — the op crashed between dataset swaps and
+    the index is half-applied until the SAME delta is re-run. One
+    FileSystem existence check."""
+    import os
+
+    from fink_joiner_spark.fsutil import HadoopFS
+
+    return HadoopFS(spark, index_path).exists(
+        os.path.join(index_path, "_ivf_maint_intent")
+    )
 
 
 def ivf_retrain_pending(spark, index_path: str) -> bool:

@@ -189,26 +189,35 @@ _R1_ROTATE_OUT = frozenset({
 })
 
 
-def _correctness_history(root: str | None = None) -> tuple[frozenset[str], frozenset[str]]:
+def _correctness_history(
+    root: str | None = None,
+) -> tuple[frozenset[str], frozenset[str], dict[str, int]]:
     """Scan the driver's CORRECTNESS_r*.json files (repo root) and
-    derive (regressed, ever_verified):
+    derive (regressed, ever_verified, last_green_round):
 
     * ``regressed`` — queries whose LATEST recorded row is NOT a green
       hash-match (failed or errored last time the driver saw them);
-    * ``ever_verified`` — queries with a green hash-match in ANY round.
+    * ``ever_verified`` — queries with a green hash-match in ANY round;
+    * ``last_green_round`` — per query, the round number of its MOST
+      RECENT green row (the age signal the oldest-first rotation tier
+      sorts on, so no query's driver proof ages indefinitely).
 
     Self-maintaining across rounds: each new CORRECTNESS file
     automatically reshapes the next round's verification window. Any
     read/parse problem degrades to empty sets (registration order)."""
     import glob
     import json
+    import re
 
     if root is None:
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     latest: dict[str, bool] = {}
     ever: set[str] = set()
+    last_green: dict[str, int] = {}
     try:
         for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+            m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+            rnum = int(m.group(1)) if m else 0
             with open(path) as fh:
                 data = json.load(fh)
             for name, row in data.items():
@@ -216,16 +225,17 @@ def _correctness_history(root: str | None = None) -> tuple[frozenset[str], froze
                 latest[name] = green
                 if green:
                     ever.add(name)
+                    last_green[name] = max(last_green.get(name, 0), rnum)
     except Exception:  # noqa: BLE001 — ordering is best-effort
-        return frozenset(), frozenset()
+        return frozenset(), frozenset(), {}
     regressed = frozenset(n for n, green in latest.items() if not green)
-    return regressed, frozenset(ever)
+    return regressed, frozenset(ever), last_green
 
 
 # "Failed last round" outranks "never verified": a red row means a
 # user-visible break, a missing row only an unconfirmed pass — so
 # re-proving fixes lands first in the driver's 50-entry window.
-_R3_REGRESSED, _HISTORY_VERIFIED = _correctness_history()
+_R3_REGRESSED, _HISTORY_VERIFIED, _LAST_GREEN_ROUND = _correctness_history()
 
 
 # Queries whose BEHAVIOR changed in the round being shipped — the
@@ -236,35 +246,20 @@ _R3_REGRESSED, _HISTORY_VERIFIED = _correctness_history()
 # Maintained by hand at round end; superseded rows age out naturally
 # once the next CORRECTNESS file records them green.
 #
-# Round 8: the BM25 index lifecycle gained the fwd_full forward-index
-# marker (meta schema) and the upsert intent-marker protocol
-# (scoring.py build/update/upsert); lake.dataset_bytes was rewritten
-# per-scheme and compact_partitioned gained partition-debris repair
-# (lake.py — ext_lake_compact_clustered routes through compact);
-# plus the two r7 behavior changes the r7 window missed
-# (dedup_jaccard_prefix posting-cover rewrite, simsearch IVF cell-type
-# cast) now get their driver rows.
+# Round 9: the IVF index gained the ids/ forward map + meta format
+# marker (build/update/delete/retrain all rewritten, upsert added —
+# similarity.py), so every IVF-lifecycle query re-proves; the BM25
+# upsert/delete gained the repair-before-read preamble + pinned-delta
+# localCheckpoint (scoring.py); lake.partition_stats moved its hot
+# test to decimal arithmetic and dataset_bytes decodes URI paths
+# (lake.py — the two queries routing through them re-prove).
 _ROUND_CHANGED = frozenset({
-    "ext_bm25_index_probe", "ext_bm25_index_incremental",
-    "stream_bm25_index_maintenance", "ext_bm25_index_upsert",
+    "simsearch_topk_ivf_indexed", "simsearch_ivf_index_incremental",
+    "simsearch_ivf_delete", "simsearch_ivf_retrain",
+    "stream_ivf_index_maintenance", "simsearch_ivf_upsert",
+    "ext_bm25_index_upsert", "ext_bm25_index_delete",
+    "ext_bm25_index_compaction",
     "ext_index_partition_stats", "ext_lake_compact_clustered",
-    "dedup_jaccard_prefix", "simsearch_topk_ivf_indexed",
-    "simsearch_ivf_index_incremental",
-    # r8 exact-cents hardening of money sums (cross-engine float-SUM
-    # ulp flipped a .005 rounding boundary, caught live in q10):
-    "a6_tumbling_window_20min", "ext_format_relay_json",
-    "ext_tpch_q1_pricing", "ext_tpch_q3_shipping",
-    "ext_tpch_q5_local_volume", "kmeans_step", "ext_embedding_mean_pool",
-    # r8 stream_state_confs (changelog checkpointing + row-tracking
-    # off) touched every streaming demo's runtime confs — results are
-    # conf-invariant by design, but the rule is "module changed →
-    # driver re-proves":
-    "stream_dedup_snapshot", "stream_asof_stateful", "stream_keyed_reduce",
-    "stream_dedup_tws_retract", "stream_snapshot_join_pipeline",
-    "stream_windowed_wordcount", "stream_running_count",
-    "stream_proctime_window", "stream_static_join",
-    "stream_stream_interval_join", "stream_dedup_within_watermark",
-    "stream_stream_interval_join_left", "stream_dlq_relay",
 })
 
 
@@ -282,9 +277,16 @@ def _driver_order() -> list[str]:
     changed = [n for n in rest if n in _ROUND_CHANGED]
     rest = [n for n in rest if n not in _ROUND_CHANGED]
     never_verified = [n for n in rest if n not in _EVER_VERIFIED]
-    keep = [n for n in rest if n in _EVER_VERIFIED and n not in _R1_ROTATE_OUT]
-    deferred = [n for n in rest if n in _R1_ROTATE_OUT]
-    return regressed + changed + never_verified + keep + deferred
+    # oldest-green-first rotation tier (r8 verdict ask #5): after
+    # regressed/changed/never-verified, the remainder is ordered by the
+    # round of its most recent green driver row, ascending — each
+    # round's 50-entry window then re-proves the stalest proofs first,
+    # so no query's driver evidence ages past a few rounds. Ties keep
+    # registration order (stable sort). Queries green only in a round
+    # whose file is unreadable sort as round 0 — i.e. first, safely.
+    verified = [n for n in rest if n in _EVER_VERIFIED]
+    verified.sort(key=lambda n: _LAST_GREEN_ROUND.get(n, 0))
+    return regressed + changed + never_verified + verified
 
 
 def queries() -> dict[str, QueryFn]:

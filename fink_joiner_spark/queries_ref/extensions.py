@@ -5978,6 +5978,49 @@ def simsearch_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "simsearch_ivf_upsert",
+    _TOPK_ORACLE,
+    "latest-version IVF upsert (CRUD parity with ext_bm25_index_upsert "
+    "— the reference's signature semantics, CRMLSJoiner.scala:182, "
+    "applied to the vector index): index built on STALE vectors (half "
+    "the embeddings mangled, a quarter of ids missing), then the true "
+    "latest vectors are upserted in one call — previous versions "
+    "retracted via the db=-pruned ids/ forward map, new ones folded "
+    "against the frozen codebook, only (old ∪ new) cells rewritten. "
+    "The all-cell probe afterwards must match the brute-force oracle "
+    "over the latest corpus exactly — a stale vector surviving (the "
+    "double-indexed state a plain append leaves) breaks the hash",
+)
+def simsearch_ivf_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from fink_joiner_spark.operators import similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    n_cells = 16
+    exact = emb.count() <= _ANN_EXACT_MAX
+    work = tempfile.mkdtemp(prefix="fjs_ivf_upsert_")
+    # stale corpus: even ids carry reversed (wrong) embeddings, ids
+    # %4==3 don't exist yet
+    stale = emb.where(F.col("vec_id") % 4 != 3).select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") % 2 == 0, F.reverse(F.col("embedding"))
+        ).otherwise(F.col("embedding")).alias("embedding"),
+    )
+    similarity.build_ivf_index(stale, "vec_id", "embedding", work, n_cells=n_cells)
+    delta = emb.where(
+        (F.col("vec_id") % 2 == 0) | (F.col("vec_id") % 4 == 3)
+    ).select("vec_id", "embedding")
+    similarity.upsert_ivf_index(delta, "vec_id", "embedding", work)
+    return similarity.topk_ivf_indexed(
+        spark, work, queries, "vec_id", "embedding",
+        k=10, nprobe=n_cells if exact else 4,
+    )
+
+
+@register(
     "stream_ivf_index_maintenance",
     _TOPK_ORACLE,
     "streaming IVF ingestion end-to-end (the missing stream leg of "
@@ -6081,7 +6124,9 @@ _URL_MESSY = """
       END
 """
 
-_URL_CANON_ORACLE = f"""
+# shared CTE chain ending in canon(doc_id, canonical_url) — reused by
+# the canonicalization demo and the URL-keyed web dedup oracle
+_URL_NORM_CTES = f"""
 WITH raw AS (
   SELECT doc_id, {_URL_MESSY} AS url FROM documents
 ),
@@ -6105,16 +6150,31 @@ norm AS (
            p -> p <> '' AND NOT regexp_matches(p,
                   '^(utm_[a-z0-9]+|gclid|fbclid)='))), '&') AS q
   FROM parts
+),
+canon AS (
+  SELECT doc_id,
+         scheme || '://' || host
+         || (CASE WHEN (scheme = 'http' AND port = '80')
+                    OR (scheme = 'https' AND port = '443')
+                    OR port = '' THEN '' ELSE ':' || port END)
+         || path || (CASE WHEN q = '' THEN '' ELSE '?' || q END)
+           AS canonical_url
+  FROM norm
 )
-SELECT scheme || '://' || host
-       || (CASE WHEN (scheme = 'http' AND port = '80')
-                  OR (scheme = 'https' AND port = '443')
-                  OR port = '' THEN '' ELSE ':' || port END)
-       || path || (CASE WHEN q = '' THEN '' ELSE '?' || q END)
-         AS canonical_url,
+"""
+
+_URL_CANON_ORACLE = f"""{_URL_NORM_CTES}
+SELECT canonical_url,
        COUNT(*)::BIGINT AS n_variants,
        COUNT(DISTINCT doc_id)::BIGINT AS n_docs
-FROM norm GROUP BY 1
+FROM canon GROUP BY 1
+"""
+
+_URL_DEDUP_ORACLE = f"""{_URL_NORM_CTES}
+SELECT md5(canonical_url) AS content_hash,
+       MIN(doc_id)::BIGINT AS doc_id,
+       COUNT(*)::BIGINT AS dup_count
+FROM canon GROUP BY 1
 """
 
 
@@ -6143,6 +6203,33 @@ def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_variants"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
+
+
+@register(
+    "dedup_web_url_keyed",
+    _URL_DEDUP_ORACLE,
+    "URL-keyed web-corpus dedup END-TO-END (the payoff "
+    "canonical_url was built for): the messy multi-variant URL corpus "
+    "is canonicalized, then exact_dedup collapses it on the canonical "
+    "key — one md5-keyed hash-groupBy shuffle keeping the smallest "
+    "doc_id per logical page with its duplicate count. The same "
+    "pipeline shape a 100 TB crawl dedup runs BEFORE any content-level "
+    "near-dup pass (variant URLs would double every near-dup family). "
+    "normalize=False: canonicalization already made the key exact — "
+    "URL paths are case-sensitive, lowercasing them would over-merge",
+)
+def dedup_web_url_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators.dedup import exact_dedup
+    from fink_joiner_spark.operators.text import canonical_url
+
+    docs = table(spark, sf_dir, "documents")
+    messy = docs.select(
+        "doc_id", F.expr(_URL_MESSY.replace("VARCHAR", "STRING")).alias("url")
+    )
+    canon = messy.select(
+        "doc_id", canonical_url(F.col("url")).alias("canonical_url")
+    )
+    return exact_dedup(canon, ["canonical_url"], "doc_id", normalize=False)
 
 
 @register(
@@ -6186,6 +6273,9 @@ def ext_csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("value")
     )
+    # coalesce(1) is DEMO-FIXTURE-ONLY (one task writes one tiny CSV so
+    # the malformed line lands mid-file deterministically) — never copy
+    # into a production ingest path, where it serializes the write
     lines.coalesce(1).write.mode("overwrite").text(f"{work}/csv")
     # CSV parser column pruning decides corruptness against the PRUNED
     # required schema — an aggregate touching only (_bad, n_chars)

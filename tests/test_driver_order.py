@@ -29,10 +29,17 @@ def test_ordering_buckets():
     tail = names[n_reg + n_chg:]
     seen_verified = False
     for n in tail:
-        if n in Q._EVER_VERIFIED and n not in Q._R1_ROTATE_OUT:
+        if n in Q._EVER_VERIFIED:
             seen_verified = True
         if n not in Q._EVER_VERIFIED:
             assert not seen_verified, f"never-verified {n} after verified entries"
+    # oldest-green-first: within the verified remainder, the driver
+    # proof's age must be non-increasing in freshness — i.e. sorted by
+    # last green round ascending, so stale proofs rotate back into the
+    # 50-entry window instead of aging indefinitely
+    verified_tail = [n for n in tail if n in Q._EVER_VERIFIED]
+    rounds = [Q._LAST_GREEN_ROUND.get(n, 0) for n in verified_tail]
+    assert rounds == sorted(rounds), "verified tail not oldest-green-first"
 
 
 def test_history_parser_on_synthetic_files(tmp_path, monkeypatch):
@@ -50,13 +57,18 @@ def test_history_parser_on_synthetic_files(tmp_path, monkeypatch):
 
     import fink_joiner_spark.queries as qmod
 
-    regressed, ever = qmod._correctness_history(root=str(tmp_path))
+    regressed, ever, last_green = qmod._correctness_history(root=str(tmp_path))
     assert regressed == {"q_green_then_red", "q_never_green"}
     assert ever == {"q_green_then_red", "q_always_green"}
+    # last-green rounds: green-then-red keeps its r01 green as the
+    # freshest green; always-green likewise r01
+    assert last_green == {"q_green_then_red": 1, "q_always_green": 1}
     # no files at all -> empty sets, registration order prevails
     empty = tmp_path / "empty"
     empty.mkdir()
-    assert qmod._correctness_history(root=str(empty)) == (frozenset(), frozenset())
+    assert qmod._correctness_history(root=str(empty)) == (
+        frozenset(), frozenset(), {},
+    )
 
 
 def test_every_registered_query_is_documented():

@@ -1231,3 +1231,388 @@ def test_pending_upsert_intent_blocks_delete_and_vice_versa(
     assert scoring.delete_from_bm25_index(
         delta.select("doc_id"), "doc_id", idx
     ) == delta.count()
+
+
+def _fwd_consistent(spark, idx: str) -> None:
+    """The ids/ forward map must mirror vectors/ exactly: same (nid,
+    cell) set (cells compared as strings — the map's storage type)."""
+    vec = {
+        (r.nid, str(r.cell))
+        for r in spark.read.parquet(f"{idx}/vectors").select("nid", "cell").collect()
+    }
+    fwd = {
+        (r.nid, r.cell)
+        for r in spark.read.parquet(f"{idx}/ids").select("nid", "cell").collect()
+    }
+    assert vec == fwd and vec
+
+
+def test_ivf_upsert_matches_rebuild_and_is_idempotent(spark, sf_dir, tmp_path):
+    """upsert_ivf_index end-to-end (IVF CRUD parity with the BM25
+    side): an index built on STALE vectors (changed embeddings for
+    half the ids, a quarter of ids missing) must, after one upsert of
+    the latest versions, probe bit-identical to the same frozen
+    codebook over the latest corpus — never the double-indexed
+    both-versions state a plain append leaves; a second identical
+    upsert is a no-op; the forward map stays consistent throughout;
+    an all-new-ids delta degrades to the append fast-path."""
+    import os
+
+    from fink_joiner_spark.operators import similarity
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    idx = str(tmp_path / "ivf_upsert")
+    stale = emb.where(F.col("vec_id") % 4 != 3).select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") % 2 == 0, F.reverse(F.col("embedding"))
+        ).otherwise(F.col("embedding")).alias("embedding"),
+    )
+    similarity.build_ivf_index(stale, "vec_id", "embedding", idx, n_cells=8)
+
+    delta = emb.where(
+        (F.col("vec_id") % 2 == 0) | (F.col("vec_id") % 4 == 3)
+    ).select("vec_id", "embedding")
+    similarity.upsert_ivf_index(delta, "vec_id", "embedding", idx)
+    assert not similarity.ivf_maint_pending(spark, idx)
+    _fwd_consistent(spark, idx)
+
+    # no double-indexing: exactly one row per id
+    n_ids = spark.read.parquet(f"{idx}/vectors").select("nid").distinct().count()
+    n_rows = spark.read.parquet(f"{idx}/vectors").count()
+    assert n_ids == n_rows == emb.count()
+
+    # probe == the same frozen codebook over the latest corpus
+    queries = emb.filter(F.col("vec_id") < 4)
+    seeds = spark.read.parquet(f"{idx}/centroids")
+    got = {
+        tuple(r)
+        for r in similarity.topk_ivf_indexed(
+            spark, idx, queries, "vec_id", "embedding", k=5, nprobe=8
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in similarity.topk_ivf(
+            emb, queries, "vec_id", "embedding", "vec_id", "embedding",
+            k=5, nprobe=8, n_cells=8, centroids=seeds,
+        ).collect()
+    }
+    assert got == want and got
+
+    # idempotent: same delta again, nothing moves
+    similarity.upsert_ivf_index(delta, "vec_id", "embedding", idx)
+    again = {
+        tuple(r)
+        for r in similarity.topk_ivf_indexed(
+            spark, idx, queries, "vec_id", "embedding", k=5, nprobe=8
+        ).collect()
+    }
+    assert again == want
+    _fwd_consistent(spark, idx)
+
+    # all-new ids: append fast-path (existing files untouched)
+    before = set(spark.read.parquet(f"{idx}/vectors").inputFiles())
+    fresh = emb.limit(5).select(
+        (F.col("vec_id") + 5_000_000).alias("vec_id"), "embedding"
+    )
+    similarity.upsert_ivf_index(fresh, "vec_id", "embedding", idx)
+    after = set(spark.read.parquet(f"{idx}/vectors").inputFiles())
+    assert before <= after and len(after) > len(before)
+    _fwd_consistent(spark, idx)
+
+
+def test_ivf_upsert_delete_refuse_pre_forward_map_index(spark, sf_dir, tmp_path):
+    """A vectors-only index (no meta/fwd_full) must be refused LOUDLY
+    by upsert and delete — proceeding would either double-index or
+    cost a full-index membership scan per call — and retrain_ivf_index
+    must UPGRADE it in place (it reads every vector anyway), after
+    which both ops work."""
+    import os
+
+    import pytest
+
+    from fink_joiner_spark.fsutil import HadoopFS
+    from fink_joiner_spark.operators import similarity
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    idx = str(tmp_path / "legacy_ivf")
+    similarity.build_ivf_index(emb, "vec_id", "embedding", idx, n_cells=8)
+    # simulate a pre-forward-map build
+    fs = HadoopFS(spark, idx)
+    fs.delete(f"{idx}/meta")
+    fs.delete(f"{idx}/ids")
+
+    delta = emb.limit(3).select("vec_id", "embedding")
+    with pytest.raises(ValueError, match="forward map"):
+        similarity.upsert_ivf_index(delta, "vec_id", "embedding", idx)
+    with pytest.raises(ValueError, match="forward map"):
+        similarity.delete_from_ivf_index(delta.select("vec_id"), "vec_id", idx)
+
+    similarity.retrain_ivf_index(spark, idx)  # free in-place upgrade
+    _fwd_consistent(spark, idx)
+    meta = spark.read.parquet(f"{idx}/meta").first()
+    assert meta["fwd_full"] is True
+    assert similarity.delete_from_ivf_index(
+        delta.select("vec_id"), "vec_id", idx
+    ) == 3
+    _fwd_consistent(spark, idx)
+
+
+def test_ivf_upsert_crash_between_swaps_recovers(spark, sf_dir, tmp_path, monkeypatch):
+    """The IVF intent-marker protocol (mirror of the BM25 one): an
+    upsert killed between the vectors swap and the ids swap leaves a
+    pending marker; a DIFFERENT delta — and a delete, and a retrain —
+    are refused; re-running the SAME delta completes the half-applied
+    upsert exactly and clears the marker."""
+    import os
+
+    import pytest
+
+    import fink_joiner_spark.operators.scoring as scoring
+    import fink_joiner_spark.operators.similarity as similarity
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    idx = str(tmp_path / "ivf_crashy")
+    stale = emb.where(F.col("vec_id") % 4 != 3).select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") % 2 == 0, F.reverse(F.col("embedding"))
+        ).otherwise(F.col("embedding")).alias("embedding"),
+    )
+    similarity.build_ivf_index(stale, "vec_id", "embedding", idx, n_cells=8)
+    delta = emb.where(
+        (F.col("vec_id") % 2 == 0) | (F.col("vec_id") % 4 == 3)
+    ).select("vec_id", "embedding")
+
+    real = scoring._staged_bucket_rewrite
+    calls = {"n": 0}
+
+    def crash_second(merged, live_root, partition_col, values):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("boom")
+        return real(merged, live_root, partition_col, values)
+
+    monkeypatch.setattr(scoring, "_staged_bucket_rewrite", crash_second)
+    with pytest.raises(RuntimeError):
+        similarity.upsert_ivf_index(delta, "vec_id", "embedding", idx)
+    monkeypatch.setattr(scoring, "_staged_bucket_rewrite", real)
+    assert similarity.ivf_maint_pending(spark, idx)
+
+    # different delta refused; delete refused; retrain refused
+    other = emb.limit(2).select("vec_id", F.reverse("embedding").alias("embedding"))
+    with pytest.raises(ValueError, match="interrupted"):
+        similarity.upsert_ivf_index(other, "vec_id", "embedding", idx)
+    with pytest.raises(ValueError, match="interrupted"):
+        similarity.delete_from_ivf_index(delta.select("vec_id"), "vec_id", idx)
+    with pytest.raises(ValueError, match="pending"):
+        similarity.retrain_ivf_index(spark, idx)
+
+    # same delta completes it
+    similarity.upsert_ivf_index(delta, "vec_id", "embedding", idx)
+    assert not similarity.ivf_maint_pending(spark, idx)
+    _fwd_consistent(spark, idx)
+    queries = emb.filter(F.col("vec_id") < 4)
+    seeds = spark.read.parquet(f"{idx}/centroids")
+    got = {
+        tuple(r)
+        for r in similarity.topk_ivf_indexed(
+            spark, idx, queries, "vec_id", "embedding", k=5, nprobe=8
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in similarity.topk_ivf(
+            emb, queries, "vec_id", "embedding", "vec_id", "embedding",
+            k=5, nprobe=8, n_cells=8, centroids=seeds,
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_ivf_delete_membership_prunes_to_delta_db_buckets(spark, sf_dir, tmp_path):
+    """The forward-map payoff, pinned structurally: after a tiny
+    delete, (a) every ids/ file in a db= bucket NOT hit by the delta
+    ids' hashes is the exact same file, (b) every vectors/ file in an
+    unaffected cell keeps its path, and (c) the membership read's plan
+    carries the db partition filter (partition pruning, not a
+    full-map scan)."""
+    import os
+    import re
+
+    from fink_joiner_spark.operators import similarity
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    idx = str(tmp_path / "ivf_prune")
+    similarity.build_ivf_index(emb, "vec_id", "embedding", idx, n_cells=8)
+    before_ids = set(spark.read.parquet(f"{idx}/ids").inputFiles())
+    before_vec = set(spark.read.parquet(f"{idx}/vectors").inputFiles())
+
+    victims = [int(r.vec_id) for r in emb.limit(2).select("vec_id").collect()]
+    n_fwd = int(spark.read.parquet(f"{idx}/meta").first()["n_fwd_buckets"])
+    dbs = {
+        int(r.db)
+        for r in spark.createDataFrame([(v,) for v in victims], "vec_id long")
+        .select(
+            F.pmod(
+                F.xxhash64(F.col("vec_id").cast("string")), F.lit(n_fwd)
+            ).alias("db")
+        ).collect()
+    }
+    cells = {
+        str(r.cell)
+        for r in spark.read.parquet(f"{idx}/ids")
+        .where(F.col("nid").isin(victims)).select("cell").collect()
+    }
+
+    # (c) the membership frame's static plan partition-prunes on db
+    membership = spark.read.parquet(f"{idx}/ids").where(
+        F.col("db").isin(sorted(dbs))
+    )
+    plan = membership._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "db" in plan.split(
+        "PartitionFilters: ["
+    )[1].split("]")[0]
+
+    n = similarity.delete_from_ivf_index(
+        spark.createDataFrame([(v,) for v in victims], "vec_id long"),
+        "vec_id", idx,
+    )
+    assert n == len(victims)
+
+    after_ids = set(spark.read.parquet(f"{idx}/ids").inputFiles())
+    for f in before_ids.symmetric_difference(after_ids):
+        m = re.search(r"db=(\d+)", f)
+        assert m and int(m.group(1)) in dbs, f"unaffected db bucket rewritten: {f}"
+    after_vec = set(spark.read.parquet(f"{idx}/vectors").inputFiles())
+    for f in before_vec.symmetric_difference(after_vec):
+        m = re.search(r"cell=([^/]+)/", f)
+        assert m and m.group(1) in cells, f"unaffected cell rewritten: {f}"
+    _fwd_consistent(spark, idx)
+
+
+def test_index_maintenance_repairs_mid_swap_crash_before_read(
+    spark, sf_dir, tmp_path
+):
+    """The read-before-repair hole (round-8 advice, high): a crash
+    INSIDE a partition swap — live dir renamed to __retired, staged
+    not yet installed — must be rolled back at upsert/delete ENTRY,
+    before any live dataset is read. Otherwise the re-run's reads miss
+    the retired bucket's rows, the rewrite bakes delta-only content in,
+    and every other document/vector there is silently lost. Pinned on
+    both index families by manufacturing the exact debris state."""
+    import os
+
+    from fink_joiner_spark.operators import scoring, similarity
+
+    # --- BM25: retire EVERY postings bucket, then upsert ---
+    docs = _docs(spark, sf_dir)
+    idx = str(tmp_path / "bm25_midswap")
+    stale = docs.where(F.col("doc_id") % 4 != 3).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 2 == 0, F.reverse(F.col("text"))).otherwise(
+            F.col("text")
+        ),
+    )
+    scoring.build_bm25_index(stale, "doc_id", "text", idx, n_buckets=8)
+    for name in os.listdir(f"{idx}/postings"):
+        if name.startswith("pb="):
+            os.rename(f"{idx}/postings/{name}", f"{idx}/postings/{name}__retired")
+
+    delta = docs.where(
+        (F.col("doc_id") % 2 == 0) | (F.col("doc_id") % 4 == 3)
+    ).select("doc_id", "text")
+    scoring.upsert_bm25_index(delta, "doc_id", "text", idx)
+
+    full = str(tmp_path / "bm25_rebuild")
+    scoring.build_bm25_index(docs, "doc_id", "text", full, n_buckets=8)
+    terms = ["join", "filter", "window"]
+    got = {tuple(r) for r in scoring.bm25_indexed_scores(spark, idx, terms).collect()}
+    want = {tuple(r) for r in scoring.bm25_indexed_scores(spark, full, terms).collect()}
+    assert got == want and got
+
+    # --- IVF: retire EVERY cell, then delete ids living there ---
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ividx = str(tmp_path / "ivf_midswap")
+    junk = emb.where(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.reverse(F.col("embedding")).alias("embedding"),
+    )
+    dirty = emb.select("vec_id", "embedding").unionByName(junk)
+    similarity.build_ivf_index(dirty, "vec_id", "embedding", ividx, n_cells=8)
+    for name in os.listdir(f"{ividx}/vectors"):
+        if name.startswith("cell="):
+            os.rename(
+                f"{ividx}/vectors/{name}", f"{ividx}/vectors/{name}__retired"
+            )
+    n = similarity.delete_from_ivf_index(junk.select("vec_id"), "vec_id", ividx)
+    assert n == junk.count()  # 0 would mean the retired cells went unseen
+    queries = emb.filter(F.col("vec_id") < 4)
+    seeds = spark.read.parquet(f"{ividx}/centroids")
+    got_v = {
+        tuple(r)
+        for r in similarity.topk_ivf_indexed(
+            spark, ividx, queries, "vec_id", "embedding", k=5, nprobe=8
+        ).collect()
+    }
+    want_v = {
+        tuple(r)
+        for r in similarity.topk_ivf(
+            emb, queries, "vec_id", "embedding", "vec_id", "embedding",
+            k=5, nprobe=8, n_cells=8, centroids=seeds,
+        ).collect()
+    }
+    assert got_v == want_v and got_v
+
+
+def test_ivf_retrain_intent_records_and_validates_params(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """A resize retrain (explicit n_cells) that crashes mid-swap must
+    NOT converge to the old cell count when re-run with n_cells=None:
+    the intent marker records (n_cells, train_iters), a parameterless
+    re-run adopts them, and a MISMATCHING explicit re-run is
+    refused."""
+    import os
+
+    import pytest
+
+    import fink_joiner_spark.operators.similarity as similarity
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    idx = str(tmp_path / "retrain_params")
+    similarity.build_ivf_index(emb, "vec_id", "embedding", idx, n_cells=8)
+
+    real = similarity._swap_dataset
+
+    def crash_first(fs, live, staged):
+        raise RuntimeError("boom before any swap")
+
+    monkeypatch.setattr(similarity, "_swap_dataset", crash_first)
+    with pytest.raises(RuntimeError):
+        similarity.retrain_ivf_index(spark, idx, n_cells=12)
+    monkeypatch.setattr(similarity, "_swap_dataset", real)
+    assert similarity.ivf_retrain_pending(spark, idx)
+
+    with pytest.raises(ValueError, match="n_cells=12"):
+        similarity.retrain_ivf_index(spark, idx, n_cells=10)
+    with pytest.raises(ValueError, match="train_iters"):
+        similarity.retrain_ivf_index(spark, idx, n_cells=12, train_iters=2)
+
+    # parameterless re-run adopts the recorded resize
+    similarity.retrain_ivf_index(spark, idx)
+    assert not similarity.ivf_retrain_pending(spark, idx)
+    assert spark.read.parquet(f"{idx}/centroids").count() == 12
+    assert int(spark.read.parquet(f"{idx}/meta").first()["n_cells"]) == 12
+    _fwd_consistent(spark, idx)
+
+
+def test_dataset_bytes_handles_uri_encoded_local_paths(spark, tmp_path):
+    """inputFiles() returns URI-encoded entries; a local path with a
+    space must still be sized (unquote before stat), not raise
+    FileNotFoundError."""
+    dest = str(tmp_path / "dir with space" / "data")
+    spark.range(100).write.mode("overwrite").parquet(dest)
+    df = spark.read.parquet(dest)
+    assert lake.dataset_bytes(df) > 0
