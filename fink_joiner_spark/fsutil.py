@@ -1,12 +1,13 @@
 """Filesystem side effects through the Hadoop FileSystem API.
 
-Index maintenance (streaming replay markers, compaction staging/swap,
-partition-level upserts) needs exists/mkdirs/rename/delete against the
-SAME filesystem the datasets live on. Python's ``os``/``shutil`` only
-see the driver's local disk: ``os.path.exists("s3a://…")`` is always
-False and ``os.rename`` on a URI raises — on HDFS/S3 (the stated
-100 TB posture) a local-FS marker check silently re-folds replayed
-micro-batches and a local rename crashes compaction outright.
+Lake maintenance (the versioned store's commit markers and GC,
+generic partitioned-dataset compaction staging/swap) needs
+exists/mkdirs/rename/delete against the SAME filesystem the datasets
+live on. Python's ``os``/``shutil`` only see the driver's local disk:
+``os.path.exists("s3a://…")`` is always False and ``os.rename`` on a
+URI raises — on HDFS/S3 (the stated 100 TB posture) a local-FS marker
+check silently re-folds replayed micro-batches and a local rename
+crashes compaction outright.
 
 Every helper here resolves the ``org.apache.hadoop.fs.FileSystem``
 for the path's OWN scheme (``file:``, ``hdfs:``, ``s3a:``, …) via the
@@ -16,10 +17,13 @@ metadata operations (one py4j call each) on a bounded number of paths
 — markers, partition directories, dataset roots — never per-row or
 per-file-of-a-large-scan work.
 
-Atomicity caveat (same as everywhere in the plain-parquet lifecycle):
-``rename`` is atomic on HDFS and POSIX but copy+delete on S3A; a
-concurrent reader during a swap window needs the Delta/Iceberg
-upgrade documented in :mod:`fink_joiner_spark.operators.scoring`.
+Atomicity caveat for the in-place swap helpers below: ``rename`` is
+atomic on HDFS and POSIX but copy+delete on S3A, and a concurrent
+reader during a swap window can see a mixed state — which is exactly
+why the persisted indexes moved OFF these helpers onto
+:mod:`fink_joiner_spark.versioned` (round 9). The swap machinery
+remains for generic lake datasets with an exclusive maintenance
+window (`lake.compact_partitioned`).
 """
 
 from __future__ import annotations

@@ -166,18 +166,23 @@ def build_bm25_index(
     repeated retrieval queries, where re-tokenizing 100 TB per query
     (what :func:`bm25_scores` does) is the dominant cost.
 
-    Layout (three parquet datasets under ``dest_path``):
+    Layout: a :class:`fink_joiner_spark.versioned.VersionedStore` at
+    ``dest_path`` (version dirs + per-version manifest + one atomic
+    commit marker — reader snapshot isolation: a concurrent probe
+    always sees one consistent committed version of ALL FOUR datasets
+    through every maintenance op, and a writer crash before the
+    marker leaves the previous version untouched). Datasets:
 
-    * ``postings/`` — (doc_id, dl, term, tf), partitioned by
+    * ``postings`` — (doc_id, dl, term, tf), partitioned by
       ``pb = pmod(xxhash64(term), n_buckets)``. Hash-bucketing the
       TERM (not dictionary-partitioning it) keeps the directory count
       fixed at ``n_buckets`` regardless of vocabulary size (a web
       corpus has ~10^8 terms — one dir per term is catalog poison),
-      while still letting a probe for k query terms partition-prune
+      while still letting a probe for k query terms restrict its read
       to ≤ k buckets. ``dl`` is denormalized into the posting row so
       the probe never touches a corpus-sized doc-stats table.
-    * ``terms/`` — (term, df), partitioned the same way.
-    * ``docs/`` — the FORWARD index: one row per document
+    * ``terms`` — (term, df), partitioned the same way.
+    * ``docs`` — the FORWARD index: one row per document
       ``(doc_id, dl, pbs)`` where ``pbs`` is the distinct set of
       postings buckets holding the doc's terms, partitioned by
       ``db = pmod(xxhash64(doc_id), n_buckets)``. This is what makes
@@ -187,20 +192,15 @@ def build_bm25_index(
       pruned directories — the standard inverted+forward pairing
       (Lucene stores the same two views). The pbs array is ≤
       ``n_buckets`` ints per doc — a tiny fraction of postings volume.
-    * ``meta/`` — one row (n_docs, sum_dl, n_buckets, fwd_full).
-      ``fwd_full`` is the forward-index format marker: True means
-      ``docs/`` covers the WHOLE corpus, which is the precondition for
-      :func:`upsert_bm25_index` (an index built before ``docs/``
-      existed has at best a partial forward index, and an upsert
-      trusting it would silently skip retraction of pre-upgrade
-      documents — the marker makes that a loud error instead).
+    * ``meta`` — one row (n_docs, sum_dl, n_buckets).
 
     The probe is :func:`bm25_indexed_scores`; both paths share
     :func:`_bm25_from_stats`, so an indexed probe returns bit-identical
-    scores to the scan-time operator for the same terms.
+    scores to the scan-time operator for the same terms. A LEGACY
+    (pre-versioned in-place) index keeps probing read-only; its
+    maintenance upgrade is a rebuild through this function.
     """
-    import os
-
+    spark = df.sparkSession
     toks = tokens(F.col(text_col))
     base = df.select(
         F.col(id_col).alias("doc_id"),
@@ -222,7 +222,6 @@ def build_bm25_index(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("sum_dl"),
         F.lit(n_buckets).alias("n_buckets"),
-        F.lit(True).alias("fwd_full"),
     )
     tf = (
         base.select("doc_id", "dl", F.explode("toks").alias("term"))
@@ -230,17 +229,49 @@ def build_bm25_index(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     pb = F.pmod(F.xxhash64("term"), F.lit(n_buckets))
-    tf.withColumn("pb", pb).write.mode("overwrite").partitionBy("pb").parquet(
-        os.path.join(dest_path, "postings")
+    store = _bm25_store(spark, dest_path)
+    v = store.begin()
+    tf.withColumn("pb", pb).write.partitionBy("pb").parquet(
+        f"{store.vdir(v)}/postings"
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    dfreq.withColumn("pb", pb).write.mode("overwrite").partitionBy("pb").parquet(
-        os.path.join(dest_path, "terms")
+    dfreq.withColumn("pb", pb).write.partitionBy("pb").parquet(
+        f"{store.vdir(v)}/terms"
     )
-    _doc_rows(base, n_buckets).write.mode("overwrite").partitionBy("db").parquet(
-        os.path.join(dest_path, "docs")
+    _doc_rows(base, n_buckets).write.partitionBy("db").parquet(
+        f"{store.vdir(v)}/docs"
     )
-    stats.write.mode("overwrite").parquet(os.path.join(dest_path, "meta"))
+    stats.write.parquet(f"{store.vdir(v)}/meta")
+    rows = (
+        [("postings", p_, v) for p_ in store.written_parts(v, "postings")]
+        + [("terms", p_, v) for p_ in store.written_parts(v, "terms")]
+        + [("docs", p_, v) for p_ in store.written_parts(v, "docs")]
+        + [("meta", "", v)]
+    )
+    store.commit(v, rows)
+
+
+def _bm25_store(spark, index_path: str):
+    from fink_joiner_spark.versioned import VersionedStore
+
+    return VersionedStore(spark, index_path)
+
+
+def _bm25_entry(spark, index_path: str, op: str):
+    """Shared maintenance preamble: refuse a legacy (pre-versioned)
+    index — its in-place directories have no reader isolation and (for
+    upsert/delete) possibly no complete forward index; the upgrade is
+    a rebuild through :func:`build_bm25_index`. Returns
+    (store, meta row)."""
+    store = _bm25_store(spark, index_path)
+    if store.current() is None:
+        raise ValueError(
+            f"{op} requires a versioned BM25 index: this index predates "
+            "the versioned layout (legacy in-place directories — no "
+            "reader isolation, forward index not guaranteed complete). "
+            f"Rebuild with build_bm25_index to upgrade. Index: {index_path}"
+        )
+    return store, store.read("meta").first()
 
 
 def _doc_rows(base: DataFrame, n_buckets: int) -> DataFrame:
@@ -268,6 +299,7 @@ def update_bm25_index(
     id_col: str,
     text_col: str,
     index_path: str,
+    applied_marker: str | None = None,
 ) -> None:
     """Incrementally fold NEW documents into a persisted BM25 index
     (:func:`build_bm25_index`) — the maintenance path for an append-
@@ -276,38 +308,41 @@ def update_bm25_index(
     O(delta corpus) + O(term stats of the touched buckets), never
     O(existing corpus):
 
-    * ``postings/`` — delta rows APPEND as new files; existing posting
-      files are never rewritten (asserted in ``tests/test_lake.py``).
-    * ``terms/`` — per-term df must MERGE (df_new = df_old + df_delta):
-      old term rows of the affected buckets (partition-pruned read)
-      union the delta, re-aggregate, land in a STAGED sibling
-      directory, and only the touched ``pb=`` directories are swapped
-      in via FileSystem renames — untouched buckets keep their files,
-      and the job never reads and overwrites one path (Spark's
-      read/write-conflict staging for dynamic overwrite is version-
-      sensitive; an explicit stage+swap is not).
-    * ``docs/`` — forward-index rows for the delta APPEND (same
-      pruning role as at build time — see :func:`build_bm25_index`).
-      Skipped on an index whose meta lacks the ``fwd_full`` marker
-      (built before the forward index existed): appending delta rows
-      to a PARTIAL forward index cannot make it complete, and a later
-      upsert trusting it would silently skip retraction of
-      pre-upgrade documents — such an index keeps ``fwd_full=false``
-      and :func:`upsert_bm25_index` refuses it loudly.
-    * ``meta/`` — corpus scalars re-written with the delta added
-      (exact integers; read before overwrite).
+    * ``postings`` — delta rows land as NEW version directories and
+      the manifest gains append-REFERENCES for the touched buckets;
+      existing posting files are never rewritten, moved, or appended
+      into (asserted in ``tests/test_lake.py``).
+    * ``terms`` — per-term df must MERGE (df_new = df_old + df_delta):
+      old term rows of the affected buckets (manifest-pruned read)
+      union the delta, re-aggregate, and REPLACE those buckets'
+      references; untouched buckets carry their references forward.
+    * ``docs`` — forward-index rows for the delta as append-references
+      (same pruning role as at build time).
+    * ``meta`` — corpus scalars re-written with the delta added
+      (exact integers; read before rewrite).
+
+    All four land in ONE atomic commit-marker flip — a concurrent
+    probe sees the pre-delta or post-delta index, never postings
+    without their term stats; a crash before the marker leaves the
+    previous version untouched and re-folding is plain retry (the old
+    crash-mid-append double-count window is closed by construction).
 
     ``new_docs`` must be NEW ids: re-ingesting an already-indexed doc
     would double-count its postings — that workload is exactly
     :func:`upsert_bm25_index` (latest-version semantics, the
     reference's signature dedup contract, CRMLSJoiner.scala:182).
-    """
-    import os
 
+    ``applied_marker`` (stream sinks): an opaque key recorded as an
+    annotation row (``_applied``, key, version) in the SAME manifest
+    commit as the fold itself — marker and data land in one atomic
+    flip, so a replayed micro-batch can be skipped with NO window in
+    which the fold committed but its marker didn't (the exactly-once
+    sliver the old directory markers left open). The last 64 markers
+    are retained; Spark only ever replays the in-flight batch.
+    """
     spark = new_docs.sparkSession
-    meta_old = spark.read.parquet(os.path.join(index_path, "meta")).first()
+    store, meta_old = _bm25_entry(spark, index_path, "update_bm25_index")
     n_buckets = int(meta_old["n_buckets"])
-    fwd_full = bool(meta_old.asDict().get("fwd_full", False))
 
     toks = tokens(F.col(text_col))
     base = new_docs.select(
@@ -333,69 +368,61 @@ def update_bm25_index(
     ).first()
     delta_n_docs = int(delta["n_docs"] or 0)
     delta_sum_dl = int(delta["sum_dl"] or 0)
-    tf.write.mode("append").partitionBy("pb").parquet(
-        os.path.join(index_path, "postings")
+
+    v = store.begin()
+    tf.write.partitionBy("pb").parquet(f"{store.vdir(v)}/postings")
+    _doc_rows(base, n_buckets).write.partitionBy("db").parquet(
+        f"{store.vdir(v)}/docs"
     )
-    if fwd_full:
-        _doc_rows(base, n_buckets).write.mode("append").partitionBy("db").parquet(
-            os.path.join(index_path, "docs")
+    # per-term df merge over the touched buckets, from the STAGED delta
+    # postings (one thin read of what was just written)
+    delta_df = (
+        spark.read.parquet(f"{store.vdir(v)}/postings")
+        .groupBy(F.col("pb").cast("long").alias("pb"), "term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    pbs = sorted(
+        int(p_.split("=", 1)[1]) for p_ in store.written_parts(v, "postings")
+    )
+    old_terms = store.read("terms", parts=[f"pb={b}" for b in pbs])
+    merged = delta_df.select("term", "df", "pb")
+    if old_terms is not None:
+        merged = (
+            old_terms.select("term", "df", F.col("pb").cast("long").alias("pb"))
+            .unionByName(merged)
+            .groupBy("pb", "term")
+            .agg(F.sum("df").alias("df"))
+            .select("term", "df", "pb")
         )
+    merged.write.partitionBy("pb").parquet(f"{store.vdir(v)}/terms")
 
-    delta_df = tf.groupBy("pb", "term").agg(F.count(F.lit(1)).alias("df"))
-    # affected buckets as literals → the old-terms read partition-prunes
-    pbs = [r.pb for r in delta_df.select("pb").distinct().collect()]
-    old_terms = (
-        spark.read.parquet(os.path.join(index_path, "terms"))
-        .where(F.col("pb").isin(pbs))
-        .select("term", "df", F.col("pb").cast("long").alias("pb"))
-    )
-    merged = (
-        old_terms.unionByName(delta_df.select("term", "df", "pb"))
-        .groupBy("pb", "term")
-        .agg(F.sum("df").alias("df"))
-        .select("term", "df", "pb")
-    )
-    _staged_bucket_rewrite(
-        merged, os.path.join(index_path, "terms"), "pb", pbs
-    )
-
-    new_meta = spark.createDataFrame(
+    spark.createDataFrame(
         [
             (
                 int(meta_old["n_docs"]) + delta_n_docs,
                 int(meta_old["sum_dl"]) + delta_sum_dl,
                 n_buckets,
-                fwd_full,
             )
         ],
-        "n_docs long, sum_dl long, n_buckets int, fwd_full boolean",
+        "n_docs long, sum_dl long, n_buckets int",
+    ).write.parquet(f"{store.vdir(v)}/meta")
+
+    rows = store.carry_except(
+        store.state_rows(), "terms", {f"pb={b}" for b in pbs}
     )
-    new_meta.write.mode("overwrite").parquet(os.path.join(index_path, "meta"))
-
-
-def _staged_bucket_rewrite(
-    merged: DataFrame, live_root: str, partition_col: str, values: list
-) -> None:
-    """Replace the ``<partition_col>=<v>`` directories of a live
-    partitioned dataset with ``merged``'s content for exactly those
-    partitions: write to a staged sibling (so the rewrite never reads
-    and overwrites one path in a single job), then swap each touched
-    directory in via Hadoop FileSystem renames — correct on local
-    disk, HDFS, and S3A alike. A partition in ``values`` that
-    ``merged`` produced no rows for is retired (its docs were all
-    deleted). Crash debris from an interrupted prior swap is repaired
-    first (see :func:`fink_joiner_spark.fsutil.swap_partition_dirs`).
-    """
-    from fink_joiner_spark.fsutil import HadoopFS, swap_partition_dirs
-
-    spark = merged.sparkSession
-    staged_root = live_root + "_staging"
-    fs = HadoopFS(spark, live_root)
-    fs.delete(staged_root)
-    merged.write.mode("overwrite").partitionBy(partition_col).parquet(staged_root)
-    swap_partition_dirs(
-        fs, live_root, staged_root, [f"{partition_col}={v}" for v in values]
-    )
+    rows = [r for r in rows if r[0] != "meta"]
+    rows += [("postings", p_, v) for p_ in store.written_parts(v, "postings")]
+    rows += [("terms", p_, v) for p_ in store.written_parts(v, "terms")]
+    rows += [("docs", p_, v) for p_ in store.written_parts(v, "docs")]
+    rows += [("meta", "", v)]
+    if applied_marker is not None:
+        keep = sorted(
+            (r for r in rows if r[0] == "_applied"),
+            key=lambda r: r[2], reverse=True,
+        )[:63]
+        rows = [r for r in rows if r[0] != "_applied"]
+        rows += keep + [("_applied", applied_marker, v)]
+    store.commit(v, rows)
 
 
 def upsert_bm25_index(
@@ -412,99 +439,53 @@ def upsert_bm25_index(
     hash-matches a from-scratch rebuild over the latest corpus.
 
     Cost is O(delta + touched buckets), never O(existing corpus) or
-    O(full postings scan): the ``docs/`` forward index (partition-
-    pruned to the delta ids' ≤ n_buckets ``db=`` directories) yields
-    each previous version's posting-bucket set directly, so only the
-    union of old and new posting buckets is read and rewritten:
+    O(full postings scan): the ``docs`` forward index (read pruned to
+    the delta ids' ≤ n_buckets ``db=`` directories) yields each
+    previous version's posting-bucket set directly, so only the union
+    of old and new posting buckets is read and rewritten:
 
-    * ``postings/`` — affected buckets rewritten as (existing rows
-      minus the upserted ids' old rows) ∪ delta rows, via staged
-      write + FileSystem partition-dir swap;
-    * ``terms/`` — per-term df RECOMPUTED from the merged postings of
-      the affected buckets (a term's postings live entirely in its own
-      hash bucket, so the bucket-local recount is exact — simpler and
-      no less bounded than incremental add/subtract);
-    * ``docs/`` — affected ``db=`` buckets rewritten the same way;
-    * ``meta/`` — n_docs grows only by genuinely-new ids; sum_dl moves
+    * ``postings`` — affected buckets rewritten as (existing rows
+      minus the upserted ids' old rows) ∪ delta rows;
+    * ``terms`` — per-term df RECOUNTED from the staged merged
+      postings of the affected buckets (a term's postings live
+      entirely in its own hash bucket, so the bucket-local recount is
+      exact — simpler and no less bounded than incremental
+      add/subtract);
+    * ``docs`` — affected ``db=`` buckets rewritten the same way;
+    * ``meta`` — n_docs grows only by genuinely-new ids; sum_dl moves
       by (new lengths − replaced lengths), all exact integers.
+
+    All four land in ONE atomic commit-marker flip (reader snapshot
+    isolation; a crash before the marker leaves the previous version
+    untouched and ANY retry — same delta, different delta, a delete —
+    is safe; the old intent-marker repair protocol is unnecessary by
+    construction and was removed). Every untouched partition carries
+    its manifest reference forward — its physical files never move.
 
     ``docs`` must carry one row per id (dedup a multi-version delta to
     its latest upstream — `dedup.latest_per_key` is the operator).
     Pure inserts (no id previously indexed) degrade to exactly the
-    append fast-path of :func:`update_bm25_index`, which remains the
-    cheaper call when the caller KNOWS ids are new.
-
-    Preconditions and crash consistency:
-
-    * the index meta must carry ``fwd_full=true`` (written by every
-      :func:`build_bm25_index`): an index built before the forward
-      index existed has at best a PARTIAL ``docs/``, and an upsert
-      trusting it would silently skip retraction of pre-upgrade
-      documents, double-counting their postings — refused loudly.
-    * the four datasets are swapped one after another, each swap
-      individually crash-repaired, but a crash BETWEEN swaps leaves
-      e.g. postings new / terms old. Before the first swap an INTENT
-      marker (``_upsert_intent/``, one parquet row: a content digest
-      of the delta plus the precomputed affected-bucket lists and
-      final meta scalars) is written and it is deleted only after
-      ``meta/`` lands. A leftover marker therefore means a
-      half-applied upsert: re-running the upsert with the SAME delta
-      (digest-checked) completes it exactly — every dataset rewrite
-      is idempotent given the recorded bucket lists, and the final
-      scalars come from the marker rather than being recomputed from
-      possibly-already-swapped state. A DIFFERENT delta while a
-      marker is pending is refused (finish the pending one first).
-      :func:`bm25_upsert_pending` is the cheap detector.
+    append-reference fast-path of :func:`update_bm25_index`, which
+    remains the cheaper call when the caller KNOWS ids are new.
     """
-    import os
-
-    from fink_joiner_spark.fsutil import HadoopFS, repair_partition_dirs
-
     spark = docs.sparkSession
-    fs = HadoopFS(spark, index_path)
-    # Roll back swap debris BEFORE any live dataset is read: a prior
-    # run crashed BETWEEN the two renames of a partition swap leaves
-    # pb=N__retired and no live pb=N — a read taken before repair
-    # would miss that bucket's existing rows and the rewrite below
-    # would bake the loss in permanently. (swap_partition_dirs repairs
-    # too, but only after merged.write has already materialized the
-    # read — too late.)
-    for _root in ("postings", "terms", "docs"):
-        repair_partition_dirs(fs, os.path.join(index_path, _root))
-    meta_old = spark.read.parquet(os.path.join(index_path, "meta")).first()
+    store, meta_old = _bm25_entry(spark, index_path, "upsert_bm25_index")
     n_buckets = int(meta_old["n_buckets"])
-    if not bool(meta_old.asDict().get("fwd_full", False)):
-        raise ValueError(
-            "upsert_bm25_index requires a full forward index (docs/): this "
-            "index predates it (meta lacks fwd_full=true). Rebuild with "
-            "build_bm25_index to upgrade — proceeding would silently skip "
-            f"retraction of pre-upgrade documents. Index: {index_path}"
-        )
 
     toks = tokens(F.col(text_col))
-    # pinned: base feeds the digest, forward rows, and posting rows
-    # across three swapped rewrites — a caller delta deriving from this
-    # index's own datasets must not re-execute after the first swap
-    # (and the tokenize pass runs once). O(delta) blocks.
+    # pinned: base feeds the forward rows, posting rows, membership
+    # key, and delta scalars — one tokenize pass total. O(delta) blocks.
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(toks).cast("long").alias("dl"),
         toks.alias("toks"),
     ).localCheckpoint()
     new_doc_rows = _doc_rows(base, n_buckets)
-
-    # order-independent content digest of the delta (ids + token
-    # arrays): identifies "the same upsert re-run" for crash repair
-    dig = base.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.bit_xor(F.xxhash64(F.col("doc_id").cast("string"), "toks")).alias("h"),
-    ).first()
-    dig_n, dig_h = int(dig["n"] or 0), int(dig["h"] or 0)
-
-    ids = new_doc_rows.select("doc_id", "db")
-    dbs = [r.db for r in ids.select("db").distinct().collect()]  # ≤ n_buckets
-    docs_path = os.path.join(index_path, "docs")
-    intent_path = os.path.join(index_path, "_upsert_intent")
+    key = base.select("doc_id").distinct()
+    dbs = sorted(
+        int(r.db) for r in new_doc_rows.select("db").distinct().collect()
+    )  # ≤ n_buckets
+    db_parts = [f"db={b}" for b in dbs]
 
     pb = F.pmod(F.xxhash64("term"), F.lit(n_buckets))
     tf_new = (
@@ -514,111 +495,88 @@ def upsert_bm25_index(
         .withColumn("pb", pb)
     )
 
-    if fs.exists(intent_path):
-        # a prior upsert crashed between dataset swaps: only the SAME
-        # delta can complete it (each rewrite below is idempotent, and
-        # the recorded bucket lists/final scalars are immune to which
-        # datasets already swapped)
-        intent = spark.read.parquet(intent_path).first()
-        if (int(intent["dig_n"]), int(intent["dig_h"])) != (dig_n, dig_h):
-            raise ValueError(
-                "a previous upsert_bm25_index on this index was interrupted "
-                "mid-swap and a DIFFERENT delta was offered: re-run the "
-                "original delta to complete it (idempotent), or rebuild the "
-                f"index. Pending intent: {intent_path}"
-            )
-        pbs_affected = sorted(int(v) for v in intent["pbs_affected"])
-        dbs = sorted(int(v) for v in intent["dbs"])
-        final_n_docs = int(intent["final_n_docs"])
-        final_sum_dl = int(intent["final_sum_dl"])
-    else:
-        # previous versions of the upserted ids, found via the pruned
-        # forward index: read ≤ |delta db buckets| directories,
-        # semi-join on id. ids is O(delta) — the join is the standard
-        # shuffled equi-join (broadcast when small; AQE decides).
-        old_docs_live = spark.read.parquet(docs_path).where(F.col("db").isin(dbs))
-        prev = old_docs_live.join(
-            ids.select("doc_id").distinct(), "doc_id", "semi"
-        ).select("doc_id", "dl", "pbs")
-
-        prev_agg = prev.agg(
+    # previous versions of the upserted ids, via the pruned forward
+    # index: read ≤ |delta db buckets| directories, semi-join on id.
+    old_docs_live = store.read("docs", parts=db_parts)
+    prev = (
+        None
+        if old_docs_live is None
+        else old_docs_live.join(key, "doc_id", "semi").select("doc_id", "dl", "pbs")
+    )
+    prev_agg = (
+        None
+        if prev is None
+        else prev.agg(
             F.count(F.lit(1)).alias("n_prev"), F.sum("dl").alias("dl_prev")
         ).first()
-        n_prev = int(prev_agg["n_prev"] or 0)
-        dl_prev = int(prev_agg["dl_prev"] or 0)
-        # distributed distinct — the collect is bounded at ≤ n_buckets
-        # ints (collect_list of every pbs array would funnel the delta
-        # into one row; this never does)
-        old_pbs = [
-            r.pb
-            for r in prev.select(F.explode("pbs").alias("pb")).distinct().collect()
-        ]
+    )
+    n_prev = 0 if prev_agg is None else int(prev_agg["n_prev"] or 0)
+    if n_prev == 0:
+        # pure insert: the append fast-path IS the correct plan
+        update_bm25_index(docs, id_col, text_col, index_path)
+        return
+    dl_prev = int(prev_agg["dl_prev"] or 0)
+    # distributed distinct — the collect is bounded at ≤ n_buckets ints
+    old_pbs = [
+        r.pb for r in prev.select(F.explode("pbs").alias("pb")).distinct().collect()
+    ]
+    new_pbs = [r.pb for r in tf_new.select("pb").distinct().collect()]
+    pbs_affected = sorted(int(x) for x in set(old_pbs) | set(new_pbs))
+    pb_parts = [f"pb={b}" for b in pbs_affected]
 
-        if n_prev == 0:
-            # pure insert: the append fast-path IS the correct plan.
-            # No intent marker — this path inherits update's contract
-            # (a crash mid-append needs the Delta/Iceberg upgrade).
-            update_bm25_index(docs, id_col, text_col, index_path)
-            return
+    delta = base.agg(
+        F.count(F.lit(1)).alias("n_new"), F.sum("dl").alias("dl_new")
+    ).first()
+    final_n_docs = int(meta_old["n_docs"]) + int(delta["n_new"] or 0) - n_prev
+    final_sum_dl = int(meta_old["sum_dl"]) + int(delta["dl_new"] or 0) - dl_prev
 
-        delta = base.agg(
-            F.count(F.lit(1)).alias("n_new"), F.sum("dl").alias("dl_new")
-        ).first()
-        n_new = int(delta["n_new"] or 0)
-        dl_new = int(delta["dl_new"] or 0)
-        new_pbs = [r.pb for r in tf_new.select("pb").distinct().collect()]
-        pbs_affected = sorted(int(v) for v in set(old_pbs) | set(new_pbs))
-        final_n_docs = int(meta_old["n_docs"]) + n_new - n_prev
-        final_sum_dl = int(meta_old["sum_dl"]) + dl_new - dl_prev
-
-        spark.createDataFrame(
-            [(dig_n, dig_h, pbs_affected, sorted(int(v) for v in dbs),
-              final_n_docs, final_sum_dl)],
-            "dig_n long, dig_h long, pbs_affected array<long>, "
-            "dbs array<long>, final_n_docs long, final_sum_dl long",
-        ).write.mode("overwrite").parquet(intent_path)
-
-    postings_path = os.path.join(index_path, "postings")
+    v = store.begin()
     kept = (
-        spark.read.parquet(postings_path)
-        .where(F.col("pb").isin(pbs_affected))
+        store.read("postings", parts=pb_parts)
         .select("doc_id", "dl", "term", "tf", F.col("pb").cast("long").alias("pb"))
-        .join(ids.select("doc_id").distinct(), "doc_id", "anti")
+        .join(key, "doc_id", "anti")
     )
-    merged_postings = kept.unionByName(tf_new)
-    _staged_bucket_rewrite(merged_postings, postings_path, "pb", pbs_affected)
-
-    # df recount, bucket-local and exact: every posting row of a term
-    # lives in the term's own hash bucket, so counting rows per term in
-    # the freshly-swapped buckets is the full-corpus df for those terms
-    terms_path = os.path.join(index_path, "terms")
-    new_terms = (
-        spark.read.parquet(postings_path)
-        .where(F.col("pb").isin(pbs_affected))
-        .groupBy(F.col("pb").cast("long").alias("pb"), "term")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .select("term", "df", "pb")
+    kept.unionByName(tf_new).write.partitionBy("pb").parquet(
+        f"{store.vdir(v)}/postings"
     )
-    _staged_bucket_rewrite(new_terms, terms_path, "pb", pbs_affected)
 
-    # read back (not the else-branch frame): on a crash re-run docs/
-    # may already hold the new rows — the anti-join ∪ new rows rewrite
-    # is idempotent either way
+    # df recount, bucket-local and exact, from the STAGED merged
+    # postings: every posting row of a term lives in the term's own
+    # hash bucket, so counting rows per term there is the full-corpus
+    # df for those terms (empty-staged guard: an upsert can leave an
+    # affected bucket with zero surviving postings)
+    if store.written_parts(v, "postings"):
+        (
+            spark.read.parquet(f"{store.vdir(v)}/postings")
+            .groupBy(F.col("pb").cast("long").alias("pb"), "term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .select("term", "df", "pb")
+            .write.partitionBy("pb")
+            .parquet(f"{store.vdir(v)}/terms")
+        )
+
     kept_docs = (
-        spark.read.parquet(docs_path)
-        .where(F.col("db").isin(dbs))
-        .join(ids.select("doc_id").distinct(), "doc_id", "anti")
+        store.read("docs", parts=db_parts)
+        .join(key, "doc_id", "anti")
         .select("doc_id", "dl", "pbs", F.col("db").cast("long").alias("db"))
     )
-    merged_docs = kept_docs.unionByName(new_doc_rows)
-    _staged_bucket_rewrite(merged_docs, docs_path, "db", dbs)
-
-    new_meta = spark.createDataFrame(
-        [(final_n_docs, final_sum_dl, n_buckets, True)],
-        "n_docs long, sum_dl long, n_buckets int, fwd_full boolean",
+    kept_docs.unionByName(new_doc_rows).write.partitionBy("db").parquet(
+        f"{store.vdir(v)}/docs"
     )
-    new_meta.write.mode("overwrite").parquet(os.path.join(index_path, "meta"))
-    fs.delete(intent_path)
+    spark.createDataFrame(
+        [(final_n_docs, final_sum_dl, n_buckets)],
+        "n_docs long, sum_dl long, n_buckets int",
+    ).write.parquet(f"{store.vdir(v)}/meta")
+
+    rows = store.carry_except(store.state_rows(), "postings", set(pb_parts))
+    rows = store.carry_except(rows, "terms", set(pb_parts))
+    rows = store.carry_except(rows, "docs", set(db_parts))
+    rows = [r for r in rows if r[0] != "meta"]
+    rows += [("postings", p_, v) for p_ in store.written_parts(v, "postings")]
+    rows += [("terms", p_, v) for p_ in store.written_parts(v, "terms")]
+    rows += [("docs", p_, v) for p_ in store.written_parts(v, "docs")]
+    rows += [("meta", "", v)]
+    store.commit(v, rows)
 
 
 def delete_from_bm25_index(
@@ -633,151 +591,106 @@ def delete_from_bm25_index(
     replaced one minus the re-insert, CRMLSJoiner.scala:182).
 
     Cost is O(touched buckets), never a full postings scan: the
-    ``docs/`` forward index (partition-pruned to the ids' ``db=``
+    ``docs`` forward index (read pruned to the ids' ``db=``
     directories) yields each doc's posting-bucket set; only those
     buckets are rewritten (postings minus the ids' rows), per-term df
     is recounted bucket-locally, the ids' forward rows are dropped,
-    and meta shrinks by exact integer deltas. A bucket whose every
-    posting belonged to deleted docs is retired outright
-    (:func:`fink_joiner_spark.fsutil.swap_partition_dirs` handles the
-    produced-no-rows case). Ids not present in the index are ignored;
-    returns the number of documents actually deleted.
-
-    Same preconditions and crash protocol as the upsert: ``fwd_full``
-    required; an intent marker (delta digest + bucket lists + final
-    scalars) spans the three dataset swaps, so a crash between swaps
-    is detectable (:func:`bm25_upsert_pending` — the markers share a
-    path) and repaired exactly by re-running the SAME delete.
+    and meta shrinks by exact integer deltas — all visible in ONE
+    atomic commit flip. A bucket whose every posting belonged to
+    deleted docs simply drops out of the manifest. Ids not present in
+    the index are ignored; returns the number of documents actually
+    deleted. Crash contract: previous version untouched, any retry
+    safe (see the upsert's docstring).
     """
-    import os
-
-    from fink_joiner_spark.fsutil import HadoopFS, repair_partition_dirs
-
     spark = ids.sparkSession
-    fs = HadoopFS(spark, index_path)
-    # repair-before-read, same reason as the upsert: a crash between
-    # the two renames of a prior partition swap must be rolled back
-    # before the membership/kept reads below, or this run rewrites the
-    # affected bucket without its surviving rows
-    for _root in ("postings", "terms", "docs"):
-        repair_partition_dirs(fs, os.path.join(index_path, _root))
-    meta_old = spark.read.parquet(os.path.join(index_path, "meta")).first()
+    store, meta_old = _bm25_entry(spark, index_path, "delete_from_bm25_index")
     n_buckets = int(meta_old["n_buckets"])
-    if not bool(meta_old.asDict().get("fwd_full", False)):
-        raise ValueError(
-            "delete_from_bm25_index requires a full forward index (docs/): "
-            "this index predates it (meta lacks fwd_full=true). Rebuild with "
-            f"build_bm25_index to upgrade. Index: {index_path}"
-        )
 
-    # pinned for the same reason as the upsert's base: the anti-joins
-    # below execute after swaps, and the caller's ids frame may derive
-    # from this index's own datasets
+    # pinned: the caller's ids may derive from this index's datasets
     key = ids.select(F.col(id_col).alias("doc_id")).distinct().select(
         "doc_id",
         F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(n_buckets)).alias(
             "db"
         ),
     ).localCheckpoint()
-    dig = key.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.bit_xor(F.xxhash64(F.col("doc_id").cast("string"))).alias("h"),
+    dbs = sorted(int(r.db) for r in key.select("db").distinct().collect())
+    db_parts = [f"db={b}" for b in dbs]
+
+    old_docs_live = store.read("docs", parts=db_parts)
+    if old_docs_live is None:
+        return 0
+    prev = old_docs_live.join(key.select("doc_id"), "doc_id", "semi").select(
+        "doc_id", "dl", "pbs"
+    )
+    prev_agg = prev.agg(
+        F.count(F.lit(1)).alias("n_prev"), F.sum("dl").alias("dl_prev")
     ).first()
-    dig_n, dig_h = int(dig["n"] or 0), int(dig["h"] or 0)
+    n_prev = int(prev_agg["n_prev"] or 0)
+    if n_prev == 0:
+        return 0  # nothing indexed under these ids
+    dl_prev = int(prev_agg["dl_prev"] or 0)
+    pbs_affected = sorted(
+        int(r.pb)
+        for r in prev.select(F.explode("pbs").alias("pb")).distinct().collect()
+    )
+    pb_parts = [f"pb={b}" for b in pbs_affected]
+    final_n_docs = int(meta_old["n_docs"]) - n_prev
+    final_sum_dl = int(meta_old["sum_dl"]) - dl_prev
 
-    docs_path = os.path.join(index_path, "docs")
-    intent_path = os.path.join(index_path, "_upsert_intent")
-    dbs = [r.db for r in key.select("db").distinct().collect()]  # ≤ n_buckets
-
-    if fs.exists(intent_path):
-        intent = spark.read.parquet(intent_path).first()
-        if (int(intent["dig_n"]), int(intent["dig_h"])) != (dig_n, dig_h):
-            raise ValueError(
-                "a previous upsert/delete on this index was interrupted "
-                "mid-swap and a DIFFERENT delta was offered: re-run the "
-                "original delta to complete it, or rebuild the index. "
-                f"Pending intent: {intent_path}"
-            )
-        pbs_affected = sorted(int(v) for v in intent["pbs_affected"])
-        dbs = sorted(int(v) for v in intent["dbs"])
-        final_n_docs = int(intent["final_n_docs"])
-        final_sum_dl = int(intent["final_sum_dl"])
-        n_prev = int(meta_old["n_docs"]) - final_n_docs
-    else:
-        prev = (
-            spark.read.parquet(docs_path)
-            .where(F.col("db").isin(dbs))
-            .join(key.select("doc_id"), "doc_id", "semi")
-            .select("doc_id", "dl", "pbs")
-        )
-        prev_agg = prev.agg(
-            F.count(F.lit(1)).alias("n_prev"), F.sum("dl").alias("dl_prev")
-        ).first()
-        n_prev = int(prev_agg["n_prev"] or 0)
-        dl_prev = int(prev_agg["dl_prev"] or 0)
-        if n_prev == 0:
-            return 0  # nothing indexed under these ids
-        pbs_affected = sorted(
-            int(r.pb)
-            for r in prev.select(F.explode("pbs").alias("pb")).distinct().collect()
-        )
-        final_n_docs = int(meta_old["n_docs"]) - n_prev
-        final_sum_dl = int(meta_old["sum_dl"]) - dl_prev
-        spark.createDataFrame(
-            [(dig_n, dig_h, pbs_affected, sorted(int(v) for v in dbs),
-              final_n_docs, final_sum_dl)],
-            "dig_n long, dig_h long, pbs_affected array<long>, "
-            "dbs array<long>, final_n_docs long, final_sum_dl long",
-        ).write.mode("overwrite").parquet(intent_path)
-
-    postings_path = os.path.join(index_path, "postings")
+    v = store.begin()
     kept = (
-        spark.read.parquet(postings_path)
-        .where(F.col("pb").isin(pbs_affected))
+        store.read("postings", parts=pb_parts)
         .select("doc_id", "dl", "term", "tf", F.col("pb").cast("long").alias("pb"))
         .join(key.select("doc_id"), "doc_id", "anti")
     )
-    _staged_bucket_rewrite(kept, postings_path, "pb", pbs_affected)
-
-    terms_path = os.path.join(index_path, "terms")
-    new_terms = (
-        spark.read.parquet(postings_path)
-        .where(F.col("pb").isin(pbs_affected))
-        .groupBy(F.col("pb").cast("long").alias("pb"), "term")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .select("term", "df", "pb")
-    )
-    _staged_bucket_rewrite(new_terms, terms_path, "pb", pbs_affected)
-
+    kept.write.partitionBy("pb").parquet(f"{store.vdir(v)}/postings")
+    if store.written_parts(v, "postings"):
+        # bucket-local df recount from the staged survivors; when every
+        # posting of every affected bucket belonged to deleted docs the
+        # staged dataset is empty and the terms buckets simply drop out
+        (
+            spark.read.parquet(f"{store.vdir(v)}/postings")
+            .groupBy(F.col("pb").cast("long").alias("pb"), "term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .select("term", "df", "pb")
+            .write.partitionBy("pb")
+            .parquet(f"{store.vdir(v)}/terms")
+        )
     kept_docs = (
-        spark.read.parquet(docs_path)
-        .where(F.col("db").isin(dbs))
+        store.read("docs", parts=db_parts)
         .join(key.select("doc_id"), "doc_id", "anti")
         .select("doc_id", "dl", "pbs", F.col("db").cast("long").alias("db"))
     )
-    _staged_bucket_rewrite(kept_docs, docs_path, "db", dbs)
-
+    kept_docs.write.partitionBy("db").parquet(f"{store.vdir(v)}/docs")
     spark.createDataFrame(
-        [(final_n_docs, final_sum_dl, n_buckets, True)],
-        "n_docs long, sum_dl long, n_buckets int, fwd_full boolean",
-    ).write.mode("overwrite").parquet(os.path.join(index_path, "meta"))
-    fs.delete(intent_path)
+        [(final_n_docs, final_sum_dl, n_buckets)],
+        "n_docs long, sum_dl long, n_buckets int",
+    ).write.parquet(f"{store.vdir(v)}/meta")
+
+    rows = store.carry_except(store.state_rows(), "postings", set(pb_parts))
+    rows = store.carry_except(rows, "terms", set(pb_parts))
+    rows = store.carry_except(rows, "docs", set(db_parts))
+    rows = [r for r in rows if r[0] != "meta"]
+    rows += [("postings", p_, v) for p_ in store.written_parts(v, "postings")]
+    rows += [("terms", p_, v) for p_ in store.written_parts(v, "terms")]
+    rows += [("docs", p_, v) for p_ in store.written_parts(v, "docs")]
+    rows += [("meta", "", v)]
+    store.commit(v, rows)
     return n_prev
 
 
 def bm25_upsert_pending(spark, index_path: str) -> bool:
-    """True when a :func:`upsert_bm25_index` intent marker is pending —
-    i.e. an upsert crashed between dataset swaps and the index is in a
-    half-applied state until the SAME delta is re-run. One FileSystem
-    existence check (any scheme); probes still run but may mix old and
-    new state until the repair completes."""
-    import os
-
-    from fink_joiner_spark.fsutil import HadoopFS
-
-    return HadoopFS(spark, index_path).exists(
-        os.path.join(index_path, "_upsert_intent")
-    )
+    """Whether uncommitted staging debris from a crashed maintenance op
+    exists (the version dir after the last committed one). Under the
+    versioned store NOTHING is ever half-applied — the previous version
+    stays fully readable and any retry is safe — so this is
+    informational, not a repair gate; the next maintenance op clears
+    the debris in ``begin()``."""
+    store = _bm25_store(spark, index_path)
+    cur = store.current()
+    if cur is None:
+        return False
+    return store.fs.exists(store.vdir(cur + 1))
 
 
 def bm25_index_stream_sink(
@@ -803,27 +716,26 @@ def bm25_index_stream_sink(
     same index with a fresh checkpoint (Spark numbers every query's
     batches from 0), silently dropping its documents. With the digest,
     a re-delivery of the same rows skips and new data folds — only a
-    redelivery REBATCHED across different boundaries double-folds,
-    and a crash MID-update (postings landed, marker didn't)
-    re-applies that batch: closing those windows needs an atomically-
-    committing table format (Delta/Iceberg MERGE) for the index
-    datasets — the documented production upgrade; plain parquet
-    cannot express the transactional rename.
+    redelivery REBATCHED across different boundaries double-folds.
+    The versioned store (round 9) makes the fold-plus-marker ATOMIC:
+    the marker is an annotation row in the SAME manifest commit as
+    the fold's data, so there is no interleaving point at which the
+    fold committed but its marker didn't (or vice versa) — the
+    exactly-once story for stream-maintained indexes is closed end to
+    end, not narrowed (crash-isolation asserted in
+    ``tests/test_lake.py``).
 
-    Marker checks and creation go through the Hadoop FileSystem API
-    for the INDEX path's own scheme — on HDFS/S3 a driver-local
+    Marker resolution goes through the store (Hadoop FileSystem API
+    for the INDEX path's own scheme) — on HDFS/S3 a driver-local
     ``os.path.exists`` is always False, which would silently re-fold
-    every replayed batch (the exact corruption the markers prevent).
-    SINGLE WRITER required: the marker protocol serializes batches of
-    ONE stream; two concurrent streams folding into the same index
-    interleave unguarded (their postings appends race the terms
-    merges) — fan multiple feeds into one stream (union upstream)
-    or upgrade the index datasets to a transactional table format.
+    every replayed batch. SINGLE WRITER required: the marker protocol
+    serializes batches of ONE stream; two concurrent streams folding
+    into the same index race the version counter — fan multiple feeds
+    into one stream (union upstream) or upgrade to a transactional
+    table format with writer coordination.
     """
 
     def fold(batch: DataFrame, batch_id: int) -> None:
-        from fink_joiner_spark.fsutil import HadoopFS
-
         dig = batch.agg(
             F.count(F.lit(1)).alias("n"),
             F.expr(
@@ -832,15 +744,16 @@ def bm25_index_stream_sink(
         ).first()
         if not dig["n"]:
             return
-        marker = (
-            f"{index_path}/_applied_batches/"
-            f"batch={batch_id}_n{dig['n']}_h{dig['h']}"
-        )
-        fs = HadoopFS(batch.sparkSession, index_path)
-        if fs.exists(marker):
+        marker = f"batch={batch_id}_n{dig['n']}_h{dig['h']}"
+        store = _bm25_store(batch.sparkSession, index_path)
+        if any(
+            ds == "_applied" and part == marker
+            for ds, part, _ in store.state_rows()
+        ):
             return  # same batch, same content — already folded in
-        update_bm25_index(batch, id_col, text_col, index_path)
-        fs.mkdirs(marker)  # one atomic leaf-dir create (HDFS/POSIX)
+        update_bm25_index(
+            batch, id_col, text_col, index_path, applied_marker=marker
+        )
 
     w = stream_docs.writeStream.foreachBatch(fold).option(
         "checkpointLocation", checkpoint_location
@@ -852,36 +765,53 @@ def bm25_index_stream_sink(
 
 def compact_bm25_index(spark, index_path: str, target_file_mb: float = 128) -> int:
     """Defragment a streamed-into BM25 index: every
-    :func:`update_bm25_index` fold appends new posting files, so after
-    N streaming batches each ``pb=`` bucket holds ~N small files and
-    probe latency decays into file-open overhead (the classic small-
-    files problem). Rewrites ``postings/`` bucket-by-bucket — same
-    partition layout, ~``target_file_mb`` files, sorted by ``term``
-    within each file so row-group min/max stats prune the ``term IN``
-    residual — in one staged rewrite job. The ``docs/`` forward index
-    (also append-maintained, so it fragments the same way) is
-    compacted too when present, id-sorted within its ``db=`` layout.
-    Term stats and meta are untouched (compaction moves bytes, never
-    counts). Returns the number of postings files requested.
+    :func:`update_bm25_index` fold adds append-REFERENCES (new version
+    dirs) per touched bucket, so after N streaming batches each ``pb=``
+    bucket's content spans ~N directories of small files and probe
+    latency decays into file-open overhead (the classic small-files
+    problem). Rewrites ``postings`` — same bucket layout,
+    ~``target_file_mb`` files, term-sorted within files so row-group
+    min/max stats prune the ``term IN`` residual — and the
+    append-maintained ``docs`` forward index (id-sorted in its ``db=``
+    layout), collapsing every reference list back to ONE version.
+    Committed in a single marker flip: a concurrent probe sees the
+    fragmented or the compacted index, never a mix. Term stats and
+    meta are untouched (compaction moves bytes, never counts).
+    Returns the number of postings files requested.
 
     Production cadence: run it off the maintenance schedule (size- or
     file-count-triggered), exactly like any lake table compaction
-    (`lake.compact`). Delegates to :func:`lake.compact_partitioned`
-    — staged rewrite + FileSystem-API swap with crash repair, correct
-    on local disk, HDFS, and S3A; as with every plain-parquet
-    maintenance here, a concurrent probe during the swap window needs
-    the table-format upgrade (Delta/Iceberg) for full isolation.
+    (`lake.compact`).
     """
-    from fink_joiner_spark.fsutil import HadoopFS
-    from fink_joiner_spark.operators.lake import compact_partitioned
+    import math
 
-    n = compact_partitioned(
-        spark, f"{index_path}/postings", "pb", ["term"], target_file_mb
+    from fink_joiner_spark.operators.lake import dataset_bytes
+
+    store, _meta = _bm25_entry(spark, index_path, "compact_bm25_index")
+    postings = store.read("postings")
+    n = max(1, math.ceil(dataset_bytes(postings) / (target_file_mb * 1024 * 1024)))
+    v = store.begin()
+    # range-repartition on (pb, term): small buckets compact to one
+    # file; a bucket larger than the target splits into term-disjoint
+    # files (hash-repartition by pb alone would funnel each bucket
+    # through ONE task whatever its size)
+    (
+        postings.repartitionByRange(n, "pb", "term")
+        .sortWithinPartitions("pb", "term")
+        .write.partitionBy("pb")
+        .parquet(f"{store.vdir(v)}/postings")
     )
-    if HadoopFS(spark, index_path).exists(f"{index_path}/docs"):
-        compact_partitioned(
-            spark, f"{index_path}/docs", "db", ["doc_id"], target_file_mb
-        )
+    docs = store.read("docs")
+    (
+        docs.repartitionByRange(max(1, n // 4), "db", "doc_id")
+        .sortWithinPartitions("db", "doc_id")
+        .write.partitionBy("db")
+        .parquet(f"{store.vdir(v)}/docs")
+    )
+    rows = [r for r in store.state_rows() if r[0] not in ("postings", "docs")]
+    rows += [("postings", p_, v) for p_ in store.written_parts(v, "postings")]
+    rows += [("docs", p_, v) for p_ in store.written_parts(v, "docs")]
+    store.commit(v, rows)
     return n
 
 
@@ -904,12 +834,21 @@ def bm25_indexed_scores(
 
     Scores are bit-identical to :func:`bm25_scores` on the source
     corpus (shared :func:`_bm25_from_stats` arithmetic; verified by
-    plan audit + hash oracle in the registered query).
+    read-set audit + hash oracle in the registered query). Reads one
+    consistent committed VERSION of the index (snapshot isolation —
+    a concurrent maintenance op can never expose postings without
+    their term stats); a legacy pre-versioned index is still probeable
+    via its raw directories.
     """
     import os
 
     terms = [t.lower() for t in query_terms]
-    meta = spark.read.parquet(os.path.join(index_path, "meta"))
+    store = _bm25_store(spark, index_path)
+    pin = store.current()  # one version for meta, postings, AND terms
+    if pin is not None:
+        meta = store.read("meta", version=pin)
+    else:
+        meta = spark.read.parquet(os.path.join(index_path, "meta"))
     n_buckets = meta.select("n_buckets").first()[0]
     tlit = spark.createDataFrame([(t,) for t in terms], "term string")
     pbs = [
@@ -919,11 +858,31 @@ def bm25_indexed_scores(
         ).collect()
     ]  # bounded: one scalar per query term
     term_filter = F.col("pb").isin(pbs) & F.col("term").isin(terms)
-    tf = spark.read.parquet(os.path.join(index_path, "postings")).where(
-        term_filter
-    ).select("doc_id", "dl", "term", "tf")
-    dfreq = spark.read.parquet(os.path.join(index_path, "terms")).where(
-        term_filter
-    ).select("term", "df")
+    if pin is not None:
+        # versioned pruning: the ≤ k probe buckets resolve to EXPLICIT
+        # directories of the pinned version; the term IN residual then
+        # min/max-prunes row groups inside them
+        pb_parts = [f"pb={int(b_)}" for b_ in sorted(set(pbs))]
+        tf_src = store.read("postings", parts=pb_parts, version=pin)
+        df_src = store.read("terms", parts=pb_parts, version=pin)
+        empty_tf = spark.createDataFrame(
+            [], "doc_id long, dl long, term string, tf long"
+        )
+        empty_df = spark.createDataFrame([], "term string, df long")
+        tf = (
+            empty_tf if tf_src is None
+            else tf_src.where(term_filter).select("doc_id", "dl", "term", "tf")
+        )
+        dfreq = (
+            empty_df if df_src is None
+            else df_src.where(term_filter).select("term", "df")
+        )
+    else:
+        tf = spark.read.parquet(os.path.join(index_path, "postings")).where(
+            term_filter
+        ).select("doc_id", "dl", "term", "tf")
+        dfreq = spark.read.parquet(os.path.join(index_path, "terms")).where(
+            term_filter
+        ).select("term", "df")
     stats = meta.select("n_docs", "sum_dl")
     return _bm25_from_stats(tf, dfreq, stats, k1, b)

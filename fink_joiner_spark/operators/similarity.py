@@ -882,14 +882,20 @@ def _ivf_fwd_rows(assigned: DataFrame, n_fwd_buckets: int) -> DataFrame:
     )
 
 
-def _ivf_meta(spark, fs, index_path: str):
-    """Index meta row, or None for a pre-forward-map index."""
-    import os
+def _ivf_store(spark, index_path: str):
+    from fink_joiner_spark.versioned import VersionedStore
 
-    meta_path = os.path.join(index_path, "meta")
-    if not fs.exists(meta_path):
-        return None
-    return spark.read.parquet(meta_path).first()
+    return VersionedStore(spark, index_path)
+
+
+def _cell_parts(values) -> list[str]:
+    """Partition-dir names for cell values (the rendering partitionBy
+    uses for ints and plain strings)."""
+    return [f"cell={v}" for v in values]
+
+
+def _db_parts(values) -> list[str]:
+    return [f"db={int(v)}" for v in values]
 
 
 def _typed_cells(values, cell_type: str) -> list:
@@ -918,30 +924,32 @@ def build_ivf_index(
     restriction into parquet partition pruning rather than a filter
     over a full scan.
 
-    Layout under ``dest_path``:
+    Layout: a :class:`fink_joiner_spark.versioned.VersionedStore` at
+    ``dest_path`` (version dirs + per-version manifest + one atomic
+    commit marker — reader snapshot isolation: a concurrent probe
+    always sees one consistent committed version through every
+    maintenance op, and a writer crash before the commit marker
+    leaves the previous version untouched). Datasets per version:
 
-    * ``vectors/`` — (nid, nvec, cell) partitioned by ``cell``; the
+    * ``vectors`` — (nid, nvec, cell) partitioned by ``cell``; the
       directory count equals ``n_cells`` (the √n rule keeps that
       catalog-friendly at any corpus size).
-    * ``centroids/`` — the (cell_id, centroid) codebook (tiny).
-    * ``ids/`` — the id→cell FORWARD MAP: (nid, cell) partitioned by
+    * ``centroids`` — the (cell_id, centroid) codebook (tiny).
+    * ``ids`` — the id→cell FORWARD MAP: (nid, cell) partitioned by
       ``db`` = hash(nid) % n_fwd_buckets (the BM25 ``docs/`` design).
       Upsert/delete membership discovery prunes to the delta ids'
       ≤ n_fwd_buckets ``db=`` directories instead of scanning the
       (nid, cell) columns of EVERY cell — O(delta buckets), the
       difference between a per-delete full-index column scan and a
       bounded read at 100 TB.
-    * ``meta/`` — one row: n_cells, n_fwd_buckets, ``fwd_full=true``
-      (the format marker: maintenance ops REFUSE a pre-forward-map
-      index rather than corrupt it).
+    * ``meta`` — one row: n_cells, n_fwd_buckets.
 
     Assignment/centroid semantics are exactly :func:`topk_ivf`'s
     (md5-seeded or Lloyd-trained, dot/‖c‖ argmax, lowest-cell ties),
     so an all-cells probe returns bit-identical results to the
     unindexed operator. Probe with :func:`topk_ivf_indexed`.
     """
-    import os
-
+    spark = df.sparkSession
     c = _spread(df).select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"))
     if train_iters > 0:
         seeds = train_ivf_centroids(
@@ -953,17 +961,25 @@ def build_ivf_index(
     assigned = c.crossJoin(F.broadcast(cells_arr)).select(
         "nid", "nvec", F.element_at(_nearest_cells(F.col("nvec"), 1), 1).alias("cell")
     )
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(
-        os.path.join(dest_path, "vectors")
+    store = _ivf_store(spark, dest_path)
+    v = store.begin()
+    assigned.write.partitionBy("cell").parquet(f"{store.vdir(v)}/vectors")
+    # forward map from the staged vectors' (nid, cell) columns — a thin
+    # column scan, NOT a second O(corpus·n_cells) assignment pass
+    staged = spark.read.parquet(f"{store.vdir(v)}/vectors").select("nid", "cell")
+    _ivf_fwd_rows(staged, n_fwd_buckets).write.partitionBy("db").parquet(
+        f"{store.vdir(v)}/ids"
     )
-    _ivf_fwd_rows(assigned, n_fwd_buckets).write.mode("overwrite").partitionBy(
-        "db"
-    ).parquet(os.path.join(dest_path, "ids"))
-    seeds.write.mode("overwrite").parquet(os.path.join(dest_path, "centroids"))
-    df.sparkSession.createDataFrame(
-        [(n_cells, n_fwd_buckets, True)],
-        "n_cells int, n_fwd_buckets int, fwd_full boolean",
-    ).write.mode("overwrite").parquet(os.path.join(dest_path, "meta"))
+    seeds.write.parquet(f"{store.vdir(v)}/centroids")
+    spark.createDataFrame(
+        [(n_cells, n_fwd_buckets)], "n_cells int, n_fwd_buckets int"
+    ).write.parquet(f"{store.vdir(v)}/meta")
+    rows = (
+        [("vectors", p, v) for p in store.written_parts(v, "vectors")]
+        + [("ids", p, v) for p in store.written_parts(v, "ids")]
+        + [("centroids", "", v), ("meta", "", v)]
+    )
+    store.commit(v, rows)
 
 
 def update_ivf_index(
@@ -971,6 +987,7 @@ def update_ivf_index(
     id_col: str,
     vec_col: str,
     index_path: str,
+    applied_marker: str | None = None,
 ) -> None:
     """Incrementally fold NEW vectors into a persisted IVF index
     (:func:`build_ivf_index`): assign the delta against the index's
@@ -987,75 +1004,106 @@ def update_ivf_index(
     upsert — :func:`upsert_ivf_index` is the call that retracts a
     re-ingested id's previous version first).
 
-    The ``ids/`` forward map is appended too (FIRST, then vectors: a
-    crash between the appends then leaves a forward row without its
-    vector, which every downstream membership read tolerates — the
-    reverse order would leave a vector invisible to delete/upsert).
-    Crash mid-append still needs the Delta/Iceberg upgrade, as the
-    stream sink's docstring records.
+    Versioned-store mechanics: the delta's cell/db partitions land as
+    NEW version directories and the manifest gains append-references
+    for them — no existing file is rewritten, moved, or appended into
+    (a committed version is immutable), and the vectors + forward-map
+    additions commit ATOMICALLY in one marker flip. A crash before
+    the commit leaves the previous version fully intact; re-running
+    the fold is plain retry.
     """
-    import os
-
-    from fink_joiner_spark.fsutil import HadoopFS
-
     spark = new_vectors.sparkSession
-    seeds = spark.read.parquet(os.path.join(index_path, "centroids"))
+    store = _ivf_store(spark, index_path)
+    if store.current() is None:
+        raise ValueError(
+            "update_ivf_index requires a versioned index (built by this "
+            "build_ivf_index, or upgraded in place by retrain_ivf_index "
+            f"from the legacy in-place layout). Index: {index_path}"
+        )
+    seeds = store.read("centroids")
+    n_fwd = int(store.read("meta").first()["n_fwd_buckets"])
     cells_arr = _cells_arr(seeds)
     # _spread as in the build: a delta delivered as one file would run
     # the per-row codebook argmax single-threaded otherwise
     c = _spread(new_vectors).select(
         F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")
     )
-    # pinned: the forward-map and vectors appends are two jobs — one
-    # argmax pass instead of two, and a caller frame deriving from the
-    # index can't be perturbed by the first append
+    # pinned: the forward-map and vectors writes are two jobs — one
+    # argmax pass instead of two
     assigned = c.crossJoin(F.broadcast(cells_arr)).select(
         "nid", "nvec", F.element_at(_nearest_cells(F.col("nvec"), 1), 1).alias("cell")
     ).localCheckpoint()
-    meta = _ivf_meta(spark, HadoopFS(spark, index_path), index_path)
-    if meta is not None and bool(meta.asDict().get("fwd_full", False)):
-        _ivf_fwd_rows(assigned, int(meta["n_fwd_buckets"])).write.mode(
-            "append"
-        ).partitionBy("db").parquet(os.path.join(index_path, "ids"))
-    assigned.write.mode("append").partitionBy("cell").parquet(
-        os.path.join(index_path, "vectors")
+    v = store.begin()
+    assigned.write.partitionBy("cell").parquet(f"{store.vdir(v)}/vectors")
+    _ivf_fwd_rows(assigned, n_fwd).write.partitionBy("db").parquet(
+        f"{store.vdir(v)}/ids"
     )
+    rows = (
+        store.state_rows()
+        + [("vectors", p, v) for p in store.written_parts(v, "vectors")]
+        + [("ids", p, v) for p in store.written_parts(v, "ids")]
+    )
+    if applied_marker is not None:
+        # stream-sink replay marker, committed ATOMICALLY with the fold
+        # (annotation row — see scoring.update_bm25_index); last 64 kept
+        keep = sorted(
+            (r for r in rows if r[0] == "_applied"),
+            key=lambda r: r[2], reverse=True,
+        )[:63]
+        rows = [r for r in rows if r[0] != "_applied"]
+        rows += keep + [("_applied", applied_marker, v)]
+    store.commit(v, rows)
 
 
 def compact_ivf_index(spark, index_path: str, target_file_mb: float = 128) -> int:
     """Defragment a streamed-into IVF index: every
-    :func:`update_ivf_index` fold appends ~one file per touched cell,
-    so after N deltas each ``cell=`` partition holds ~N small files
-    and probe latency decays into file-open overhead — the identical
-    small-files decay :func:`scoring.compact_bm25_index` exists to fix
-    for the BM25 sibling. Rewrites ``vectors/`` with the ``cell=``
-    partition layout preserved and files nid-sorted within each cell
-    (row-group min/max stats then prune id-restricted reads), via the
-    shared staged-rewrite + FileSystem-swap pass
-    (:func:`lake.compact_partitioned` — crash-repaired, correct on
-    local disk/HDFS/S3A). Centroids are untouched (compaction moves
-    bytes, never assignments); probe results are bit-identical before
-    and after (asserted in ``tests/test_lake.py``). Returns the number
-    of files requested.
+    :func:`update_ivf_index` fold adds an append-REFERENCE per touched
+    cell (a new version dir), so after N deltas a cell's content spans
+    ~N directories of small files and probe latency decays into
+    file-open overhead — the identical small-files decay
+    :func:`scoring.compact_bm25_index` exists to fix for the BM25
+    sibling. Rewrites ``vectors`` (and the ``ids`` forward map) in the
+    same partition layout, nid-sorted within files (row-group min/max
+    stats then prune id-restricted reads), collapsing every
+    reference list back to ONE version — committed with a single
+    marker flip, so a concurrent probe sees either the fragmented or
+    the compacted index, never a mix. Centroids are untouched
+    (compaction moves bytes, never assignments); probe results are
+    bit-identical before and after (asserted in ``tests/test_lake.py``).
+    Returns the file count requested for the vectors dataset.
     """
-    from fink_joiner_spark.operators.lake import compact_partitioned
+    import math
 
-    return compact_partitioned(
-        spark, f"{index_path}/vectors", "cell", ["nid"], target_file_mb
+    from fink_joiner_spark.operators.lake import dataset_bytes
+
+    store, _ = _ivf_maint_entry(spark, index_path, "compact_ivf_index")
+    vecs = store.read("vectors")
+    n = max(1, math.ceil(dataset_bytes(vecs) / (target_file_mb * 1024 * 1024)))
+    v = store.begin()
+    # range-repartition on (cell, nid): same-cell rows stay contiguous
+    # so small cells compact to one file, while a cell larger than the
+    # target splits across tasks into nid-disjoint files (repartition
+    # by cell alone would funnel each cell through ONE task whatever
+    # its size)
+    (
+        vecs.repartitionByRange(n, "cell", "nid")
+        .sortWithinPartitions("cell", "nid")
+        .write.partitionBy("cell")
+        .parquet(f"{store.vdir(v)}/vectors")
     )
-
-
-def _swap_dataset(fs, live: str, staged: str) -> None:
-    """Whole-dataset two-rename swap (live → ``_retired`` → delete,
-    staged → live) through the Hadoop FileSystem API — the same move
-    :func:`lake.compact_partitioned` makes, factored out so retrain's
-    crash-simulation test can interpose on exactly this step."""
-    retired = live + "_retired"
-    fs.delete(retired)
-    if fs.exists(live):
-        fs.rename(live, retired)
-    fs.rename(staged, live)
-    fs.delete(retired)
+    ids = store.read("ids")
+    (
+        ids.repartitionByRange(max(1, n // 4), "db", "nid")
+        .sortWithinPartitions("db", "nid")
+        .write.partitionBy("db")
+        .parquet(f"{store.vdir(v)}/ids")
+    )
+    old = store.state_rows()
+    rows = [r for r in old if r[0] not in ("vectors", "ids")]
+    rows += [("vectors", p, v) for p in store.written_parts(v, "vectors")]
+    rows += [("ids", p, v) for p in store.written_parts(v, "ids")]
+    store.commit(v, rows)
+    return n
 
 
 def retrain_ivf_index(
@@ -1071,93 +1119,47 @@ def retrain_ivf_index(
     data drifts from the build-time distribution; once the monitor
     fires, this pass re-derives the codebook from what the index
     actually holds (seeded, or ``train_iters`` Lloyd iterations over
-    the bounded md5-ordered sample) and rewrites ``vectors/`` in the
-    new cell layout. Cost: one O(index) assignment pass — the same
-    bill as a build, minus re-reading the source table.
+    the bounded md5-ordered sample) and rewrites vectors, forward map,
+    centroids, and meta in the new cell layout. Cost: one O(index)
+    assignment pass — the same bill as a build, minus re-reading the
+    source table.
 
-    Crash consistency: the vector SET is invariant under retraining
-    (only the ``cell`` column changes), and seeding/training/assignment
-    are deterministic functions of that set AND the retrain parameters
-    — so re-running the retrain from ANY interruption point converges
-    to the identical final state PROVIDED the same parameters are
-    offered. The intent marker (``_retrain_intent/``) therefore
-    records (n_cells, train_iters): a re-entry with a pending marker
-    adopts the recorded n_cells when the caller passed None and
-    REFUSES mismatching explicit parameters (a resize retrain that
-    crashed after the vectors swap must not silently converge to the
-    old cell count). The marker is written before the first swap and
-    cleared after the last; a leftover marker
-    (:func:`ivf_retrain_pending`) means vectors/, centroids/ and ids/
-    may disagree (probes mis-prune) until the re-run completes. As
-    with every plain-parquet maintenance pass here, concurrent probes
-    during the swap window need the Delta/Iceberg upgrade for full
-    isolation.
+    Crash consistency is the versioned store's: everything lands in a
+    NEW version directory and becomes visible in ONE commit-marker
+    flip — a crash at any earlier point leaves the previous version
+    untouched and fully readable (a concurrent probe never sees new
+    vectors with an old codebook, the mixed state the old in-place
+    swaps could expose), and re-running — with the same OR different
+    parameters — is plain retry, not a repair protocol.
 
-    The ``ids/`` forward map is rewritten in the same pass (every
-    vector's cell changes), and a pre-forward-map index is UPGRADED
-    for free here: retrain already reads every vector, so it writes
-    the map + ``fwd_full`` meta that upsert/delete require.
+    A LEGACY index (pre-versioned in-place layout: raw ``vectors/`` /
+    ``centroids/`` dirs) is UPGRADED in place for free: retrain reads
+    every vector anyway, so it writes version 1 of the store —
+    including the ``ids`` forward map upsert/delete require — and
+    removes the legacy directories after the commit.
     """
     import os
 
-    from fink_joiner_spark.fsutil import HadoopFS, repair_partition_dirs
+    store = _ivf_store(spark, index_path)
+    legacy = store.current() is None
+    if legacy:
+        raw_vec = os.path.join(index_path, "vectors")
+        if not store.fs.exists(raw_vec):
+            raise ValueError(f"no IVF index at {index_path}")
+        vecs = spark.read.parquet(raw_vec)
+        if n_cells is None:
+            n_cells = spark.read.parquet(
+                os.path.join(index_path, "centroids")
+            ).count()
+        n_fwd_buckets = 16
+    else:
+        vecs = store.read("vectors")
+        meta = store.read("meta").first()
+        n_fwd_buckets = int(meta["n_fwd_buckets"])
+        if n_cells is None:
+            n_cells = store.read("centroids").count()
 
-    fs = HadoopFS(spark, index_path)
-    vectors_path = os.path.join(index_path, "vectors")
-    centroids_path = os.path.join(index_path, "centroids")
-    ids_path = os.path.join(index_path, "ids")
-    if fs.exists(os.path.join(index_path, "_ivf_maint_intent")):
-        raise ValueError(
-            "an upsert/delete on this index was interrupted mid-swap "
-            "(_ivf_maint_intent pending): re-run it with the SAME delta to "
-            "complete it before retraining — a retrain from the half-applied "
-            f"state would silently drop the pending maintenance. {index_path}"
-        )
-    # roll back debris from an interrupted prior retrain/compaction,
-    # and partition-swap debris from completed-then-crashed upserts
-    for name in ("vectors", "centroids", "ids"):
-        live = os.path.join(index_path, name)
-        if fs.exists(live + "_retired") and not fs.exists(live):
-            fs.rename(live + "_retired", live)
-        fs.delete(live + "_retired")
-        fs.delete(live + "_retrain")
-    repair_partition_dirs(fs, vectors_path)
-    repair_partition_dirs(fs, ids_path)
-
-    intent = os.path.join(index_path, "_retrain_intent")
-    if fs.exists(intent):
-        # a prior retrain crashed between swaps: validate the offered
-        # parameters against the recorded operation (legacy empty-dir
-        # markers carry none — treat the caller's as authoritative)
-        try:
-            rec = spark.read.parquet(intent).first()
-        except Exception:
-            rec = None
-        if rec is not None:
-            rec_cells = None if rec["n_cells"] is None else int(rec["n_cells"])
-            if n_cells is None:
-                n_cells = rec_cells
-            elif rec_cells is not None and int(n_cells) != rec_cells:
-                raise ValueError(
-                    "a previous retrain_ivf_index was interrupted mid-swap "
-                    f"with n_cells={rec_cells}; re-run with the same "
-                    f"parameters (got n_cells={n_cells}) or the index "
-                    f"converges to a mixed layout. Pending: {intent}"
-                )
-            if int(rec["train_iters"]) != int(train_iters):
-                raise ValueError(
-                    "a previous retrain_ivf_index was interrupted mid-swap "
-                    f"with train_iters={int(rec['train_iters'])}; re-run "
-                    f"with the same parameters (got train_iters="
-                    f"{train_iters}). Pending: {intent}"
-                )
-
-    meta = _ivf_meta(spark, fs, index_path)
-    n_fwd_buckets = int(meta["n_fwd_buckets"]) if meta is not None else 16
-    if n_cells is None:
-        n_cells = spark.read.parquet(centroids_path).count()
-
-    c = _spread(spark.read.parquet(vectors_path)).select("nid", "nvec")
+    c = _spread(vecs).select("nid", "nvec")
     if train_iters > 0:
         seeds = train_ivf_centroids(
             c, "nid", "nvec", n_cells=n_cells, n_iters=train_iters
@@ -1169,29 +1171,28 @@ def retrain_ivf_index(
         "nid", "nvec", F.element_at(_nearest_cells(F.col("nvec"), 1), 1).alias("cell")
     )
 
-    spark.createDataFrame(
-        [(int(n_cells), int(train_iters))], "n_cells int, train_iters int"
-    ).write.mode("overwrite").parquet(intent)
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(
-        vectors_path + "_retrain"
-    )
+    v = store.begin()
+    assigned.write.partitionBy("cell").parquet(f"{store.vdir(v)}/vectors")
     # forward map from the staged vectors' (nid, cell) columns — a thin
     # column scan, NOT a second O(index·n_cells) assignment pass
-    staged_assigned = spark.read.parquet(vectors_path + "_retrain").select(
-        "nid", "cell"
+    staged = spark.read.parquet(f"{store.vdir(v)}/vectors").select("nid", "cell")
+    _ivf_fwd_rows(staged, n_fwd_buckets).write.partitionBy("db").parquet(
+        f"{store.vdir(v)}/ids"
     )
-    _ivf_fwd_rows(staged_assigned, n_fwd_buckets).write.mode(
-        "overwrite"
-    ).partitionBy("db").parquet(ids_path + "_retrain")
-    seeds.write.mode("overwrite").parquet(centroids_path + "_retrain")
-    _swap_dataset(fs, vectors_path, vectors_path + "_retrain")
-    _swap_dataset(fs, ids_path, ids_path + "_retrain")
-    _swap_dataset(fs, centroids_path, centroids_path + "_retrain")
+    seeds.write.parquet(f"{store.vdir(v)}/centroids")
     spark.createDataFrame(
-        [(int(n_cells), n_fwd_buckets, True)],
-        "n_cells int, n_fwd_buckets int, fwd_full boolean",
-    ).write.mode("overwrite").parquet(os.path.join(index_path, "meta"))
-    fs.delete(intent)
+        [(int(n_cells), n_fwd_buckets)], "n_cells int, n_fwd_buckets int"
+    ).write.parquet(f"{store.vdir(v)}/meta")
+    rows = (
+        [("vectors", p, v) for p in store.written_parts(v, "vectors")]
+        + [("ids", p, v) for p in store.written_parts(v, "ids")]
+        + [("centroids", "", v), ("meta", "", v)]
+    )
+    store.commit(v, rows)
+    if legacy:
+        # the in-place dirs are no longer referenced by anything
+        for name in ("vectors", "centroids", "ids", "meta"):
+            store.fs.delete(os.path.join(index_path, name))
 
 
 def ivf_index_stream_sink(
@@ -1209,19 +1210,18 @@ def ivf_index_stream_sink(
     mirroring :func:`scoring.bm25_index_stream_sink`.
 
     Same replay contract as the BM25 sink (its docstring is the full
-    statement): ``update_ivf_index`` is an append and NOT idempotent,
-    so each applied batch drops a marker under ``_applied_batches/``
-    keyed by (batchId, content digest — row count + order-independent
-    bit_xor of id hashes), through the Hadoop FileSystem API for the
-    index path's own scheme. Re-delivered batches skip; a NEW stream
-    with a fresh checkpoint (batch ids restart at 0) still folds.
-    SINGLE WRITER required; Delta/Iceberg is the upgrade for
-    crash-mid-append and concurrent-writer isolation.
+    statement): ``update_ivf_index`` is a fold and NOT idempotent, so
+    each applied batch records a marker keyed by (batchId, content
+    digest — row count + order-independent bit_xor of id hashes) as
+    an annotation row in the SAME manifest commit as the fold's data
+    — marker and fold are atomic, closing the exactly-once story end
+    to end. Re-delivered batches skip; a NEW stream with a fresh
+    checkpoint (batch ids restart at 0) still folds. SINGLE WRITER
+    required (concurrent streams race the version counter — union
+    feeds upstream).
     """
 
     def fold(batch: DataFrame, batch_id: int) -> None:
-        from fink_joiner_spark.fsutil import HadoopFS
-
         dig = batch.agg(
             F.count(F.lit(1)).alias("n"),
             F.bit_xor(
@@ -1230,15 +1230,16 @@ def ivf_index_stream_sink(
         ).first()
         if not dig["n"]:
             return
-        marker = (
-            f"{index_path}/_applied_batches/"
-            f"batch={batch_id}_n{dig['n']}_h{dig['h']}"
-        )
-        fs = HadoopFS(batch.sparkSession, index_path)
-        if fs.exists(marker):
+        marker = f"batch={batch_id}_n{dig['n']}_h{dig['h']}"
+        store = _ivf_store(batch.sparkSession, index_path)
+        if any(
+            ds == "_applied" and part == marker
+            for ds, part, _ in store.state_rows()
+        ):
             return
-        update_ivf_index(batch, id_col, vec_col, index_path)
-        fs.mkdirs(marker)
+        update_ivf_index(
+            batch, id_col, vec_col, index_path, applied_marker=marker
+        )
 
     w = stream_vectors.writeStream.foreachBatch(fold).option(
         "checkpointLocation", checkpoint_location
@@ -1249,36 +1250,22 @@ def ivf_index_stream_sink(
 
 
 def _ivf_maint_entry(spark, index_path: str, op: str):
-    """Shared upsert/delete preamble: repair swap debris BEFORE any
-    live read (the read-before-repair hole: a crash between the two
-    renames of a prior partition swap leaves ``cell=N__retired`` and
-    no live ``cell=N`` — a membership or kept-rows read taken first
-    misses that data and the rewrite bakes the loss in), refuse a
-    pending retrain, and refuse a pre-forward-map index. Returns
-    (fs, meta row)."""
-    import os
-
-    from fink_joiner_spark.fsutil import HadoopFS, repair_partition_dirs
-
-    fs = HadoopFS(spark, index_path)
-    if fs.exists(os.path.join(index_path, "_retrain_intent")):
+    """Shared upsert/delete preamble: refuse a legacy (pre-versioned)
+    index — its vectors-only layout has no forward map, so membership
+    would cost a full-index scan per call at scale, and its in-place
+    directories have no reader isolation. ``retrain_ivf_index``
+    upgrades a legacy index in place (one O(index) pass). Returns
+    (store, n_fwd_buckets)."""
+    store = _ivf_store(spark, index_path)
+    if store.current() is None:
         raise ValueError(
-            "a retrain_ivf_index on this index was interrupted mid-swap "
-            "(_retrain_intent pending): re-run the retrain to completion "
-            f"before {op} — vectors/centroids/ids may disagree. {index_path}"
+            f"{op} requires a versioned index with the id→cell forward "
+            "map: this index predates both (legacy in-place layout). "
+            "retrain_ivf_index upgrades it in place — proceeding would "
+            "cost a full-index membership scan per call at scale. "
+            f"Index: {index_path}"
         )
-    repair_partition_dirs(fs, os.path.join(index_path, "vectors"))
-    repair_partition_dirs(fs, os.path.join(index_path, "ids"))
-    meta = _ivf_meta(spark, fs, index_path)
-    if meta is None or not bool(meta.asDict().get("fwd_full", False)):
-        raise ValueError(
-            f"{op} requires the id→cell forward map (ids/): this index "
-            "predates it (no meta with fwd_full=true). retrain_ivf_index "
-            "upgrades it in place (one O(index) pass) — proceeding on the "
-            "vectors-only layout would cost a full-index membership scan "
-            f"per call at scale. Index: {index_path}"
-        )
-    return fs, meta
+    return store, int(store.read("meta").first()["n_fwd_buckets"])
 
 
 def upsert_ivf_index(
@@ -1298,126 +1285,87 @@ def upsert_ivf_index(
     double-indexed both-versions state the plain append would leave.
 
     Cost is O(delta + touched partitions), never O(index): the
-    ``ids/`` forward map — partition-pruned to the delta ids'
+    ``ids`` forward map — read pruned to the delta ids'
     ≤ n_fwd_buckets ``db=`` directories — yields each previous
     version's cell directly; only (old cells ∪ new cells) of
-    ``vectors/`` and the delta's ``db=`` buckets of ``ids/`` are
-    rewritten, via the staged write + FileSystem partition-dir swap
-    shared with the BM25 side. The codebook is untouched. A delta of
-    entirely NEW ids degrades to exactly :func:`update_ivf_index`'s
-    append fast-path.
+    ``vectors`` and the delta's ``db=`` buckets of ``ids`` are
+    rewritten into a new version directory, every untouched partition
+    carrying its existing reference forward (file-identity
+    test-asserted). The codebook is untouched. A delta of entirely
+    NEW ids degrades to exactly :func:`update_ivf_index`'s
+    append-reference fast-path.
 
     ``new_vectors`` must carry one row per id (dedup a multi-version
     delta to its latest upstream — `dedup.latest_per_key`).
 
-    Crash consistency mirrors :func:`scoring.upsert_bm25_index`: ONE
-    intent marker (``_ivf_maint_intent/`` — an order-independent
-    content digest of the delta plus the precomputed partition lists)
-    spans both dataset rewrites; a leftover marker means a
-    half-applied upsert, completed exactly by re-running the SAME
-    delta (each rewrite is idempotent given the recorded lists) and a
-    DIFFERENT delta is refused. :func:`ivf_maint_pending` detects it.
-    Swap debris from a crash INSIDE a partition swap is rolled back
-    at entry, before any live read.
+    Crash consistency is the versioned store's: both dataset rewrites
+    become visible in ONE atomic commit-marker flip — a concurrent
+    probe sees the old or the new index, never vectors without their
+    forward rows; a crash before the marker leaves the previous
+    version untouched and ANY retry (same delta, different delta, a
+    delete, a retrain) is safe. No intent/repair protocol exists
+    because none is needed.
     """
-    import os
-
-    from fink_joiner_spark.operators.scoring import _staged_bucket_rewrite
-
     spark = new_vectors.sparkSession
-    vectors_path = os.path.join(index_path, "vectors")
-    ids_path = os.path.join(index_path, "ids")
-    intent_path = os.path.join(index_path, "_ivf_maint_intent")
-    fs, meta = _ivf_maint_entry(spark, index_path, "upsert_ivf_index")
-    n_fwd = int(meta["n_fwd_buckets"])
-
-    seeds = spark.read.parquet(os.path.join(index_path, "centroids"))
+    store, n_fwd = _ivf_maint_entry(spark, index_path, "upsert_ivf_index")
+    seeds = store.read("centroids")
     cell_type = dict(seeds.dtypes)["cell_id"]
     cells_arr = _cells_arr(seeds)
     c = _spread(new_vectors).select(
         F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")
     )
-    # pin the assigned delta: (a) the caller's frame may derive from
-    # this index's own datasets (delete-what's-in-cell-X shapes), and
-    # its lineage re-executed AFTER the first partition swap would read
-    # deleted files; (b) assigned feeds three jobs — pinning runs the
-    # codebook argmax once. O(delta) blocks, never index-sized.
+    # pinned: assigned feeds four jobs (digest-free now, but membership,
+    # two rewrites, and the pure-insert test) — one argmax pass total
     assigned = c.crossJoin(F.broadcast(cells_arr)).select(
         "nid", "nvec", F.element_at(_nearest_cells(F.col("nvec"), 1), 1).alias("cell")
     ).localCheckpoint()
     fwd_new = _ivf_fwd_rows(assigned, n_fwd)
-
-    # order-independent content digest of the delta (ids + vectors):
-    # identifies "the same upsert re-run" for crash repair. Derived
-    # from the PINNED frame, as is every later use — nothing below may
-    # re-execute the caller's lineage once swaps begin.
-    dig = assigned.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.bit_xor(F.xxhash64(F.col("nid").cast("string"), "nvec")).alias("h"),
-    ).first()
-    dig_n, dig_h = int(dig["n"] or 0), int(dig["h"] or 0)
     key = assigned.select("nid").distinct()
-    dbs = [int(r.db) for r in fwd_new.select("db").distinct().collect()]
+    dbs = sorted(int(r.db) for r in fwd_new.select("db").distinct().collect())
+    db_parts = _db_parts(dbs)
 
-    if fs.exists(intent_path):
-        intent = spark.read.parquet(intent_path).first()
-        if (int(intent["dig_n"]), int(intent["dig_h"]), str(intent["op"])) != (
-            dig_n, dig_h, "upsert",
-        ):
-            raise ValueError(
-                "a previous upsert/delete on this IVF index was interrupted "
-                "mid-swap and a DIFFERENT delta was offered: re-run the "
-                "original delta to complete it (idempotent), or rebuild the "
-                f"index. Pending intent: {intent_path}"
-            )
-        cells = _typed_cells(intent["cells"], cell_type)
-        dbs = sorted(int(v) for v in intent["dbs"])
-    else:
-        # previous versions of the upserted ids, via the pruned forward
-        # map: read ≤ |delta db buckets| directories, semi-join on id
-        prev = (
-            spark.read.parquet(ids_path)
-            .where(F.col("db").isin(dbs))
-            .join(key, "nid", "semi")
-        )
-        old_cells = [r.cell for r in prev.select("cell").distinct().collect()]
-        if not old_cells:
-            # pure insert: the append fast-path IS the correct plan.
-            # No intent marker — this path inherits update's contract.
-            update_ivf_index(new_vectors, id_col, vec_col, index_path)
-            return
-        new_cells = [
-            str(r.cell) for r in assigned.select("cell").distinct().collect()
+    # previous versions of the upserted ids, via the pruned forward
+    # map: read ≤ |delta db buckets| directories, semi-join on id
+    prev = store.read("ids", parts=db_parts)
+    old_cells = (
+        []
+        if prev is None
+        else [
+            r.cell
+            for r in prev.join(key, "nid", "semi").select("cell").distinct().collect()
         ]
-        cells = _typed_cells(set(old_cells) | set(new_cells), cell_type)
-        spark.createDataFrame(
-            [(
-                "upsert", dig_n, dig_h,
-                [str(v) for v in cells], sorted(dbs), 0,
-            )],
-            "op string, dig_n long, dig_h long, cells array<string>, "
-            "dbs array<long>, n_prev long",
-        ).write.mode("overwrite").parquet(intent_path)
+    )
+    if not old_cells:
+        # pure insert: the append-reference fast-path IS the correct plan
+        update_ivf_index(new_vectors, id_col, vec_col, index_path)
+        return
+    new_cells = [str(r.cell) for r in assigned.select("cell").distinct().collect()]
+    cells = _typed_cells(set(old_cells) | set(new_cells), cell_type)
+    cell_parts = _cell_parts(cells)
 
+    v = store.begin()
     kept = (
-        spark.read.parquet(vectors_path)
-        .where(F.col("cell").isin(cells))
+        store.read("vectors", parts=cell_parts)
         .select("nid", "nvec", F.col("cell").cast(cell_type).alias("cell"))
         .join(key, "nid", "anti")
     )
     merged = kept.unionByName(
         assigned.select("nid", "nvec", F.col("cell").cast(cell_type).alias("cell"))
     )
-    _staged_bucket_rewrite(merged, vectors_path, "cell", cells)
-
+    merged.write.partitionBy("cell").parquet(f"{store.vdir(v)}/vectors")
     kept_ids = (
-        spark.read.parquet(ids_path)
-        .where(F.col("db").isin(dbs))
+        store.read("ids", parts=db_parts)
         .join(key, "nid", "anti")
         .select("nid", "cell", F.col("db").cast("long").alias("db"))
     )
-    _staged_bucket_rewrite(kept_ids.unionByName(fwd_new), ids_path, "db", dbs)
-    fs.delete(intent_path)
+    kept_ids.unionByName(fwd_new).write.partitionBy("db").parquet(
+        f"{store.vdir(v)}/ids"
+    )
+    rows = store.carry_except(store.state_rows(), "vectors", set(cell_parts))
+    rows = store.carry_except(rows, "ids", set(db_parts))
+    rows += [("vectors", p, v) for p in store.written_parts(v, "vectors")]
+    rows += [("ids", p, v) for p in store.written_parts(v, "ids")]
+    store.commit(v, rows)
 
 
 def delete_from_ivf_index(ids: DataFrame, id_col: str, index_path: str) -> int:
@@ -1425,131 +1373,85 @@ def delete_from_ivf_index(ids: DataFrame, id_col: str, index_path: str) -> int:
     complement of :func:`update_ivf_index` (build / update / upsert /
     retrain / compact / delete close the index's CRUD surface).
 
-    Membership discovery reads the ``ids/`` forward map pruned to the
+    Membership discovery reads the ``ids`` forward map pruned to the
     delta ids' ``db=`` buckets — O(delta buckets), never the
     all-cell (nid, cell) column scan of the pre-forward-map layout —
-    then ONLY the affected cell partitions of ``vectors/`` and the
-    delta's ``db=`` buckets of ``ids/`` are rewritten (anti-join) via
-    the staged write + FileSystem partition-dir swap shared with the
-    BM25 side; a cell whose every vector is deleted is retired
-    outright. The codebook is untouched (deletion changes membership,
-    never assignment). Ids not in the index are ignored; returns the
-    number of vectors actually deleted.
+    then ONLY the affected cell partitions of ``vectors`` and the
+    delta's ``db=`` buckets of ``ids`` are rewritten (anti-join) into
+    a new version; untouched partitions carry their references
+    forward, and a cell whose every vector is deleted simply drops
+    out of the manifest. The codebook is untouched (deletion changes
+    membership, never assignment). Ids not in the index are ignored;
+    returns the number of vectors actually deleted.
 
-    Crash protocol mirrors :func:`upsert_ivf_index`: swap debris is
-    rolled back at entry BEFORE the membership read (a crash inside a
-    prior swap must not make a retired cell invisible), and one intent
-    marker (delta digest + partition lists + the delete count) spans
-    the two rewrites — a leftover marker is completed by re-running
-    the SAME delete and refuses a different one
-    (:func:`ivf_maint_pending`).
+    Crash/concurrency contract: one atomic commit-marker flip makes
+    both rewrites visible together; a crash before it leaves the old
+    version intact and any retry is safe; a concurrent probe never
+    sees a half-deleted state.
     """
-    import os
-
-    from fink_joiner_spark.operators.scoring import _staged_bucket_rewrite
-
     spark = ids.sparkSession
-    vectors_path = os.path.join(index_path, "vectors")
-    ids_path = os.path.join(index_path, "ids")
-    intent_path = os.path.join(index_path, "_ivf_maint_intent")
-    fs, meta = _ivf_maint_entry(spark, index_path, "delete_from_ivf_index")
-    n_fwd = int(meta["n_fwd_buckets"])
-
-    # pinned for the same reason as the upsert's assigned frame: the
-    # caller's ids may derive from this index (delete-a-whole-cell
-    # reads vectors/), and the anti-joins below execute after swaps
+    store, n_fwd = _ivf_maint_entry(spark, index_path, "delete_from_ivf_index")
+    cell_type = dict(store.read("centroids").dtypes)["cell_id"]
+    # pinned: the caller's ids may derive from this index
+    # (delete-a-whole-cell reads vectors), and the anti-joins below
+    # must not re-execute that lineage mid-op
     key = ids.select(F.col(id_col).alias("nid")).distinct().withColumn(
         "db", _ivf_db(F.col("nid"), n_fwd)
     ).localCheckpoint()
-    dig = key.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.bit_xor(F.xxhash64(F.col("nid").cast("string"))).alias("h"),
-    ).first()
-    dig_n, dig_h = int(dig["n"] or 0), int(dig["h"] or 0)
-    cell_type = dict(
-        spark.read.parquet(os.path.join(index_path, "centroids")).dtypes
-    )["cell_id"]
-    dbs = [int(r.db) for r in key.select("db").distinct().collect()]
+    dbs = sorted(int(r.db) for r in key.select("db").distinct().collect())
+    db_parts = _db_parts(dbs)
 
-    if fs.exists(intent_path):
-        intent = spark.read.parquet(intent_path).first()
-        if (int(intent["dig_n"]), int(intent["dig_h"]), str(intent["op"])) != (
-            dig_n, dig_h, "delete",
-        ):
-            raise ValueError(
-                "a previous upsert/delete on this IVF index was interrupted "
-                "mid-swap and a DIFFERENT delta was offered: re-run the "
-                "original delta to complete it (idempotent), or rebuild the "
-                f"index. Pending intent: {intent_path}"
-            )
-        cells = _typed_cells(intent["cells"], cell_type)
-        dbs = sorted(int(v) for v in intent["dbs"])
-        n_del = int(intent["n_prev"])
-    else:
-        # membership via the pruned forward map: O(delta db buckets)
-        hit = (
-            spark.read.parquet(ids_path)
-            .where(F.col("db").isin(dbs))
-            .join(key.select("nid"), "nid", "semi")
-        )
-        cells_raw = [r.cell for r in hit.select("cell").distinct().collect()]
-        n_del = hit.count()
-        if not cells_raw:
-            return 0
-        cells = _typed_cells(cells_raw, cell_type)
-        spark.createDataFrame(
-            [(
-                "delete", dig_n, dig_h,
-                [str(v) for v in cells], sorted(dbs), n_del,
-            )],
-            "op string, dig_n long, dig_h long, cells array<string>, "
-            "dbs array<long>, n_prev long",
-        ).write.mode("overwrite").parquet(intent_path)
+    fwd = store.read("ids", parts=db_parts)
+    if fwd is None:
+        return 0
+    hit = fwd.join(key.select("nid"), "nid", "semi")
+    cells_raw = [r.cell for r in hit.select("cell").distinct().collect()]
+    n_del = hit.count()
+    if not cells_raw:
+        return 0
+    cells = _typed_cells(cells_raw, cell_type)
+    cell_parts = _cell_parts(cells)
 
+    v = store.begin()
     kept = (
-        spark.read.parquet(vectors_path)
-        .where(F.col("cell").isin(cells))
+        store.read("vectors", parts=cell_parts)
         .select("nid", "nvec", F.col("cell").cast(cell_type).alias("cell"))
         .join(key.select("nid"), "nid", "anti")
     )
-    _staged_bucket_rewrite(kept, vectors_path, "cell", cells)
-
+    kept.write.partitionBy("cell").parquet(f"{store.vdir(v)}/vectors")
     kept_ids = (
-        spark.read.parquet(ids_path)
-        .where(F.col("db").isin(dbs))
+        store.read("ids", parts=db_parts)
         .join(key.select("nid"), "nid", "anti")
         .select("nid", "cell", F.col("db").cast("long").alias("db"))
     )
-    _staged_bucket_rewrite(kept_ids, ids_path, "db", dbs)
-    fs.delete(intent_path)
+    kept_ids.write.partitionBy("db").parquet(f"{store.vdir(v)}/ids")
+    rows = store.carry_except(store.state_rows(), "vectors", set(cell_parts))
+    rows = store.carry_except(rows, "ids", set(db_parts))
+    rows += [("vectors", p, v) for p in store.written_parts(v, "vectors")]
+    rows += [("ids", p, v) for p in store.written_parts(v, "ids")]
+    store.commit(v, rows)
     return n_del
 
 
 def ivf_maint_pending(spark, index_path: str) -> bool:
-    """True when an :func:`upsert_ivf_index`/:func:`delete_from_ivf_index`
-    intent marker is pending — the op crashed between dataset swaps and
-    the index is half-applied until the SAME delta is re-run. One
-    FileSystem existence check."""
-    import os
-
-    from fink_joiner_spark.fsutil import HadoopFS
-
-    return HadoopFS(spark, index_path).exists(
-        os.path.join(index_path, "_ivf_maint_intent")
-    )
+    """Whether uncommitted staging debris from a crashed maintenance
+    op exists (the version dir after the last committed one). Under
+    the versioned store NOTHING is ever half-applied — the previous
+    version stays fully readable and any retry is safe — so this is
+    informational, not a repair gate; the next maintenance op clears
+    the debris in ``begin()``."""
+    store = _ivf_store(spark, index_path)
+    cur = store.current()
+    if cur is None:
+        return False
+    return store.fs.exists(store.vdir(cur + 1))
 
 
 def ivf_retrain_pending(spark, index_path: str) -> bool:
-    """True when a :func:`retrain_ivf_index` intent marker is pending —
-    vectors/ and centroids/ may disagree until the retrain is re-run
-    (idempotent; see its docstring). One FileSystem existence check."""
-    import os
-
-    from fink_joiner_spark.fsutil import HadoopFS
-
-    return HadoopFS(spark, index_path).exists(
-        os.path.join(index_path, "_retrain_intent")
-    )
+    """Alias of :func:`ivf_maint_pending` kept for API compatibility —
+    a crashed retrain leaves the same (harmless) staging debris as any
+    other crashed maintenance op."""
+    return ivf_maint_pending(spark, index_path)
 
 
 def topk_ivf_indexed(
@@ -1571,13 +1473,24 @@ def topk_ivf_indexed(
     assignment pass — both were paid once at build time.
 
     Bit-identical to :func:`topk_ivf` with the same codebook (verified
-    by equality + pruning plan audit in ``tests/test_lake.py``).
+    by equality + pruning audit in ``tests/test_lake.py``). Reads one
+    consistent committed VERSION of the index (snapshot isolation —
+    a concurrent maintenance op can never expose it a mixed state);
+    a legacy pre-versioned index is still probeable via its raw dirs.
     """
     import os
 
     from pyspark.sql import Window
 
-    seeds = spark.read.parquet(os.path.join(index_path, "centroids"))
+    store = _ivf_store(spark, index_path)
+    versioned = store.current() is not None
+    # pin ONE version for the whole probe: seeds and vectors must come
+    # from the same commit even if a maintenance op lands mid-probe
+    pin = store.current()
+    if versioned:
+        seeds = store.read("centroids", version=pin)
+    else:
+        seeds = spark.read.parquet(os.path.join(index_path, "centroids"))
     cells_arr = _cells_arr(seeds)
     q = queries.select(F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qvec"))
     probes = q.crossJoin(F.broadcast(cells_arr)).select(
@@ -1590,11 +1503,22 @@ def topk_ivf_indexed(
     # strings; a hardcoded long cast would NULL them out and the probe
     # would silently return zero rows
     cell_type = dict(seeds.dtypes)["cell_id"]
-    base = (
-        spark.read.parquet(os.path.join(index_path, "vectors"))
-        .where(F.col("cell").isin(cell_ids))
-        .select("nid", "nvec", F.col("cell").cast(cell_type).alias("cell"))
-    )
+    if versioned:
+        # versioned pruning: the probed cells resolve to EXPLICIT
+        # directories of the pinned version — the scan never lists
+        # anything else (strictly stronger than partition pruning)
+        base = store.read("vectors", parts=_cell_parts(cell_ids), version=pin)
+        if base is None:
+            base = spark.createDataFrame([], "nid long, nvec array<double>, cell string")
+        base = base.select(
+            "nid", "nvec", F.col("cell").cast(cell_type).alias("cell")
+        )
+    else:
+        base = (
+            spark.read.parquet(os.path.join(index_path, "vectors"))
+            .where(F.col("cell").isin(cell_ids))
+            .select("nid", "nvec", F.col("cell").cast(cell_type).alias("cell"))
+        )
     scored = (
         F.broadcast(probes)
         .join(base, "cell")

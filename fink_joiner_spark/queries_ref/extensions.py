@@ -6333,11 +6333,221 @@ def ext_bm25_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         scoring.update_bm25_index(
             docs.where(F.col("doc_id") % 4 == rem), "doc_id", "text", work
         )
-    n_before = len(spark.read.parquet(f"{work}/postings").inputFiles())
+    from fink_joiner_spark.versioned import VersionedStore
+
+    n_before = len(VersionedStore(spark, work).read("postings").inputFiles())
     scoring.compact_bm25_index(spark, work)
-    n_after = len(spark.read.parquet(f"{work}/postings").inputFiles())
+    n_after = len(VersionedStore(spark, work).read("postings").inputFiles())
     assert n_after < n_before / 2, (n_before, n_after)
     probe = scoring.bm25_indexed_scores(
         spark, work, ["join", "filter", "window"], k1=1.2, b=0.75
     )
     return probe.orderBy(F.col("score").desc(), "doc_id").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H hard decorrelation shapes (Q2 / Q20 / Q21), adapted to this star
+# schema (no partsupp table, no commit/receipt dates on lineitem):
+# lineitem's (l_partkey, l_suppkey) aggregates stand in for partsupp
+# ("offers"/"stock"), and "kept waiting" is shipped > 90 days after the
+# order date. The SHAPES — correlated scalar MIN over a 4-way join (Q2),
+# nested IN + two-column-correlated scalar SUM (Q20), quadruple-correlated
+# EXISTS/NOT-EXISTS lineitem self-joins (Q21) — are the reference points;
+# Catalyst must decorrelate them into join/agg plans with no cartesian
+# product (pinned in tests/test_plans.py).
+
+@register(
+    "ext_tpch_q2_min_cost_supplier",
+    """
+    WITH offers AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(floor(l_extendedprice * 100 + 0.5)::BIGINT) AS cost_cents
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT floor(s.s_acctbal * 100 + 0.5)::BIGINT AS s_acctbal_cents,
+           s.s_name, n.n_name, p.p_partkey, o.cost_cents
+    FROM part p
+    JOIN offers o ON o.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = o.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE p.p_size = 15 AND r.r_name = 'ASIA'
+      AND o.cost_cents = (
+        SELECT MIN(o2.cost_cents)
+        FROM offers o2
+        JOIN supplier s2 ON s2.s_suppkey = o2.l_suppkey
+        JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+        JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+        WHERE o2.l_partkey = p.p_partkey AND r2.r_name = 'ASIA')
+    ORDER BY s_acctbal_cents DESC, s.s_name, p.p_partkey
+    LIMIT 100
+    """,
+    "TPC-H Q2 shape (minimum-cost supplier): a correlated scalar MIN "
+    "whose subquery is itself a 4-way join re-filtered by the same "
+    "region — the classic decorrelate-into-grouped-min-and-join-back "
+    "plan; Catalyst's RewriteCorrelatedScalarSubquery must produce an "
+    "aggregate + equi-join, never a per-row re-execution or a "
+    "cartesian. partsupp surrogate: per-(part, supplier) MIN line "
+    "price in exact cents",
+)
+def ext_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "part", "supplier", "nation", "region"):
+        table(spark, sf_dir, t).createOrReplaceTempView(f"_q2_{t}")
+    return spark.sql(
+        """
+        WITH offers AS (
+          SELECT l_partkey, l_suppkey,
+                 MIN(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                   AS cost_cents
+          FROM _q2_lineitem GROUP BY 1, 2
+        )
+        SELECT CAST(floor(s.s_acctbal * 100 + 0.5) AS BIGINT)
+                 AS s_acctbal_cents,
+               s.s_name, n.n_name, p.p_partkey, o.cost_cents
+        FROM _q2_part p
+        JOIN offers o ON o.l_partkey = p.p_partkey
+        JOIN _q2_supplier s ON s.s_suppkey = o.l_suppkey
+        JOIN _q2_nation n ON n.n_nationkey = s.s_nationkey
+        JOIN _q2_region r ON r.r_regionkey = n.n_regionkey
+        WHERE p.p_size = 15 AND r.r_name = 'ASIA'
+          AND o.cost_cents = (
+            SELECT MIN(o2.cost_cents)
+            FROM offers o2
+            JOIN _q2_supplier s2 ON s2.s_suppkey = o2.l_suppkey
+            JOIN _q2_nation n2 ON n2.n_nationkey = s2.s_nationkey
+            JOIN _q2_region r2 ON r2.r_regionkey = n2.n_regionkey
+            WHERE o2.l_partkey = p.p_partkey AND r2.r_name = 'ASIA')
+        ORDER BY s_acctbal_cents DESC, s.s_name, p.p_partkey
+        LIMIT 100
+        """
+    )
+
+
+@register(
+    "ext_tpch_q20_stock_concentration",
+    """
+    WITH stock AS (
+      SELECT l_partkey, l_suppkey, SUM(l_quantity)::BIGINT AS avail
+      FROM lineitem
+      WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+      GROUP BY 1, 2
+    )
+    SELECT s.s_name, floor(s.s_acctbal * 100 + 0.5)::BIGINT AS s_acctbal_cents
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_3'
+      AND s.s_suppkey IN (
+        SELECT st.l_suppkey FROM stock st
+        WHERE st.l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+          AND st.avail > (
+            SELECT 0.5 * SUM(l.l_quantity) FROM lineitem l
+            WHERE l.l_partkey = st.l_partkey
+              AND l.l_suppkey = st.l_suppkey
+              AND l.l_shipdate >= '1995-01-01'
+              AND l.l_shipdate < '1998-01-01'))
+    ORDER BY s.s_name
+    """,
+    "TPC-H Q20 shape (excess stock / potential part promotion): a "
+    "semi-join chain — supplier IN (subquery over the partsupp "
+    "surrogate, itself filtered by part IN (...) AND a scalar SUM "
+    "correlated on TWO columns) — the deepest nesting in the TPC-H "
+    "set short of Q21; decorrelation must turn the per-(part,supp) "
+    "scalar into one grouped aggregate joined back, and both INs into "
+    "semi-joins. 'Stock' = 1996 shipments; predicate keeps pairs "
+    "whose 1996 volume exceeds half their 1995-1998 volume",
+)
+def ext_tpch_q20_stock_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "part", "supplier", "nation"):
+        table(spark, sf_dir, t).createOrReplaceTempView(f"_q20_{t}")
+    return spark.sql(
+        """
+        WITH stock AS (
+          SELECT l_partkey, l_suppkey, CAST(SUM(l_quantity) AS BIGINT) AS avail
+          FROM _q20_lineitem
+          WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+          GROUP BY 1, 2
+        )
+        SELECT s.s_name,
+               CAST(floor(s.s_acctbal * 100 + 0.5) AS BIGINT)
+                 AS s_acctbal_cents
+        FROM _q20_supplier s
+        JOIN _q20_nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = 'NATION_3'
+          AND s.s_suppkey IN (
+            SELECT st.l_suppkey FROM stock st
+            WHERE st.l_partkey IN (
+                SELECT p_partkey FROM _q20_part WHERE p_name LIKE 'small%')
+              AND st.avail > (
+                SELECT 0.5 * SUM(l.l_quantity) FROM _q20_lineitem l
+                WHERE l.l_partkey = st.l_partkey
+                  AND l.l_suppkey = st.l_suppkey
+                  AND l.l_shipdate >= '1995-01-01'
+                  AND l.l_shipdate < '1998-01-01'))
+        ORDER BY s.s_name
+        """
+    )
+
+
+@register(
+    "ext_tpch_q21_waiting_supplier",
+    """
+    SELECT s.s_name, COUNT(*)::BIGINT AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE o.o_orderstatus = 'F'
+      AND n.n_name = 'NATION_3'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+    "TPC-H Q21 shape (suppliers who kept orders waiting): the hardest "
+    "decorrelation in the suite — a correlated EXISTS (some OTHER "
+    "supplier on the order) and a correlated NOT EXISTS (no OTHER "
+    "supplier was late) over lineitem self-joins, each correlating on "
+    "an equality AND a non-equality (l_suppkey <>) — Catalyst must "
+    "plan a left-semi and a left-anti join keyed on l_orderkey with "
+    "the <> as join residual, never a cartesian. 'Late' adapted to "
+    "this schema: shipped > 90 days after the order date",
+)
+def ext_tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "orders", "supplier", "nation"):
+        table(spark, sf_dir, t).createOrReplaceTempView(f"_q21_{t}")
+    return spark.sql(
+        """
+        SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM _q21_supplier s
+        JOIN _q21_lineitem l1 ON l1.l_suppkey = s.s_suppkey
+        JOIN _q21_orders o ON o.o_orderkey = l1.l_orderkey
+        JOIN _q21_nation n ON n.n_nationkey = s.s_nationkey
+        WHERE o.o_orderstatus = 'F'
+          AND n.n_name = 'NATION_3'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+          AND EXISTS (
+            SELECT 1 FROM _q21_lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM _q21_lineitem l3
+            JOIN _q21_orders o3 ON o3.o_orderkey = l3.l_orderkey
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+        LIMIT 100
+        """
+    )

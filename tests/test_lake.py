@@ -106,9 +106,11 @@ def test_read_files_xml_roundtrip(spark, tmp_path):
 def test_bm25_index_probe_prunes_and_matches_scan_path(spark, sf_dir, tmp_path):
     """The persisted-index probe must (a) return bit-identical scores
     to the scan-time bm25_scores for the same terms and (b) actually
-    partition-prune: every input file of the probe plan lies inside a
-    probed pb= bucket directory, and the probed bucket count is <= the
-    query term count while the index holds many more buckets."""
+    restrict its read: under the versioned store the ≤ k probe buckets
+    resolve to EXPLICIT directories, so the audit is directory-exact —
+    every file the probe's postings frame lists lies inside a probed
+    pb= bucket, and the probed bucket count is <= the query term count
+    while the index holds many more buckets."""
     import re
 
     from fink_joiner_spark.operators import scoring
@@ -126,47 +128,35 @@ def test_bm25_index_probe_prunes_and_matches_scan_path(spark, sf_dir, tmp_path):
     got = {(r.doc_id, r.n_terms_matched, r.score) for r in probe.collect()}
     assert got == want and got
 
-    # pruning audit: the index has many buckets, the probe reads few.
-    # inputFiles() lists the WHOLE table (it ignores pruning), so the
-    # runtime signal is input_file_name() over the probe's own filter:
-    # the files a scan with that filter actually reads.
+    # pruning audit: the index has many buckets, the probe reads few
     all_buckets = {
         m.group(1)
-        for f in spark.read.parquet(f"{idx}/postings").inputFiles()
+        for f in _bm25(spark, idx, "postings").inputFiles()
         for m in [re.search(r"pb=(\d+)", f)]
         if m
     }
     assert len(all_buckets) > 10  # vocabulary spreads over many buckets
 
     n_buckets = 32
-    pbs = [
-        r.pb
+    pbs = {
+        int(r.pb)
         for r in spark.createDataFrame([(t,) for t in terms], "term string")
         .select(F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("pb"))
         .collect()
-    ]
-    filt = F.col("pb").isin(pbs) & F.col("term").isin(terms)
-    read_files = {
-        r.f
-        for r in spark.read.parquet(f"{idx}/postings")
-        .where(filt)
-        .select(F.input_file_name().alias("f"))
-        .distinct()
-        .collect()
     }
-    probed = {re.search(r"pb=(\d+)", f).group(1) for f in read_files}
+    pruned = _bm25(spark, idx, "postings", parts=[f"pb={b}" for b in sorted(pbs)])
+    probed = {
+        int(re.search(r"pb=(\d+)", f).group(1)) for f in pruned.inputFiles()
+    }
     assert probed and len(probed) <= len(terms), (probed, terms)
-    # and the probe's static plan carries the partition filter
-    plan = probe._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters: [" in plan and "pb" in plan.split(
-        "PartitionFilters: ["
-    )[1].split("]")[0]
+    assert probed <= pbs
 
 
 def test_ivf_index_probe_prunes_and_matches_unindexed(spark, sf_dir, tmp_path):
     """The persisted IVF probe must return exactly what topk_ivf
     returns for the same codebook, and must READ only the probed cell
-    partitions (runtime input_file_name audit), not the whole index."""
+    partitions — under the versioned store the probed cells resolve to
+    EXPLICIT directories, so the audit is directory-exact."""
     import os
     import re
 
@@ -192,16 +182,16 @@ def test_ivf_index_probe_prunes_and_matches_unindexed(spark, sf_dir, tmp_path):
     }
     assert got == want and got
 
-    # runtime pruning audit: ≤ |queries|·nprobe = 4 of the 16 cell
-    # partitions are actually read by the probe's filtered scan
+    # pruning audit: the probe's versioned read resolves ≤
+    # |queries|·nprobe = 4 of the 16 cell partitions to explicit dirs
     all_cells = {
         m.group(1)
-        for f in spark.read.parquet(f"{idx}/vectors").inputFiles()
+        for f in _ivf(spark, idx, "vectors").inputFiles()
         for m in [re.search(r"cell=(\d+)", f)]
         if m
     }
     assert len(all_cells) >= 8  # seeds spread vectors over many cells
-    seeds = spark.read.parquet(f"{idx}/centroids")
+    seeds = _ivf(spark, idx, "centroids")
     cells_arr = similarity._cells_arr(seeds)
     probes = (
         queries.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
@@ -209,15 +199,12 @@ def test_ivf_index_probe_prunes_and_matches_unindexed(spark, sf_dir, tmp_path):
         .select(F.explode(similarity._nearest_cells(F.col("qvec"), 2)).alias("cell"))
     )
     cell_ids = [r.cell for r in probes.distinct().collect()]
+    pruned = _ivf(spark, idx, "vectors", parts=[f"cell={c}" for c in cell_ids])
     read_cells = {
-        re.search(r"cell=(\d+)", r.f).group(1)
-        for r in spark.read.parquet(f"{idx}/vectors")
-        .where(F.col("cell").isin(cell_ids))
-        .select(F.input_file_name().alias("f"))
-        .distinct()
-        .collect()
+        re.search(r"cell=(\d+)", f).group(1) for f in pruned.inputFiles()
     }
     assert read_cells and len(read_cells) <= 4, (read_cells, all_cells)
+    assert read_cells <= {str(c) for c in cell_ids}
 
 
 def test_bm25_incremental_update_appends_and_matches_full_build(spark, sf_dir, tmp_path):
@@ -235,9 +222,9 @@ def test_bm25_incremental_update_appends_and_matches_full_build(spark, sf_dir, t
 
     inc = str(tmp_path / "inc_idx")
     scoring.build_bm25_index(old, "doc_id", "text", inc, n_buckets=32)
-    before = set(spark.read.parquet(f"{inc}/postings").inputFiles())
+    before = set(_bm25(spark, inc, "postings").inputFiles())
     scoring.update_bm25_index(new, "doc_id", "text", inc)
-    after = set(spark.read.parquet(f"{inc}/postings").inputFiles())
+    after = set(_bm25(spark, inc, "postings").inputFiles())
     assert before <= after and len(after) > len(before)
 
     full = str(tmp_path / "full_idx")
@@ -255,8 +242,8 @@ def test_bm25_incremental_update_appends_and_matches_full_build(spark, sf_dir, t
     assert got == want and got
 
     # meta scalars exact
-    m_inc = spark.read.parquet(os.path.join(inc, "meta")).first()
-    m_full = spark.read.parquet(os.path.join(full, "meta")).first()
+    m_inc = _bm25(spark, inc, "meta").first()
+    m_full = _bm25(spark, full, "meta").first()
     assert (m_inc["n_docs"], m_inc["sum_dl"]) == (m_full["n_docs"], m_full["sum_dl"])
 
 
@@ -294,12 +281,12 @@ def test_bm25_stream_sink_replay_is_noop(spark, sf_dir, tmp_path):
     stage1 = str(tmp_path / "stage1")
     file_drip_feed(spark, delta1, stage1, "doc_id", n_files=2)
     run(stage1, str(tmp_path / "ckpt1"))
-    meta1 = spark.read.parquet(f"{idx}/meta").first()
+    meta1 = _bm25(spark, idx, "meta").first()
 
     # (1) full redelivery: fresh checkpoint, same staged files → no-op
     shutil.rmtree(str(tmp_path / "ckpt1"))
     run(stage1, str(tmp_path / "ckpt2"))
-    meta2 = spark.read.parquet(f"{idx}/meta").first()
+    meta2 = _bm25(spark, idx, "meta").first()
     assert (meta1["n_docs"], meta1["sum_dl"]) == (meta2["n_docs"], meta2["sum_dl"])
 
     # (2) new stream, new docs, fresh checkpoint (batch ids restart at
@@ -307,7 +294,7 @@ def test_bm25_stream_sink_replay_is_noop(spark, sf_dir, tmp_path):
     stage2 = str(tmp_path / "stage2")
     file_drip_feed(spark, delta2, stage2, "doc_id", n_files=2)
     run(stage2, str(tmp_path / "ckpt3"))
-    meta3 = spark.read.parquet(f"{idx}/meta").first()
+    meta3 = _bm25(spark, idx, "meta").first()
     assert meta3["n_docs"] > meta2["n_docs"]
 
     full = str(tmp_path / "full_idx2")
@@ -339,11 +326,11 @@ def test_bm25_index_compaction_shrinks_files_probe_unchanged(spark, sf_dir, tmp_
     before = {
         tuple(r) for r in scoring.bm25_indexed_scores(spark, idx, terms).collect()
     }
-    n_files_before = len(spark.read.parquet(f"{idx}/postings").inputFiles())
+    n_files_before = len(_bm25(spark, idx, "postings").inputFiles())
 
     scoring.compact_bm25_index(spark, idx)
 
-    files_after = spark.read.parquet(f"{idx}/postings").inputFiles()
+    files_after = _bm25(spark, idx, "postings").inputFiles()
     assert len(files_after) < n_files_before / 2
     assert all(re.search(r"pb=\d+", f) for f in files_after)  # layout kept
     after = {
@@ -365,11 +352,11 @@ def test_ivf_incremental_update_appends_and_matches_frozen_codebook(spark, sf_di
     similarity.build_ivf_index(
         emb.where(F.col("vec_id") % 2 == 0), "vec_id", "embedding", idx, n_cells=16
     )
-    before = set(spark.read.parquet(f"{idx}/vectors").inputFiles())
+    before = set(_ivf(spark, idx, "vectors").inputFiles())
     similarity.update_ivf_index(
         emb.where(F.col("vec_id") % 2 == 1), "vec_id", "embedding", idx
     )
-    after = set(spark.read.parquet(f"{idx}/vectors").inputFiles())
+    after = set(_ivf(spark, idx, "vectors").inputFiles())
     assert before <= after and len(after) > len(before)
 
     queries = emb.filter(F.col("vec_id") < 4)
@@ -379,7 +366,7 @@ def test_ivf_incremental_update_appends_and_matches_frozen_codebook(spark, sf_di
             spark, idx, queries, "vec_id", "embedding", k=5, nprobe=3
         ).collect()
     }
-    seeds = spark.read.parquet(f"{idx}/centroids")
+    seeds = _ivf(spark, idx, "centroids")
     want = {
         tuple(r)
         for r in similarity.topk_ivf(
@@ -390,15 +377,15 @@ def test_ivf_incremental_update_appends_and_matches_frozen_codebook(spark, sf_di
     assert got == want and got
 
 
-def test_bm25_compaction_recovers_from_crash_states(spark, sf_dir, tmp_path):
-    """A compaction that crashed mid-swap (postings renamed away, new
-    data not yet in place) or post-swap (retired debris left behind)
-    must be repaired automatically by the next run, with probe results
-    intact."""
-    import os
-    import shutil
+def test_bm25_compaction_recovers_from_crash_states(spark, sf_dir, tmp_path, monkeypatch):
+    """Under the versioned store a compaction that crashes BEFORE its
+    commit leaves the fragmented index fully readable (probe identical
+    to pre-op) with only unreferenced staging debris, and re-running
+    completes it — no repair protocol, no rename rollback."""
+    import pytest
 
     from fink_joiner_spark.operators import scoring
+    from fink_joiner_spark.versioned import VersionedStore
 
     docs = _docs(spark, sf_dir)
     idx = str(tmp_path / "crash_idx")
@@ -406,21 +393,24 @@ def test_bm25_compaction_recovers_from_crash_states(spark, sf_dir, tmp_path):
     terms = ["join", "filter", "window"]
     want = {tuple(r) for r in scoring.bm25_indexed_scores(spark, idx, terms).collect()}
 
-    # crash between the two renames: postings gone, retired holds data
-    os.rename(f"{idx}/postings", f"{idx}/postings_retired")
-    os.makedirs(f"{idx}/postings_compacting")  # plus a stale staged dir
-    scoring.compact_bm25_index(spark, idx)
-    got = {tuple(r) for r in scoring.bm25_indexed_scores(spark, idx, terms).collect()}
-    assert got == want
-    assert not os.path.exists(f"{idx}/postings_retired")
-    assert not os.path.exists(f"{idx}/postings_compacting")
+    real_commit = VersionedStore.commit
 
-    # crash after the swap: retired debris beside live postings
-    shutil.copytree(f"{idx}/postings", f"{idx}/postings_retired")
-    scoring.compact_bm25_index(spark, idx)
+    def crash_commit(self, version, rows):
+        raise RuntimeError("simulated crash before commit")
+
+    monkeypatch.setattr(VersionedStore, "commit", crash_commit)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        scoring.compact_bm25_index(spark, idx)
+    monkeypatch.setattr(VersionedStore, "commit", real_commit)
+
+    got = {tuple(r) for r in scoring.bm25_indexed_scores(spark, idx, terms).collect()}
+    assert got == want  # old version untouched
+    assert scoring.bm25_upsert_pending(spark, idx)  # debris, informational
+
+    scoring.compact_bm25_index(spark, idx)  # plain retry completes
+    assert not scoring.bm25_upsert_pending(spark, idx)
     got = {tuple(r) for r in scoring.bm25_indexed_scores(spark, idx, terms).collect()}
     assert got == want
-    assert not os.path.exists(f"{idx}/postings_retired")
 
 
 def test_bm25_upsert_matches_rebuild_and_is_idempotent(spark, sf_dir, tmp_path):
@@ -464,69 +454,87 @@ def test_bm25_upsert_matches_rebuild_and_is_idempotent(spark, sf_dir, tmp_path):
     want = {tuple(r) for r in scoring.bm25_indexed_scores(spark, full, terms).collect()}
     got = {tuple(r) for r in scoring.bm25_indexed_scores(spark, idx, terms).collect()}
     assert got == want and got
-    m_idx = spark.read.parquet(os.path.join(idx, "meta")).first()
-    m_full = spark.read.parquet(os.path.join(full, "meta")).first()
+    m_idx = _bm25(spark, idx, "meta").first()
+    m_full = _bm25(spark, full, "meta").first()
     assert (m_idx["n_docs"], m_idx["sum_dl"]) == (m_full["n_docs"], m_full["sum_dl"])
-    assert m_idx["fwd_full"] is True
 
     # double-upsert idempotency: same delta again, nothing may move
     scoring.upsert_bm25_index(delta, "doc_id", "text", idx)
     again = {tuple(r) for r in scoring.bm25_indexed_scores(spark, idx, terms).collect()}
     assert again == want
-    m2 = spark.read.parquet(os.path.join(idx, "meta")).first()
+    m2 = _bm25(spark, idx, "meta").first()
     assert (m2["n_docs"], m2["sum_dl"]) == (m_full["n_docs"], m_full["sum_dl"])
 
 
-def test_bm25_upsert_refuses_index_without_forward_marker(spark, sf_dir, tmp_path):
-    """An index whose meta lacks fwd_full=true (built before the
-    forward index existed) must be refused LOUDLY: proceeding would
-    silently skip retraction of pre-upgrade documents and double-count
-    their postings. update_bm25_index on such an index keeps working
-    (its postings/terms/meta math needs no forward index) but must not
-    claim forward completeness."""
+def test_bm25_legacy_index_probes_but_refuses_maintenance(spark, sf_dir, tmp_path):
+    """A LEGACY BM25 index (pre-versioned in-place layout: raw
+    postings/terms/meta dirs, no commit log) must still PROBE
+    read-only, while update/upsert/delete refuse it loudly — its
+    directories have no reader isolation and its forward index is not
+    guaranteed complete; the upgrade is a rebuild."""
     import os
 
     import pytest
 
     from fink_joiner_spark.operators import scoring
+    from fink_joiner_spark.operators.text import tokens as _tokens
 
     docs = _docs(spark, sf_dir)
     idx = str(tmp_path / "legacy_idx")
-    scoring.build_bm25_index(
-        docs.where(F.col("doc_id") % 2 == 0), "doc_id", "text", idx, n_buckets=8
+    # manufacture the legacy in-place layout directly
+    n_buckets = 8
+    toks = _tokens(F.col("text"))
+    base = docs.select(
+        F.col("doc_id"), F.size(toks).cast("long").alias("dl"), toks.alias("toks")
     )
-    # simulate a pre-forward-index build: strip the marker from meta
-    m = spark.read.parquet(os.path.join(idx, "meta")).first()
-    spark.createDataFrame(
-        [(int(m["n_docs"]), int(m["sum_dl"]), int(m["n_buckets"]))],
-        "n_docs long, sum_dl long, n_buckets int",
-    ).write.mode("overwrite").parquet(os.path.join(idx, "meta"))
+    tf = (
+        base.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("pb", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+    )
+    tf.write.partitionBy("pb").parquet(f"{idx}/postings")
+    tf.groupBy("pb", "term").agg(F.count(F.lit(1)).alias("df")).select(
+        "term", "df", "pb"
+    ).write.partitionBy("pb").parquet(f"{idx}/terms")
+    base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        F.lit(n_buckets).alias("n_buckets"),
+    ).write.parquet(f"{idx}/meta")
 
-    delta = docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "text")
-    with pytest.raises(ValueError, match="fwd_full"):
-        scoring.upsert_bm25_index(delta, "doc_id", "text", idx)
-
-    # update still folds correctly and keeps the legacy marker False
-    scoring.update_bm25_index(delta, "doc_id", "text", idx)
-    m2 = spark.read.parquet(os.path.join(idx, "meta")).first()
-    assert m2["fwd_full"] is False
-    full = str(tmp_path / "legacy_full")
-    scoring.build_bm25_index(docs, "doc_id", "text", full, n_buckets=8)
     terms = ["join", "filter", "window"]
+    # probe works read-only on the legacy layout, scores scan-identical
     got = {tuple(r) for r in scoring.bm25_indexed_scores(spark, idx, terms).collect()}
-    want = {tuple(r) for r in scoring.bm25_indexed_scores(spark, full, terms).collect()}
+    want = {
+        (r.doc_id, r.n_terms_matched, r.score)
+        for r in scoring.bm25_scores(docs, "doc_id", "text", terms).collect()
+    }
     assert got == want and got
 
+    delta = docs.limit(3).select("doc_id", "text")
+    with pytest.raises(ValueError, match="legacy"):
+        scoring.update_bm25_index(delta, "doc_id", "text", idx)
+    with pytest.raises(ValueError, match="legacy"):
+        scoring.upsert_bm25_index(delta, "doc_id", "text", idx)
+    with pytest.raises(ValueError, match="legacy"):
+        scoring.delete_from_bm25_index(delta.select("doc_id"), "doc_id", idx)
 
-def test_bm25_upsert_crash_between_swaps_recovers(spark, sf_dir, tmp_path, monkeypatch):
-    """The intent-marker protocol: an upsert killed between the
-    postings swap and the terms swap leaves a pending marker; a
-    DIFFERENT delta is refused; re-running the SAME delta completes
-    the half-applied upsert exactly (probe == from-scratch rebuild)
-    and clears the marker."""
+
+def test_bm25_upsert_crash_leaves_old_version_readable(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The versioned store's crash contract on the BM25 family: an
+    upsert killed AFTER all four staged dataset writes but BEFORE the
+    commit marker leaves the previous version fully intact (probe
+    answers from the OLD consistent state) and ANY retry is safe —
+    the same delta, a different delta, or a delete; re-running the
+    original completes it as plain retry, probing identical to a
+    from-scratch rebuild."""
     import pytest
 
     import fink_joiner_spark.operators.scoring as scoring
+    from fink_joiner_spark.versioned import VersionedStore
 
     docs = _docs(spark, sf_dir)
     idx = str(tmp_path / "crashy_idx")
@@ -540,41 +548,37 @@ def test_bm25_upsert_crash_between_swaps_recovers(spark, sf_dir, tmp_path, monke
     delta = docs.where(
         (F.col("doc_id") % 2 == 0) | (F.col("doc_id") % 4 == 3)
     ).select("doc_id", "text")
+    terms = ["join", "filter", "window"]
+    pre = {tuple(r) for r in scoring.bm25_indexed_scores(spark, idx, terms).collect()}
 
-    real_rewrite = scoring._staged_bucket_rewrite
-    calls = {"n": 0}
+    real_commit = VersionedStore.commit
 
-    def crash_after_postings(merged, live_root, partition_col, values):
-        calls["n"] += 1
-        if calls["n"] == 2:  # postings swapped; kill before terms
-            raise RuntimeError("simulated crash between postings and terms swap")
-        return real_rewrite(merged, live_root, partition_col, values)
+    def crash_commit(self, version, rows):
+        raise RuntimeError("boom before commit")
 
-    monkeypatch.setattr(scoring, "_staged_bucket_rewrite", crash_after_postings)
-    with pytest.raises(RuntimeError, match="simulated crash"):
+    monkeypatch.setattr(VersionedStore, "commit", crash_commit)
+    with pytest.raises(RuntimeError):
         scoring.upsert_bm25_index(delta, "doc_id", "text", idx)
-    monkeypatch.setattr(scoring, "_staged_bucket_rewrite", real_rewrite)
+    monkeypatch.setattr(VersionedStore, "commit", real_commit)
 
-    assert scoring.bm25_upsert_pending(spark, idx)
+    got = {tuple(r) for r in scoring.bm25_indexed_scores(spark, idx, terms).collect()}
+    assert got == pre  # old version intact
+    assert scoring.bm25_upsert_pending(spark, idx)  # debris, informational
 
-    # a different delta cannot complete someone else's half-applied upsert
-    other = docs.where(F.col("doc_id") % 4 == 1).select("doc_id", "text")
-    with pytest.raises(ValueError, match="interrupted"):
-        scoring.upsert_bm25_index(other, "doc_id", "text", idx)
+    # a DIFFERENT op retries cleanly over the crashed one's debris
+    assert scoring.delete_from_bm25_index(
+        docs.select((F.col("doc_id") + 9_000_000).alias("doc_id")).limit(1),
+        "doc_id", idx,
+    ) == 0
 
-    # the SAME delta completes it
+    # the original upsert completes as plain retry
     scoring.upsert_bm25_index(delta, "doc_id", "text", idx)
     assert not scoring.bm25_upsert_pending(spark, idx)
-
-    full = str(tmp_path / "crashy_full")
+    full = str(tmp_path / "rebuild_idx")
     scoring.build_bm25_index(docs, "doc_id", "text", full, n_buckets=16)
-    terms = ["join", "filter", "window"]
     got = {tuple(r) for r in scoring.bm25_indexed_scores(spark, idx, terms).collect()}
     want = {tuple(r) for r in scoring.bm25_indexed_scores(spark, full, terms).collect()}
     assert got == want and got
-    m_idx = spark.read.parquet(f"{idx}/meta").first()
-    m_full = spark.read.parquet(f"{full}/meta").first()
-    assert (m_idx["n_docs"], m_idx["sum_dl"]) == (m_full["n_docs"], m_full["sum_dl"])
 
 
 def test_ivf_index_compaction_shrinks_files_probe_unchanged(spark, sf_dir, tmp_path):
@@ -603,11 +607,11 @@ def test_ivf_index_compaction_shrinks_files_probe_unchanged(spark, sf_dir, tmp_p
             spark, idx, queries, "vec_id", "embedding", k=5, nprobe=3
         ).collect()
     }
-    n_before = len(spark.read.parquet(f"{idx}/vectors").inputFiles())
+    n_before = len(_ivf(spark, idx, "vectors").inputFiles())
 
     similarity.compact_ivf_index(spark, idx)
 
-    files_after = spark.read.parquet(f"{idx}/vectors").inputFiles()
+    files_after = _ivf(spark, idx, "vectors").inputFiles()
     assert len(files_after) < n_before / 2
     assert all(re.search(r"cell=[^/]+", f) for f in files_after)  # layout kept
     after = {
@@ -620,49 +624,48 @@ def test_ivf_index_compaction_shrinks_files_probe_unchanged(spark, sf_dir, tmp_p
 
 
 def test_partition_swap_crash_debris_is_repaired(spark, sf_dir, tmp_path):
-    """Crash debris from a partition-scoped swap (upsert/merge), both
-    windows: a ``pb=N__retired`` dir WITHOUT a live sibling (crash
-    between the two renames) must be rolled back by the next swap's
-    repair preamble; WITH a live sibling (post-swap crash) it must be
-    dropped — and compact_partitioned must repair both too, instead of
-    reading the debris as a legitimate string-typed partition."""
+    """Crash debris from a partition-scoped swap on a GENERIC
+    partitioned lake dataset (`lake.compact_partitioned` — the indexes
+    moved to the versioned store, but the in-place swap machinery
+    remains a standalone lake op), both windows: a ``pb=N__retired``
+    dir WITHOUT a live sibling (crash between the two renames) must be
+    rolled back by the repair preamble BEFORE the compaction read;
+    WITH a live sibling (post-swap crash) it must be dropped — never
+    read as a legitimate string-typed partition."""
     import os
     import shutil
 
     from fink_joiner_spark.fsutil import HadoopFS, repair_partition_dirs
-    from fink_joiner_spark.operators import scoring
+    from fink_joiner_spark.operators import lake
 
     docs = _docs(spark, sf_dir)
-    idx = str(tmp_path / "debris_idx")
-    scoring.build_bm25_index(docs, "doc_id", "text", idx, n_buckets=8)
-    terms = ["join", "filter", "window"]
-    want = {tuple(r) for r in scoring.bm25_indexed_scores(spark, idx, terms).collect()}
-    postings = f"{idx}/postings"
-    fs = HadoopFS(spark, postings)
+    data = str(tmp_path / "debris_ds")
+    docs.select(
+        "doc_id", "n_chars", (F.col("doc_id") % 8).alias("pb")
+    ).write.partitionBy("pb").parquet(data)
+    want = spark.read.parquet(data).count()
+    fs = HadoopFS(spark, data)
 
     # mid-swap debris: live dir renamed away, not yet replaced
-    os.rename(f"{postings}/pb=3", f"{postings}/pb=3__retired")
-    repair_partition_dirs(fs, postings)
-    assert os.path.exists(f"{postings}/pb=3")
-    assert not os.path.exists(f"{postings}/pb=3__retired")
-    got = {tuple(r) for r in scoring.bm25_indexed_scores(spark, idx, terms).collect()}
-    assert got == want
+    os.rename(f"{data}/pb=3", f"{data}/pb=3__retired")
+    repair_partition_dirs(fs, data)
+    assert os.path.exists(f"{data}/pb=3")
+    assert not os.path.exists(f"{data}/pb=3__retired")
+    assert spark.read.parquet(data).count() == want
 
     # post-swap debris beside live data: compact_partitioned must drop
     # it BEFORE reading (else stale rows duplicate into the rewrite and
     # the partition column type flips to string)
-    shutil.copytree(f"{postings}/pb=3", f"{postings}/pb=3__retired")
-    scoring.compact_bm25_index(spark, idx)
-    assert not os.path.exists(f"{postings}/pb=3__retired")
-    got = {tuple(r) for r in scoring.bm25_indexed_scores(spark, idx, terms).collect()}
-    assert got == want
-    assert dict(spark.read.parquet(postings).dtypes)["pb"] != "string"
+    shutil.copytree(f"{data}/pb=3", f"{data}/pb=3__retired")
+    lake.compact_partitioned(spark, data, "pb", ["doc_id"])
+    assert not os.path.exists(f"{data}/pb=3__retired")
+    assert spark.read.parquet(data).count() == want
+    assert dict(spark.read.parquet(data).dtypes)["pb"] != "string"
 
     # mid-swap debris is likewise repaired by compaction
-    os.rename(f"{postings}/pb=5", f"{postings}/pb=5__retired")
-    scoring.compact_bm25_index(spark, idx)
-    got = {tuple(r) for r in scoring.bm25_indexed_scores(spark, idx, terms).collect()}
-    assert got == want
+    os.rename(f"{data}/pb=5", f"{data}/pb=5__retired")
+    lake.compact_partitioned(spark, data, "pb", ["doc_id"])
+    assert spark.read.parquet(data).count() == want
 
 
 def test_index_lifecycle_through_explicit_file_scheme_uris(spark, sf_dir, tmp_path):
@@ -695,7 +698,13 @@ def test_index_lifecycle_through_explicit_file_scheme_uris(spark, sf_dir, tmp_pa
     scoring.bm25_index_stream_sink(
         stream, "doc_id", "text", idx, str(tmp_path / "uri_ckpt")
     ).start().awaitTermination()
-    assert os.path.isdir(f"{tmp_path}/uri_idx/_applied_batches")
+    # applied-batch markers live in the manifest now (atomic with the
+    # fold) — resolved through the scheme-qualified store
+    from fink_joiner_spark.versioned import VersionedStore
+
+    assert any(
+        ds == "_applied" for ds, _, _ in VersionedStore(spark, idx).state_rows()
+    )
 
     # upsert swap through the scheme (retract path: %8==0 docs change)
     delta = docs.where(
@@ -715,9 +724,9 @@ def test_index_lifecycle_through_explicit_file_scheme_uris(spark, sf_dir, tmp_pa
 
     # dataset_bytes sizes scheme-qualified files (and equals the
     # unqualified-path sizing of the same dataset)
-    via_uri = lake.dataset_bytes(spark.read.parquet(f"{idx}/postings"))
+    via_uri = lake.dataset_bytes(_bm25(spark, idx, "postings"))
     via_path = lake.dataset_bytes(
-        spark.read.parquet(f"{tmp_path}/uri_idx/postings")
+        _bm25(spark, f"{tmp_path}/uri_idx", "postings")
     )
     assert via_uri == via_path > 0
 
@@ -737,10 +746,10 @@ def test_partition_stats_monitors_real_index_layouts(spark, sf_dir, tmp_path):
     idx = str(tmp_path / "mon_bm25")
     scoring.build_bm25_index(docs, "doc_id", "text", idx, n_buckets=8)
     pstats = lake.partition_stats(
-        spark.read.parquet(f"{idx}/postings"), "pb", hot_ratio=2.0
+        _bm25(spark, idx, "postings"), "pb", hot_ratio=2.0
     )
     rows = pstats.collect()
-    total = spark.read.parquet(f"{idx}/postings").count()
+    total = _bm25(spark, idx, "postings").count()
     assert sum(r["n_rows"] for r in rows) == total
     assert all(r["n_files"] >= 1 for r in rows)
 
@@ -750,7 +759,7 @@ def test_partition_stats_monitors_real_index_layouts(spark, sf_dir, tmp_path):
     before = {
         r["cell"]: r
         for r in lake.partition_stats(
-            spark.read.parquet(f"{ivf}/vectors"), "cell", hot_ratio=2.0
+            _ivf(spark, ivf, "vectors"), "cell", hot_ratio=2.0
         ).collect()
     }
 
@@ -764,7 +773,7 @@ def test_partition_stats_monitors_real_index_layouts(spark, sf_dir, tmp_path):
     )
     similarity.update_ivf_index(dup, "vec_id", "embedding", ivf)
     after = lake.partition_stats(
-        spark.read.parquet(f"{ivf}/vectors"), "cell", hot_ratio=2.0
+        _ivf(spark, ivf, "vectors"), "cell", hot_ratio=2.0
     ).collect()
     hot = [r for r in after if r["hot"]]
     assert len(hot) == 1, f"expected exactly the drifted cell hot: {after}"
@@ -778,15 +787,17 @@ def test_ivf_retrain_reassigns_consistently_and_survives_crash(
 ):
     """retrain_ivf_index: after a frozen-codebook drift, retraining
     must (a) leave every stored vector's cell equal to the argmax
-    against the NEW codebook (self-consistency — the property a crash
-    between the two dataset swaps breaks), (b) keep the all-cell probe
-    exactly brute force, and (c) recover from a crash between the
-    vectors swap and the centroids swap by simply re-running."""
+    against the NEW codebook, (b) keep the all-cell probe exactly
+    brute force, and (c) under the versioned store, a crash BEFORE the
+    commit marker leaves the previous version fully intact — the
+    probe still answers from the OLD consistent state (no mixed
+    vectors/codebook window at all) and re-running is plain retry."""
     import os
 
     import pytest
 
     import fink_joiner_spark.operators.similarity as similarity
+    from fink_joiner_spark.versioned import VersionedStore
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     idx = str(tmp_path / "retrain_idx")
@@ -798,9 +809,9 @@ def test_ivf_retrain_reassigns_consistently_and_survives_crash(
     )
 
     def assert_consistent():
-        seeds = spark.read.parquet(f"{idx}/centroids")
+        seeds = _ivf(spark, idx, "centroids")
         cell_type = dict(seeds.dtypes)["cell_id"]
-        vecs = spark.read.parquet(f"{idx}/vectors").select(
+        vecs = _ivf(spark, idx, "vectors").select(
             "nid", "nvec", F.col("cell").cast(cell_type).alias("cell")
         )
         recomputed = vecs.crossJoin(
@@ -814,38 +825,46 @@ def test_ivf_retrain_reassigns_consistently_and_survives_crash(
         )
         assert recomputed.filter(F.col("cell") != F.col("want")).count() == 0
 
-    # crash between the two swaps: vectors/ new, centroids/ old
-    real_swap = similarity._swap_dataset
-    calls = {"n": 0}
+    queries = emb.filter(F.col("vec_id") < 4)
 
-    def crash_on_centroids(fs, live, staged):
-        calls["n"] += 1
-        if calls["n"] == 2:
-            raise RuntimeError("simulated crash before centroids swap")
-        return real_swap(fs, live, staged)
+    def probe():
+        return {
+            tuple(r)
+            for r in similarity.topk_ivf_indexed(
+                spark, idx, queries, "vec_id", "embedding", k=5, nprobe=8
+            ).collect()
+        }
 
-    monkeypatch.setattr(similarity, "_swap_dataset", crash_on_centroids)
+    pre_crash = probe()
+
+    # crash BEFORE the commit marker: all staged writes done, nothing visible
+    real_commit = VersionedStore.commit
+
+    def crash_commit(self, version, rows):
+        raise RuntimeError("simulated crash before commit")
+
+    monkeypatch.setattr(VersionedStore, "commit", crash_commit)
     with pytest.raises(RuntimeError, match="simulated crash"):
         similarity.retrain_ivf_index(spark, idx, train_iters=2)
-    monkeypatch.setattr(similarity, "_swap_dataset", real_swap)
-    assert similarity.ivf_retrain_pending(spark, idx)
+    monkeypatch.setattr(VersionedStore, "commit", real_commit)
 
-    # re-run completes it: deterministic from the (invariant) vector set
+    # the OLD version is fully readable and self-consistent — snapshot
+    # isolation means there was never a mixed state to repair
+    assert probe() == pre_crash
+    assert_consistent()
+    assert similarity.ivf_retrain_pending(spark, idx)  # staging debris only
+
+    # re-run is plain retry: deterministic from the (invariant) vector set
     similarity.retrain_ivf_index(spark, idx, train_iters=2)
     assert not similarity.ivf_retrain_pending(spark, idx)
     assert_consistent()
+    _fwd_consistent(spark, idx)
     # trained codebook: 8 cells keyed 0..7
-    seeds = spark.read.parquet(f"{idx}/centroids")
+    seeds = _ivf(spark, idx, "centroids")
     assert sorted(r["cell_id"] for r in seeds.collect()) == list(range(8))
 
     # all-cell probe == brute force over the same corpus
-    queries = emb.filter(F.col("vec_id") < 4)
-    got = {
-        tuple(r)
-        for r in similarity.topk_ivf_indexed(
-            spark, idx, queries, "vec_id", "embedding", k=5, nprobe=8
-        ).collect()
-    }
+    got = probe()
     want = {
         tuple(r)
         for r in similarity.topk_bruteforce(
@@ -878,9 +897,9 @@ def test_bm25_compaction_defragments_forward_index_too(spark, sf_dir, tmp_path):
             docs.where(F.col("doc_id") % 4 == rem).withColumn("text", stale_text),
             "doc_id", "text", idx,
         )
-    n_before = len(spark.read.parquet(f"{idx}/docs").inputFiles())
+    n_before = len(_bm25(spark, idx, "docs").inputFiles())
     scoring.compact_bm25_index(spark, idx)
-    files_after = spark.read.parquet(f"{idx}/docs").inputFiles()
+    files_after = _bm25(spark, idx, "docs").inputFiles()
     assert len(files_after) < n_before / 2
     assert all(re.search(r"db=\d+", f) for f in files_after)
 
@@ -903,13 +922,12 @@ def test_bm25_delete_matches_clean_rebuild_and_retires_buckets(
     """delete_from_bm25_index: after deleting the junk half, the probe
     must be bit-identical to an index the junk never entered; a term
     living ONLY in deleted docs must vanish; re-deleting is a no-op;
-    meta shrinks exactly; and a crash between the postings and terms
-    swaps is repaired by re-running the SAME delete."""
-    import os
-
+    meta shrinks exactly; and a crash BEFORE the commit leaves the
+    dirty index fully readable, completed by plain retry."""
     import pytest
 
     import fink_joiner_spark.operators.scoring as scoring
+    from fink_joiner_spark.versioned import VersionedStore
 
     docs = _docs(spark, sf_dir)
     idx = str(tmp_path / "del_idx")
@@ -921,27 +939,18 @@ def test_bm25_delete_matches_clean_rebuild_and_retires_buckets(
     scoring.build_bm25_index(dirty, "doc_id", "text", idx, n_buckets=16)
     assert scoring.bm25_indexed_scores(spark, idx, ["junkonlytoken"]).count() > 0
 
-    # crash between postings swap and terms swap, then repair
-    real_rewrite = scoring._staged_bucket_rewrite
-    calls = {"n": 0}
+    # crash before commit: nothing applied, probe unchanged
+    real_commit = VersionedStore.commit
 
-    def crash_after_postings(merged, live_root, partition_col, values):
-        calls["n"] += 1
-        if calls["n"] == 2:
-            raise RuntimeError("simulated crash between postings and terms swap")
-        return real_rewrite(merged, live_root, partition_col, values)
+    def crash_commit(self, version, rows):
+        raise RuntimeError("simulated crash before commit")
 
-    monkeypatch.setattr(scoring, "_staged_bucket_rewrite", crash_after_postings)
+    monkeypatch.setattr(VersionedStore, "commit", crash_commit)
     with pytest.raises(RuntimeError, match="simulated crash"):
         scoring.delete_from_bm25_index(junk.select("doc_id"), "doc_id", idx)
-    monkeypatch.setattr(scoring, "_staged_bucket_rewrite", real_rewrite)
-    assert scoring.bm25_upsert_pending(spark, idx)
-
-    # a different delta is refused while the intent is pending
-    with pytest.raises(ValueError, match="interrupted"):
-        scoring.delete_from_bm25_index(
-            docs.select("doc_id").limit(3), "doc_id", idx
-        )
+    monkeypatch.setattr(VersionedStore, "commit", real_commit)
+    assert scoring.bm25_indexed_scores(spark, idx, ["junkonlytoken"]).count() > 0
+    assert scoring.bm25_upsert_pending(spark, idx)  # debris only
 
     n = scoring.delete_from_bm25_index(junk.select("doc_id"), "doc_id", idx)
     assert n == junk.count()
@@ -957,8 +966,8 @@ def test_bm25_delete_matches_clean_rebuild_and_retires_buckets(
     got = {tuple(r) for r in scoring.bm25_indexed_scores(spark, idx, terms).collect()}
     want = {tuple(r) for r in scoring.bm25_indexed_scores(spark, clean, terms).collect()}
     assert got == want and got
-    m_idx = spark.read.parquet(os.path.join(idx, "meta")).first()
-    m_clean = spark.read.parquet(os.path.join(clean, "meta")).first()
+    m_idx = _bm25(spark, idx, "meta").first()
+    m_clean = _bm25(spark, clean, "meta").first()
     assert (m_idx["n_docs"], m_idx["sum_dl"]) == (m_clean["n_docs"], m_clean["sum_dl"])
 
     # idempotent: deleting already-gone ids is a zero no-op
@@ -970,9 +979,10 @@ def test_bm25_delete_matches_clean_rebuild_and_retires_buckets(
 def test_ivf_delete_rewrites_only_affected_cells(spark, sf_dir, tmp_path):
     """delete_from_ivf_index must (a) leave probe results identical to
     an index the junk never entered (same codebook), (b) rewrite ONLY
-    the affected cell partitions — untouched cells keep their files —
-    (c) retire a cell whose every vector is deleted, and (d) treat
-    absent ids as a zero no-op."""
+    the affected cell partitions — untouched cells carry their version
+    REFERENCES forward, so their physical files are identical — (c)
+    drop a cell whose every vector is deleted out of the manifest, and
+    (d) treat absent ids as a zero no-op."""
     import os
 
     from fink_joiner_spark.operators import similarity
@@ -986,28 +996,27 @@ def test_ivf_delete_rewrites_only_affected_cells(spark, sf_dir, tmp_path):
     dirty = emb.select("vec_id", "embedding").unionByName(junk)
     similarity.build_ivf_index(dirty, "vec_id", "embedding", idx, n_cells=8)
 
-    before_files = {
-        f: True for f in spark.read.parquet(f"{idx}/vectors").inputFiles()
-    }
+    before_files = set(_ivf(spark, idx, "vectors").inputFiles())
     junk_cells = {
-        r.cell
-        for r in spark.read.parquet(f"{idx}/vectors")
+        str(r.cell)
+        for r in _ivf(spark, idx, "vectors")
         .join(junk.select(F.col("vec_id").alias("nid")), "nid", "semi")
         .select("cell").distinct().collect()
     }
     n = similarity.delete_from_ivf_index(junk.select("vec_id"), "vec_id", idx)
     assert n == junk.count()
 
-    after_files = set(spark.read.parquet(f"{idx}/vectors").inputFiles())
+    after_files = set(_ivf(spark, idx, "vectors").inputFiles())
     untouched = {
         f for f in before_files
         if not any(f"cell={c}/" in f or f"cell={c}%" in f for c in junk_cells)
     }
-    assert untouched <= after_files  # untouched cells keep their files
+    assert untouched <= after_files  # same files, byte-for-byte same paths
+    _fwd_consistent(spark, idx)
 
     # probe == index built without the junk, same (frozen) codebook
     queries = emb.filter(F.col("vec_id") < 4)
-    seeds = spark.read.parquet(f"{idx}/centroids")
+    seeds = _ivf(spark, idx, "centroids")
     got = {
         tuple(r)
         for r in similarity.topk_ivf_indexed(
@@ -1030,21 +1039,21 @@ def test_ivf_delete_rewrites_only_affected_cells(spark, sf_dir, tmp_path):
 
     # retire-a-whole-cell: delete every remaining vector of one cell
     some_cell = sorted(
-        r.cell for r in spark.read.parquet(f"{idx}/vectors")
+        str(r.cell) for r in _ivf(spark, idx, "vectors")
         .select("cell").distinct().collect()
     )[0]
     victims = (
-        spark.read.parquet(f"{idx}/vectors")
-        .where(F.col("cell") == some_cell)
+        _ivf(spark, idx, "vectors")
+        .where(F.col("cell").cast("string") == some_cell)
         .select(F.col("nid").alias("vec_id"))
     )
     n_victims = victims.count()
     assert similarity.delete_from_ivf_index(victims, "vec_id", idx) == n_victims
     remaining_cells = {
-        r.cell for r in spark.read.parquet(f"{idx}/vectors")
+        str(r.cell) for r in _ivf(spark, idx, "vectors")
         .select("cell").distinct().collect()
     }
-    assert str(some_cell) not in {str(c) for c in remaining_cells}
+    assert some_cell not in remaining_cells
 
 
 def test_ivf_stream_sink_replay_is_noop(spark, sf_dir, tmp_path):
@@ -1081,21 +1090,21 @@ def test_ivf_stream_sink_replay_is_noop(spark, sf_dir, tmp_path):
     stage1 = str(tmp_path / "s1")
     file_drip_feed(spark, d1, stage1, "vec_id", n_files=2)
     run(stage1, str(tmp_path / "c1"))
-    n1 = spark.read.parquet(f"{idx}/vectors").count()
+    n1 = _ivf(spark, idx, "vectors").count()
 
     # full redelivery, fresh checkpoint -> no-op
     shutil.rmtree(str(tmp_path / "c1"))
     run(stage1, str(tmp_path / "c2"))
-    assert spark.read.parquet(f"{idx}/vectors").count() == n1
+    assert _ivf(spark, idx, "vectors").count() == n1
 
     # new stream, new vectors, fresh checkpoint -> must fold
     stage2 = str(tmp_path / "s2")
     file_drip_feed(spark, d2, stage2, "vec_id", n_files=2)
     run(stage2, str(tmp_path / "c3"))
-    assert spark.read.parquet(f"{idx}/vectors").count() > n1
+    assert _ivf(spark, idx, "vectors").count() > n1
 
     queries = emb.filter(F.col("vec_id") < 4)
-    seeds = spark.read.parquet(f"{idx}/centroids")
+    seeds = _ivf(spark, idx, "centroids")
     got = {
         tuple(r)
         for r in similarity.topk_ivf_indexed(
@@ -1116,9 +1125,9 @@ def test_upsert_rewrites_only_affected_buckets(spark, sf_dir, tmp_path):
     """The O(delta + touched buckets) claim, pinned structurally: after
     an upsert whose delta terms hash into a known bucket set, every
     postings file in an UNAFFECTED pb= bucket must still be the exact
-    same file (same path — no rewrite, no append), and likewise for
-    unaffected db= forward-index buckets."""
-    import os
+    same physical file (its manifest reference carried forward — no
+    rewrite, no move), and likewise for unaffected db= forward-index
+    buckets."""
     import re
 
     from fink_joiner_spark.operators import scoring
@@ -1126,8 +1135,8 @@ def test_upsert_rewrites_only_affected_buckets(spark, sf_dir, tmp_path):
     docs = _docs(spark, sf_dir)
     idx = str(tmp_path / "scope_idx")
     scoring.build_bm25_index(docs, "doc_id", "text", idx, n_buckets=32)
-    before_p = set(spark.read.parquet(f"{idx}/postings").inputFiles())
-    before_d = set(spark.read.parquet(f"{idx}/docs").inputFiles())
+    before_p = set(_bm25(spark, idx, "postings").inputFiles())
+    before_d = set(_bm25(spark, idx, "docs").inputFiles())
 
     # a 3-doc delta: tiny term set -> few affected buckets
     delta = docs.where(F.col("doc_id").isin([1, 2, 3])).select(
@@ -1135,7 +1144,6 @@ def test_upsert_rewrites_only_affected_buckets(spark, sf_dir, tmp_path):
     )
     scoring.upsert_bm25_index(delta, "doc_id", "text", idx)
 
-    # affected buckets = union of the old docs' pbs and the new terms'
     n_buckets = 32
     new_pbs = {
         r.pb
@@ -1145,25 +1153,16 @@ def test_upsert_rewrites_only_affected_buckets(spark, sf_dir, tmp_path):
     }
     old_pbs = {
         r.pb
-        for r in spark.read.parquet(f"{idx}/docs")
+        for r in _bm25(spark, idx, "docs")
         .where(F.col("doc_id").isin([1, 2, 3]))
         .select(F.explode("pbs").alias("pb")).distinct().collect()
     }
-    # old_pbs read AFTER the upsert reflect the new terms; recompute the
-    # true affected set from the BEFORE state instead: any bucket whose
-    # files changed must be in the union we assert below, so derive
-    # affected = buckets whose file set differs
-    after_p = set(spark.read.parquet(f"{idx}/postings").inputFiles())
+    after_p = set(_bm25(spark, idx, "postings").inputFiles())
     changed_buckets = set()
     for f in before_p.symmetric_difference(after_p):
         m = re.search(r"pb=(\d+)", f)
         if m:
             changed_buckets.add(int(m.group(1)))
-    # every changed bucket is explainable: it holds a delta term or it
-    # held one of the 3 docs' OLD terms (old doc text is real corpus
-    # text — bound it loosely by doc count: 3 docs' vocab can touch at
-    # most... assert instead the STRONG direction: buckets NOT changed
-    # kept their exact files, and new-term buckets DID change
     assert new_pbs <= changed_buckets | old_pbs  # new terms landed
     untouched_p = {
         f for f in before_p
@@ -1180,69 +1179,91 @@ def test_upsert_rewrites_only_affected_buckets(spark, sf_dir, tmp_path):
             ).alias("db")
         ).collect()
     }
-    after_d = set(spark.read.parquet(f"{idx}/docs").inputFiles())
+    after_d = set(_bm25(spark, idx, "docs").inputFiles())
     for f in before_d.symmetric_difference(after_d):
         m = re.search(r"db=(\d+)", f)
         assert m and int(m.group(1)) in dbs, f"unaffected db bucket rewritten: {f}"
 
 
-def test_pending_upsert_intent_blocks_delete_and_vice_versa(
+def test_bm25_probe_is_isolated_from_concurrent_maintenance(
     spark, sf_dir, tmp_path, monkeypatch
 ):
-    """The shared intent-marker path means a half-applied upsert and a
-    delete can never interleave: each op's digest covers its own delta
-    shape (upsert: ids+tokens; delete: ids), so the OTHER op — or the
-    same op with a different delta — is refused until the original
-    completes."""
+    """Reader snapshot isolation on the BM25 family (mirror of the IVF
+    test): a probe injected at the most hostile interleaving point —
+    all four staged datasets written, commit not flipped — must equal
+    the pre-op result exactly (never new postings with old term stats
+    or a half-swapped bucket set); after the flip the complete new
+    state; and an op interrupted there is completed or superseded by
+    ANY retry with no repair protocol."""
     import pytest
 
     import fink_joiner_spark.operators.scoring as scoring
+    from fink_joiner_spark.versioned import VersionedStore
 
     docs = _docs(spark, sf_dir)
     idx = str(tmp_path / "interleave_idx")
     scoring.build_bm25_index(docs, "doc_id", "text", idx, n_buckets=8)
 
+    terms = ["join", "filter", "window"]
+
+    def probe():
+        return {
+            tuple(r)
+            for r in scoring.bm25_indexed_scores(spark, idx, terms).collect()
+        }
+
+    pre = probe()
     delta = docs.where(F.col("doc_id") < 20).select(
         "doc_id", F.lit("replacement text").alias("text")
     )
-    real = scoring._staged_bucket_rewrite
-    calls = {"n": 0}
+    mid_op_probes = []
+    real_commit = VersionedStore.commit
 
-    def crash_second(merged, live_root, partition_col, values):
-        calls["n"] += 1
-        if calls["n"] == 2:
-            raise RuntimeError("boom")
-        return real(merged, live_root, partition_col, values)
+    def probing_commit(self, version, rows):
+        mid_op_probes.append(probe())
+        return real_commit(self, version, rows)
 
-    monkeypatch.setattr(scoring, "_staged_bucket_rewrite", crash_second)
-    with pytest.raises(RuntimeError):
-        scoring.upsert_bm25_index(delta, "doc_id", "text", idx)
-    monkeypatch.setattr(scoring, "_staged_bucket_rewrite", real)
-    assert scoring.bm25_upsert_pending(spark, idx)
-
-    # a delete of the SAME ids is still a different operation (digest
-    # covers tokens for the upsert) -> refused
-    with pytest.raises(ValueError, match="interrupted"):
-        scoring.delete_from_bm25_index(delta.select("doc_id"), "doc_id", idx)
-
-    # completing the upsert clears the marker; the delete then works
+    monkeypatch.setattr(VersionedStore, "commit", probing_commit)
     scoring.upsert_bm25_index(delta, "doc_id", "text", idx)
-    assert not scoring.bm25_upsert_pending(spark, idx)
+    monkeypatch.setattr(VersionedStore, "commit", real_commit)
+    assert mid_op_probes and all(p_ == pre for p_ in mid_op_probes)
+
+    # post-commit: replaced docs no longer match the original terms
+    post = probe()
+    assert post != pre
+    assert scoring.bm25_indexed_scores(spark, idx, ["replacement"]).count() == 20
+
+    # a delete of the same ids right after works (no interleave gate)
     assert scoring.delete_from_bm25_index(
         delta.select("doc_id"), "doc_id", idx
     ) == delta.count()
+    assert scoring.bm25_indexed_scores(spark, idx, ["replacement"]).count() == 0
+
+
+def _ivf(spark, idx, dataset, parts=None):
+    """Current committed version of an IVF index dataset."""
+    from fink_joiner_spark.versioned import VersionedStore
+
+    return VersionedStore(spark, idx).read(dataset, parts)
+
+
+def _bm25(spark, idx, dataset, parts=None):
+    """Current committed version of a BM25 index dataset."""
+    from fink_joiner_spark.versioned import VersionedStore
+
+    return VersionedStore(spark, idx).read(dataset, parts)
 
 
 def _fwd_consistent(spark, idx: str) -> None:
-    """The ids/ forward map must mirror vectors/ exactly: same (nid,
+    """The ids forward map must mirror vectors exactly: same (nid,
     cell) set (cells compared as strings — the map's storage type)."""
     vec = {
         (r.nid, str(r.cell))
-        for r in spark.read.parquet(f"{idx}/vectors").select("nid", "cell").collect()
+        for r in _ivf(spark, idx, "vectors").select("nid", "cell").collect()
     }
     fwd = {
         (r.nid, r.cell)
-        for r in spark.read.parquet(f"{idx}/ids").select("nid", "cell").collect()
+        for r in _ivf(spark, idx, "ids").select("nid", "cell").collect()
     }
     assert vec == fwd and vec
 
@@ -1278,13 +1299,13 @@ def test_ivf_upsert_matches_rebuild_and_is_idempotent(spark, sf_dir, tmp_path):
     _fwd_consistent(spark, idx)
 
     # no double-indexing: exactly one row per id
-    n_ids = spark.read.parquet(f"{idx}/vectors").select("nid").distinct().count()
-    n_rows = spark.read.parquet(f"{idx}/vectors").count()
+    n_ids = _ivf(spark, idx, "vectors").select("nid").distinct().count()
+    n_rows = _ivf(spark, idx, "vectors").count()
     assert n_ids == n_rows == emb.count()
 
     # probe == the same frozen codebook over the latest corpus
     queries = emb.filter(F.col("vec_id") < 4)
-    seeds = spark.read.parquet(f"{idx}/centroids")
+    seeds = _ivf(spark, idx, "centroids")
     got = {
         tuple(r)
         for r in similarity.topk_ivf_indexed(
@@ -1312,65 +1333,88 @@ def test_ivf_upsert_matches_rebuild_and_is_idempotent(spark, sf_dir, tmp_path):
     _fwd_consistent(spark, idx)
 
     # all-new ids: append fast-path (existing files untouched)
-    before = set(spark.read.parquet(f"{idx}/vectors").inputFiles())
+    before = set(_ivf(spark, idx, "vectors").inputFiles())
     fresh = emb.limit(5).select(
         (F.col("vec_id") + 5_000_000).alias("vec_id"), "embedding"
     )
     similarity.upsert_ivf_index(fresh, "vec_id", "embedding", idx)
-    after = set(spark.read.parquet(f"{idx}/vectors").inputFiles())
+    after = set(_ivf(spark, idx, "vectors").inputFiles())
     assert before <= after and len(after) > len(before)
     _fwd_consistent(spark, idx)
 
 
 def test_ivf_upsert_delete_refuse_pre_forward_map_index(spark, sf_dir, tmp_path):
-    """A vectors-only index (no meta/fwd_full) must be refused LOUDLY
-    by upsert and delete — proceeding would either double-index or
-    cost a full-index membership scan per call — and retrain_ivf_index
-    must UPGRADE it in place (it reads every vector anyway), after
-    which both ops work."""
+    """A LEGACY index (pre-versioned in-place layout: raw vectors/ +
+    centroids/ dirs, no commit log, no forward map) must be refused
+    LOUDLY by update/upsert/delete — proceeding would either
+    double-index or cost a full-index membership scan per call — while
+    the probe still serves it (read-only fallback), and
+    retrain_ivf_index must UPGRADE it in place (it reads every vector
+    anyway), after which the full maintenance surface works."""
     import os
 
     import pytest
 
-    from fink_joiner_spark.fsutil import HadoopFS
     from fink_joiner_spark.operators import similarity
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     idx = str(tmp_path / "legacy_ivf")
-    similarity.build_ivf_index(emb, "vec_id", "embedding", idx, n_cells=8)
-    # simulate a pre-forward-map build
-    fs = HadoopFS(spark, idx)
-    fs.delete(f"{idx}/meta")
-    fs.delete(f"{idx}/ids")
+    # manufacture the legacy layout: raw in-place dirs, no commit log
+    c = similarity._spread(emb).select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("nvec")
+    )
+    seeds = similarity._seed_centroids(c, 8)
+    cells_arr = similarity._cells_arr(seeds)
+    assigned = c.crossJoin(F.broadcast(cells_arr)).select(
+        "nid", "nvec",
+        F.element_at(similarity._nearest_cells(F.col("nvec"), 1), 1).alias("cell"),
+    )
+    assigned.write.partitionBy("cell").parquet(f"{idx}/vectors")
+    seeds.write.parquet(f"{idx}/centroids")
+
+    # probe works read-only on the legacy layout
+    queries = emb.filter(F.col("vec_id") < 4)
+    legacy_probe = {
+        tuple(r)
+        for r in similarity.topk_ivf_indexed(
+            spark, idx, queries, "vec_id", "embedding", k=5, nprobe=8
+        ).collect()
+    }
+    assert legacy_probe
 
     delta = emb.limit(3).select("vec_id", "embedding")
-    with pytest.raises(ValueError, match="forward map"):
+    with pytest.raises(ValueError, match="legacy"):
         similarity.upsert_ivf_index(delta, "vec_id", "embedding", idx)
-    with pytest.raises(ValueError, match="forward map"):
+    with pytest.raises(ValueError, match="legacy"):
         similarity.delete_from_ivf_index(delta.select("vec_id"), "vec_id", idx)
+    with pytest.raises(ValueError, match="legacy"):
+        similarity.update_ivf_index(delta, "vec_id", "embedding", idx)
 
     similarity.retrain_ivf_index(spark, idx)  # free in-place upgrade
     _fwd_consistent(spark, idx)
-    meta = spark.read.parquet(f"{idx}/meta").first()
-    assert meta["fwd_full"] is True
+    assert not os.path.exists(f"{idx}/vectors")  # legacy dirs cleaned
+    assert int(_ivf(spark, idx, "meta").first()["n_cells"]) == 8
     assert similarity.delete_from_ivf_index(
         delta.select("vec_id"), "vec_id", idx
     ) == 3
     _fwd_consistent(spark, idx)
 
 
-def test_ivf_upsert_crash_between_swaps_recovers(spark, sf_dir, tmp_path, monkeypatch):
-    """The IVF intent-marker protocol (mirror of the BM25 one): an
-    upsert killed between the vectors swap and the ids swap leaves a
-    pending marker; a DIFFERENT delta — and a delete, and a retrain —
-    are refused; re-running the SAME delta completes the half-applied
-    upsert exactly and clears the marker."""
+def test_ivf_maintenance_crash_leaves_old_version_readable(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The versioned store's crash contract (replaces the old
+    intent-marker protocol): an upsert killed AFTER all its dataset
+    writes but BEFORE the commit marker leaves the previous version
+    fully intact — the probe answers from the OLD consistent state —
+    and ANY retry is safe: the same delta, a different delta, or a
+    delete; no repair step, no refusal, no half-applied state."""
     import os
 
     import pytest
 
-    import fink_joiner_spark.operators.scoring as scoring
     import fink_joiner_spark.operators.similarity as similarity
+    from fink_joiner_spark.versioned import VersionedStore
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     idx = str(tmp_path / "ivf_crashy")
@@ -1385,42 +1429,42 @@ def test_ivf_upsert_crash_between_swaps_recovers(spark, sf_dir, tmp_path, monkey
         (F.col("vec_id") % 2 == 0) | (F.col("vec_id") % 4 == 3)
     ).select("vec_id", "embedding")
 
-    real = scoring._staged_bucket_rewrite
-    calls = {"n": 0}
+    queries = emb.filter(F.col("vec_id") < 4)
 
-    def crash_second(merged, live_root, partition_col, values):
-        calls["n"] += 1
-        if calls["n"] == 2:
-            raise RuntimeError("boom")
-        return real(merged, live_root, partition_col, values)
+    def probe():
+        return {
+            tuple(r)
+            for r in similarity.topk_ivf_indexed(
+                spark, idx, queries, "vec_id", "embedding", k=5, nprobe=8
+            ).collect()
+        }
 
-    monkeypatch.setattr(scoring, "_staged_bucket_rewrite", crash_second)
+    pre = probe()
+    real_commit = VersionedStore.commit
+
+    def crash_commit(self, version, rows):
+        raise RuntimeError("boom before commit")
+
+    monkeypatch.setattr(VersionedStore, "commit", crash_commit)
     with pytest.raises(RuntimeError):
         similarity.upsert_ivf_index(delta, "vec_id", "embedding", idx)
-    monkeypatch.setattr(scoring, "_staged_bucket_rewrite", real)
+    monkeypatch.setattr(VersionedStore, "commit", real_commit)
+
+    # old version intact and consistent; debris detectable but harmless
+    assert probe() == pre
     assert similarity.ivf_maint_pending(spark, idx)
+    _fwd_consistent(spark, idx)
 
-    # different delta refused; delete refused; retrain refused
-    other = emb.limit(2).select("vec_id", F.reverse("embedding").alias("embedding"))
-    with pytest.raises(ValueError, match="interrupted"):
-        similarity.upsert_ivf_index(other, "vec_id", "embedding", idx)
-    with pytest.raises(ValueError, match="interrupted"):
-        similarity.delete_from_ivf_index(delta.select("vec_id"), "vec_id", idx)
-    with pytest.raises(ValueError, match="pending"):
-        similarity.retrain_ivf_index(spark, idx)
+    # a DIFFERENT op retries cleanly over the crashed one's debris
+    junk_del = emb.limit(1).select((F.col("vec_id") + 9_000_000).alias("vec_id"))
+    assert similarity.delete_from_ivf_index(junk_del, "vec_id", idx) == 0
 
-    # same delta completes it
+    # and the original upsert completes as plain retry
     similarity.upsert_ivf_index(delta, "vec_id", "embedding", idx)
     assert not similarity.ivf_maint_pending(spark, idx)
     _fwd_consistent(spark, idx)
-    queries = emb.filter(F.col("vec_id") < 4)
-    seeds = spark.read.parquet(f"{idx}/centroids")
-    got = {
-        tuple(r)
-        for r in similarity.topk_ivf_indexed(
-            spark, idx, queries, "vec_id", "embedding", k=5, nprobe=8
-        ).collect()
-    }
+    seeds = _ivf(spark, idx, "centroids")
+    got = probe()
     want = {
         tuple(r)
         for r in similarity.topk_ivf(
@@ -1431,13 +1475,87 @@ def test_ivf_upsert_crash_between_swaps_recovers(spark, sf_dir, tmp_path, monkey
     assert got == want and got
 
 
+def test_ivf_probe_is_isolated_from_concurrent_maintenance(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Reader snapshot isolation, the round-8 verdict's ask #4 pinned
+    end-to-end: a probe injected at EVERY interleaving point of a
+    maintenance op — after each staged dataset write and right before
+    the commit flip — must equal the pre-op result exactly (one
+    consistent version, never vectors without their forward rows or a
+    mixed old/new cell set); a probe after the flip sees the complete
+    new state; and a probe frame RESOLVED pre-op is still collectable
+    post-op (GC retains the previous commit's directories)."""
+    import os
+
+    import fink_joiner_spark.operators.similarity as similarity
+    from fink_joiner_spark.versioned import VersionedStore
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    idx = str(tmp_path / "ivf_iso")
+    stale = emb.where(F.col("vec_id") % 4 != 3).select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") % 2 == 0, F.reverse(F.col("embedding"))
+        ).otherwise(F.col("embedding")).alias("embedding"),
+    )
+    similarity.build_ivf_index(stale, "vec_id", "embedding", idx, n_cells=8)
+    delta = emb.where(
+        (F.col("vec_id") % 2 == 0) | (F.col("vec_id") % 4 == 3)
+    ).select("vec_id", "embedding")
+
+    queries = emb.filter(F.col("vec_id") < 4)
+
+    def probe():
+        return {
+            tuple(r)
+            for r in similarity.topk_ivf_indexed(
+                spark, idx, queries, "vec_id", "embedding", k=5, nprobe=8
+            ).collect()
+        }
+
+    pre = probe()
+    # a long-running reader that RESOLVED its plan before the op
+    pre_resolved = _ivf(spark, idx, "vectors")
+
+    mid_op_probes = []
+    real_commit = VersionedStore.commit
+
+    def probing_commit(self, version, rows):
+        # every staged write is on disk at this point — the most
+        # hostile interleaving for an in-place layout
+        mid_op_probes.append(probe())
+        return real_commit(self, version, rows)
+
+    monkeypatch.setattr(VersionedStore, "commit", probing_commit)
+    similarity.upsert_ivf_index(delta, "vec_id", "embedding", idx)
+    monkeypatch.setattr(VersionedStore, "commit", real_commit)
+
+    assert mid_op_probes and all(p == pre for p in mid_op_probes)
+
+    # post-commit: the complete new state
+    seeds = _ivf(spark, idx, "centroids")
+    want = {
+        tuple(r)
+        for r in similarity.topk_ivf(
+            emb, queries, "vec_id", "embedding", "vec_id", "embedding",
+            k=5, nprobe=8, n_cells=8, centroids=seeds,
+        ).collect()
+    }
+    assert probe() == want
+
+    # the pre-op reader still collects (previous commit's dirs retained)
+    assert pre_resolved.count() > 0
+
+
 def test_ivf_delete_membership_prunes_to_delta_db_buckets(spark, sf_dir, tmp_path):
     """The forward-map payoff, pinned structurally: after a tiny
-    delete, (a) every ids/ file in a db= bucket NOT hit by the delta
-    ids' hashes is the exact same file, (b) every vectors/ file in an
-    unaffected cell keeps its path, and (c) the membership read's plan
-    carries the db partition filter (partition pruning, not a
-    full-map scan)."""
+    delete, (a) every ids file in a db= bucket NOT hit by the delta
+    ids' hashes is the exact same physical file (reference carried
+    forward), (b) every vectors file in an unaffected cell keeps its
+    path, and (c) the membership read resolves to ONLY the delta's
+    db= directories — under the versioned store the restriction is
+    directory-exact, stronger than partition pruning."""
     import os
     import re
 
@@ -1446,11 +1564,11 @@ def test_ivf_delete_membership_prunes_to_delta_db_buckets(spark, sf_dir, tmp_pat
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     idx = str(tmp_path / "ivf_prune")
     similarity.build_ivf_index(emb, "vec_id", "embedding", idx, n_cells=8)
-    before_ids = set(spark.read.parquet(f"{idx}/ids").inputFiles())
-    before_vec = set(spark.read.parquet(f"{idx}/vectors").inputFiles())
+    before_ids = set(_ivf(spark, idx, "ids").inputFiles())
+    before_vec = set(_ivf(spark, idx, "vectors").inputFiles())
 
     victims = [int(r.vec_id) for r in emb.limit(2).select("vec_id").collect()]
-    n_fwd = int(spark.read.parquet(f"{idx}/meta").first()["n_fwd_buckets"])
+    n_fwd = int(_ivf(spark, idx, "meta").first()["n_fwd_buckets"])
     dbs = {
         int(r.db)
         for r in spark.createDataFrame([(v,) for v in victims], "vec_id long")
@@ -1462,18 +1580,16 @@ def test_ivf_delete_membership_prunes_to_delta_db_buckets(spark, sf_dir, tmp_pat
     }
     cells = {
         str(r.cell)
-        for r in spark.read.parquet(f"{idx}/ids")
+        for r in _ivf(spark, idx, "ids")
         .where(F.col("nid").isin(victims)).select("cell").collect()
     }
 
-    # (c) the membership frame's static plan partition-prunes on db
-    membership = spark.read.parquet(f"{idx}/ids").where(
-        F.col("db").isin(sorted(dbs))
-    )
-    plan = membership._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters: [" in plan and "db" in plan.split(
-        "PartitionFilters: ["
-    )[1].split("]")[0]
+    # (c) the membership read resolves to exactly the delta's db= dirs
+    membership = _ivf(spark, idx, "ids", parts=[f"db={d}" for d in sorted(dbs)])
+    read_dbs = {
+        int(re.search(r"db=(\d+)", f).group(1)) for f in membership.inputFiles()
+    }
+    assert read_dbs <= dbs and read_dbs
 
     n = similarity.delete_from_ivf_index(
         spark.createDataFrame([(v,) for v in victims], "vec_id long"),
@@ -1481,130 +1597,57 @@ def test_ivf_delete_membership_prunes_to_delta_db_buckets(spark, sf_dir, tmp_pat
     )
     assert n == len(victims)
 
-    after_ids = set(spark.read.parquet(f"{idx}/ids").inputFiles())
+    after_ids = set(_ivf(spark, idx, "ids").inputFiles())
     for f in before_ids.symmetric_difference(after_ids):
         m = re.search(r"db=(\d+)", f)
         assert m and int(m.group(1)) in dbs, f"unaffected db bucket rewritten: {f}"
-    after_vec = set(spark.read.parquet(f"{idx}/vectors").inputFiles())
+    after_vec = set(_ivf(spark, idx, "vectors").inputFiles())
     for f in before_vec.symmetric_difference(after_vec):
         m = re.search(r"cell=([^/]+)/", f)
         assert m and m.group(1) in cells, f"unaffected cell rewritten: {f}"
     _fwd_consistent(spark, idx)
 
 
-def test_index_maintenance_repairs_mid_swap_crash_before_read(
-    spark, sf_dir, tmp_path
-):
-    """The read-before-repair hole (round-8 advice, high): a crash
-    INSIDE a partition swap — live dir renamed to __retired, staged
-    not yet installed — must be rolled back at upsert/delete ENTRY,
-    before any live dataset is read. Otherwise the re-run's reads miss
-    the retired bucket's rows, the rewrite bakes delta-only content in,
-    and every other document/vector there is silently lost. Pinned on
-    both index families by manufacturing the exact debris state."""
-    import os
-
-    from fink_joiner_spark.operators import scoring, similarity
-
-    # --- BM25: retire EVERY postings bucket, then upsert ---
-    docs = _docs(spark, sf_dir)
-    idx = str(tmp_path / "bm25_midswap")
-    stale = docs.where(F.col("doc_id") % 4 != 3).withColumn(
-        "text",
-        F.when(F.col("doc_id") % 2 == 0, F.reverse(F.col("text"))).otherwise(
-            F.col("text")
-        ),
-    )
-    scoring.build_bm25_index(stale, "doc_id", "text", idx, n_buckets=8)
-    for name in os.listdir(f"{idx}/postings"):
-        if name.startswith("pb="):
-            os.rename(f"{idx}/postings/{name}", f"{idx}/postings/{name}__retired")
-
-    delta = docs.where(
-        (F.col("doc_id") % 2 == 0) | (F.col("doc_id") % 4 == 3)
-    ).select("doc_id", "text")
-    scoring.upsert_bm25_index(delta, "doc_id", "text", idx)
-
-    full = str(tmp_path / "bm25_rebuild")
-    scoring.build_bm25_index(docs, "doc_id", "text", full, n_buckets=8)
-    terms = ["join", "filter", "window"]
-    got = {tuple(r) for r in scoring.bm25_indexed_scores(spark, idx, terms).collect()}
-    want = {tuple(r) for r in scoring.bm25_indexed_scores(spark, full, terms).collect()}
-    assert got == want and got
-
-    # --- IVF: retire EVERY cell, then delete ids living there ---
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    ividx = str(tmp_path / "ivf_midswap")
-    junk = emb.where(F.col("vec_id") % 5 == 0).select(
-        (F.col("vec_id") + 1_000_000).alias("vec_id"),
-        F.reverse(F.col("embedding")).alias("embedding"),
-    )
-    dirty = emb.select("vec_id", "embedding").unionByName(junk)
-    similarity.build_ivf_index(dirty, "vec_id", "embedding", ividx, n_cells=8)
-    for name in os.listdir(f"{ividx}/vectors"):
-        if name.startswith("cell="):
-            os.rename(
-                f"{ividx}/vectors/{name}", f"{ividx}/vectors/{name}__retired"
-            )
-    n = similarity.delete_from_ivf_index(junk.select("vec_id"), "vec_id", ividx)
-    assert n == junk.count()  # 0 would mean the retired cells went unseen
-    queries = emb.filter(F.col("vec_id") < 4)
-    seeds = spark.read.parquet(f"{ividx}/centroids")
-    got_v = {
-        tuple(r)
-        for r in similarity.topk_ivf_indexed(
-            spark, ividx, queries, "vec_id", "embedding", k=5, nprobe=8
-        ).collect()
-    }
-    want_v = {
-        tuple(r)
-        for r in similarity.topk_ivf(
-            emb, queries, "vec_id", "embedding", "vec_id", "embedding",
-            k=5, nprobe=8, n_cells=8, centroids=seeds,
-        ).collect()
-    }
-    assert got_v == want_v and got_v
-
-
-def test_ivf_retrain_intent_records_and_validates_params(
-    spark, sf_dir, tmp_path, monkeypatch
-):
-    """A resize retrain (explicit n_cells) that crashes mid-swap must
-    NOT converge to the old cell count when re-run with n_cells=None:
-    the intent marker records (n_cells, train_iters), a parameterless
-    re-run adopts them, and a MISMATCHING explicit re-run is
-    refused."""
+def test_ivf_retrain_resize_crash_is_isolated(spark, sf_dir, tmp_path, monkeypatch):
+    """The resize-crash hazard the old intent-marker params guarded
+    against, re-pinned under the versioned store where it cannot occur
+    by construction: a retrain with explicit n_cells=12 that crashes
+    before its commit leaves the 8-cell index EXACTLY as it was (a
+    parameterless re-run correctly keeps 8 — there is no half-swapped
+    state to converge wrongly from), and a committed resize then
+    yields 12 everywhere (centroids, meta, forward map)."""
     import os
 
     import pytest
 
     import fink_joiner_spark.operators.similarity as similarity
+    from fink_joiner_spark.versioned import VersionedStore
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     idx = str(tmp_path / "retrain_params")
     similarity.build_ivf_index(emb, "vec_id", "embedding", idx, n_cells=8)
 
-    real = similarity._swap_dataset
+    real_commit = VersionedStore.commit
 
-    def crash_first(fs, live, staged):
-        raise RuntimeError("boom before any swap")
+    def crash_commit(self, version, rows):
+        raise RuntimeError("boom before any state change")
 
-    monkeypatch.setattr(similarity, "_swap_dataset", crash_first)
+    monkeypatch.setattr(VersionedStore, "commit", crash_commit)
     with pytest.raises(RuntimeError):
         similarity.retrain_ivf_index(spark, idx, n_cells=12)
-    monkeypatch.setattr(similarity, "_swap_dataset", real)
-    assert similarity.ivf_retrain_pending(spark, idx)
+    monkeypatch.setattr(VersionedStore, "commit", real_commit)
 
-    with pytest.raises(ValueError, match="n_cells=12"):
-        similarity.retrain_ivf_index(spark, idx, n_cells=10)
-    with pytest.raises(ValueError, match="train_iters"):
-        similarity.retrain_ivf_index(spark, idx, n_cells=12, train_iters=2)
-
-    # parameterless re-run adopts the recorded resize
+    # nothing happened: old 8-cell index intact; parameterless re-run
+    # keeps 8 — and that is CORRECT (no partial resize exists)
+    assert _ivf(spark, idx, "centroids").count() == 8
     similarity.retrain_ivf_index(spark, idx)
-    assert not similarity.ivf_retrain_pending(spark, idx)
-    assert spark.read.parquet(f"{idx}/centroids").count() == 12
-    assert int(spark.read.parquet(f"{idx}/meta").first()["n_cells"]) == 12
+    assert _ivf(spark, idx, "centroids").count() == 8
+    assert int(_ivf(spark, idx, "meta").first()["n_cells"]) == 8
+
+    # a committed resize applies everywhere atomically
+    similarity.retrain_ivf_index(spark, idx, n_cells=12)
+    assert _ivf(spark, idx, "centroids").count() == 12
+    assert int(_ivf(spark, idx, "meta").first()["n_cells"]) == 12
     _fwd_consistent(spark, idx)
 
 

@@ -568,3 +568,35 @@ def test_tpch_q14_pushdown_pruning_broadcast(spark, sf_dir):
     cols = {c.split(":")[0] for c in m.group(1).split(",")}
     assert cols == {"l_partkey", "l_extendedprice", "l_discount", "l_shipdate"}
     assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q21_plans_semi_and_anti_no_cartesian(spark, sf_dir):
+    """The round-9 decorrelation shapes: Q21's correlated EXISTS /
+    NOT EXISTS (equality + non-equality correlation each) must lower
+    to a left-semi and a left-anti join keyed on l_orderkey — never a
+    per-row re-execution or a cartesian product."""
+    df = _q("ext_tpch_q21_waiting_supplier", spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    plans.asserts_no_cartesian(df)
+
+
+def test_tpch_q20_plans_semi_chain_no_cartesian(spark, sf_dir):
+    """Q20's nested INs must both lower to semi-joins and the
+    two-column-correlated scalar SUM to one grouped aggregate joined
+    back (no correlated re-execution node survives)."""
+    df = _q("ext_tpch_q20_stock_concentration", spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "LeftSemi" in plan, plan
+    plans.asserts_no_cartesian(df)
+
+
+def test_tpch_q2_scalar_min_decorrelates(spark, sf_dir):
+    """Q2's correlated scalar MIN over a 4-way join must decorrelate
+    into an aggregate joined back on p_partkey — the plan contains a
+    grouped MIN and no cartesian."""
+    df = _q("ext_tpch_q2_min_cost_supplier", spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "min(" in plan, plan
+    plans.asserts_no_cartesian(df)
