@@ -6551,3 +6551,193 @@ def ext_tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame
         LIMIT 100
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion set (Q9 / Q11 / Q12 / Q16) — with these the engine
+# covers all 22 TPC-H query shapes, adapted to this star schema the same
+# way as the Q2/Q20/Q21 trio: lineitem's (l_partkey, l_suppkey) pairs
+# stand in for partsupp, p_retailprice for ps_supplycost, "late" =
+# shipped > N days after the order date (lineitem has no commit/receipt
+# dates), and money aggregates integerize per row (module docstring in
+# queries.py — the q10 lesson).
+
+@register(
+    "ext_tpch_q9_product_profit",
+    """
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(floor((l.l_extendedprice * (1 - l.l_discount)
+                                - p.p_retailprice * 0.1 * l.l_quantity) * 100
+                               + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_profit_cents
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    ORDER BY nation, o_year DESC
+    """,
+    "TPC-H Q9 shape (product-type profit): a 5-way snowflake join with "
+    "a LIKE filter on the part dim and a two-level GROUP BY (nation, "
+    "order year) over a per-row profit expression — the classic "
+    "fact-through-dims rollup. Supply-cost surrogate: 10% of "
+    "p_retailprice per unit. Profit integerized per row before SUM "
+    "(sums of decimal-valued doubles are order-dependent in the ulp)",
+)
+def ext_tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "part", "supplier", "orders", "nation"):
+        table(spark, sf_dir, t).createOrReplaceTempView(f"_q9_{t}")
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation,
+               CAST(year(o.o_orderdate) AS INT) AS o_year,
+               SUM(CAST(floor((l.l_extendedprice * (1 - l.l_discount)
+                               - p.p_retailprice * 0.1 * l.l_quantity) * 100
+                              + 0.5) AS BIGINT)) AS sum_profit_cents
+        FROM _q9_lineitem l
+        JOIN _q9_part p ON p.p_partkey = l.l_partkey
+        JOIN _q9_supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN _q9_orders o ON o.o_orderkey = l.l_orderkey
+        JOIN _q9_nation n ON n.n_nationkey = s.s_nationkey
+        WHERE p.p_name LIKE '%widget%'
+        GROUP BY 1, 2
+        ORDER BY nation, o_year DESC
+        """
+    )
+
+
+@register(
+    "ext_tpch_q11_important_stock",
+    """
+    WITH ps AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+               AS value_cents
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+      GROUP BY 1, 2
+    )
+    SELECT l_partkey AS p_partkey,
+           CAST(SUM(value_cents) AS BIGINT) AS value_cents
+    FROM ps
+    GROUP BY l_partkey
+    HAVING SUM(value_cents) > (SELECT 0.001 * SUM(value_cents) FROM ps)
+    ORDER BY value_cents DESC, p_partkey
+    """,
+    "TPC-H Q11 shape (important stock identification): a grouped SUM "
+    "whose HAVING compares each group against an UNCORRELATED scalar "
+    "subquery over the SAME derived table — the total must be computed "
+    "once (one extra aggregate subtree, broadcast as a scalar), never "
+    "per group. partsupp surrogate: per-(part, supplier) line value of "
+    "suppliers in a 3-nation region, integerized per row",
+)
+def ext_tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "supplier", "nation"):
+        table(spark, sf_dir, t).createOrReplaceTempView(f"_q11_{t}")
+    return spark.sql(
+        """
+        WITH ps AS (
+          SELECT l.l_partkey, l.l_suppkey,
+                 SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                   AS value_cents
+          FROM _q11_lineitem l
+          JOIN _q11_supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN _q11_nation n ON n.n_nationkey = s.s_nationkey
+          WHERE n.n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+          GROUP BY 1, 2
+        )
+        SELECT l_partkey AS p_partkey, SUM(value_cents) AS value_cents
+        FROM ps
+        GROUP BY l_partkey
+        HAVING SUM(value_cents) > (SELECT 0.001 * SUM(value_cents) FROM ps)
+        ORDER BY value_cents DESC, p_partkey
+        """
+    )
+
+
+@register(
+    "ext_tpch_q12_priority_by_class",
+    """
+    SELECT l.l_returnflag AS ship_class,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND l.l_shipdate >= '1996-01-01' AND l.l_shipdate < '1997-01-01'
+    GROUP BY l.l_returnflag
+    ORDER BY ship_class
+    """,
+    "TPC-H Q12 shape (shipping modes and order priority): fact-to-fact "
+    "equi-join with a cross-table inequality residual (shipped > 60 "
+    "days after the order date — the late-receipt surrogate), a "
+    "pushed-down date window on the probe side, and conditional "
+    "CASE-sum pivots per class (l_returnflag stands in for the absent "
+    "l_shipmode)",
+)
+def ext_tpch_q12_priority_by_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "orders"):
+        table(spark, sf_dir, t).createOrReplaceTempView(f"_q12_{t}")
+    return spark.sql(
+        """
+        SELECT l.l_returnflag AS ship_class,
+               SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM _q12_lineitem l
+        JOIN _q12_orders o ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          AND l.l_shipdate >= '1996-01-01' AND l.l_shipdate < '1997-01-01'
+        GROUP BY l.l_returnflag
+        ORDER BY ship_class
+        """
+    )
+
+
+@register(
+    "ext_tpch_q16_supplier_relationship",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> 'Brand#13'
+      AND p.p_type NOT LIKE 'MEDIUM%'
+      AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND ps.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+    "TPC-H Q16 shape (parts/supplier relationship): COUNT(DISTINCT) "
+    "over a de-duplicated fact projection (the partsupp surrogate), "
+    "negated dim predicates (<>, NOT LIKE, IN-list), and a NOT IN "
+    "subquery over supplier (null-aware anti join; 'complaints' "
+    "surrogate: negative account balance)",
+)
+def ext_tpch_q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "part", "supplier"):
+        table(spark, sf_dir, t).createOrReplaceTempView(f"_q16_{t}")
+    return spark.sql(
+        """
+        SELECT p.p_brand, p.p_type, p.p_size,
+               COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM _q16_lineitem) ps
+        JOIN _q16_part p ON p.p_partkey = ps.l_partkey
+        WHERE p.p_brand <> 'Brand#13'
+          AND p.p_type NOT LIKE 'MEDIUM%'
+          AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+          AND ps.l_suppkey NOT IN (
+            SELECT s_suppkey FROM _q16_supplier WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+        """
+    )

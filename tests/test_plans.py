@@ -600,3 +600,62 @@ def test_tpch_q2_scalar_min_decorrelates(spark, sf_dir):
     plan = plans.formatted_plan(df)
     assert "min(" in plan, plan
     plans.asserts_no_cartesian(df)
+
+
+def test_tpch_q9_dims_broadcast_fact_pruned(spark, sf_dir):
+    """Q9's 5-way snowflake must stay a fact-through-dims plan at
+    100 TB: the small dims join as broadcasts (never a shuffle of the
+    fact side for a dim lookup), the LIKE filter reaches the part scan,
+    and the lineitem scan reads only the five needed columns."""
+    import re
+
+    df = _q("ext_tpch_q9_product_profit", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "StringContains(p_name,widget)" in plan.replace(" ", ""), plan[:800]
+    # ReadSchema gets truncated in toString at 6 columns — audit the
+    # scan's (untruncated) output column list instead.
+    m = re.search(r"FileScan parquet \[(l_[^\]]*)\]", plan)
+    assert m, plan[:500]
+    cols = {c.split("#")[0] for c in m.group(1).split(",")}
+    assert cols == {
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount",
+    }
+    plans.asserts_no_cartesian(df)
+
+
+def test_tpch_q11_scalar_total_computed_once(spark, sf_dir):
+    """Q11's HAVING threshold is an UNCORRELATED scalar subquery over
+    the same derived table — it must plan as one scalar subquery
+    (computed once, fed in as a literal), never a per-group re-execution
+    or a cartesian."""
+    df = _q("ext_tpch_q11_important_stock", spark, sf_dir)
+    analyzed = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "scalar-subquery" in analyzed, analyzed[:800]
+    plans.asserts_no_cartesian(df)
+
+
+def test_tpch_q12_date_window_reaches_scan(spark, sf_dir):
+    """Q12's date window must push to the lineitem scan; the
+    cross-table lateness inequality stays a join residual (it cannot
+    push) — and the scan reads only the three needed columns."""
+    import re
+
+    df = _q("ext_tpch_q12_priority_by_class", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThanOrEqual(l_shipdate" in plan, plan[:800]
+    m = re.search(r"ReadSchema: struct<(l_[^>]*)>", plan)
+    assert m, plan[:500]
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_orderkey", "l_returnflag", "l_shipdate"}
+    plans.asserts_no_cartesian(df)
+
+
+def test_tpch_q16_not_in_plans_null_aware_anti(spark, sf_dir):
+    """Q16's NOT IN over supplier must lower to a (null-aware) left-anti
+    join — never a per-row subquery re-execution or a cartesian."""
+    df = _q("ext_tpch_q16_supplier_relationship", spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "LeftAnti" in plan, plan
+    plans.asserts_no_cartesian(df)
