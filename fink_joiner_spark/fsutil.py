@@ -63,6 +63,10 @@ class HadoopFS:
     def file_bytes(self, p: str) -> int:
         return int(self._fs.getFileStatus(self._path(p)).getLen())
 
+    def mod_time_ms(self, p: str) -> int:
+        """Modification time of ``p`` in epoch milliseconds."""
+        return int(self._fs.getFileStatus(self._path(p)).getModificationTime())
+
     def list_dirs(self, p: str) -> list[str]:
         """Names (not full URIs) of child directories of ``p``."""
         out = []
@@ -70,6 +74,56 @@ class HadoopFS:
             if st.isDirectory():
                 out.append(st.getPath().getName())
         return out
+
+    def list_names(self, p: str) -> list[str]:
+        """Names of ALL children (files and directories) of ``p``."""
+        return [
+            st.getPath().getName() for st in self._fs.listStatus(self._path(p))
+        ]
+
+    def create_exclusive(self, p: str, content: str = "") -> bool:
+        """Create file ``p`` with ``content`` iff it does not already
+        exist — the compare-and-set primitive for commit markers and
+        writer leases. Returns False when the file already exists.
+
+        ``FileSystem.create(path, overwrite=false)`` is atomic
+        server-side on HDFS (namenode) and a conditional PUT on recent
+        S3A; on the local (checksum) filesystem it is check-then-create
+        with a sub-microsecond window — which is why callers that need
+        mutual exclusion hold the writer lease AS WELL, rather than
+        leaning on this alone. NOTE (verified empirically): directory
+        ``rename`` is NOT fail-if-exists on the local Hadoop FS — it
+        replaces an empty destination and moves INTO a non-empty one —
+        so exclusive file creation is the only usable CAS here."""
+        try:
+            out = self._fs.create(self._path(p), False)
+        except Exception:  # noqa: BLE001 — FileAlreadyExists via py4j
+            return False
+        try:
+            if content:
+                out.write(bytearray(content.encode("utf-8")))
+        finally:
+            out.close()
+        return True
+
+    def read_utf8(self, p: str) -> str | None:
+        """Contents of small text file ``p``; None if unreadable (a
+        concurrent create may expose an existing-but-empty file —
+        callers treat that conservatively)."""
+        try:
+            inp = self._fs.open(self._path(p))
+        except Exception:  # noqa: BLE001 — missing / mid-create
+            return None
+        try:
+            return str(
+                self._jvm.org.apache.commons.io.IOUtils.toString(
+                    inp, "UTF-8"
+                )
+            )
+        except Exception:  # noqa: BLE001
+            return None
+        finally:
+            inp.close()
 
 
 def swap_partition_dirs(

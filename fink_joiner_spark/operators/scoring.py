@@ -684,8 +684,8 @@ def bm25_upsert_pending(spark, index_path: str) -> bool:
     exists (the version dir after the last committed one). Under the
     versioned store NOTHING is ever half-applied — the previous version
     stays fully readable and any retry is safe — so this is
-    informational, not a repair gate; the next maintenance op clears
-    the debris in ``begin()``."""
+    informational, not a repair gate; ``begin()`` numbers the next op
+    past the debris and the next commit's GC sweeps it."""
     store = _bm25_store(spark, index_path)
     cur = store.current()
     if cur is None:

