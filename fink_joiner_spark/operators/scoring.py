@@ -219,10 +219,8 @@ def build_bm25_index(
     # object store), `tf.persist(DISK_ONLY)` before the writes is the
     # one-line switch.
     stats = base.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("dl").alias("sum_dl"),
-        F.lit(n_buckets).alias("n_buckets"),
-    )
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).first()
     tf = (
         base.select("doc_id", "dl", F.explode("toks").alias("term"))
         .groupBy("doc_id", "dl", "term")
@@ -231,22 +229,22 @@ def build_bm25_index(
     pb = F.pmod(F.xxhash64("term"), F.lit(n_buckets))
     store = _bm25_store(spark, dest_path)
     v = store.begin()
-    tf.withColumn("pb", pb).write.partitionBy("pb").parquet(
-        f"{store.vdir(v)}/postings"
-    )
+    _bucketed(tf.withColumn("pb", pb), n_buckets, "pb", "term").write.partitionBy(
+        "pb"
+    ).parquet(f"{store.vdir(v)}/postings")
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    dfreq.withColumn("pb", pb).write.partitionBy("pb").parquet(
-        f"{store.vdir(v)}/terms"
-    )
-    _doc_rows(base, n_buckets).write.partitionBy("db").parquet(
-        f"{store.vdir(v)}/docs"
-    )
-    stats.write.parquet(f"{store.vdir(v)}/meta")
+    _bucketed(dfreq.withColumn("pb", pb), n_buckets, "pb", "term").write.partitionBy(
+        "pb"
+    ).parquet(f"{store.vdir(v)}/terms")
+    _bucketed(_doc_rows(base, n_buckets), n_buckets, "db", "doc_id").write.partitionBy(
+        "db"
+    ).parquet(f"{store.vdir(v)}/docs")
     rows = (
         [("postings", p_, v) for p_ in store.written_parts(v, "postings")]
         + [("terms", p_, v) for p_ in store.written_parts(v, "terms")]
         + [("docs", p_, v) for p_ in store.written_parts(v, "docs")]
-        + [("meta", "", v)]
+        + [_meta_row(v, int(stats["n_docs"] or 0), int(stats["sum_dl"] or 0),
+                     n_buckets)]
     )
     store.commit(v, rows)
 
@@ -257,12 +255,58 @@ def _bm25_store(spark, index_path: str):
     return VersionedStore(spark, index_path)
 
 
+def _bucketed(df: DataFrame, n_buckets: int, part_col: str, fine_col: str) -> DataFrame:
+    """One task per hash bucket before a ``partitionBy`` write, rows
+    sorted on (bucket, fine key) within it: file count collapses from
+    O(tasks × buckets) near-empty files to one per touched bucket
+    (measured r9 on the IVF sibling: 424 → ≤47 files, 2.4 → 0.65 s per
+    write), and the within-file sort lets parquet row-group min/max
+    stats prune the probe's ``term IN`` / id residuals. Hash (not
+    range) partitioning: xxhash64 buckets are uniform by construction,
+    and it avoids rangeExchange's boundary-sampling pass, which would
+    re-execute the tokenize+explode lineage once more per write. Task
+    parallelism = bucket count — the documented sizing rule (buckets
+    scale with the corpus, compaction re-splits oversized ones)."""
+    return df.repartition(n_buckets, part_col).sortWithinPartitions(
+        part_col, fine_col
+    )
+
+
+def _meta_row(v: int, n_docs: int, sum_dl: int, n_buckets: int):
+    """The corpus scalars as a manifest ANNOTATION row — a driver-side
+    manifest lookup on read instead of a Spark job over a one-row
+    parquet dataset (measured r9: the meta job was ~1.5 s of every
+    build/fold and ~0.4 s of every probe at demo scale)."""
+    import json
+
+    return (
+        "_meta",
+        json.dumps(
+            {"n_docs": int(n_docs), "sum_dl": int(sum_dl),
+             "n_buckets": int(n_buckets)}
+        ),
+        v,
+    )
+
+
+def _read_meta(store, version: int | None = None) -> dict:
+    import json
+
+    raw = store.annotation("_meta", version)
+    if raw is None:
+        raise ValueError(
+            f"BM25 index at {store.root} has no _meta annotation — "
+            "pre-annotation versioned layout? Rebuild to upgrade."
+        )
+    return json.loads(raw)
+
+
 def _bm25_entry(spark, index_path: str, op: str):
     """Shared maintenance preamble: refuse a legacy (pre-versioned)
     index — its in-place directories have no reader isolation and (for
     upsert/delete) possibly no complete forward index; the upgrade is
     a rebuild through :func:`build_bm25_index`. Returns
-    (store, meta row)."""
+    (store, meta scalars dict)."""
     store = _bm25_store(spark, index_path)
     if store.current() is None:
         raise ValueError(
@@ -271,7 +315,7 @@ def _bm25_entry(spark, index_path: str, op: str):
             "reader isolation, forward index not guaranteed complete). "
             f"Rebuild with build_bm25_index to upgrade. Index: {index_path}"
         )
-    return store, store.read("meta").first()
+    return store, _read_meta(store)
 
 
 def _doc_rows(base: DataFrame, n_buckets: int) -> DataFrame:
@@ -369,11 +413,28 @@ def update_bm25_index(
     delta_n_docs = int(delta["n_docs"] or 0)
     delta_sum_dl = int(delta["sum_dl"] or 0)
 
+    if delta_n_docs == 0:
+        # empty delta (a replayed-then-filtered micro-batch is the real
+        # producer): nothing to stage — but an applied_marker must
+        # still commit, or the stream would re-fold the batch forever
+        if applied_marker is None:
+            return
+        v = store.begin()
+        rows = [r for r in store.state_rows() if r[0] != "_applied"]
+        keep = sorted(
+            (r for r in store.state_rows() if r[0] == "_applied"),
+            key=lambda r: r[2], reverse=True,
+        )[:63]
+        store.commit(v, rows + keep + [("_applied", applied_marker, v)])
+        return
+
     v = store.begin()
-    tf.write.partitionBy("pb").parquet(f"{store.vdir(v)}/postings")
-    _doc_rows(base, n_buckets).write.partitionBy("db").parquet(
-        f"{store.vdir(v)}/docs"
+    _bucketed(tf, n_buckets, "pb", "term").write.partitionBy("pb").parquet(
+        f"{store.vdir(v)}/postings"
     )
+    _bucketed(_doc_rows(base, n_buckets), n_buckets, "db", "doc_id").write.partitionBy(
+        "db"
+    ).parquet(f"{store.vdir(v)}/docs")
     # per-term df merge over the touched buckets, from the STAGED delta
     # postings (one thin read of what was just written)
     delta_df = (
@@ -394,27 +455,23 @@ def update_bm25_index(
             .agg(F.sum("df").alias("df"))
             .select("term", "df", "pb")
         )
-    merged.write.partitionBy("pb").parquet(f"{store.vdir(v)}/terms")
-
-    spark.createDataFrame(
-        [
-            (
-                int(meta_old["n_docs"]) + delta_n_docs,
-                int(meta_old["sum_dl"]) + delta_sum_dl,
-                n_buckets,
-            )
-        ],
-        "n_docs long, sum_dl long, n_buckets int",
-    ).write.parquet(f"{store.vdir(v)}/meta")
+    _bucketed(merged, n_buckets, "pb", "term").write.partitionBy("pb").parquet(
+        f"{store.vdir(v)}/terms"
+    )
 
     rows = store.carry_except(
         store.state_rows(), "terms", {f"pb={b}" for b in pbs}
     )
-    rows = [r for r in rows if r[0] != "meta"]
+    rows = [r for r in rows if r[0] != "_meta"]
     rows += [("postings", p_, v) for p_ in store.written_parts(v, "postings")]
     rows += [("terms", p_, v) for p_ in store.written_parts(v, "terms")]
     rows += [("docs", p_, v) for p_ in store.written_parts(v, "docs")]
-    rows += [("meta", "", v)]
+    rows += [_meta_row(
+        v,
+        int(meta_old["n_docs"]) + delta_n_docs,
+        int(meta_old["sum_dl"]) + delta_sum_dl,
+        n_buckets,
+    )]
     if applied_marker is not None:
         keep = sorted(
             (r for r in rows if r[0] == "_applied"),
@@ -536,7 +593,7 @@ def upsert_bm25_index(
         .select("doc_id", "dl", "term", "tf", F.col("pb").cast("long").alias("pb"))
         .join(key, "doc_id", "anti")
     )
-    kept.unionByName(tf_new).write.partitionBy("pb").parquet(
+    _bucketed(kept.unionByName(tf_new), n_buckets, "pb", "term").write.partitionBy("pb").parquet(
         f"{store.vdir(v)}/postings"
     )
 
@@ -551,6 +608,7 @@ def upsert_bm25_index(
             .groupBy(F.col("pb").cast("long").alias("pb"), "term")
             .agg(F.count(F.lit(1)).alias("df"))
             .select("term", "df", "pb")
+            .transform(lambda d: _bucketed(d, n_buckets, "pb", "term"))
             .write.partitionBy("pb")
             .parquet(f"{store.vdir(v)}/terms")
         )
@@ -560,22 +618,17 @@ def upsert_bm25_index(
         .join(key, "doc_id", "anti")
         .select("doc_id", "dl", "pbs", F.col("db").cast("long").alias("db"))
     )
-    kept_docs.unionByName(new_doc_rows).write.partitionBy("db").parquet(
+    _bucketed(kept_docs.unionByName(new_doc_rows), n_buckets, "db", "doc_id").write.partitionBy("db").parquet(
         f"{store.vdir(v)}/docs"
     )
-    spark.createDataFrame(
-        [(final_n_docs, final_sum_dl, n_buckets)],
-        "n_docs long, sum_dl long, n_buckets int",
-    ).write.parquet(f"{store.vdir(v)}/meta")
-
     rows = store.carry_except(store.state_rows(), "postings", set(pb_parts))
     rows = store.carry_except(rows, "terms", set(pb_parts))
     rows = store.carry_except(rows, "docs", set(db_parts))
-    rows = [r for r in rows if r[0] != "meta"]
+    rows = [r for r in rows if r[0] != "_meta"]
     rows += [("postings", p_, v) for p_ in store.written_parts(v, "postings")]
     rows += [("terms", p_, v) for p_ in store.written_parts(v, "terms")]
     rows += [("docs", p_, v) for p_ in store.written_parts(v, "docs")]
-    rows += [("meta", "", v)]
+    rows += [_meta_row(v, final_n_docs, final_sum_dl, n_buckets)]
     store.commit(v, rows)
 
 
@@ -643,7 +696,9 @@ def delete_from_bm25_index(
         .select("doc_id", "dl", "term", "tf", F.col("pb").cast("long").alias("pb"))
         .join(key.select("doc_id"), "doc_id", "anti")
     )
-    kept.write.partitionBy("pb").parquet(f"{store.vdir(v)}/postings")
+    _bucketed(kept, n_buckets, "pb", "term").write.partitionBy("pb").parquet(
+        f"{store.vdir(v)}/postings"
+    )
     if store.written_parts(v, "postings"):
         # bucket-local df recount from the staged survivors; when every
         # posting of every affected bucket belonged to deleted docs the
@@ -653,6 +708,7 @@ def delete_from_bm25_index(
             .groupBy(F.col("pb").cast("long").alias("pb"), "term")
             .agg(F.count(F.lit(1)).alias("df"))
             .select("term", "df", "pb")
+            .transform(lambda d: _bucketed(d, n_buckets, "pb", "term"))
             .write.partitionBy("pb")
             .parquet(f"{store.vdir(v)}/terms")
         )
@@ -661,20 +717,17 @@ def delete_from_bm25_index(
         .join(key.select("doc_id"), "doc_id", "anti")
         .select("doc_id", "dl", "pbs", F.col("db").cast("long").alias("db"))
     )
-    kept_docs.write.partitionBy("db").parquet(f"{store.vdir(v)}/docs")
-    spark.createDataFrame(
-        [(final_n_docs, final_sum_dl, n_buckets)],
-        "n_docs long, sum_dl long, n_buckets int",
-    ).write.parquet(f"{store.vdir(v)}/meta")
-
+    _bucketed(kept_docs, n_buckets, "db", "doc_id").write.partitionBy("db").parquet(
+        f"{store.vdir(v)}/docs"
+    )
     rows = store.carry_except(store.state_rows(), "postings", set(pb_parts))
     rows = store.carry_except(rows, "terms", set(pb_parts))
     rows = store.carry_except(rows, "docs", set(db_parts))
-    rows = [r for r in rows if r[0] != "meta"]
+    rows = [r for r in rows if r[0] != "_meta"]
     rows += [("postings", p_, v) for p_ in store.written_parts(v, "postings")]
     rows += [("terms", p_, v) for p_ in store.written_parts(v, "terms")]
     rows += [("docs", p_, v) for p_ in store.written_parts(v, "docs")]
-    rows += [("meta", "", v)]
+    rows += [_meta_row(v, final_n_docs, final_sum_dl, n_buckets)]
     store.commit(v, rows)
     return n_prev
 
@@ -846,10 +899,17 @@ def bm25_indexed_scores(
     store = _bm25_store(spark, index_path)
     pin = store.current()  # one version for meta, postings, AND terms
     if pin is not None:
-        meta = store.read("meta", version=pin)
+        # corpus scalars from the pinned manifest's _meta annotation —
+        # a driver-side lookup, not a Spark job per probe
+        m = _read_meta(store, pin)
+        n_buckets = int(m["n_buckets"])
+        stats = spark.createDataFrame(
+            [(int(m["n_docs"]), int(m["sum_dl"]))], "n_docs long, sum_dl long"
+        )
     else:
         meta = spark.read.parquet(os.path.join(index_path, "meta"))
-    n_buckets = meta.select("n_buckets").first()[0]
+        n_buckets = meta.select("n_buckets").first()[0]
+        stats = meta.select("n_docs", "sum_dl")
     tlit = spark.createDataFrame([(t,) for t in terms], "term string")
     pbs = [
         r.pb
@@ -884,5 +944,4 @@ def bm25_indexed_scores(
         dfreq = spark.read.parquet(os.path.join(index_path, "terms")).where(
             term_filter
         ).select("term", "df")
-    stats = meta.select("n_docs", "sum_dl")
     return _bm25_from_stats(tf, dfreq, stats, k1, b)

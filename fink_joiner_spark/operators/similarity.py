@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from fink_joiner_spark.operators.text import MOD, char_poly_hash, tokens
+from fink_joiner_spark.versioned import clustered
 
 def _spread(df: DataFrame) -> DataFrame:
     """Round-robin repartition to the cluster's parallelism before
@@ -961,25 +962,52 @@ def build_ivf_index(
     assigned = c.crossJoin(F.broadcast(cells_arr)).select(
         "nid", "nvec", F.element_at(_nearest_cells(F.col("nvec"), 1), 1).alias("cell")
     )
+    # one materialized argmax pass feeding BOTH the vectors and the
+    # forward-map writes (the update-path pattern) — re-reading the
+    # staged vectors cost a full extra job per build
+    assigned = assigned.localCheckpoint()
     store = _ivf_store(spark, dest_path)
     v = store.begin()
-    assigned.write.partitionBy("cell").parquet(f"{store.vdir(v)}/vectors")
-    # forward map from the staged vectors' (nid, cell) columns — a thin
-    # column scan, NOT a second O(corpus·n_cells) assignment pass
-    staged = spark.read.parquet(f"{store.vdir(v)}/vectors").select("nid", "cell")
-    _ivf_fwd_rows(staged, n_fwd_buckets).write.partitionBy("db").parquet(
-        f"{store.vdir(v)}/ids"
+    clustered(assigned, "cell", "nid").write.partitionBy("cell").parquet(
+        f"{store.vdir(v)}/vectors"
     )
+    clustered(
+        _ivf_fwd_rows(assigned.select("nid", "cell"), n_fwd_buckets), "db", "nid"
+    ).write.partitionBy("db").parquet(f"{store.vdir(v)}/ids")
     seeds.write.parquet(f"{store.vdir(v)}/centroids")
-    spark.createDataFrame(
-        [(n_cells, n_fwd_buckets)], "n_cells int, n_fwd_buckets int"
-    ).write.parquet(f"{store.vdir(v)}/meta")
     rows = (
         [("vectors", p, v) for p in store.written_parts(v, "vectors")]
         + [("ids", p, v) for p in store.written_parts(v, "ids")]
-        + [("centroids", "", v), ("meta", "", v)]
+        + [("centroids", "", v), _ivf_meta_row(v, n_cells, n_fwd_buckets)]
     )
     store.commit(v, rows)
+
+
+def _ivf_meta_row(v: int, n_cells: int, n_fwd_buckets: int):
+    """Index scalars as a manifest ANNOTATION row (see
+    ``scoring._meta_row`` — same rationale: a manifest lookup on read
+    instead of a Spark job over a one-row parquet dataset)."""
+    import json
+
+    return (
+        "_meta",
+        json.dumps(
+            {"n_cells": int(n_cells), "n_fwd_buckets": int(n_fwd_buckets)}
+        ),
+        v,
+    )
+
+
+def _read_ivf_meta(store, version: int | None = None) -> dict:
+    import json
+
+    raw = store.annotation("_meta", version)
+    if raw is None:
+        raise ValueError(
+            f"IVF index at {store.root} has no _meta annotation — "
+            "pre-annotation versioned layout? Retrain to upgrade."
+        )
+    return json.loads(raw)
 
 
 def update_ivf_index(
@@ -1021,7 +1049,7 @@ def update_ivf_index(
             f"from the legacy in-place layout). Index: {index_path}"
         )
     seeds = store.read("centroids")
-    n_fwd = int(store.read("meta").first()["n_fwd_buckets"])
+    n_fwd = int(_read_ivf_meta(store)["n_fwd_buckets"])
     cells_arr = _cells_arr(seeds)
     # _spread as in the build: a delta delivered as one file would run
     # the per-row codebook argmax single-threaded otherwise
@@ -1034,10 +1062,12 @@ def update_ivf_index(
         "nid", "nvec", F.element_at(_nearest_cells(F.col("nvec"), 1), 1).alias("cell")
     ).localCheckpoint()
     v = store.begin()
-    assigned.write.partitionBy("cell").parquet(f"{store.vdir(v)}/vectors")
-    _ivf_fwd_rows(assigned, n_fwd).write.partitionBy("db").parquet(
-        f"{store.vdir(v)}/ids"
+    clustered(assigned, "cell", "nid").write.partitionBy("cell").parquet(
+        f"{store.vdir(v)}/vectors"
     )
+    clustered(_ivf_fwd_rows(assigned, n_fwd), "db", "nid").write.partitionBy(
+        "db"
+    ).parquet(f"{store.vdir(v)}/ids")
     rows = (
         store.state_rows()
         + [("vectors", p, v) for p in store.written_parts(v, "vectors")]
@@ -1154,10 +1184,9 @@ def retrain_ivf_index(
         n_fwd_buckets = 16
     else:
         vecs = store.read("vectors")
-        meta = store.read("meta").first()
-        n_fwd_buckets = int(meta["n_fwd_buckets"])
+        n_fwd_buckets = int(_read_ivf_meta(store)["n_fwd_buckets"])
         if n_cells is None:
-            n_cells = store.read("centroids").count()
+            n_cells = int(_read_ivf_meta(store)["n_cells"])
 
     c = _spread(vecs).select("nid", "nvec")
     if train_iters > 0:
@@ -1171,22 +1200,22 @@ def retrain_ivf_index(
         "nid", "nvec", F.element_at(_nearest_cells(F.col("nvec"), 1), 1).alias("cell")
     )
 
+    # one materialized reassignment pass feeds the vectors write, the
+    # forward-map write, AND the clustered-write range sampling — the
+    # argmax never re-executes
+    assigned = assigned.localCheckpoint()
     v = store.begin()
-    assigned.write.partitionBy("cell").parquet(f"{store.vdir(v)}/vectors")
-    # forward map from the staged vectors' (nid, cell) columns — a thin
-    # column scan, NOT a second O(index·n_cells) assignment pass
-    staged = spark.read.parquet(f"{store.vdir(v)}/vectors").select("nid", "cell")
-    _ivf_fwd_rows(staged, n_fwd_buckets).write.partitionBy("db").parquet(
-        f"{store.vdir(v)}/ids"
+    clustered(assigned, "cell", "nid").write.partitionBy("cell").parquet(
+        f"{store.vdir(v)}/vectors"
     )
+    clustered(
+        _ivf_fwd_rows(assigned.select("nid", "cell"), n_fwd_buckets), "db", "nid"
+    ).write.partitionBy("db").parquet(f"{store.vdir(v)}/ids")
     seeds.write.parquet(f"{store.vdir(v)}/centroids")
-    spark.createDataFrame(
-        [(int(n_cells), n_fwd_buckets)], "n_cells int, n_fwd_buckets int"
-    ).write.parquet(f"{store.vdir(v)}/meta")
     rows = (
         [("vectors", p, v) for p in store.written_parts(v, "vectors")]
         + [("ids", p, v) for p in store.written_parts(v, "ids")]
-        + [("centroids", "", v), ("meta", "", v)]
+        + [("centroids", "", v), _ivf_meta_row(v, int(n_cells), n_fwd_buckets)]
     )
     store.commit(v, rows)
     if legacy:
@@ -1265,7 +1294,7 @@ def _ivf_maint_entry(spark, index_path: str, op: str):
             "cost a full-index membership scan per call at scale. "
             f"Index: {index_path}"
         )
-    return store, int(store.read("meta").first()["n_fwd_buckets"])
+    return store, int(_read_ivf_meta(store)["n_fwd_buckets"])
 
 
 def upsert_ivf_index(
@@ -1352,13 +1381,15 @@ def upsert_ivf_index(
     merged = kept.unionByName(
         assigned.select("nid", "nvec", F.col("cell").cast(cell_type).alias("cell"))
     )
-    merged.write.partitionBy("cell").parquet(f"{store.vdir(v)}/vectors")
+    clustered(merged, "cell", "nid").write.partitionBy("cell").parquet(
+        f"{store.vdir(v)}/vectors"
+    )
     kept_ids = (
         store.read("ids", parts=db_parts)
         .join(key, "nid", "anti")
         .select("nid", "cell", F.col("db").cast("long").alias("db"))
     )
-    kept_ids.unionByName(fwd_new).write.partitionBy("db").parquet(
+    clustered(kept_ids.unionByName(fwd_new), "db", "nid").write.partitionBy("db").parquet(
         f"{store.vdir(v)}/ids"
     )
     rows = store.carry_except(store.state_rows(), "vectors", set(cell_parts))
@@ -1418,13 +1449,17 @@ def delete_from_ivf_index(ids: DataFrame, id_col: str, index_path: str) -> int:
         .select("nid", "nvec", F.col("cell").cast(cell_type).alias("cell"))
         .join(key.select("nid"), "nid", "anti")
     )
-    kept.write.partitionBy("cell").parquet(f"{store.vdir(v)}/vectors")
+    clustered(kept, "cell", "nid").write.partitionBy("cell").parquet(
+        f"{store.vdir(v)}/vectors"
+    )
     kept_ids = (
         store.read("ids", parts=db_parts)
         .join(key.select("nid"), "nid", "anti")
         .select("nid", "cell", F.col("db").cast("long").alias("db"))
     )
-    kept_ids.write.partitionBy("db").parquet(f"{store.vdir(v)}/ids")
+    clustered(kept_ids, "db", "nid").write.partitionBy("db").parquet(
+        f"{store.vdir(v)}/ids"
+    )
     rows = store.carry_except(store.state_rows(), "vectors", set(cell_parts))
     rows = store.carry_except(rows, "ids", set(db_parts))
     rows += [("vectors", p, v) for p in store.written_parts(v, "vectors")]

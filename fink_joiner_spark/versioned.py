@@ -14,7 +14,10 @@ already uses for its CDF snapshots, generalized to multiple datasets:
 
 * **Layout** — ``root/v{N:06d}/{dataset}/{part=dirs}`` data
   directories plus a per-version state manifest
-  (``v{N}/_state`` parquet: one row per (dataset, part, ref)); a
+  (``v{N}/_state.json``, driver-written through the Hadoop FS API —
+  one (dataset, part, ref) row per referenced partition; manifests
+  are bounded by partition count, so a Spark job per manifest was
+  pure overhead and measurably dominated small maintenance ops); a
   version's manifest may REFERENCE partitions written by earlier
   versions, so an O(delta) maintenance op writes only its touched
   partitions and carries every other reference forward — untouched
@@ -77,7 +80,25 @@ from pyspark.sql import DataFrame, SparkSession
 
 from fink_joiner_spark.fsutil import HadoopFS
 
-_STATE_SCHEMA = "dataset string, part string, ref int"
+def clustered(df: DataFrame, part_col: str, fine_col: str) -> DataFrame:
+    """Range-cluster rows on (partition column, a finer key) before a
+    ``partitionBy`` write. A spread input (parallelism-many tasks, each
+    holding rows of EVERY partition value) otherwise writes
+    O(tasks × dirs) near-empty files — measured on the demo IVF build:
+    424 files / 2.4 s plain vs 47 files / 0.65 s range-clustered, and
+    at 100 TB that small-files decay is what kills probe latency.
+    Range (not hash) partitioning keeps the task count — a partition
+    value bigger than one task's share splits across neighbors on the
+    fine key instead of funneling through one task."""
+    n = max(1, df.rdd.getNumPartitions())
+    return df.repartitionByRange(n, part_col, fine_col)
+
+
+# (root, version) → manifest tuple. Committed manifests are immutable,
+# so entries never invalidate; the size bound only caps memory across
+# many short-lived demo stores (each ~10⁴ rows max — the √n partition
+# rule — so even the cap is generous).
+_MANIFEST_CACHE: dict[tuple[str, int], tuple] = {}
 
 # Stable per-driver-process identity: a writer retrying its own crashed
 # op (same process) takes its own lease over immediately instead of
@@ -102,11 +123,22 @@ class VersionedStore:
     work. The default (1 h) suits the registered index ops by orders
     of magnitude; long cluster jobs pass their own."""
 
-    def __init__(self, spark: SparkSession, root: str, lease_ttl_s: float = 3600.0):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        lease_ttl_s: float = 3600.0,
+        keep_commits: int = 2,
+    ):
         self.spark = spark
         self.root = root
         self.fs = HadoopFS(spark, root)
         self.lease_ttl_s = lease_ttl_s
+        # GC grace: directories referenced by the last ``keep_commits``
+        # commits survive. 2 (default) covers a reader that resolved
+        # just before one flip; a deployment whose longest read job can
+        # span k maintenance flips sizes this to k+1.
+        self.keep_commits = max(1, int(keep_commits))
         self._lease_token: str | None = None
 
     # -- writer lease ---------------------------------------------------------
@@ -209,13 +241,50 @@ class VersionedStore:
 
     def state_rows(self, version: int | None = None) -> list[tuple[str, str, int]]:
         """The manifest of ``version`` (default: current) as python
-        tuples — bounded by the store's partition count."""
+        tuples — bounded by the store's partition count.
+
+        Manifests are driver-side JSON files read through the Hadoop FS
+        API (one py4j call), NOT Spark jobs: a maintenance op resolves
+        manifests several times (read, carry, GC) and a probe once per
+        dataset, and at demo scale a Spark job per tiny manifest was
+        the dominant cost of the whole index family (measured r9:
+        build 14.8 s → 4 s class after this + the cache). A committed
+        version's manifest is IMMUTABLE, so resolutions are memoized
+        process-wide in ``_MANIFEST_CACHE``."""
         if version is None:
             version = self.current()
         if version is None:
             return []
-        df = self.spark.read.parquet(f"{self.vdir(version)}/_state")
-        return [(r["dataset"], r["part"], int(r["ref"])) for r in df.collect()]
+        key = (self.root, version)
+        hit = _MANIFEST_CACHE.get(key)
+        if hit is not None:
+            return list(hit)
+        raw = self.fs.read_utf8(f"{self.vdir(version)}/_state.json")
+        if raw is None:
+            # pre-optimization layout (same round, parquet manifest):
+            # readable fallback so an in-flight store survives the
+            # upgrade; new commits write JSON
+            df = self.spark.read.parquet(f"{self.vdir(version)}/_state")
+            rows = [(r["dataset"], r["part"], int(r["ref"])) for r in df.collect()]
+        else:
+            import json
+
+            rows = [(d, p, int(ref)) for d, p, ref in json.loads(raw)]
+        if len(_MANIFEST_CACHE) > 4096:
+            _MANIFEST_CACHE.clear()
+        _MANIFEST_CACHE[key] = tuple(rows)
+        return rows
+
+    def annotation(self, dataset: str, version: int | None = None) -> str | None:
+        """Payload (the ``part`` field) of the first ``dataset``
+        annotation row in the manifest — underscore-prefixed datasets
+        reference no directories and carry driver-readable metadata
+        (e.g. ``_meta`` scalars) so that reading them is a manifest
+        lookup, not a Spark job over a one-row parquet dataset."""
+        for ds, part, _ in self.state_rows(version):
+            if ds == dataset:
+                return part
+        return None
 
     def parts(self, dataset: str, version: int | None = None) -> dict[str, list[int]]:
         """part-dir name → ordered list of referencing versions."""
@@ -306,14 +375,33 @@ class VersionedStore:
         """Write the manifest, verify the lease is still ours, flip the
         commit marker (THE atomic point — an exclusive file create, so
         a racing commit of the same version number loses the CAS
-        instead of silently coexisting), release the lease, GC."""
-        self.spark.createDataFrame(rows, _STATE_SCHEMA).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(f"{self.vdir(version)}/_state")
+        instead of silently coexisting), release the lease, GC.
+
+        The manifest is a driver-side JSON file (one py4j write, no
+        Spark job — see :meth:`state_rows`); it only becomes readable
+        state once the marker lands, so its own write needs no
+        atomicity."""
+        import json
+
+        rows = [(d, p, int(ref)) for d, p, ref in rows]
+        self.fs.mkdirs(self.vdir(version))
+        self.fs.delete(f"{self.vdir(version)}/_state.json", recursive=False)
+        if not self.fs.create_exclusive(
+            f"{self.vdir(version)}/_state.json", json.dumps(rows)
+        ):
+            raise ConcurrentWriteError(
+                f"manifest for v{version:06d} on {self.root} could not "
+                "be staged — concurrent writer debris?"
+            )
+        _MANIFEST_CACHE[(self.root, version)] = tuple(rows)
         self._verify_lease()
         self.fs.mkdirs(self._commits_dir())
         if not self.fs.create_exclusive(f"{self._commits_dir()}/c{version:06d}"):
-            self._lease_token = None
+            # we hold the lease but the version number was taken (a
+            # fenced zombie's marker landed in the check-then-create
+            # window) — release so the next writer isn't blocked until
+            # the TTL, then surface the conflict
+            self._release_lease()
             raise ConcurrentWriteError(
                 f"commit c{version:06d} on {self.root} already exists — "
                 "another writer won this version; no visible change was "
@@ -337,16 +425,17 @@ class VersionedStore:
     # -- GC -----------------------------------------------------------------
 
     def gc(self) -> None:
-        """Keep every version dir referenced by the last TWO commits
-        (the previous commit stays readable through one flip); delete
-        the rest and any older commit markers. Annotation rows
-        (dataset starting with ``_``, e.g. the stream sinks'
-        ``_applied`` batch markers) reference no directories and must
-        NOT pin their recording version alive."""
+        """Keep every version dir referenced by the last
+        ``keep_commits`` commits (default 2: the previous commit stays
+        readable through one flip; size to k+1 when read jobs can span
+        k flips); delete the rest and any older commit markers.
+        Annotation rows (dataset starting with ``_``, e.g. the stream
+        sinks' ``_applied`` batch markers) reference no directories and
+        must NOT pin their recording version alive."""
         vs = self.committed_versions()
-        keep_commits = vs[-2:]
-        live: set[int] = set(keep_commits)
-        for c in keep_commits:
+        keep = vs[-self.keep_commits:]
+        live: set[int] = set(keep)
+        for c in keep:
             live.update(
                 ref for ds, _, ref in self.state_rows(c)
                 if not ds.startswith("_")
@@ -355,5 +444,5 @@ class VersionedStore:
             if name.startswith("v") and name[1:].isdigit():
                 if int(name[1:]) not in live:
                     self.fs.delete(f"{self.root}/{name}")
-        for c in vs[:-2]:
+        for c in vs[:-self.keep_commits]:
             self.fs.delete(f"{self._commits_dir()}/c{c:06d}")

@@ -1240,18 +1240,36 @@ def test_bm25_probe_is_isolated_from_concurrent_maintenance(
     assert scoring.bm25_indexed_scores(spark, idx, ["replacement"]).count() == 0
 
 
-def _ivf(spark, idx, dataset, parts=None):
-    """Current committed version of an IVF index dataset."""
+class _MetaShim:
+    """Meta scalars live in the manifest's ``_meta`` annotation now;
+    this keeps the historical ``.first()[key]`` test idiom working."""
+
+    def __init__(self, obj):
+        self._obj = obj
+
+    def first(self):
+        return self._obj
+
+
+def _index_dataset(spark, idx, dataset, parts=None):
+    import json
+
     from fink_joiner_spark.versioned import VersionedStore
 
-    return VersionedStore(spark, idx).read(dataset, parts)
+    store = VersionedStore(spark, idx)
+    if dataset == "meta":
+        return _MetaShim(json.loads(store.annotation("_meta")))
+    return store.read(dataset, parts)
+
+
+def _ivf(spark, idx, dataset, parts=None):
+    """Current committed version of an IVF index dataset."""
+    return _index_dataset(spark, idx, dataset, parts)
 
 
 def _bm25(spark, idx, dataset, parts=None):
     """Current committed version of a BM25 index dataset."""
-    from fink_joiner_spark.versioned import VersionedStore
-
-    return VersionedStore(spark, idx).read(dataset, parts)
+    return _index_dataset(spark, idx, dataset, parts)
 
 
 def _fwd_consistent(spark, idx: str) -> None:

@@ -71,7 +71,9 @@ def test_expired_lease_is_stolen_and_zombie_is_fenced(
     assert spark.read.parquet(f"{stealer.vdir(vs)}/data").count() == 5
 
 
-def test_commit_marker_cas_refuses_existing_version(spark, tmp_path):
+def test_commit_marker_cas_refuses_existing_version(
+    spark, tmp_path, other_process
+):
     root = str(tmp_path / "store")
     w = VersionedStore(spark, root)
     v = w.begin()
@@ -80,6 +82,22 @@ def test_commit_marker_cas_refuses_existing_version(spark, tmp_path):
     assert w.fs.create_exclusive(f"{root}/_commits/c{v:06d}")
     with pytest.raises(ConcurrentWriteError, match="already exists"):
         _commit_one(spark, w, v, 2)
+    # the loser released its lease — the next writer (any process)
+    # proceeds immediately rather than waiting out the TTL
+    other_process()
+    assert VersionedStore(spark, root).begin() == v + 1
+
+
+def test_gc_grace_is_configurable(spark, tmp_path):
+    root = str(tmp_path / "store")
+    w = VersionedStore(spark, root, keep_commits=3)
+    for payload in (2, 3, 4, 5):
+        _commit_one(spark, w, w.begin(), payload)
+    # last three commits' dirs survive; the first is collected
+    names = set(w.fs.list_dirs(root))
+    assert {"v000002", "v000003", "v000004"} <= names
+    assert "v000001" not in names
+    assert w.committed_versions() == [2, 3, 4]
 
 
 def test_same_process_retry_takes_over_own_lease(spark, tmp_path):
