@@ -874,6 +874,7 @@ def bm25_indexed_scores(
     query_terms: Sequence[str],
     k1: float = 1.2,
     b: float = 0.75,
+    version: int | None = None,
 ) -> DataFrame:
     """BM25 scores for ``query_terms`` served from a persisted index
     (:func:`build_bm25_index`) — the probe path never scans the
@@ -897,7 +898,10 @@ def bm25_indexed_scores(
 
     terms = [t.lower() for t in query_terms]
     store = _bm25_store(spark, index_path)
-    pin = store.current()  # one version for meta, postings, AND terms
+    # one version for meta, postings, AND terms; an explicit ``version``
+    # is the TIME-TRAVEL path — any committed version inside the GC
+    # grace window probes exactly as it did when it was current
+    pin = store.current() if version is None else version
     if pin is not None:
         # corpus scalars from the pinned manifest's _meta annotation —
         # a driver-side lookup, not a Spark job per probe

@@ -1497,6 +1497,7 @@ def topk_ivf_indexed(
     qvec_col: str,
     k: int = 10,
     nprobe: int = 4,
+    version: int | None = None,
 ) -> DataFrame:
     """ANN top-k served from a persisted IVF index
     (:func:`build_ivf_index`) — the probe path reads ONLY the
@@ -1520,8 +1521,11 @@ def topk_ivf_indexed(
     store = _ivf_store(spark, index_path)
     versioned = store.current() is not None
     # pin ONE version for the whole probe: seeds and vectors must come
-    # from the same commit even if a maintenance op lands mid-probe
-    pin = store.current()
+    # from the same commit even if a maintenance op lands mid-probe.
+    # An explicit ``version`` is the TIME-TRAVEL path: any committed
+    # version still inside the GC grace window (``keep_commits``)
+    # probes exactly as it did when it was current.
+    pin = store.current() if version is None else version
     if versioned:
         seeds = store.read("centroids", version=pin)
     else:

@@ -1368,9 +1368,13 @@ def text_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scoring.unigram_corpus_score(docs, "doc_id", "text")
 
 
-_BM25_ORACLE = f"""
+def _bm25_oracle_sql(where: str = "") -> str:
+    """The BM25 oracle over ``documents`` restricted by ``where`` —
+    parameterized so snapshot queries (time travel) can oracle an
+    older corpus state with the identical arithmetic."""
+    return f"""
 WITH tok AS (
-  SELECT doc_id, {_DD_TOKS.format(t='text')} AS toks FROM documents
+  SELECT doc_id, {_DD_TOKS.format(t='text')} AS toks FROM documents {where}
 ),
 base AS (
   SELECT doc_id, len(toks)::BIGINT AS dl,
@@ -1396,6 +1400,9 @@ SELECT doc_id, COUNT(*)::BIGINT AS n_terms_matched,
        ROUND(SUM(micro)::BIGINT / 1000000.0, 6) + 0.0 AS score
 FROM scored GROUP BY doc_id
 """
+
+
+_BM25_ORACLE = _bm25_oracle_sql()
 
 
 @register(
@@ -6740,4 +6747,71 @@ def ext_tpch_q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> Data
         GROUP BY 1, 2, 3
         ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
         """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Versioned-index TIME TRAVEL (round 9) — the versioned store keeps the
+# last keep_commits versions fully readable, so a probe can pin ANY
+# committed version, not just the current one: audit "what did this
+# query return before yesterday's fold", reproduce a training run
+# against the exact index it saw, or diff two corpus states. This is
+# the lakehouse time-travel feature (Delta VERSION AS OF) expressed on
+# the store's own commit protocol.
+
+@register(
+    "ext_bm25_index_time_travel",
+    f"""
+    WITH v1 AS ({_bm25_oracle_sql('WHERE doc_id % 2 = 0')}),
+         cur AS ({_bm25_oracle_sql()}),
+    t1 AS (
+      SELECT 'v1' AS snapshot, doc_id, n_terms_matched, score FROM v1
+      QUALIFY ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) <= 20
+    ),
+    t2 AS (
+      SELECT 'current' AS snapshot, doc_id, n_terms_matched, score FROM cur
+      QUALIFY ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) <= 20
+    )
+    SELECT * FROM t1 UNION ALL SELECT * FROM t2
+    ORDER BY snapshot, score DESC, doc_id
+    """,
+    "versioned-index time travel: BM25 index built on half the corpus "
+    "(version 1), the rest folded in (version 2 = current); ONE probe "
+    "call pinned to version 1 must return exactly what the index "
+    "returned before the fold — half-corpus term stats and all — "
+    "while the unpinned probe sees the full corpus. Both snapshots "
+    "hash-match their own corpus-state oracle; no index files are "
+    "copied to keep history (the manifest's carried references ARE "
+    "the history, within the GC grace window)",
+)
+def ext_bm25_index_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from fink_joiner_spark.operators import scoring
+    from fink_joiner_spark.versioned import VersionedStore
+
+    docs = table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="fjs_bm25_tt_")
+    terms = ["join", "filter", "window"]
+    scoring.build_bm25_index(
+        docs.where(F.col("doc_id") % 2 == 0), "doc_id", "text", work, n_buckets=8
+    )
+    v1 = VersionedStore(spark, work).current()
+    scoring.update_bm25_index(
+        docs.where(F.col("doc_id") % 2 == 1), "doc_id", "text", work
+    )
+
+    def _top(df, tag):
+        return (
+            df.orderBy(F.col("score").desc(), "doc_id")
+            .limit(20)
+            .select(
+                F.lit(tag).alias("snapshot"), "doc_id", "n_terms_matched", "score"
+            )
+        )
+
+    old = _top(scoring.bm25_indexed_scores(spark, work, terms, version=v1), "v1")
+    cur = _top(scoring.bm25_indexed_scores(spark, work, terms), "current")
+    return old.unionByName(cur).orderBy(
+        "snapshot", F.col("score").desc(), "doc_id"
     )

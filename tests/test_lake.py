@@ -1677,3 +1677,73 @@ def test_dataset_bytes_handles_uri_encoded_local_paths(spark, tmp_path):
     spark.range(100).write.mode("overwrite").parquet(dest)
     df = spark.read.parquet(dest)
     assert lake.dataset_bytes(df) > 0
+
+
+def test_index_builds_write_bucket_shaped_files(spark, sf_dir, tmp_path):
+    """Write shaping must hold (r9): a spread input writing through
+    partitionBy would otherwise produce O(tasks × dirs) near-empty
+    files (measured 424 for a 16-cell build — small-files decay on day
+    one). BM25's hash-bucketed writers give exactly ≤ 1 file per
+    bucket per dataset; IVF's range-clustered writer is bounded by its
+    task count, not tasks × cells."""
+    from fink_joiner_spark.operators import scoring, similarity
+
+    docs = _docs(spark, sf_dir)
+    idx = str(tmp_path / "shape_bm25")
+    scoring.build_bm25_index(docs, "doc_id", "text", idx, n_buckets=8)
+    for ds in ("postings", "terms", "docs"):
+        n = len(_bm25(spark, idx, ds).inputFiles())
+        assert n <= 8, (ds, n)
+
+    import os
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    vidx = str(tmp_path / "shape_ivf")
+    similarity.build_ivf_index(emb, "vec_id", "embedding", vidx, n_cells=16)
+    # the range-clustered write is bounded by the spread task count
+    # (plus cell-boundary straddles), NOT tasks × cells — the
+    # pathological shape this pins against is ≥ tasks × cells / 2
+    n_tasks = max(spark.sparkContext.defaultParallelism, 16)
+    n_vec = len(_ivf(spark, vidx, "vectors").inputFiles())
+    assert n_vec <= 3 * n_tasks, n_vec
+
+
+def test_ivf_probe_time_travel_pins_pre_fold_state(spark, sf_dir, tmp_path):
+    """Probing an OLDER committed version (time travel, r9) returns
+    exactly what the index returned when that version was current —
+    the fold that followed must be invisible to the pinned probe."""
+    import os
+
+    from fink_joiner_spark.operators import similarity
+    from fink_joiner_spark.versioned import VersionedStore
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    idx = str(tmp_path / "tt_ivf")
+    similarity.build_ivf_index(
+        emb.where(F.col("vec_id") % 2 == 0), "vec_id", "embedding", idx, n_cells=8
+    )
+    q = emb.filter(F.col("vec_id") < 4)
+    before = {
+        tuple(r)
+        for r in similarity.topk_ivf_indexed(
+            spark, idx, q, "vec_id", "embedding", k=5, nprobe=8
+        ).collect()
+    }
+    v1 = VersionedStore(spark, idx).current()
+    similarity.update_ivf_index(
+        emb.where(F.col("vec_id") % 2 == 1), "vec_id", "embedding", idx
+    )
+    pinned = {
+        tuple(r)
+        for r in similarity.topk_ivf_indexed(
+            spark, idx, q, "vec_id", "embedding", k=5, nprobe=8, version=v1
+        ).collect()
+    }
+    current = {
+        tuple(r)
+        for r in similarity.topk_ivf_indexed(
+            spark, idx, q, "vec_id", "embedding", k=5, nprobe=8
+        ).collect()
+    }
+    assert pinned == before
+    assert current != before  # the fold IS visible unpinned
