@@ -263,19 +263,20 @@ _R3_REGRESSED, _HISTORY_VERIFIED, _LAST_GREEN_ROUND = _correctness_history()
 # Maintained by hand at round end; superseded rows age out naturally
 # once the next CORRECTNESS file records them green.
 #
-# Round 9: the IVF index gained the ids/ forward map + meta format
-# marker (build/update/delete/retrain all rewritten, upsert added —
-# similarity.py), so every IVF-lifecycle query re-proves; the BM25
-# upsert/delete gained the repair-before-read preamble + pinned-delta
-# localCheckpoint (scoring.py); lake.partition_stats moved its hot
-# test to decimal arithmetic and dataset_bytes decodes URI paths
-# (lake.py — the two queries routing through them re-prove).
+# Round 9: the IVF index gained the ids/ forward map + latest-version
+# upsert, BOTH families moved onto the versioned store (snapshot
+# isolation, writer lease) and then onto driver-side JSON manifests
+# with `_meta` annotation rows and shaped partitioned writes — every
+# index-lifecycle AND index-probe query re-proves; lake.partition_stats
+# moved its hot test to decimal arithmetic and dataset_bytes decodes
+# URI paths (lake.py — the two queries routing through them re-prove).
 _ROUND_CHANGED = frozenset({
     "simsearch_topk_ivf_indexed", "simsearch_ivf_index_incremental",
     "simsearch_ivf_delete", "simsearch_ivf_retrain",
     "stream_ivf_index_maintenance", "simsearch_ivf_upsert",
     "ext_bm25_index_upsert", "ext_bm25_index_delete",
     "ext_bm25_index_compaction",
+    "ext_bm25_index_probe", "ext_bm25_index_incremental",
     "ext_index_partition_stats", "ext_lake_compact_clustered",
     # r9 stream-conf reconciliation flipped the demos' changelog-
     # checkpointing default (results are conf-invariant by design,
