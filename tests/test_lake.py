@@ -1747,3 +1747,33 @@ def test_ivf_probe_time_travel_pins_pre_fold_state(spark, sf_dir, tmp_path):
     }
     assert pinned == before
     assert current != before  # the fold IS visible unpinned
+
+
+def test_bm25_empty_delta_fold_commits_marker_only(spark, sf_dir, tmp_path):
+    """An EMPTY update delta (a replayed-then-filtered micro-batch is
+    the real producer) must not crash on the staged read-back — and
+    with an applied_marker it must still commit the marker row, or the
+    stream would re-fold that batch forever. Probe output is unchanged
+    either way."""
+    from fink_joiner_spark.operators import scoring
+    from fink_joiner_spark.versioned import VersionedStore
+
+    docs = _docs(spark, sf_dir)
+    idx = str(tmp_path / "empty_fold")
+    scoring.build_bm25_index(docs, "doc_id", "text", idx, n_buckets=8)
+    terms = ["join", "filter", "window"]
+    want = {tuple(r) for r in scoring.bm25_indexed_scores(spark, idx, terms).collect()}
+    v0 = VersionedStore(spark, idx).current()
+
+    empty = docs.where(F.lit(False))
+    scoring.update_bm25_index(empty, "doc_id", "text", idx)  # pure no-op
+    assert VersionedStore(spark, idx).current() == v0  # no new commit
+
+    scoring.update_bm25_index(empty, "doc_id", "text", idx, applied_marker="b7:x")
+    store = VersionedStore(spark, idx)
+    assert store.current() == v0 + 1  # marker committed as a new version
+    assert any(
+        ds == "_applied" and p == "b7:x" for ds, p, _ in store.state_rows()
+    )
+    got = {tuple(r) for r in scoring.bm25_indexed_scores(spark, idx, terms).collect()}
+    assert got == want
