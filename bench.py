@@ -285,10 +285,54 @@ def main() -> None:
         _warm_interpreted_paths(s, sf_dir)
         return s
 
+    def _measure(spark_, name, fn):
+        """``reps`` timed runs of one query. Each run is split into the
+        two phases the call structure already separates (r9 verdict ask
+        #3): ``fn(spark, sf_dir)`` executes any EAGER index
+        build/maintenance work (the lifecycle queries construct their
+        fixture index here, by design), and the noop save executes the
+        returned plan — the probe, i.e. the production READ path. For
+        ordinary queries the build phase is plan construction (~ms), so
+        build_s≈0 and the split is free."""
+        runs: list[float] = []
+        builds: list[float] = []
+        probes: list[float] = []
+        cpus: list[float] = []
+        failed = False
+        for _ in range(reps):
+            c0 = _jvm_cpu_seconds()
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark_, sf_dir)
+                t1 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                t2 = time.perf_counter()
+                runs.append(round(t2 - t0, 3))
+                builds.append(round(t1 - t0, 3))
+                probes.append(round(t2 - t1, 3))
+            except Exception as exc:  # noqa: BLE001 — record failures, keep benching
+                runs.append(round(time.perf_counter() - t0, 3))
+                print(f"FAILED {name}: {exc}", file=sys.stderr)
+                _reset_session_state(spark_)
+                failed = True
+                break
+            c1 = _jvm_cpu_seconds()
+            if c0 is not None and c1 is not None:
+                cpus.append(round(c1 - c0, 3))
+            _reset_session_state(spark_)
+        return runs, builds, probes, cpus, failed
+
+    def _lower_median(vals):
+        return sorted(vals)[(len(vals) - 1) // 2] if vals else None
+
+    def _spread_bad(runs):
+        return len(runs) >= 2 and min(runs) > 0 and max(runs) / min(runs) > 4
+
     timings: dict[str, float] = {}
     runs_detail: dict[str, dict] = {}
     total = 0.0
     total_cpu = 0.0
+    total_build = 0.0
     cpu_ok = True
     since_rotation = 0
     for name, fn in fns.items():
@@ -298,46 +342,66 @@ def main() -> None:
             spark = _fresh_jvm(spark)
             since_rotation = 0
         since_rotation += 1
-        runs: list[float] = []
-        cpus: list[float] = []
         q_load = _loadavg()[0]
-        for _ in range(reps):
-            c0 = _jvm_cpu_seconds()
-            t0 = time.perf_counter()
-            try:
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                runs.append(round(time.perf_counter() - t0, 3))
-            except Exception as exc:  # noqa: BLE001 — record failures, keep benching
-                runs.append(round(time.perf_counter() - t0, 3))
-                print(f"FAILED {name}: {exc}", file=sys.stderr)
-                _reset_session_state(spark)
-                break
-            c1 = _jvm_cpu_seconds()
-            if c0 is not None and c1 is not None:
-                cpus.append(round(c1 - c0, 3))
-            else:
-                cpu_ok = False
-            _reset_session_state(spark)
+        runs, builds, probes, cpus, failed = _measure(spark, name, fn)
+        detail = {
+            "median": _lower_median(runs),
+            "min": min(runs),
+            "runs": runs,
+            "build_s": _lower_median(builds),
+            "probe_s": _lower_median(probes),
+            "cpu_sec": _lower_median(cpus),
+            "load_at_start": q_load,
+        }
+        # Self-defending artifact (r9 verdict ask #2): a rep spread
+        # past the 4× outlier bar means the number was taken in a
+        # polluted/contended JVM — instead of shipping it with a
+        # footnote, re-measure ONCE in a fresh JVM and record BOTH.
+        # The rerun (when its own spread is sane) becomes the official
+        # figure; the original stays under "outlier_original" so the
+        # artifact documents the event instead of hiding it.
+        if _spread_bad(runs) and seg_size and not failed:
+            print(f"bench {name}: rep spread {min(runs)}..{max(runs)} "
+                  "crossed the 4x outlier bar - re-running in a fresh "
+                  "JVM", file=sys.stderr)
+            spark = _fresh_jvm(spark)
+            since_rotation = 0
+            runs2, builds2, probes2, cpus2, failed2 = _measure(spark, name, fn)
+            if not failed2:
+                detail = {
+                    "median": _lower_median(runs2),
+                    "min": min(runs2),
+                    "runs": runs2,
+                    "build_s": _lower_median(builds2),
+                    "probe_s": _lower_median(probes2),
+                    "cpu_sec": _lower_median(cpus2),
+                    "load_at_start": q_load,
+                    "outlier_rerun": True,
+                    "outlier_original": {
+                        "median": _lower_median(runs),
+                        "runs": runs,
+                        "cpu_sec": _lower_median(cpus),
+                    },
+                }
+                runs, cpus = runs2, cpus2
         if not cpus:
             # a rep failed before the post-run CPU sample (or sampling
             # itself failed) — the total would silently understate JVM
             # CPU if this query counted as 0 (ADVICE r5)
             cpu_ok = False
-        dt = sorted(runs)[(len(runs) - 1) // 2]  # lower median
+        dt = detail["median"]
         timings[name] = dt
-        runs_detail[name] = {
-            "median": dt,
-            "min": min(runs),
-            "runs": runs,
-            "cpu_sec": (sorted(cpus)[(len(cpus) - 1) // 2] if cpus else None),
-            "load_at_start": q_load,
-        }
+        runs_detail[name] = detail
         total += dt
+        if detail["build_s"] is not None:
+            total_build += detail["build_s"]
         if cpus:
-            total_cpu += runs_detail[name]["cpu_sec"]
+            total_cpu += detail["cpu_sec"]
         # per-query progress to stderr so the final stdout line stays short
         print(f"bench {name}: median {dt}s over {runs}"
-              f" cpu {runs_detail[name]['cpu_sec']}s", file=sys.stderr)
+              f" cpu {detail['cpu_sec']}s"
+              f" (build {detail['build_s']}s probe {detail['probe_s']}s)",
+              file=sys.stderr)
 
     ncpus = os.cpu_count() or 1
     # JIT-outlier self-diagnosis (round 8): running ~190 DISTINCT plans
@@ -351,9 +415,14 @@ def main() -> None:
     # jit_outliers names the queries whose rep spread crossed 4× so a
     # reader can attribute an inflated total without re-running.
     total_min = round(sum(d["min"] for d in runs_detail.values()), 3)
+    # after the fresh-JVM rerun pass, a name here means the spread
+    # SURVIVED a clean JVM — i.e. genuinely bimodal work, not pollution
     jit_outliers = sorted(
         n for n, d in runs_detail.items()
         if len(d["runs"]) >= 2 and d["min"] > 0 and max(d["runs"]) / d["min"] > 4
+    )
+    outlier_reruns = sorted(
+        n for n, d in runs_detail.items() if d.get("outlier_rerun")
     )
     # The 13 legacy streaming demos' tracked metric (round 9): their
     # WALL time swings ±10% between identical runs (scheduler/IO-bound
@@ -383,6 +452,12 @@ def main() -> None:
         "unit": "sec",
         "total_wall_min": total_min,
         "jit_outliers": jit_outliers,
+        "outlier_reruns": outlier_reruns,
+        # wall seconds spent CONSTRUCTING fixture indexes inside the
+        # lifecycle queries (eager build/maintain phase) — by design,
+        # not the production read path; the probe share is the number
+        # that matters at 100 TB (per-query build_s/probe_s in detail)
+        "fixture_build_sec": round(total_build, 3),
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(timings),
@@ -403,9 +478,29 @@ def main() -> None:
         "load_contended": load_contended,
     }
     # Full detail to a sidecar file (survives any stdout truncation).
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_DETAIL.json"), "w") as fh:
-        json.dump({**summary, "per_query": runs_detail}, fh, indent=1)
+    # Per-round copy (r9 verdict ask #8): the mutable BENCH_DETAIL.json
+    # rewrote ~3,400 lines per round and drowned the git diff — emit a
+    # BENCH_DETAIL_r{N}.json alongside, N inferred from the highest
+    # existing driver BENCH_r*.json + 1 (the driver writes its file
+    # AFTER running us). BENCH_DETAIL.json itself is gitignored now.
+    here = os.path.dirname(os.path.abspath(__file__))
+    detail_doc = {**summary, "per_query": runs_detail}
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(detail_doc, fh, indent=1)
+    try:
+        import glob
+        import re
+
+        rounds = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+            if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+        ]
+        rnum = (max(rounds) + 1) if rounds else 0
+        with open(os.path.join(here, f"BENCH_DETAIL_r{rnum:02d}.json"), "w") as fh:
+            json.dump(detail_doc, fh, indent=1)
+    except Exception:  # noqa: BLE001 — per-round copy is best-effort
+        pass
 
     # The driver tail-captures stdout and parses the LAST line; round 1's
     # single ~3 KB line was head-truncated and unparseable.  Emit the full

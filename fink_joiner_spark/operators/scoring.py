@@ -228,25 +228,25 @@ def build_bm25_index(
     )
     pb = F.pmod(F.xxhash64("term"), F.lit(n_buckets))
     store = _bm25_store(spark, dest_path)
-    v = store.begin()
-    _bucketed(tf.withColumn("pb", pb), n_buckets, "pb", "term").write.partitionBy(
-        "pb"
-    ).parquet(f"{store.vdir(v)}/postings")
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    _bucketed(dfreq.withColumn("pb", pb), n_buckets, "pb", "term").write.partitionBy(
-        "pb"
-    ).parquet(f"{store.vdir(v)}/terms")
-    _bucketed(_doc_rows(base, n_buckets), n_buckets, "db", "doc_id").write.partitionBy(
-        "db"
-    ).parquet(f"{store.vdir(v)}/docs")
-    rows = (
-        [("postings", p_, v) for p_ in store.written_parts(v, "postings")]
-        + [("terms", p_, v) for p_ in store.written_parts(v, "terms")]
-        + [("docs", p_, v) for p_ in store.written_parts(v, "docs")]
-        + [_meta_row(v, int(stats["n_docs"] or 0), int(stats["sum_dl"] or 0),
-                     n_buckets)]
-    )
-    store.commit(v, rows)
+    with store.transaction() as v:
+        _bucketed(tf.withColumn("pb", pb), n_buckets, "pb", "term").write.partitionBy(
+            "pb"
+        ).parquet(f"{store.vdir(v)}/postings")
+        dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        _bucketed(dfreq.withColumn("pb", pb), n_buckets, "pb", "term").write.partitionBy(
+            "pb"
+        ).parquet(f"{store.vdir(v)}/terms")
+        _bucketed(_doc_rows(base, n_buckets), n_buckets, "db", "doc_id").write.partitionBy(
+            "db"
+        ).parquet(f"{store.vdir(v)}/docs")
+        rows = (
+            [("postings", p_, v) for p_ in store.written_parts(v, "postings")]
+            + [("terms", p_, v) for p_ in store.written_parts(v, "terms")]
+            + [("docs", p_, v) for p_ in store.written_parts(v, "docs")]
+            + [_meta_row(v, int(stats["n_docs"] or 0), int(stats["sum_dl"] or 0),
+                         n_buckets)]
+        )
+        store.commit(v, rows)
 
 
 def _bm25_store(spark, index_path: str):
@@ -419,67 +419,67 @@ def update_bm25_index(
         # still commit, or the stream would re-fold the batch forever
         if applied_marker is None:
             return
-        v = store.begin()
-        rows = [r for r in store.state_rows() if r[0] != "_applied"]
-        keep = sorted(
-            (r for r in store.state_rows() if r[0] == "_applied"),
-            key=lambda r: r[2], reverse=True,
-        )[:63]
-        store.commit(v, rows + keep + [("_applied", applied_marker, v)])
+        with store.transaction() as v:
+            rows = [r for r in store.state_rows() if r[0] != "_applied"]
+            keep = sorted(
+                (r for r in store.state_rows() if r[0] == "_applied"),
+                key=lambda r: r[2], reverse=True,
+            )[:63]
+            store.commit(v, rows + keep + [("_applied", applied_marker, v)])
         return
 
-    v = store.begin()
-    _bucketed(tf, n_buckets, "pb", "term").write.partitionBy("pb").parquet(
-        f"{store.vdir(v)}/postings"
-    )
-    _bucketed(_doc_rows(base, n_buckets), n_buckets, "db", "doc_id").write.partitionBy(
-        "db"
-    ).parquet(f"{store.vdir(v)}/docs")
-    # per-term df merge over the touched buckets, from the STAGED delta
-    # postings (one thin read of what was just written)
-    delta_df = (
-        spark.read.parquet(f"{store.vdir(v)}/postings")
-        .groupBy(F.col("pb").cast("long").alias("pb"), "term")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
-    pbs = sorted(
-        int(p_.split("=", 1)[1]) for p_ in store.written_parts(v, "postings")
-    )
-    old_terms = store.read("terms", parts=[f"pb={b}" for b in pbs])
-    merged = delta_df.select("term", "df", "pb")
-    if old_terms is not None:
-        merged = (
-            old_terms.select("term", "df", F.col("pb").cast("long").alias("pb"))
-            .unionByName(merged)
-            .groupBy("pb", "term")
-            .agg(F.sum("df").alias("df"))
-            .select("term", "df", "pb")
+    with store.transaction() as v:
+        _bucketed(tf, n_buckets, "pb", "term").write.partitionBy("pb").parquet(
+            f"{store.vdir(v)}/postings"
         )
-    _bucketed(merged, n_buckets, "pb", "term").write.partitionBy("pb").parquet(
-        f"{store.vdir(v)}/terms"
-    )
+        _bucketed(_doc_rows(base, n_buckets), n_buckets, "db", "doc_id").write.partitionBy(
+            "db"
+        ).parquet(f"{store.vdir(v)}/docs")
+        # per-term df merge over the touched buckets, from the STAGED delta
+        # postings (one thin read of what was just written)
+        delta_df = (
+            spark.read.parquet(f"{store.vdir(v)}/postings")
+            .groupBy(F.col("pb").cast("long").alias("pb"), "term")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
+        pbs = sorted(
+            int(p_.split("=", 1)[1]) for p_ in store.written_parts(v, "postings")
+        )
+        old_terms = store.read("terms", parts=[f"pb={b}" for b in pbs])
+        merged = delta_df.select("term", "df", "pb")
+        if old_terms is not None:
+            merged = (
+                old_terms.select("term", "df", F.col("pb").cast("long").alias("pb"))
+                .unionByName(merged)
+                .groupBy("pb", "term")
+                .agg(F.sum("df").alias("df"))
+                .select("term", "df", "pb")
+            )
+        _bucketed(merged, n_buckets, "pb", "term").write.partitionBy("pb").parquet(
+            f"{store.vdir(v)}/terms"
+        )
 
-    rows = store.carry_except(
-        store.state_rows(), "terms", {f"pb={b}" for b in pbs}
-    )
-    rows = [r for r in rows if r[0] != "_meta"]
-    rows += [("postings", p_, v) for p_ in store.written_parts(v, "postings")]
-    rows += [("terms", p_, v) for p_ in store.written_parts(v, "terms")]
-    rows += [("docs", p_, v) for p_ in store.written_parts(v, "docs")]
-    rows += [_meta_row(
-        v,
-        int(meta_old["n_docs"]) + delta_n_docs,
-        int(meta_old["sum_dl"]) + delta_sum_dl,
-        n_buckets,
-    )]
-    if applied_marker is not None:
-        keep = sorted(
-            (r for r in rows if r[0] == "_applied"),
-            key=lambda r: r[2], reverse=True,
-        )[:63]
-        rows = [r for r in rows if r[0] != "_applied"]
-        rows += keep + [("_applied", applied_marker, v)]
-    store.commit(v, rows)
+        rows = store.carry_except(
+            store.state_rows(), "terms", {f"pb={b}" for b in pbs}
+        )
+        rows = [r for r in rows if r[0] != "_meta"]
+        rows += [("postings", p_, v) for p_ in store.written_parts(v, "postings")]
+        rows += [("terms", p_, v) for p_ in store.written_parts(v, "terms")]
+        rows += [("docs", p_, v) for p_ in store.written_parts(v, "docs")]
+        rows += [_meta_row(
+            v,
+            int(meta_old["n_docs"]) + delta_n_docs,
+            int(meta_old["sum_dl"]) + delta_sum_dl,
+            n_buckets,
+        )]
+        if applied_marker is not None:
+            keep = sorted(
+                (r for r in rows if r[0] == "_applied"),
+                key=lambda r: r[2], reverse=True,
+            )[:63]
+            rows = [r for r in rows if r[0] != "_applied"]
+            rows += keep + [("_applied", applied_marker, v)]
+        store.commit(v, rows)
 
 
 def upsert_bm25_index(
@@ -587,49 +587,49 @@ def upsert_bm25_index(
     final_n_docs = int(meta_old["n_docs"]) + int(delta["n_new"] or 0) - n_prev
     final_sum_dl = int(meta_old["sum_dl"]) + int(delta["dl_new"] or 0) - dl_prev
 
-    v = store.begin()
-    kept = (
-        store.read("postings", parts=pb_parts)
-        .select("doc_id", "dl", "term", "tf", F.col("pb").cast("long").alias("pb"))
-        .join(key, "doc_id", "anti")
-    )
-    _bucketed(kept.unionByName(tf_new), n_buckets, "pb", "term").write.partitionBy("pb").parquet(
-        f"{store.vdir(v)}/postings"
-    )
-
-    # df recount, bucket-local and exact, from the STAGED merged
-    # postings: every posting row of a term lives in the term's own
-    # hash bucket, so counting rows per term there is the full-corpus
-    # df for those terms (empty-staged guard: an upsert can leave an
-    # affected bucket with zero surviving postings)
-    if store.written_parts(v, "postings"):
-        (
-            spark.read.parquet(f"{store.vdir(v)}/postings")
-            .groupBy(F.col("pb").cast("long").alias("pb"), "term")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .select("term", "df", "pb")
-            .transform(lambda d: _bucketed(d, n_buckets, "pb", "term"))
-            .write.partitionBy("pb")
-            .parquet(f"{store.vdir(v)}/terms")
+    with store.transaction() as v:
+        kept = (
+            store.read("postings", parts=pb_parts)
+            .select("doc_id", "dl", "term", "tf", F.col("pb").cast("long").alias("pb"))
+            .join(key, "doc_id", "anti")
+        )
+        _bucketed(kept.unionByName(tf_new), n_buckets, "pb", "term").write.partitionBy("pb").parquet(
+            f"{store.vdir(v)}/postings"
         )
 
-    kept_docs = (
-        store.read("docs", parts=db_parts)
-        .join(key, "doc_id", "anti")
-        .select("doc_id", "dl", "pbs", F.col("db").cast("long").alias("db"))
-    )
-    _bucketed(kept_docs.unionByName(new_doc_rows), n_buckets, "db", "doc_id").write.partitionBy("db").parquet(
-        f"{store.vdir(v)}/docs"
-    )
-    rows = store.carry_except(store.state_rows(), "postings", set(pb_parts))
-    rows = store.carry_except(rows, "terms", set(pb_parts))
-    rows = store.carry_except(rows, "docs", set(db_parts))
-    rows = [r for r in rows if r[0] != "_meta"]
-    rows += [("postings", p_, v) for p_ in store.written_parts(v, "postings")]
-    rows += [("terms", p_, v) for p_ in store.written_parts(v, "terms")]
-    rows += [("docs", p_, v) for p_ in store.written_parts(v, "docs")]
-    rows += [_meta_row(v, final_n_docs, final_sum_dl, n_buckets)]
-    store.commit(v, rows)
+        # df recount, bucket-local and exact, from the STAGED merged
+        # postings: every posting row of a term lives in the term's own
+        # hash bucket, so counting rows per term there is the full-corpus
+        # df for those terms (empty-staged guard: an upsert can leave an
+        # affected bucket with zero surviving postings)
+        if store.written_parts(v, "postings"):
+            (
+                spark.read.parquet(f"{store.vdir(v)}/postings")
+                .groupBy(F.col("pb").cast("long").alias("pb"), "term")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .select("term", "df", "pb")
+                .transform(lambda d: _bucketed(d, n_buckets, "pb", "term"))
+                .write.partitionBy("pb")
+                .parquet(f"{store.vdir(v)}/terms")
+            )
+
+        kept_docs = (
+            store.read("docs", parts=db_parts)
+            .join(key, "doc_id", "anti")
+            .select("doc_id", "dl", "pbs", F.col("db").cast("long").alias("db"))
+        )
+        _bucketed(kept_docs.unionByName(new_doc_rows), n_buckets, "db", "doc_id").write.partitionBy("db").parquet(
+            f"{store.vdir(v)}/docs"
+        )
+        rows = store.carry_except(store.state_rows(), "postings", set(pb_parts))
+        rows = store.carry_except(rows, "terms", set(pb_parts))
+        rows = store.carry_except(rows, "docs", set(db_parts))
+        rows = [r for r in rows if r[0] != "_meta"]
+        rows += [("postings", p_, v) for p_ in store.written_parts(v, "postings")]
+        rows += [("terms", p_, v) for p_ in store.written_parts(v, "terms")]
+        rows += [("docs", p_, v) for p_ in store.written_parts(v, "docs")]
+        rows += [_meta_row(v, final_n_docs, final_sum_dl, n_buckets)]
+        store.commit(v, rows)
 
 
 def delete_from_bm25_index(
@@ -690,45 +690,45 @@ def delete_from_bm25_index(
     final_n_docs = int(meta_old["n_docs"]) - n_prev
     final_sum_dl = int(meta_old["sum_dl"]) - dl_prev
 
-    v = store.begin()
-    kept = (
-        store.read("postings", parts=pb_parts)
-        .select("doc_id", "dl", "term", "tf", F.col("pb").cast("long").alias("pb"))
-        .join(key.select("doc_id"), "doc_id", "anti")
-    )
-    _bucketed(kept, n_buckets, "pb", "term").write.partitionBy("pb").parquet(
-        f"{store.vdir(v)}/postings"
-    )
-    if store.written_parts(v, "postings"):
-        # bucket-local df recount from the staged survivors; when every
-        # posting of every affected bucket belonged to deleted docs the
-        # staged dataset is empty and the terms buckets simply drop out
-        (
-            spark.read.parquet(f"{store.vdir(v)}/postings")
-            .groupBy(F.col("pb").cast("long").alias("pb"), "term")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .select("term", "df", "pb")
-            .transform(lambda d: _bucketed(d, n_buckets, "pb", "term"))
-            .write.partitionBy("pb")
-            .parquet(f"{store.vdir(v)}/terms")
+    with store.transaction() as v:
+        kept = (
+            store.read("postings", parts=pb_parts)
+            .select("doc_id", "dl", "term", "tf", F.col("pb").cast("long").alias("pb"))
+            .join(key.select("doc_id"), "doc_id", "anti")
         )
-    kept_docs = (
-        store.read("docs", parts=db_parts)
-        .join(key.select("doc_id"), "doc_id", "anti")
-        .select("doc_id", "dl", "pbs", F.col("db").cast("long").alias("db"))
-    )
-    _bucketed(kept_docs, n_buckets, "db", "doc_id").write.partitionBy("db").parquet(
-        f"{store.vdir(v)}/docs"
-    )
-    rows = store.carry_except(store.state_rows(), "postings", set(pb_parts))
-    rows = store.carry_except(rows, "terms", set(pb_parts))
-    rows = store.carry_except(rows, "docs", set(db_parts))
-    rows = [r for r in rows if r[0] != "_meta"]
-    rows += [("postings", p_, v) for p_ in store.written_parts(v, "postings")]
-    rows += [("terms", p_, v) for p_ in store.written_parts(v, "terms")]
-    rows += [("docs", p_, v) for p_ in store.written_parts(v, "docs")]
-    rows += [_meta_row(v, final_n_docs, final_sum_dl, n_buckets)]
-    store.commit(v, rows)
+        _bucketed(kept, n_buckets, "pb", "term").write.partitionBy("pb").parquet(
+            f"{store.vdir(v)}/postings"
+        )
+        if store.written_parts(v, "postings"):
+            # bucket-local df recount from the staged survivors; when every
+            # posting of every affected bucket belonged to deleted docs the
+            # staged dataset is empty and the terms buckets simply drop out
+            (
+                spark.read.parquet(f"{store.vdir(v)}/postings")
+                .groupBy(F.col("pb").cast("long").alias("pb"), "term")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .select("term", "df", "pb")
+                .transform(lambda d: _bucketed(d, n_buckets, "pb", "term"))
+                .write.partitionBy("pb")
+                .parquet(f"{store.vdir(v)}/terms")
+            )
+        kept_docs = (
+            store.read("docs", parts=db_parts)
+            .join(key.select("doc_id"), "doc_id", "anti")
+            .select("doc_id", "dl", "pbs", F.col("db").cast("long").alias("db"))
+        )
+        _bucketed(kept_docs, n_buckets, "db", "doc_id").write.partitionBy("db").parquet(
+            f"{store.vdir(v)}/docs"
+        )
+        rows = store.carry_except(store.state_rows(), "postings", set(pb_parts))
+        rows = store.carry_except(rows, "terms", set(pb_parts))
+        rows = store.carry_except(rows, "docs", set(db_parts))
+        rows = [r for r in rows if r[0] != "_meta"]
+        rows += [("postings", p_, v) for p_ in store.written_parts(v, "postings")]
+        rows += [("terms", p_, v) for p_ in store.written_parts(v, "terms")]
+        rows += [("docs", p_, v) for p_ in store.written_parts(v, "docs")]
+        rows += [_meta_row(v, final_n_docs, final_sum_dl, n_buckets)]
+        store.commit(v, rows)
     return n_prev
 
 
@@ -843,28 +843,28 @@ def compact_bm25_index(spark, index_path: str, target_file_mb: float = 128) -> i
     store, _meta = _bm25_entry(spark, index_path, "compact_bm25_index")
     postings = store.read("postings")
     n = max(1, math.ceil(dataset_bytes(postings) / (target_file_mb * 1024 * 1024)))
-    v = store.begin()
-    # range-repartition on (pb, term): small buckets compact to one
-    # file; a bucket larger than the target splits into term-disjoint
-    # files (hash-repartition by pb alone would funnel each bucket
-    # through ONE task whatever its size)
-    (
-        postings.repartitionByRange(n, "pb", "term")
-        .sortWithinPartitions("pb", "term")
-        .write.partitionBy("pb")
-        .parquet(f"{store.vdir(v)}/postings")
-    )
-    docs = store.read("docs")
-    (
-        docs.repartitionByRange(max(1, n // 4), "db", "doc_id")
-        .sortWithinPartitions("db", "doc_id")
-        .write.partitionBy("db")
-        .parquet(f"{store.vdir(v)}/docs")
-    )
-    rows = [r for r in store.state_rows() if r[0] not in ("postings", "docs")]
-    rows += [("postings", p_, v) for p_ in store.written_parts(v, "postings")]
-    rows += [("docs", p_, v) for p_ in store.written_parts(v, "docs")]
-    store.commit(v, rows)
+    with store.transaction() as v:
+        # range-repartition on (pb, term): small buckets compact to one
+        # file; a bucket larger than the target splits into term-disjoint
+        # files (hash-repartition by pb alone would funnel each bucket
+        # through ONE task whatever its size)
+        (
+            postings.repartitionByRange(n, "pb", "term")
+            .sortWithinPartitions("pb", "term")
+            .write.partitionBy("pb")
+            .parquet(f"{store.vdir(v)}/postings")
+        )
+        docs = store.read("docs")
+        (
+            docs.repartitionByRange(max(1, n // 4), "db", "doc_id")
+            .sortWithinPartitions("db", "doc_id")
+            .write.partitionBy("db")
+            .parquet(f"{store.vdir(v)}/docs")
+        )
+        rows = [r for r in store.state_rows() if r[0] not in ("postings", "docs")]
+        rows += [("postings", p_, v) for p_ in store.written_parts(v, "postings")]
+        rows += [("docs", p_, v) for p_ in store.written_parts(v, "docs")]
+        store.commit(v, rows)
     return n
 
 

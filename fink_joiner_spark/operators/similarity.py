@@ -464,9 +464,108 @@ def simhash_pairs(
 # ---------------------------------------------------------------------------
 
 
-def cosine(a: Column, b: Column) -> Column:
+def _dot_flat(a: Column, b: Column, dim: int) -> Column:
+    """Strict left-fold dot product unrolled over a KNOWN fixed
+    dimension: ``((0.0 + a0·b0) + a1·b1) + …`` — the exact evaluation
+    order of the HOF fold (:func:`dot_col`), so the result is
+    BIT-identical, built from GetArrayItem/Multiply/Add nodes.
+
+    NOT the production kernel: the r10 A/Bs measured the unrolled
+    chains 3-4× SLOWER end-to-end than the HOF fold (64-term chains
+    bloat every generated stage, and inlined into a join's doConsume
+    the full cosine exceeds Janino's 64 KB method limit — codegen
+    falls back to interpreted eval and pays a failed compile per
+    plan). Kept as the documented bit-identical alternate and the
+    pytest cross-check form; see :func:`dot_col` for the measured
+    ranking and the shipped shape (per-side norm hoist)."""
+    acc: Column = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + a[i].cast("double") * b[i].cast("double")
+    return acc
+
+
+def _sqnorm_flat(a: Column, dim: int) -> Column:
+    """Flat-unrolled Σaᵢ² with the fold's exact evaluation order."""
+    acc: Column = F.lit(0.0)
+    for i in range(dim):
+        ai = a[i].cast("double")
+        acc = acc + ai * ai
+    return acc
+
+
+def norm_col(vec: Column) -> Column:
+    """‖vec‖ with the strict fold's exact evaluation order (HOF form).
+    Pair-stage operators project this ONCE PER VECTOR on each join
+    side and score with ``dot_col(a, b) / (na * nb)`` — bit-identical
+    to :func:`cosine` (same sub-expressions, same order) with 3× fewer
+    pair-stage flops: the r10 A/B at sf0.1 measured the dup-pairs
+    join at 0.58 s (pre-norm + dot) vs 1.2-3.7 s (full 3-fold cosine
+    per pair). The HOF fold is deliberate — see :func:`dot_col`."""
+    vd = F.transform(vec, lambda x: x.cast("double"))
+    return F.sqrt(
+        F.aggregate(F.transform(vd, lambda x: x * x), F.lit(0.0),
+                    lambda acc, x: acc + x)
+    )
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    """Strict left-fold dot product, HOF form — the measured-fastest
+    pair-stage kernel, against the r9 verdict's expectation. The r10
+    A/Bs (sf0.1, warm, idle box) ranked the three candidate kernels:
+
+    * HOF fold (this): dup-pairs join 0.58 s with per-side
+      :func:`norm_col`; SemDeDup 1.8-2.0 s — matching the r9 verdict's
+      own idle "run E" numbers, i.e. the 777 cpu-s figure was the
+      shared-JVM profile-pollution artifact, not kernel cost (the
+      bench's fresh-JVM outlier rerun now defends against it);
+    * flat unrolled ``a[0]·b[0] + …`` (``_dot_flat``): 3-4× SLOWER
+      end-to-end despite being codegen-resident — the 64-term chains
+      bloat every generated stage (and the full cosine inlined into a
+      join's doConsume exceeds Janino's 64 KB limit outright, falling
+      back to interpreted eval plus a failed compile per plan);
+    * k-scaled unrolls (IVF assignment as least(struct), sign-LSH
+      bucket): always blow the 64 KB limit — 6.4 s vs 0.5 s for the
+      same assignment at sf0.01.
+
+    What actually moved the needle is the NORM hoist: one fold per
+    pair instead of three. Kept flat forms (``_dot_flat`` etc.) are
+    the documented bit-identical alternates + pytest cross-checks."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    return F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def vec_dim(df: DataFrame, col: str) -> int | None:
+    """The fixed embedding dimension of ``col``, probed from one row
+    (a LIMIT-1 job — negligible next to the operator it unlocks).
+    Returns None on an all-null/empty input; callers then fall back to
+    the dimension-agnostic fold form of :func:`cosine`. The engine's
+    embedding-table contract is a fixed-width vector column, so one
+    row's size is the corpus's size."""
+    rows = (
+        df.select(F.size(F.col(col)).alias("d"))
+        .where(F.col(col).isNotNull())
+        .head(1)
+    )
+    return int(rows[0]["d"]) if rows else None
+
+
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     """Cosine similarity with strict left-fold double accumulation —
-    bit-identical to the DuckDB oracle's explicit fold."""
+    bit-identical to the DuckDB oracle's explicit fold.
+
+    The production pair stages do NOT call this per pair — they hoist
+    :func:`norm_col` per side and pay only :func:`dot_col` per pair
+    (bit-identical; see those docstrings for the r10 measurements).
+    With ``dim`` the three folds unroll into flat expressions
+    (:func:`_dot_flat`) — the documented alternate, measured slower;
+    the pytest suite asserts both forms agree bitwise with the
+    default HOF fold."""
+    if dim is not None:
+        return _dot_flat(a, b, dim) / (
+            F.sqrt(_sqnorm_flat(a, dim)) * F.sqrt(_sqnorm_flat(b, dim))
+        )
     ad = F.transform(a, lambda x: x.cast("double"))
     bd = F.transform(b, lambda x: x.cast("double"))
     dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y),
@@ -476,6 +575,18 @@ def cosine(a: Column, b: Column) -> Column:
     nb = F.sqrt(F.aggregate(F.transform(bd, lambda x: x * x),
                             F.lit(0.0), lambda acc, x: acc + x))
     return dot / (na * nb)
+
+
+def _score_expr() -> Column:
+    """Rounded cosine of a scored join's (qvec, nvec) pair over the
+    sides' PRECOMPUTED ``_qn``/``_nn`` norms (each side must have
+    projected :func:`norm_col`). Bit-identical to
+    ``round(cosine(qvec, nvec), 4)`` — same sub-expressions, same
+    strict-fold order — at a third of the pair-stage flops."""
+    return F.round(
+        dot_col(F.col("qvec"), F.col("nvec")) / (F.col("_qn") * F.col("_nn")),
+        4,
+    )
 
 
 def embedding_dup_pairs(
@@ -493,6 +604,13 @@ def embedding_dup_pairs(
     """
     v = _spread(df).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), F.col(block_col).alias("blk")
+    ).withColumn("_nrm", norm_col(F.col("vec")))
+    # norm once per vector pre-join; the O(pairs) stage pays only the
+    # dot (see norm_col / dot_col)
+    score = F.round(
+        dot_col(F.col("a.vec"), F.col("b.vec"))
+        / (F.col("a._nrm") * F.col("b._nrm")),
+        4,
     )
     a, b = v.alias("a"), v.alias("b")
     pairs = a.join(
@@ -500,7 +618,7 @@ def embedding_dup_pairs(
     ).select(
         F.col("a.id").alias("id_a"),
         F.col("b.id").alias("id_b"),
-        F.round(cosine(F.col("a.vec"), F.col("b.vec")), 4).alias("cos"),
+        score.alias("cos"),
     )
     return pairs.filter(F.col("cos") >= threshold)
 
@@ -521,8 +639,10 @@ def topk_bruteforce(
 
     q = queries.select(F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qvec"))
     c = _spread(df).select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"))
+    q = q.withColumn("_qn", norm_col(F.col("qvec")))
+    c = c.withColumn("_nn", norm_col(F.col("nvec")))
     scored = F.broadcast(q).crossJoin(c).filter(F.col("qid") != F.col("nid")).select(
-        "qid", "nid", F.round(cosine(F.col("qvec"), F.col("nvec")), 4).alias("score")
+        "qid", "nid", _score_expr().alias("score")
     )
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid").asc())
     return (
@@ -563,6 +683,8 @@ def hard_negative_topk(
         F.col(vec_col).alias("nvec"),
         F.col(label_col).alias("nlab"),
     )
+    q = q.withColumn("_qn", norm_col(F.col("qvec")))
+    c = c.withColumn("_nn", norm_col(F.col("nvec")))
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -570,7 +692,7 @@ def hard_negative_topk(
         .select(
             "qid",
             "nid",
-            F.round(cosine(F.col("qvec"), F.col("nvec")), 4).alias("score"),
+            _score_expr().alias("score"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid").asc())
@@ -614,6 +736,10 @@ def topk_sign_lsh(
     from pyspark.sql import Window
 
     def bucket(vec: Column) -> Column:
+        # deliberately the HOF form: an n_planes×dim flat unroll (~1k
+        # nodes) blows Janino's 64 KB method limit inside this stage
+        # (measured r10: 9-12 s vs <1 s at sf0.01 once codegen falls
+        # back) — see _assign_nearest for the linear-size rule
         bits = F.transform(
             F.sequence(F.lit(0), F.lit(n_planes - 1)),
             lambda j: F.when(
@@ -647,6 +773,8 @@ def topk_sign_lsh(
     q = queries.select(
         F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qvec")
     ).withColumn("bkt0", bucket(F.col("qvec")))
+    c = c.withColumn("_nn", norm_col(F.col("nvec")))
+    q = q.withColumn("_qn", norm_col(F.col("qvec")))
     if exhaustive:
         probes = F.sequence(F.lit(0), F.lit(2**n_planes - 1))
     elif multiprobe >= 1:
@@ -667,7 +795,7 @@ def topk_sign_lsh(
         .filter(F.col("qid") != F.col("nid"))
         .dropDuplicates(["qid", "nid"])
         .select(
-            "qid", "nid", F.round(cosine(F.col("qvec"), F.col("nvec")), 4).alias("score")
+            "qid", "nid", _score_expr().alias("score")
         )
     )
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid").asc())
@@ -719,6 +847,33 @@ def _nearest_cells(vec: Column, n: int) -> Column:
         )
     )
     return F.transform(F.slice(scored, 1, n), lambda s: s["cell_id"])
+
+
+def _assign_nearest(c: DataFrame, seeds: DataFrame) -> DataFrame:
+    """Nearest-cell assignment of a corpus ``(nid, nvec)``: argmax of
+    dot(vec, centroid)/‖centroid‖ with ties to the LOWEST cell_id —
+    ``element_at(_nearest_cells(vec, 1), 1)`` over the broadcast
+    codebook array, shared by every IVF build/retrain/upsert path.
+
+    This deliberately KEEPS the higher-order-function form (one
+    interpreted fold per (row, cell)) rather than unrolling k·dim flat
+    terms like the pair-stage cosine: an r10 A/B showed the unrolled
+    ``least(struct(-dot/cnorm, cell_id))`` expression (16 cells × 64
+    dims ≈ 2k nodes) EXCEEDS Janino's method limits — whole-stage
+    codegen compilation fails, Spark falls back to interpreted eval
+    for the stage AND pays the failed compile on every job: 6.4 s vs
+    0.5 s (HOF) vs 1.7 s (crossJoin + codegen min_by, which adds a
+    corpus shuffle) for the same assignment at sf0.01. Expression
+    trees must stay LINEAR in codebook size (the same constraint
+    ``_cb_literal`` documents for PQ); flat unrolls only win when the
+    node count stays dim-sized — i.e. per-pair cosine, not per-row
+    argmin over k cells."""
+    cells_arr = _cells_arr(seeds)
+    return c.crossJoin(F.broadcast(cells_arr)).select(
+        "nid",
+        "nvec",
+        F.element_at(_nearest_cells(F.col("nvec"), 1), 1).alias("cell"),
+    )
 
 
 def _seed_centroids(c: DataFrame, n_cells: int) -> DataFrame:
@@ -837,25 +992,21 @@ def topk_ivf(
             df, id_col, vec_col, n_cells=n_cells, n_iters=train_iters
         )
     seeds = centroids if centroids is not None else _seed_centroids(c, n_cells)
-    nearest_cells = _nearest_cells
 
+    assigned = _assign_nearest(c, seeds)
     cells_arr = _cells_arr(seeds)
-
-    assigned = c.crossJoin(F.broadcast(cells_arr)).select(
-        "nid", "nvec", F.element_at(nearest_cells(F.col("nvec"), 1), 1).alias("cell")
-    )
     q = queries.select(F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qvec"))
     probes = (
         q.crossJoin(F.broadcast(cells_arr))
-        .select("qid", "qvec", F.explode(nearest_cells(F.col("qvec"), nprobe)).alias("cell"))
+        .select("qid", "qvec", F.explode(_nearest_cells(F.col("qvec"), nprobe)).alias("cell"))
     )
+    assigned = assigned.withColumn("_nn", norm_col(F.col("nvec")))
+    probes = probes.withColumn("_qn", norm_col(F.col("qvec")))
     scored = (
         F.broadcast(probes)
         .join(assigned, "cell")
         .filter(F.col("qid") != F.col("nid"))
-        .select(
-            "qid", "nid", F.round(cosine(F.col("qvec"), F.col("nvec")), 4).alias("score")
-        )
+        .select("qid", "nid", _score_expr().alias("score"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid").asc())
     return (
@@ -958,29 +1109,26 @@ def build_ivf_index(
         )
     else:
         seeds = _seed_centroids(c, n_cells)
-    cells_arr = _cells_arr(seeds)
-    assigned = c.crossJoin(F.broadcast(cells_arr)).select(
-        "nid", "nvec", F.element_at(_nearest_cells(F.col("nvec"), 1), 1).alias("cell")
-    )
+    assigned = _assign_nearest(c, seeds)
     # one materialized argmax pass feeding BOTH the vectors and the
     # forward-map writes (the update-path pattern) — re-reading the
     # staged vectors cost a full extra job per build
     assigned = assigned.localCheckpoint()
     store = _ivf_store(spark, dest_path)
-    v = store.begin()
-    clustered(assigned, "cell", "nid").write.partitionBy("cell").parquet(
-        f"{store.vdir(v)}/vectors"
-    )
-    clustered(
-        _ivf_fwd_rows(assigned.select("nid", "cell"), n_fwd_buckets), "db", "nid"
-    ).write.partitionBy("db").parquet(f"{store.vdir(v)}/ids")
-    seeds.write.parquet(f"{store.vdir(v)}/centroids")
-    rows = (
-        [("vectors", p, v) for p in store.written_parts(v, "vectors")]
-        + [("ids", p, v) for p in store.written_parts(v, "ids")]
-        + [("centroids", "", v), _ivf_meta_row(v, n_cells, n_fwd_buckets)]
-    )
-    store.commit(v, rows)
+    with store.transaction() as v:
+        clustered(assigned, "cell", "nid").write.partitionBy("cell").parquet(
+            f"{store.vdir(v)}/vectors"
+        )
+        clustered(
+            _ivf_fwd_rows(assigned.select("nid", "cell"), n_fwd_buckets), "db", "nid"
+        ).write.partitionBy("db").parquet(f"{store.vdir(v)}/ids")
+        seeds.write.parquet(f"{store.vdir(v)}/centroids")
+        rows = (
+            [("vectors", p, v) for p in store.written_parts(v, "vectors")]
+            + [("ids", p, v) for p in store.written_parts(v, "ids")]
+            + [("centroids", "", v), _ivf_meta_row(v, n_cells, n_fwd_buckets)]
+        )
+        store.commit(v, rows)
 
 
 def _ivf_meta_row(v: int, n_cells: int, n_fwd_buckets: int):
@@ -1050,7 +1198,6 @@ def update_ivf_index(
         )
     seeds = store.read("centroids")
     n_fwd = int(_read_ivf_meta(store)["n_fwd_buckets"])
-    cells_arr = _cells_arr(seeds)
     # _spread as in the build: a delta delivered as one file would run
     # the per-row codebook argmax single-threaded otherwise
     c = _spread(new_vectors).select(
@@ -1058,31 +1205,29 @@ def update_ivf_index(
     )
     # pinned: the forward-map and vectors writes are two jobs — one
     # argmax pass instead of two
-    assigned = c.crossJoin(F.broadcast(cells_arr)).select(
-        "nid", "nvec", F.element_at(_nearest_cells(F.col("nvec"), 1), 1).alias("cell")
-    ).localCheckpoint()
-    v = store.begin()
-    clustered(assigned, "cell", "nid").write.partitionBy("cell").parquet(
-        f"{store.vdir(v)}/vectors"
-    )
-    clustered(_ivf_fwd_rows(assigned, n_fwd), "db", "nid").write.partitionBy(
-        "db"
-    ).parquet(f"{store.vdir(v)}/ids")
-    rows = (
-        store.state_rows()
-        + [("vectors", p, v) for p in store.written_parts(v, "vectors")]
-        + [("ids", p, v) for p in store.written_parts(v, "ids")]
-    )
-    if applied_marker is not None:
-        # stream-sink replay marker, committed ATOMICALLY with the fold
-        # (annotation row — see scoring.update_bm25_index); last 64 kept
-        keep = sorted(
-            (r for r in rows if r[0] == "_applied"),
-            key=lambda r: r[2], reverse=True,
-        )[:63]
-        rows = [r for r in rows if r[0] != "_applied"]
-        rows += keep + [("_applied", applied_marker, v)]
-    store.commit(v, rows)
+    assigned = _assign_nearest(c, seeds).localCheckpoint()
+    with store.transaction() as v:
+        clustered(assigned, "cell", "nid").write.partitionBy("cell").parquet(
+            f"{store.vdir(v)}/vectors"
+        )
+        clustered(_ivf_fwd_rows(assigned, n_fwd), "db", "nid").write.partitionBy(
+            "db"
+        ).parquet(f"{store.vdir(v)}/ids")
+        rows = (
+            store.state_rows()
+            + [("vectors", p, v) for p in store.written_parts(v, "vectors")]
+            + [("ids", p, v) for p in store.written_parts(v, "ids")]
+        )
+        if applied_marker is not None:
+            # stream-sink replay marker, committed ATOMICALLY with the fold
+            # (annotation row — see scoring.update_bm25_index); last 64 kept
+            keep = sorted(
+                (r for r in rows if r[0] == "_applied"),
+                key=lambda r: r[2], reverse=True,
+            )[:63]
+            rows = [r for r in rows if r[0] != "_applied"]
+            rows += keep + [("_applied", applied_marker, v)]
+        store.commit(v, rows)
 
 
 def compact_ivf_index(spark, index_path: str, target_file_mb: float = 128) -> int:
@@ -1109,30 +1254,30 @@ def compact_ivf_index(spark, index_path: str, target_file_mb: float = 128) -> in
     store, _ = _ivf_maint_entry(spark, index_path, "compact_ivf_index")
     vecs = store.read("vectors")
     n = max(1, math.ceil(dataset_bytes(vecs) / (target_file_mb * 1024 * 1024)))
-    v = store.begin()
-    # range-repartition on (cell, nid): same-cell rows stay contiguous
-    # so small cells compact to one file, while a cell larger than the
-    # target splits across tasks into nid-disjoint files (repartition
-    # by cell alone would funnel each cell through ONE task whatever
-    # its size)
-    (
-        vecs.repartitionByRange(n, "cell", "nid")
-        .sortWithinPartitions("cell", "nid")
-        .write.partitionBy("cell")
-        .parquet(f"{store.vdir(v)}/vectors")
-    )
-    ids = store.read("ids")
-    (
-        ids.repartitionByRange(max(1, n // 4), "db", "nid")
-        .sortWithinPartitions("db", "nid")
-        .write.partitionBy("db")
-        .parquet(f"{store.vdir(v)}/ids")
-    )
-    old = store.state_rows()
-    rows = [r for r in old if r[0] not in ("vectors", "ids")]
-    rows += [("vectors", p, v) for p in store.written_parts(v, "vectors")]
-    rows += [("ids", p, v) for p in store.written_parts(v, "ids")]
-    store.commit(v, rows)
+    with store.transaction() as v:
+        # range-repartition on (cell, nid): same-cell rows stay contiguous
+        # so small cells compact to one file, while a cell larger than the
+        # target splits across tasks into nid-disjoint files (repartition
+        # by cell alone would funnel each cell through ONE task whatever
+        # its size)
+        (
+            vecs.repartitionByRange(n, "cell", "nid")
+            .sortWithinPartitions("cell", "nid")
+            .write.partitionBy("cell")
+            .parquet(f"{store.vdir(v)}/vectors")
+        )
+        ids = store.read("ids")
+        (
+            ids.repartitionByRange(max(1, n // 4), "db", "nid")
+            .sortWithinPartitions("db", "nid")
+            .write.partitionBy("db")
+            .parquet(f"{store.vdir(v)}/ids")
+        )
+        old = store.state_rows()
+        rows = [r for r in old if r[0] not in ("vectors", "ids")]
+        rows += [("vectors", p, v) for p in store.written_parts(v, "vectors")]
+        rows += [("ids", p, v) for p in store.written_parts(v, "ids")]
+        store.commit(v, rows)
     return n
 
 
@@ -1195,29 +1340,26 @@ def retrain_ivf_index(
         )
     else:
         seeds = _seed_centroids(c, n_cells)
-    cells_arr = _cells_arr(seeds)
-    assigned = c.crossJoin(F.broadcast(cells_arr)).select(
-        "nid", "nvec", F.element_at(_nearest_cells(F.col("nvec"), 1), 1).alias("cell")
-    )
+    assigned = _assign_nearest(c, seeds)
 
     # one materialized reassignment pass feeds the vectors write, the
     # forward-map write, AND the clustered-write range sampling — the
     # argmax never re-executes
     assigned = assigned.localCheckpoint()
-    v = store.begin()
-    clustered(assigned, "cell", "nid").write.partitionBy("cell").parquet(
-        f"{store.vdir(v)}/vectors"
-    )
-    clustered(
-        _ivf_fwd_rows(assigned.select("nid", "cell"), n_fwd_buckets), "db", "nid"
-    ).write.partitionBy("db").parquet(f"{store.vdir(v)}/ids")
-    seeds.write.parquet(f"{store.vdir(v)}/centroids")
-    rows = (
-        [("vectors", p, v) for p in store.written_parts(v, "vectors")]
-        + [("ids", p, v) for p in store.written_parts(v, "ids")]
-        + [("centroids", "", v), _ivf_meta_row(v, int(n_cells), n_fwd_buckets)]
-    )
-    store.commit(v, rows)
+    with store.transaction() as v:
+        clustered(assigned, "cell", "nid").write.partitionBy("cell").parquet(
+            f"{store.vdir(v)}/vectors"
+        )
+        clustered(
+            _ivf_fwd_rows(assigned.select("nid", "cell"), n_fwd_buckets), "db", "nid"
+        ).write.partitionBy("db").parquet(f"{store.vdir(v)}/ids")
+        seeds.write.parquet(f"{store.vdir(v)}/centroids")
+        rows = (
+            [("vectors", p, v) for p in store.written_parts(v, "vectors")]
+            + [("ids", p, v) for p in store.written_parts(v, "ids")]
+            + [("centroids", "", v), _ivf_meta_row(v, int(n_cells), n_fwd_buckets)]
+        )
+        store.commit(v, rows)
     if legacy:
         # the in-place dirs are no longer referenced by anything
         for name in ("vectors", "centroids", "ids", "meta"):
@@ -1339,15 +1481,12 @@ def upsert_ivf_index(
     store, n_fwd = _ivf_maint_entry(spark, index_path, "upsert_ivf_index")
     seeds = store.read("centroids")
     cell_type = dict(seeds.dtypes)["cell_id"]
-    cells_arr = _cells_arr(seeds)
     c = _spread(new_vectors).select(
         F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")
     )
     # pinned: assigned feeds four jobs (digest-free now, but membership,
     # two rewrites, and the pure-insert test) — one argmax pass total
-    assigned = c.crossJoin(F.broadcast(cells_arr)).select(
-        "nid", "nvec", F.element_at(_nearest_cells(F.col("nvec"), 1), 1).alias("cell")
-    ).localCheckpoint()
+    assigned = _assign_nearest(c, seeds).localCheckpoint()
     fwd_new = _ivf_fwd_rows(assigned, n_fwd)
     key = assigned.select("nid").distinct()
     dbs = sorted(int(r.db) for r in fwd_new.select("db").distinct().collect())
@@ -1372,31 +1511,37 @@ def upsert_ivf_index(
     cells = _typed_cells(set(old_cells) | set(new_cells), cell_type)
     cell_parts = _cell_parts(cells)
 
-    v = store.begin()
-    kept = (
-        store.read("vectors", parts=cell_parts)
-        .select("nid", "nvec", F.col("cell").cast(cell_type).alias("cell"))
-        .join(key, "nid", "anti")
-    )
-    merged = kept.unionByName(
-        assigned.select("nid", "nvec", F.col("cell").cast(cell_type).alias("cell"))
-    )
-    clustered(merged, "cell", "nid").write.partitionBy("cell").parquet(
-        f"{store.vdir(v)}/vectors"
-    )
-    kept_ids = (
-        store.read("ids", parts=db_parts)
-        .join(key, "nid", "anti")
-        .select("nid", "cell", F.col("db").cast("long").alias("db"))
-    )
-    clustered(kept_ids.unionByName(fwd_new), "db", "nid").write.partitionBy("db").parquet(
-        f"{store.vdir(v)}/ids"
-    )
-    rows = store.carry_except(store.state_rows(), "vectors", set(cell_parts))
-    rows = store.carry_except(rows, "ids", set(db_parts))
-    rows += [("vectors", p, v) for p in store.written_parts(v, "vectors")]
-    rows += [("ids", p, v) for p in store.written_parts(v, "ids")]
-    store.commit(v, rows)
+    with store.transaction() as v:
+        kept = (
+            store.read("vectors", parts=cell_parts)
+            .select("nid", "nvec", F.col("cell").cast(cell_type).alias("cell"))
+            .join(key, "nid", "anti")
+        )
+        # pinned before clustered(): repartitionByRange's boundary-
+        # sampling pass re-executes the input lineage once more per
+        # write — build/retrain already guard this, and here the
+        # lineage is store reads + anti-joins, not a cheap scan
+        merged = kept.unionByName(
+            assigned.select("nid", "nvec", F.col("cell").cast(cell_type).alias("cell"))
+        ).localCheckpoint()
+        clustered(merged, "cell", "nid").write.partitionBy("cell").parquet(
+            f"{store.vdir(v)}/vectors"
+        )
+        kept_ids = (
+            store.read("ids", parts=db_parts)
+            .join(key, "nid", "anti")
+            .select("nid", "cell", F.col("db").cast("long").alias("db"))
+            .unionByName(fwd_new)
+            .localCheckpoint()
+        )
+        clustered(kept_ids, "db", "nid").write.partitionBy("db").parquet(
+            f"{store.vdir(v)}/ids"
+        )
+        rows = store.carry_except(store.state_rows(), "vectors", set(cell_parts))
+        rows = store.carry_except(rows, "ids", set(db_parts))
+        rows += [("vectors", p, v) for p in store.written_parts(v, "vectors")]
+        rows += [("ids", p, v) for p in store.written_parts(v, "ids")]
+        store.commit(v, rows)
 
 
 def delete_from_ivf_index(ids: DataFrame, id_col: str, index_path: str) -> int:
@@ -1443,28 +1588,32 @@ def delete_from_ivf_index(ids: DataFrame, id_col: str, index_path: str) -> int:
     cells = _typed_cells(cells_raw, cell_type)
     cell_parts = _cell_parts(cells)
 
-    v = store.begin()
-    kept = (
-        store.read("vectors", parts=cell_parts)
-        .select("nid", "nvec", F.col("cell").cast(cell_type).alias("cell"))
-        .join(key.select("nid"), "nid", "anti")
-    )
-    clustered(kept, "cell", "nid").write.partitionBy("cell").parquet(
-        f"{store.vdir(v)}/vectors"
-    )
-    kept_ids = (
-        store.read("ids", parts=db_parts)
-        .join(key.select("nid"), "nid", "anti")
-        .select("nid", "cell", F.col("db").cast("long").alias("db"))
-    )
-    clustered(kept_ids, "db", "nid").write.partitionBy("db").parquet(
-        f"{store.vdir(v)}/ids"
-    )
-    rows = store.carry_except(store.state_rows(), "vectors", set(cell_parts))
-    rows = store.carry_except(rows, "ids", set(db_parts))
-    rows += [("vectors", p, v) for p in store.written_parts(v, "vectors")]
-    rows += [("ids", p, v) for p in store.written_parts(v, "ids")]
-    store.commit(v, rows)
+    with store.transaction() as v:
+        # pinned before clustered(): see upsert — don't let the range
+        # sampler re-run the store-read + anti-join lineage
+        kept = (
+            store.read("vectors", parts=cell_parts)
+            .select("nid", "nvec", F.col("cell").cast(cell_type).alias("cell"))
+            .join(key.select("nid"), "nid", "anti")
+            .localCheckpoint()
+        )
+        clustered(kept, "cell", "nid").write.partitionBy("cell").parquet(
+            f"{store.vdir(v)}/vectors"
+        )
+        kept_ids = (
+            store.read("ids", parts=db_parts)
+            .join(key.select("nid"), "nid", "anti")
+            .select("nid", "cell", F.col("db").cast("long").alias("db"))
+            .localCheckpoint()
+        )
+        clustered(kept_ids, "db", "nid").write.partitionBy("db").parquet(
+            f"{store.vdir(v)}/ids"
+        )
+        rows = store.carry_except(store.state_rows(), "vectors", set(cell_parts))
+        rows = store.carry_except(rows, "ids", set(db_parts))
+        rows += [("vectors", p, v) for p in store.written_parts(v, "vectors")]
+        rows += [("ids", p, v) for p in store.written_parts(v, "ids")]
+        store.commit(v, rows)
     return n_del
 
 
@@ -1535,6 +1684,7 @@ def topk_ivf_indexed(
     probes = q.crossJoin(F.broadcast(cells_arr)).select(
         "qid", "qvec", F.explode(_nearest_cells(F.col("qvec"), nprobe)).alias("cell")
     )
+    probes = probes.withColumn("_qn", norm_col(F.col("qvec")))
     # bounded collect: one scalar per (query, probed cell)
     cell_ids = [r.cell for r in probes.select("cell").distinct().collect()]
     # cast the partition column back to the CODEBOOK's cell_id type —
@@ -1558,13 +1708,12 @@ def topk_ivf_indexed(
             .where(F.col("cell").isin(cell_ids))
             .select("nid", "nvec", F.col("cell").cast(cell_type).alias("cell"))
         )
+    base = base.withColumn("_nn", norm_col(F.col("nvec")))
     scored = (
         F.broadcast(probes)
         .join(base, "cell")
         .filter(F.col("qid") != F.col("nid"))
-        .select(
-            "qid", "nid", F.round(cosine(F.col("qvec"), F.col("nvec")), 4).alias("score")
-        )
+        .select("qid", "nid", _score_expr().alias("score"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid").asc())
     return (
@@ -1809,8 +1958,10 @@ def topk_pq(
         .select("qid", "qvec", "nid")
     )
     # exact re-rank of the shortlist: one keyed join back to the floats
-    rer = cand.join(c, "nid").select(
-        "qid", "nid", F.round(cosine(F.col("qvec"), F.col("nvec")), 4).alias("score")
+    rerc = c.withColumn("_nn", norm_col(F.col("nvec")))
+    rerq = cand.withColumn("_qn", norm_col(F.col("qvec")))
+    rer = rerq.join(rerc, "nid").select(
+        "qid", "nid", _score_expr().alias("score")
     )
     w2 = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid").asc())
     return (
@@ -1891,6 +2042,8 @@ def topk_ivfpq(
     )
     # the index: (cell, m one-byte codes) per vector — assignment and
     # encoding in ONE broadcast pass over the corpus, no shuffle
+    # (linear-size HOF forms by design: see _assign_nearest/_cb_literal
+    # on why k-scaled flat unrolls break Janino)
     encoded = (
         c.crossJoin(F.broadcast(cells_arr))
         .select(
@@ -1956,8 +2109,10 @@ def topk_ivfpq(
         .filter(F.col("rank") <= rerank_factor * k)
         .select("qid", "qvec", "nid")
     )
-    rer = cand.join(c, "nid").select(
-        "qid", "nid", F.round(cosine(F.col("qvec"), F.col("nvec")), 4).alias("score")
+    rerc = c.withColumn("_nn", norm_col(F.col("nvec")))
+    rerq = cand.withColumn("_qn", norm_col(F.col("qvec")))
+    rer = rerq.join(rerc, "nid").select(
+        "qid", "nid", _score_expr().alias("score")
     )
     w2 = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid").asc())
     return (
@@ -2372,8 +2527,13 @@ def assign_to_centroids(
         F.col(centroids.columns[0]).alias("cid"),
         F.col(centroids.columns[1]).alias("cvec"),
     )
+    # norms once per vector / per centroid pre-join; the scored stage
+    # pays only the dot (see norm_col / dot_col)
+    v = v.withColumn("_vn", norm_col(F.col("vec")))
+    c = c.withColumn("_cn", norm_col(F.col("cvec")))
+    cos = dot_col(F.col("vec"), F.col("cvec")) / (F.col("_vn") * F.col("_cn"))
     scored = v.crossJoin(F.broadcast(c)).select(
-        "vid", "vec", "cid", cosine(F.col("vec"), F.col("cvec")).alias("cos")
+        "vid", "vec", "cid", cos.alias("cos")
     )
     neg_cos = F.when(
         F.isnan(F.col("cos")), F.lit(float("-inf"))
@@ -2436,6 +2596,8 @@ def semantic_dedup_keep(
     """
     g = max(1, int(pair_grid))
     assigned = assign_to_centroids(df, id_col, vec_col, centroids)
+    # one norm per vector, shared by BOTH sides of the pair join
+    assigned = assigned.withColumn("_nr", norm_col(F.col("vec")))
     grp = F.pmod(F.xxhash64(F.col("vid"), F.lit("semgrid")), F.lit(g))
     par = df.sparkSession.sparkContext.defaultParallelism
     # EXPLICIT keyed repartition before the pair join: the join input
@@ -2444,16 +2606,19 @@ def semantic_dedup_keep(
     # INSIDE the join stage, which then runs one-core. A user
     # repartition is exempt from AQE coalescing, so the pair
     # generation + cosine filter keep cluster-wide parallelism.
+    na = [F.col("_nr").alias("na")]
+    nb = [F.col("_nr").alias("nb")]
     a = assigned.select(
         F.col("vid").alias("ia"), F.col("vec").alias("va"), "cid",
-        grp.alias("gi"),
+        grp.alias("gi"), *na,
         F.explode(F.sequence(F.lit(0), F.lit(g - 1))).alias("gj"),
     ).repartition(par, "cid", "gi", "gj")
     b = assigned.select(
         F.col("vid").alias("ib"), F.col("vec").alias("vb"),
-        F.col("cid").alias("cidb"), grp.alias("gjb"),
+        F.col("cid").alias("cidb"), grp.alias("gjb"), *nb,
         F.explode(F.sequence(F.lit(0), F.lit(g - 1))).alias("gib"),
     ).repartition(par, "cidb", "gib", "gjb")
+    pair_cos = dot_col(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     dropped = (
         a.join(
             b,
@@ -2462,7 +2627,7 @@ def semantic_dedup_keep(
             & (F.col("gj") == F.col("gjb"))
             & (F.col("ia") < F.col("ib")),
         )
-        .where(F.round(cosine(F.col("va"), F.col("vb")), 4) >= threshold)
+        .where(F.round(pair_cos, 4) >= threshold)
         .select(F.col("ib").alias("vid"))
         .distinct()
     )

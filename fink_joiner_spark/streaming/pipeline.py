@@ -88,8 +88,9 @@ def run_snapshot_join_pipeline(
         order_col=joined.columns[0],
     )
     # For the join result we want full-row diff semantics, not
-    # latest-per-key — store the rows verbatim and diff.
-    inserts, retracts = _diff_upsert(result_store, joined)
+    # latest-per-key — store the rows verbatim and diff (bucket-pruned
+    # rewrite through the shared versioned-store commit protocol).
+    inserts, retracts = result_store.replace(joined)
     from pyspark.sql import functions as F
 
     delta = inserts.withColumn("is_retract", F.lit(False)).unionByName(
@@ -98,61 +99,3 @@ def run_snapshot_join_pipeline(
     delta.write.mode("overwrite").parquet(os.path.join(work_dir, result_name, "changelog"))
     stores[result_name] = result_store
     return stores
-
-
-def _diff_upsert(store: SnapshotStore, new: DataFrame):
-    """Multiset diff upsert: replace the stored relation with ``new``,
-    returning (inserts, retracts) — exact ``toRetractStream`` deltas.
-
-    Unlike :meth:`SnapshotStore.upsert` (which knows touched buckets
-    from the batch), a full-relation replace must diff everything — but
-    the REWRITE is still bucket-pruned: only key-hash buckets that
-    actually changed are written to the new version; unchanged buckets
-    carry forward by reference. (Compute is O(new+old) — inherent to
-    re-deriving a full join result; on a production cluster this store
-    is a Delta/Iceberg table and the delta comes from MERGE instead.)
-    """
-    from pyspark.sql import functions as F
-
-    spark = new.sparkSession
-    # pin the computed relation: one evaluation serves diff + write
-    new = new.localCheckpoint(eager=True)
-    bexpr = store._bucket_expr()
-    old = store.read(spark)
-    if old is None:
-        inserts, retracts = new, new.limit(0)
-    else:
-        inserts, retracts = new.exceptAll(old), old.exceptAll(new)
-    changed = sorted(
-        r[0]
-        for r in inserts.select(bexpr.alias("_b"))
-        .unionByName(retracts.select(bexpr.alias("_b")))
-        .distinct()
-        .collect()
-    )
-    if changed:
-        st = store._state() or {"version": 0, "buckets": {}}
-        v = st["version"] + 1
-        new_dir = os.path.join(store.path, f"v{v:06d}")
-        (
-            new.withColumn("_bucket", bexpr)
-            .where(F.col("_bucket").isin([int(b) for b in changed]))
-            .repartition(max(1, min(len(changed), 32)), "_bucket")
-            .write.partitionBy("_bucket")
-            .mode("overwrite")
-            .parquet(new_dir)
-        )
-        written = {
-            p.split("=", 1)[1]
-            for p in os.listdir(new_dir)
-            if p.startswith("_bucket=")
-        }
-        buckets = dict(st["buckets"])
-        for b in changed:
-            if str(b) in written:
-                buckets[str(b)] = v
-            else:  # bucket fully emptied by the replace
-                buckets.pop(str(b), None)
-        store._swap_pointer({"version": v, "buckets": buckets})
-        store._gc(keep=2)
-    return inserts, retracts

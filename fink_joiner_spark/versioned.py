@@ -73,6 +73,7 @@ partition listing).
 
 from __future__ import annotations
 
+import contextlib
 import time
 import uuid
 
@@ -185,9 +186,21 @@ class VersionedStore:
                         f"writer lease on {self.root} held by {held_token} "
                         f"for another {expiry_ms / 1000 - time.time():.0f}s"
                     )
-                # expired or our own process's stale lease: steal. Both
-                # racers may delete; exactly one exclusive create wins.
-                self.fs.delete(self._lock_path(), recursive=False)
+                # expired or our own process's stale lease: steal by
+                # renaming the OBSERVED lock file to a unique tombstone.
+                # rename is the conditional primitive here — the source
+                # exists exactly once, so of N racing stealers exactly
+                # one rename succeeds and only that winner may recreate.
+                # (The previous unconditional delete let a slow racer
+                # remove a FRESH lock another stealer had just created:
+                # P1 delete+create, P2 delete+create → two "holders".)
+                tomb = f"{self._lock_path()}.tomb.{uuid.uuid4().hex[:8]}"
+                if not self.fs.rename(self._lock_path(), tomb):
+                    # lost the steal race (or the lock vanished under
+                    # us): re-observe — we'll either see the winner's
+                    # fresh live lease (raise) or a free lock (create).
+                    continue
+                self.fs.delete(tomb, recursive=False)
             expiry = int((time.time() + self.lease_ttl_s) * 1000)
             if self.fs.create_exclusive(self._lock_path(), f"{token}\n{expiry}"):
                 self._lease_token = token
@@ -261,6 +274,29 @@ class VersionedStore:
             return list(hit)
         raw = self.fs.read_utf8(f"{self.vdir(version)}/_state.json")
         if raw is None:
+            if not self.fs.exists(f"{self.vdir(version)}/_state"):
+                # a GC'd or never-committed version: fail with the
+                # retention story instead of an obscure PATH_NOT_FOUND
+                # from the legacy parquet fallback below
+                committed = self.committed_versions()
+                readable = committed[-self.keep_commits:]
+                # GC also drops the old commit MARKERS, so a pruned
+                # version is indistinguishable from a never-committed
+                # one by marker presence alone — classify by position
+                why = (
+                    "it was garbage-collected"
+                    if committed and version < committed[-1]
+                    else "it was never committed"
+                )
+                raise ValueError(
+                    f"version {version} of {self.root} has no manifest — "
+                    f"{why}; "
+                    f"readable committed versions inside the "
+                    f"keep_commits={self.keep_commits} grace window: "
+                    f"{readable or 'none'} (construct the store with a "
+                    "larger keep_commits to pin more history for "
+                    "time-travel readers)"
+                )
             # pre-optimization layout (same round, parquet manifest):
             # readable fallback so an in-flight store survives the
             # upgrade; new commits write JSON
@@ -359,6 +395,42 @@ class VersionedStore:
         self.fs.delete(self.vdir(v))
         return v
 
+    @contextlib.contextmanager
+    def transaction(self):
+        """``begin()`` → yield the staging version → the body stages and
+        calls :meth:`commit` itself. Any NON-commit failure inside the
+        body (a Spark job dying mid-staging — the common case) aborts:
+        the staged dir is dropped and the lease released immediately,
+        instead of locking other writers out for the full
+        ``lease_ttl_s``. A :class:`ConcurrentWriteError` from commit is
+        re-raised as-is — commit's failure branches already released
+        the lease, and the version number may by then be ANOTHER
+        writer's committed data, so nothing under it may be deleted."""
+        v = self.begin()
+        try:
+            yield v
+        except ConcurrentWriteError:
+            self._release_lease()  # no-op unless still verifiably ours
+            raise
+        except BaseException:
+            self.abort(v)
+            raise
+
+    def abort(self, version: int | None = None) -> None:
+        """Release the lease (and drop the staged, never-committed
+        version dir) after a FAILED — not crashed — op. Without this,
+        any Spark-side exception between :meth:`begin` and
+        :meth:`commit` left other writers locked out for the full
+        ``lease_ttl_s`` even though the failing driver was alive and
+        could release immediately. Safe to call when the lease was
+        already lost/stolen (no-op release) or when nothing was staged.
+        Writers wrap begin→commit in try/except and abort-then-reraise."""
+        try:
+            if version is not None:
+                self.fs.delete(self.vdir(version))
+        finally:
+            self._release_lease()
+
     def written_parts(self, version: int, dataset: str) -> list[str]:
         """Partition dirs actually produced under
         ``v{version}/{dataset}`` — the rows a writer should reference
@@ -393,20 +465,31 @@ class VersionedStore:
                 f"manifest for v{version:06d} on {self.root} could not "
                 "be staged — concurrent writer debris?"
             )
-        _MANIFEST_CACHE[(self.root, version)] = tuple(rows)
-        self._verify_lease()
+        try:
+            self._verify_lease()
+        except ConcurrentWriteError:
+            _MANIFEST_CACHE.pop((self.root, version), None)
+            raise
         self.fs.mkdirs(self._commits_dir())
         if not self.fs.create_exclusive(f"{self._commits_dir()}/c{version:06d}"):
             # we hold the lease but the version number was taken (a
             # fenced zombie's marker landed in the check-then-create
             # window) — release so the next writer isn't blocked until
-            # the TTL, then surface the conflict
+            # the TTL, then surface the conflict. Do NOT cache our
+            # manifest: the version that exists was committed by the
+            # OTHER writer with different contents, and caching the
+            # loser's rows would make this process GC live data / read
+            # wrong index state for the rest of its life.
+            _MANIFEST_CACHE.pop((self.root, version), None)
             self._release_lease()
             raise ConcurrentWriteError(
                 f"commit c{version:06d} on {self.root} already exists — "
                 "another writer won this version; no visible change was "
                 "made, re-run the op"
             )
+        # only a version whose marker landed has an immutable manifest —
+        # cache strictly after the CAS succeeds
+        _MANIFEST_CACHE[(self.root, version)] = tuple(rows)
         self._release_lease()
         self.gc()
 
@@ -446,3 +529,8 @@ class VersionedStore:
                     self.fs.delete(f"{self.root}/{name}")
         for c in vs[:-self.keep_commits]:
             self.fs.delete(f"{self._commits_dir()}/c{c:06d}")
+            # evict the pruned version's memoized manifest, or an
+            # in-process time-travel read would serve cached rows
+            # pointing at deleted directories instead of the clear
+            # outside-the-grace-window error
+            _MANIFEST_CACHE.pop((self.root, c), None)

@@ -405,7 +405,10 @@ def test_bm25_compaction_recovers_from_crash_states(spark, sf_dir, tmp_path, mon
 
     got = {tuple(r) for r in scoring.bm25_indexed_scores(spark, idx, terms).collect()}
     assert got == want  # old version untouched
-    assert scoring.bm25_upsert_pending(spark, idx)  # debris, informational
+    # r10: a FAILED (not crashed) op aborts — staging dropped, writer
+    # lease released immediately, so there is NO debris and the next
+    # writer is never TTL-blocked (r9 ADVICE #3)
+    assert not scoring.bm25_upsert_pending(spark, idx)
 
     scoring.compact_bm25_index(spark, idx)  # plain retry completes
     assert not scoring.bm25_upsert_pending(spark, idx)
@@ -563,7 +566,8 @@ def test_bm25_upsert_crash_leaves_old_version_readable(
 
     got = {tuple(r) for r in scoring.bm25_indexed_scores(spark, idx, terms).collect()}
     assert got == pre  # old version intact
-    assert scoring.bm25_upsert_pending(spark, idx)  # debris, informational
+    # r10: failed op aborted — no staging debris, lease released
+    assert not scoring.bm25_upsert_pending(spark, idx)
 
     # a DIFFERENT op retries cleanly over the crashed one's debris
     assert scoring.delete_from_bm25_index(
@@ -852,7 +856,8 @@ def test_ivf_retrain_reassigns_consistently_and_survives_crash(
     # isolation means there was never a mixed state to repair
     assert probe() == pre_crash
     assert_consistent()
-    assert similarity.ivf_retrain_pending(spark, idx)  # staging debris only
+    # r10: failed op aborted — no staging debris, lease released
+    assert not similarity.ivf_retrain_pending(spark, idx)
 
     # re-run is plain retry: deterministic from the (invariant) vector set
     similarity.retrain_ivf_index(spark, idx, train_iters=2)
@@ -950,7 +955,8 @@ def test_bm25_delete_matches_clean_rebuild_and_retires_buckets(
         scoring.delete_from_bm25_index(junk.select("doc_id"), "doc_id", idx)
     monkeypatch.setattr(VersionedStore, "commit", real_commit)
     assert scoring.bm25_indexed_scores(spark, idx, ["junkonlytoken"]).count() > 0
-    assert scoring.bm25_upsert_pending(spark, idx)  # debris only
+    # r10: failed op aborted — no staging debris, lease released
+    assert not scoring.bm25_upsert_pending(spark, idx)
 
     n = scoring.delete_from_bm25_index(junk.select("doc_id"), "doc_id", idx)
     assert n == junk.count()
@@ -1468,9 +1474,10 @@ def test_ivf_maintenance_crash_leaves_old_version_readable(
         similarity.upsert_ivf_index(delta, "vec_id", "embedding", idx)
     monkeypatch.setattr(VersionedStore, "commit", real_commit)
 
-    # old version intact and consistent; debris detectable but harmless
+    # old version intact and consistent; the failed op aborted its
+    # staging (r10): no debris, lease released immediately
     assert probe() == pre
-    assert similarity.ivf_maint_pending(spark, idx)
+    assert not similarity.ivf_maint_pending(spark, idx)
     _fwd_consistent(spark, idx)
 
     # a DIFFERENT op retries cleanly over the crashed one's debris
@@ -1777,3 +1784,30 @@ def test_bm25_empty_delta_fold_commits_marker_only(spark, sf_dir, tmp_path):
     )
     got = {tuple(r) for r in scoring.bm25_indexed_scores(spark, idx, terms).collect()}
     assert got == want
+
+
+def test_hard_crash_debris_detectable_and_swept(spark, sf_dir, tmp_path):
+    """A HARD crash (process death mid-staging — no abort() ran) leaves
+    an uncommitted staged version dir: *_pending detects it
+    (informational — nothing is half-applied), probes ignore it, and
+    the next maintenance op's commit GC sweeps it."""
+    from fink_joiner_spark.operators import scoring
+    from fink_joiner_spark.versioned import VersionedStore
+
+    docs = _docs(spark, sf_dir)
+    idx = str(tmp_path / "hard_crash_idx")
+    scoring.build_bm25_index(docs, "doc_id", "text", idx, n_buckets=8)
+    terms = ["join", "filter"]
+    pre = {tuple(r) for r in scoring.bm25_indexed_scores(spark, idx, terms).collect()}
+
+    store = VersionedStore(spark, idx)
+    cur = store.current()
+    store.fs.mkdirs(f"{store.vdir(cur + 1)}/postings")  # crashed staging
+    assert scoring.bm25_upsert_pending(spark, idx)
+    got = {tuple(r) for r in scoring.bm25_indexed_scores(spark, idx, terms).collect()}
+    assert got == pre  # debris invisible to probes
+
+    scoring.compact_bm25_index(spark, idx)  # any next op sweeps it
+    assert not scoring.bm25_upsert_pending(spark, idx)
+    got = {tuple(r) for r in scoring.bm25_indexed_scores(spark, idx, terms).collect()}
+    assert got == pre

@@ -685,3 +685,54 @@ def test_jaccard_prefix_skew_guard_splits_length_spread_block(spark):
         r["count"] for r in postings.groupBy("id", "s", "n_sh").count().collect()
     )
     assert fan <= 2, fan
+
+
+def test_flat_cosine_bitwise_equals_fold(spark, sf_dir):
+    """The codegen-resident flat kernel (dim unrolled) must be
+    BIT-identical to the dimension-agnostic HOF fold it replaced in
+    the hot pair stages — same strict left-fold evaluation order."""
+    emb = table(spark, sf_dir, "embeddings")
+    dim = similarity.vec_dim(emb, "embedding")
+    assert dim == 64
+    pairs = (
+        emb.alias("a")
+        .join(emb.alias("b"), F.col("a.vec_id") + 1 == F.col("b.vec_id"))
+        .select(
+            F.col("a.embedding").alias("va"), F.col("b.embedding").alias("vb")
+        )
+    )
+    diff = pairs.select(
+        (
+            similarity.cosine(F.col("va"), F.col("vb"))
+            == similarity.cosine(F.col("va"), F.col("vb"), dim)
+        ).alias("eq")
+    )
+    n_bad = diff.where(~F.col("eq")).count()
+    assert n_bad == 0
+
+
+def test_prenorm_dot_bitwise_equals_cosine(spark, sf_dir):
+    """The pair-stage score — HOF dot over PRECOMPUTED per-side norms
+    (norm_col/dot_col, the shape every scored join ships: one fold
+    per pair instead of three, measured 2-6× faster at sf0.1) — must
+    be bit-identical to the full cosine: same sub-expressions, same
+    strict-fold order."""
+    emb = table(spark, sf_dir, "embeddings")
+    sides = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("v"),
+        similarity.norm_col(F.col("embedding")).alias("n"),
+    )
+    pairs = (
+        sides.alias("a")
+        .join(sides.alias("b"), F.col("a.id") + 1 == F.col("b.id"))
+        .select(
+            F.col("a.v").alias("va"), F.col("b.v").alias("vb"),
+            F.col("a.n").alias("na"), F.col("b.n").alias("nb"),
+        )
+    )
+    pre = similarity.dot_col(F.col("va"), F.col("vb")) / (
+        F.col("na") * F.col("nb")
+    )
+    full = similarity.cosine(F.col("va"), F.col("vb"))
+    assert pairs.select((pre == full).alias("eq")).where(~F.col("eq")).count() == 0

@@ -1,0 +1,182 @@
+"""Continuous-trigger streaming soak (r9 verdict "What's missing" #1).
+
+Every other streaming test replays 2-10 micro-batches under
+``Trigger.AvailableNow``; the reference is an always-on job
+(``CRMLSJoiner.scala:499``, 1 s checkpoints ``:71-80``). These soaks
+run ≥100 micro-batches under a PROCESSING-TIME trigger and assert the
+properties that only show up at that horizon:
+
+* the event-time watermark keeps advancing batch over batch;
+* stateful-operator state stays BOUNDED (watermark GC works — state
+  row count ≪ rows processed and flat, not monotone);
+* the end state is exactly the batch answer (no drop, no double);
+* the versioned snapshot store survives 100+ commit flips with GC
+  keeping the on-disk version-directory count bounded.
+
+Wall cost is a few minutes; measured steady-state numbers are recorded
+in SCALE.md ("continuous-trigger soak" row).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from fink_joiner_spark.catalog import table
+from fink_joiner_spark.operators import dedup
+from fink_joiner_spark.queries import scoped_conf
+from fink_joiner_spark.sources.streaming import file_drip_feed
+from fink_joiner_spark.streaming.dedup_stream import SnapshotStore, run_dedup_stream
+
+
+def _sorted_rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_soak_watermarked_dedup_100_batches(spark, sf_dir, tmp_path):
+    """≥100 micro-batches of watermarked dropDuplicatesWithinWatermark
+    under Trigger(processingTime=0): watermark advances, state-store
+    rows stay bounded (watermark GC), final output ≡ batch distinct."""
+    n_files = 110
+    ev = table(spark, sf_dir, "events").select("event_id", "ts")
+    total_rows = ev.count()
+
+    progress: dict[int, dict] = {}
+
+    def harvest(q):
+        for p in q.recentProgress:
+            progress[p["batchId"]] = {
+                "rows": p["numInputRows"],
+                "watermark": (p.get("eventTime") or {}).get("watermark"),
+                "state_rows": (
+                    p["stateOperators"][0]["numRowsTotal"]
+                    if p.get("stateOperators")
+                    else None
+                ),
+            }
+
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", "4"), \
+            scoped_conf(
+                spark,
+                "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
+                "true",
+            ):
+        stream = file_drip_feed(
+            spark, ev, str(tmp_path / "stage"), "ts", n_files=n_files
+        )
+        deduped = stream.withWatermark("ts", "100 seconds").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("soak_ddww")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 600
+            drained_polls = 0
+            while time.time() < deadline and drained_polls < 8:
+                harvest(q)
+                lp = q.lastProgress
+                done = {b: d for b, d in progress.items() if d["rows"] > 0}
+                if (
+                    lp is not None
+                    and lp["numInputRows"] == 0
+                    and sum(d["rows"] for d in done.values()) >= total_rows
+                ):
+                    drained_polls += 1
+                else:
+                    drained_polls = 0
+                time.sleep(0.25)
+            harvest(q)
+        finally:
+            q.stop()
+            q.awaitTermination()
+
+    data_batches = {b: d for b, d in progress.items() if d["rows"] > 0}
+    assert len(data_batches) >= 100, (
+        f"soak must cover >=100 data micro-batches, saw {len(data_batches)}"
+    )
+    assert sum(d["rows"] for d in data_batches.values()) == total_rows
+
+    # watermark advances across the run (nondecreasing, strictly up
+    # overall) — the in-order drip moves event time forward every batch
+    wms = [
+        d["watermark"]
+        for _, d in sorted(progress.items())
+        if d["watermark"] not in (None, "1970-01-01T00:00:00.000Z")
+    ]
+    assert len(wms) >= 50
+    assert wms == sorted(wms)
+    assert wms[-1] > wms[0]
+
+    # state stays bounded: the watermark GCs per-key state, so the
+    # high-water state row count is a small window's worth of keys,
+    # never a monotone accumulation of everything processed
+    states = [d["state_rows"] for d in progress.values() if d["state_rows"] is not None]
+    assert states, "no state-operator metrics captured"
+    assert max(states) < total_rows * 0.2, (
+        f"state grew to {max(states)} rows over {total_rows} processed — "
+        "watermark GC is not bounding state"
+    )
+
+    # end-to-end exactness: every unique event emitted exactly once
+    got = spark.sql("SELECT event_id FROM soak_ddww")
+    assert got.count() == total_rows  # event_ids are unique in the table
+    assert (
+        _sorted_rows(got, ["event_id"])
+        == _sorted_rows(ev.select("event_id").distinct(), ["event_id"])
+    )
+
+
+def test_soak_snapshot_store_100_commits(spark, tmp_path):
+    """100+ micro-batch upserts through the versioned SnapshotStore
+    under a processing-time trigger: every commit flips atomically,
+    GC keeps the on-disk version-directory count bounded (references
+    of the last two commits only — NOT one dir per historical commit),
+    and the final snapshot equals the batch latest-per-key answer."""
+    n_files = 104
+    rows = [(i % 40, i, f"v{i}") for i in range(1040)]  # 40 keys, re-versioned often
+    df = spark.createDataFrame(rows, "k long, ts long, v string")
+
+    store = SnapshotStore(str(tmp_path / "snap"), ["k"], "ts", n_buckets=8)
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", "4"):
+        stream = file_drip_feed(
+            spark, df, str(tmp_path / "stage"), "ts", n_files=n_files
+        )
+        q = run_dedup_stream(
+            stream, store, trigger={"processingTime": "0 seconds"}
+        )
+        deadline = time.time() + 600
+        while time.time() < deadline:
+            cur = store.current_version()
+            if cur is not None and cur >= n_files:
+                break
+            time.sleep(0.25)
+        q.stop()
+        q.awaitTermination()
+
+    assert store.current_version() is not None and store.current_version() >= 100
+
+    # bounded storage under churn: live version dirs = the distinct
+    # versions referenced by the last two commits (≤ buckets + a few),
+    # never one per historical commit
+    vdirs = [
+        n for n in os.listdir(str(tmp_path / "snap"))
+        if n.startswith("v") and n[1:].isdigit()
+    ]
+    assert len(vdirs) <= store.n_buckets + 8, (
+        f"{len(vdirs)} version dirs survive GC after "
+        f"{store.current_version()} commits"
+    )
+
+    # snapshot ≡ batch
+    want = dedup.latest_per_key(df, ["k"], "ts")
+    got = store.read(spark)
+    cols = ["k", "ts", "v"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)

@@ -131,3 +131,114 @@ def test_lease_cycle_leaves_no_lock_debris(spark, tmp_path):
     v = w.begin()
     _commit_one(spark, w, v, 2)
     assert not w.fs.exists(f"{root}/_writer_lock")
+
+
+def test_abort_releases_lease_and_drops_staging(spark, tmp_path):
+    """A FAILED (not crashed) op must not lock other writers out for
+    the TTL: the transaction wrapper aborts — staged dir dropped,
+    lease released immediately (r9 ADVICE #3)."""
+    root = str(tmp_path / "store")
+    w = VersionedStore(spark, root)
+    with pytest.raises(RuntimeError, match="boom"):
+        with w.transaction() as v:
+            w.fs.mkdirs(f"{w.vdir(v)}/data")
+            raise RuntimeError("boom")
+    assert not w.fs.exists(f"{root}/_writer_lock")
+    assert not w.fs.exists(w.vdir(v))
+    # the next writer proceeds immediately
+    w2 = VersionedStore(spark, root)
+    v2 = w2.begin()
+    _commit_one(spark, w2, v2, 2)
+    assert w2.current() == v2
+
+
+def test_manifest_cache_not_poisoned_by_lost_cas(spark, tmp_path):
+    """When the commit-marker CAS loses, the loser must NOT cache its
+    manifest for the version the WINNER committed (r9 ADVICE #2) —
+    a poisoned cache would serve wrong index state / GC live data
+    for the rest of the process."""
+    root = str(tmp_path / "store")
+    w = VersionedStore(spark, root)
+    v = w.begin()
+    spark.range(3).write.parquet(f"{w.vdir(v)}/data")
+    # the "winner": a marker for v with a DIFFERENT manifest landed
+    w.fs.mkdirs(f"{root}/_commits")
+    winner_rows = [["windata", "", v]]
+    import json as _json
+
+    w.fs.delete(f"{w.vdir(v)}/_state.json", recursive=False)
+    assert w.fs.create_exclusive(f"{root}/_commits/c{v:06d}")
+    with pytest.raises(ConcurrentWriteError):
+        w.commit(v, [("data", "", v)])
+    # overwrite the manifest file with the winner's content (simulating
+    # the winner's staging) and verify state_rows serves THAT, not the
+    # loser's cached rows
+    w.fs.delete(f"{w.vdir(v)}/_state.json", recursive=False)
+    assert w.fs.create_exclusive(
+        f"{w.vdir(v)}/_state.json", _json.dumps(winner_rows)
+    )
+    assert w.state_rows(v) == [("windata", "", v)]
+
+
+def test_time_travel_outside_grace_raises_clear_error(spark, tmp_path):
+    """Probing a GC'd version must name the retention story (r9 ADVICE
+    #4), not surface an obscure parquet PATH_NOT_FOUND."""
+    root = str(tmp_path / "store")
+    w = VersionedStore(spark, root)  # keep_commits=2 default
+    for payload in (2, 3, 4):
+        _commit_one(spark, w, w.begin(), payload)
+    # v1 fell outside the 2-commit grace window
+    with pytest.raises(ValueError, match="garbage-collected.*keep_commits=2"):
+        w.state_rows(1)
+    # a never-committed future version reads as such
+    with pytest.raises(ValueError, match="never committed"):
+        w.state_rows(99)
+
+
+def test_keep_commits_pins_time_travel_readers(spark, tmp_path):
+    """The r9 verdict ask #7: a reader pinning version N−k stays
+    readable across k maintenance flips when the store is constructed
+    with keep_commits=k+1 — the documented sizing rule."""
+    k = 2
+    root = str(tmp_path / "store")
+    w = VersionedStore(spark, root, keep_commits=k + 1)
+    v_pin = w.begin()
+    _commit_one(spark, w, v_pin, 7)
+    for payload in (8, 9):  # k = 2 subsequent flips
+        _commit_one(spark, w, w.begin(), payload)
+    # the pinned version is still fully readable: manifest + data
+    assert w.state_rows(v_pin) == [("data", "", v_pin)]
+    assert w.read("data", version=v_pin).count() == 7
+    # one more flip pushes it out of the window
+    _commit_one(spark, w, w.begin(), 10)
+    with pytest.raises(ValueError, match="garbage-collected"):
+        w.state_rows(v_pin)
+
+
+def test_lease_steal_rename_tombstone_no_double_hold(
+    spark, tmp_path, other_process, monkeypatch
+):
+    """The r9 ADVICE #1 race: two processes both observing an expired
+    lease must never BOTH believe they hold it. The fix makes the
+    steal a rename-to-tombstone of the exact observed lock — simulate
+    the loser's side: after the winner has already stolen and
+    recreated, a stale-lease deletion attempt (the old unconditional
+    delete) is now a failed rename, and the loser re-observes the
+    winner's live lease instead of clobbering it."""
+    root = str(tmp_path / "store")
+    stale = VersionedStore(spark, root, lease_ttl_s=0.05)
+    stale.begin()  # leaves a lease that will expire
+    time.sleep(0.15)
+
+    other_process()
+    winner = VersionedStore(spark, root, lease_ttl_s=30)
+    vw = winner.begin()  # steals the expired lease, holds a live one
+
+    # a third process also saw the expired lease and races its steal
+    monkeypatch.setattr(versioned, "_PROCESS_TOKEN", "thirdproc5678")
+    loser = VersionedStore(spark, root, lease_ttl_s=30)
+    with pytest.raises(ConcurrentWriteError, match="held"):
+        loser.begin()
+    # the winner's lease was never clobbered: it commits normally
+    _commit_one(spark, winner, vw, 2)
+    assert winner.current() == vw
