@@ -6823,3 +6823,140 @@ def ext_bm25_index_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return old.unionByName(cur).orderBy(
         "snapshot", F.col("score").desc(), "doc_id"
     )
+
+
+def _topk_oracle_where(corpus_where: str) -> str:
+    """The exact-cosine top-10 oracle over a RESTRICTED corpus —
+    parameterized like :func:`_bm25_oracle_sql` so the IVF time-travel
+    query can oracle an older index state (the corpus the pinned
+    version indexed) with identical arithmetic."""
+    return f"""
+  SELECT qid, nid, score,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rank
+  FROM (
+    SELECT q.qid, c.vec_id AS nid,
+           ROUND({_dd_cosine('q.qvec', 'c.embedding')}, 4) AS score
+    FROM (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 8) q
+    CROSS JOIN embeddings c WHERE q.qid <> c.vec_id {corpus_where}
+  )
+"""
+
+
+@register(
+    "simsearch_ivf_time_travel",
+    f"""
+    WITH r1 AS ({_topk_oracle_where('AND c.vec_id % 2 = 0')}),
+         r2 AS ({_topk_oracle_where('')})
+    SELECT 'v1' AS snapshot, qid, nid, score, rank FROM r1 WHERE rank <= 10
+    UNION ALL
+    SELECT 'current' AS snapshot, qid, nid, score, rank FROM r2 WHERE rank <= 10
+    """,
+    "versioned-index time travel, IVF side (closing lifecycle parity "
+    "with ext_bm25_index_time_travel): index built on half the vectors "
+    "(version 1), the rest folded in against the frozen codebook "
+    "(version 2 = current); ONE probe call pinned to version 1 must "
+    "return exactly the half-corpus top-k it returned before the fold, "
+    "while the unpinned probe sees the full corpus — both snapshots "
+    "hash-match their own corpus-state brute-force oracle; the "
+    "manifest's carried references ARE the history (no files copied), "
+    "readable within the keep_commits GC grace window",
+)
+def simsearch_ivf_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from fink_joiner_spark.operators import similarity
+    from fink_joiner_spark.versioned import VersionedStore
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    n_cells = 16
+    exact = emb.count() <= _ANN_EXACT_MAX
+    nprobe = n_cells if exact else 4
+    work = tempfile.mkdtemp(prefix="fjs_ivf_tt_")
+    similarity.build_ivf_index(
+        emb.where(F.col("vec_id") % 2 == 0), "vec_id", "embedding", work,
+        n_cells=n_cells,
+    )
+    v1 = VersionedStore(spark, work).current()
+    similarity.update_ivf_index(
+        emb.where(F.col("vec_id") % 2 == 1), "vec_id", "embedding", work
+    )
+
+    def _tag(df, tag):
+        return df.select(
+            F.lit(tag).alias("snapshot"), "qid", "nid", "score", "rank"
+        )
+
+    old = _tag(
+        similarity.topk_ivf_indexed(
+            spark, work, queries, "vec_id", "embedding",
+            k=10, nprobe=nprobe, version=v1,
+        ),
+        "v1",
+    )
+    cur = _tag(
+        similarity.topk_ivf_indexed(
+            spark, work, queries, "vec_id", "embedding", k=10, nprobe=nprobe,
+        ),
+        "current",
+    )
+    return old.unionByName(cur)
+
+
+@register(
+    "ext_hybrid_indexed_rrf",
+    _RRF_ORACLE,
+    "hybrid retrieval served entirely from PERSISTED indexes — the "
+    "production RAG shape (ext_hybrid_search_rrf recomputes both arms "
+    "from the raw corpus every query; here both arms are index "
+    "probes): BM25 top-100 from the persisted inverted index + cosine "
+    "top-100 from the persisted IVF index (all-cell probe at oracle "
+    "scale = exact), fused with 1/(60+rank) reciprocal-rank fusion. "
+    "Probe-identity makes the scan-time oracle valid verbatim: "
+    "bm25_indexed_scores is bit-identical to bm25_scores and the "
+    "exact-config IVF probe to brute force — so the fused output "
+    "hash-matches the same _RRF_ORACLE",
+)
+def ext_hybrid_indexed_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from fink_joiner_spark.operators import scoring, similarity
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    n_cells = 16
+    exact = emb.count() <= _ANN_EXACT_MAX
+    work = tempfile.mkdtemp(prefix="fjs_hybrid_idx_")
+
+    scoring.build_bm25_index(docs, "doc_id", "text", f"{work}/bm25", n_buckets=8)
+    similarity.build_ivf_index(
+        emb, "vec_id", "embedding", f"{work}/ivf", n_cells=n_cells
+    )
+
+    bm = scoring.bm25_indexed_scores(
+        spark, f"{work}/bm25", ["join", "filter", "window"]
+    )
+    bm_top = bm.orderBy(F.col("score").desc(), "doc_id").limit(100)
+    wb = Window.orderBy(F.col("score").desc(), "doc_id")
+    bm_r = bm_top.select(
+        "doc_id", F.row_number().over(wb).cast("long").alias("r_bm")
+    )
+
+    cos_r = similarity.topk_ivf_indexed(
+        spark, f"{work}/ivf", emb.where(F.col("vec_id") == 0),
+        "vec_id", "embedding", k=100, nprobe=n_cells if exact else 4,
+    ).select(F.col("nid").alias("doc_id"), F.col("rank").cast("long").alias("r_cos"))
+
+    fused = bm_r.join(cos_r, "doc_id", "full_outer").select(
+        "doc_id",
+        "r_bm",
+        "r_cos",
+        F.round(
+            F.coalesce(1.0 / (60 + F.col("r_bm")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("r_cos")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(20)
