@@ -219,6 +219,115 @@ def minhash_signature(shingle_hashes: Column, k: int = 16) -> Column:
     )
 
 
+def _minhash_banded(
+    df: DataFrame, id_col: str, text_col: str, n: int, k: int, bands: int
+) -> tuple[DataFrame, DataFrame]:
+    """The shared MinHash banding pipeline: returns
+    ``(shingled(id, shingles), banded(id, band, bucket))``.
+
+    Signature computation in explode + hash-aggregate form (the same
+    restructure that made simhash32_agg ~20× faster): each shingle is
+    poly-hashed ONCE on its own row, and the k permutation minima run
+    as plain codegen MIN aggregates with map-side partial aggregation.
+    The naive form — k lambdas over transform(shingles,
+    char_poly_hash) — re-folds every character k times, because lambda
+    inlining (and CollapseProject) duplicates the inner expression
+    into every permutation. Docs with zero shingles have no banded
+    rows — they never pair."""
+    r = k // bands
+    shingled = _spread(df).select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), n).alias("shingles"),
+    )
+    hashed = shingled.select(
+        "id", F.explode("shingles").alias("s")
+    ).withColumn("h", char_poly_hash(F.col("s")))
+    sigs = hashed.groupBy("id").agg(
+        *[
+            F.min((F.col("h") * (2 * j + 1) + 97 * j + 13) % MOD).alias(f"m{j}")
+            for j in range(k)
+        ]
+    )
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bidx).alias("band"),
+                        F.concat_ws(
+                            "_", *[F.col(f"m{j}") for j in range(bidx * r, (bidx + 1) * r)]
+                        ).alias("bucket"),
+                    )
+                    for bidx in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    return shingled, banded
+
+
+def cross_corpus_dedup(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Asymmetric corpus-vs-corpus dedup — the ingest gate every
+    continuously-collected training corpus needs: drop NEW documents
+    that near-duplicate ANY document of an existing REFERENCE corpus
+    (a fresh crawl against last month's curated set), keeping the
+    reference untouched. Complements :func:`minhash_lsh_pairs`
+    (within-corpus pairs) and `text.ngram_decontaminate` (exact
+    containment against a small benchmark set): this one is
+    similarity-based and both sides are corpus-scale.
+
+    Same sub-quadratic shape as the within-corpus path: both corpora
+    run the shared MinHash banding ONCE (:func:`_minhash_banded`), the
+    candidate join is keyed by (band, bucket) — collision lists, never
+    all-pairs and never new×ref — and exact Jaccard verifies only the
+    candidates via two keyed shingle-array joins. Returns the KEPT
+    rows of ``new_df`` (original columns).
+    """
+    sh_new, band_new = _minhash_banded(new_df, id_col, text_col, n, k, bands)
+    sh_ref, band_ref = _minhash_banded(ref_df, id_col, text_col, n, k, bands)
+    cand = (
+        band_new.alias("a")
+        .join(
+            band_ref.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .select(F.col("a.id").alias("id_new"), F.col("b.id").alias("id_ref"))
+        .dropDuplicates(["id_new", "id_ref"])
+    )
+    verified = (
+        cand.join(
+            sh_new.select(F.col("id").alias("id_new"), F.col("shingles").alias("sh_a")),
+            "id_new",
+        )
+        .join(
+            sh_ref.select(F.col("id").alias("id_ref"), F.col("shingles").alias("sh_b")),
+            "id_ref",
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    dropped = (
+        verified.withColumn("jaccard", F.round(inter / union, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("id_new").alias("__drop_id"))
+        .distinct()
+    )
+    return new_df.join(
+        dropped, new_df[id_col] == F.col("__drop_id"), "left_anti"
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -236,45 +345,7 @@ def minhash_lsh_pairs(
     ``bands`` bands (r = k/bands rows per band). LSH may miss pairs —
     P(candidate | J) = 1-(1-J^r)^b — the declared approximation.
     """
-    r = k // bands
-    shingled = _spread(df).select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), n).alias("shingles"),
-    )
-    # Signature computation in explode + hash-aggregate form (same
-    # restructure that made simhash32_agg ~20× faster): each shingle is
-    # poly-hashed ONCE on its own row, and the k permutation minima run
-    # as plain codegen MIN aggregates with map-side partial aggregation.
-    # The naive form — k lambdas over transform(shingles,
-    # char_poly_hash) — re-folds every character k times, because
-    # lambda inlining (and CollapseProject) duplicates the inner
-    # expression into every permutation.
-    hashed = shingled.select(
-        "id", F.explode("shingles").alias("s")
-    ).withColumn("h", char_poly_hash(F.col("s")))
-    sigs = hashed.groupBy("id").agg(
-        *[
-            F.min((F.col("h") * (2 * j + 1) + 97 * j + 13) % MOD).alias(f"m{j}")
-            for j in range(k)
-        ]
-    )
-    # docs with zero shingles simply have no rows here — they never pair
-    banded = sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bidx).alias("band"),
-                        F.concat_ws(
-                            "_", *[F.col(f"m{j}") for j in range(bidx * r, (bidx + 1) * r)]
-                        ).alias("bucket"),
-                    )
-                    for bidx in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    shingled, banded = _minhash_banded(df, id_col, text_col, n, k, bands)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

@@ -124,9 +124,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash + LSH banding (k=16 perms, 4 bands × 4 rows)
 # ---------------------------------------------------------------------------
 
-# CTE body shared by the minhash pair query and the cluster queries
-# built on top of it (connected components / keep-canonical).
-_MINHASH_CTES = f"""tok AS (
+# Banding CTEs shared by the within-corpus minhash queries AND the
+# cross-corpus dedup gate (which joins new×ref instead of id<id).
+_MINHASH_BAND_CTES = f"""tok AS (
   SELECT doc_id, {_DD_TOKS.format(t='text')} AS toks FROM documents
 ),
 sh AS (
@@ -147,7 +147,11 @@ banded AS (
   SELECT doc_id, shingles, bands.band,
          array_to_string(sig[bands.band*4 + 1 : bands.band*4 + 4], '_') AS bucket
   FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) bands
-),
+)"""
+
+# CTE body shared by the minhash pair query and the cluster queries
+# built on top of it (connected components / keep-canonical).
+_MINHASH_CTES = f"""{_MINHASH_BAND_CTES},
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM banded a JOIN banded b
@@ -6960,3 +6964,103 @@ def ext_hybrid_indexed_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf"),
     )
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(20)
+
+
+@register(
+    "dedup_cross_corpus",
+    f"""
+    WITH {_MINHASH_BAND_CTES},
+    cc_cand AS (
+      SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_ref
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket
+       AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+    ),
+    cc_verified AS (
+      SELECT c.id_new,
+             len(list_filter(sa.shingles, s -> list_contains(sb.shingles, s))) AS inter,
+             len(sa.shingles) AS na, len(sb.shingles) AS nb
+      FROM cc_cand c
+      JOIN sh sa ON sa.doc_id = c.id_new
+      JOIN sh sb ON sb.doc_id = c.id_ref
+    ),
+    cc_dropped AS (
+      SELECT DISTINCT id_new FROM cc_verified
+      WHERE ROUND(inter::DOUBLE / (na + nb - inter), 4) >= 0.8
+    )
+    SELECT d.doc_id FROM documents d
+    ANTI JOIN cc_dropped x ON d.doc_id = x.id_new
+    WHERE d.doc_id % 2 = 1
+    """,
+    "asymmetric corpus-vs-corpus dedup — the ingest gate a "
+    "continuously-collected training corpus runs on every new crawl: "
+    "NEW docs (odd ids) near-duplicating ANY doc of the REFERENCE "
+    "corpus (even ids) are dropped, the reference untouched. Shared "
+    "MinHash banding runs once per side; the candidate join is keyed "
+    "by (band, bucket) — never new×ref — and exact Jaccard verifies "
+    "only candidates (sub-quadratic at both corpus scales)",
+)
+def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import similarity
+
+    docs = table(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    kept = similarity.cross_corpus_dedup(
+        new, ref, "doc_id", "text", n=3, k=16, bands=4, threshold=0.8
+    )
+    return kept.select("doc_id")
+
+
+@register(
+    "stream_ann_serving",
+    _TOPK_ORACLE,
+    "streaming ANN serving from the persisted IVF index — the "
+    "reference's always-on serving shape applied to retrieval: the "
+    "index is built once, query vectors ARRIVE AS A STREAM and each "
+    "micro-batch probes one committed index version (snapshot "
+    "isolation holds per batch even under concurrent maintenance); "
+    "per-batch results land in replay-idempotent batch={id} dirs, and "
+    "the drained union must hash-match the batch-mode exact oracle — "
+    "a dropped, duplicated, or mixed-version batch breaks it",
+)
+def stream_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from fink_joiner_spark.operators import similarity
+    from fink_joiner_spark.queries import (
+        STREAM_SHUFFLE_PARTITIONS,
+        stream_finish_fast,
+        stream_state_confs,
+    )
+    from fink_joiner_spark.sources.streaming import file_drip_feed
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding")
+    n_cells = 16
+    exact = emb.count() <= _ANN_EXACT_MAX
+    nprobe = n_cells if exact else 4
+    work = tempfile.mkdtemp(prefix="fjs_ann_serve_")
+    idx = f"{work}/idx"
+    similarity.build_ivf_index(emb, "vec_id", "embedding", idx, n_cells=n_cells)
+
+    def probe(batch_df, batch_id: int) -> None:
+        out = similarity.topk_ivf_indexed(
+            spark, idx, batch_df, "vec_id", "embedding", k=10, nprobe=nprobe
+        )
+        # overwrite-per-batch-dir: checkpoint replays are idempotent
+        out.write.mode("overwrite").parquet(f"{work}/out/batch={batch_id:06d}")
+
+    with stream_state_confs(spark, STREAM_SHUFFLE_PARTITIONS), \
+            stream_finish_fast(spark):
+        stream = file_drip_feed(
+            spark, queries, f"{work}/stage", "vec_id", n_files=2
+        )
+        (
+            stream.writeStream.foreachBatch(probe)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .start()
+            .awaitTermination()
+        )
+    return spark.read.parquet(f"{work}/out").select("qid", "nid", "score", "rank")

@@ -736,3 +736,35 @@ def test_prenorm_dot_bitwise_equals_cosine(spark, sf_dir):
     )
     full = similarity.cosine(F.col("va"), F.col("vb"))
     assert pairs.select((pre == full).alias("eq")).where(~F.col("eq")).count() == 0
+
+
+def test_cross_corpus_dedup_gate_semantics(spark):
+    """The ingest gate's contract: a new doc duplicating a REFERENCE
+    doc is dropped; a new doc duplicating only another NEW doc is
+    kept (within-corpus dedup is a separate pass); unique and
+    empty-shingle docs pass through with all original columns."""
+    base = (
+        "spark streaming joins aggregate windows watermark dedup "
+        "snapshot retract pipeline micro batch state store checkpoint"
+    )
+    ref = spark.createDataFrame(
+        [(0, base), (2, "completely different reference text about "
+                        "parquet manifests and commit markers here")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, base),                      # dup of ref 0 → dropped
+            (3, "twin one lives in the new corpus only and repeats "
+                "itself across the new corpus exactly twice yes"),
+            (5, "twin one lives in the new corpus only and repeats "
+                "itself across the new corpus exactly twice yes"),
+            (7, "entirely novel content never seen anywhere before "
+                "with many unique tokens to shingle over properly"),
+            (9, "tiny"),                    # no 3-shingles → kept
+        ],
+        "doc_id long, text string",
+    )
+    kept = similarity.cross_corpus_dedup(new, ref, "doc_id", "text")
+    assert sorted(r.doc_id for r in kept.collect()) == [3, 5, 7, 9]
+    assert kept.columns == new.columns
