@@ -276,3 +276,78 @@ def temperature_resample(
         .filter(F.col("_rn") <= F.col("_t"))
         .drop("_rn", "_t")
     )
+
+
+def dsir_importance(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_target: Column,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by how much more likely its hashed-unigram bag is under a
+    TARGET-domain language model than under the raw-corpus one —
+    log p_target(doc) − log p_raw(doc) — so selecting the top scores
+    resamples the raw corpus toward the target distribution. The
+    standard "make the crawl look like the curated set" selection
+    pass, sitting between quality filtering and mixture sampling.
+
+    Both unigram LMs are add-one-smoothed over HASHED token buckets
+    (the paper's hashed n-gram features): bucket =
+    ``char_poly_hash(token) % n_buckets`` — the engine's cross-engine
+    hash, so a DuckDB oracle reproduces every weight bit-for-bit. The
+    per-bucket log-ratio is integerized ONCE per bucket to micro-nats
+    (``floor(x·1e6 + 0.5)``, identical IEEE ops in both engines) and
+    each document SUMS exact int64 weights over its token occurrences
+    — reduction-order independent, the registry's exact-unit rule.
+
+    Scale shape: one tokenize+explode pass over the corpus; the two
+    LMs are ONE map-side-combined count aggregate over ≤ ``n_buckets``
+    groups (the target counts are a conditional sum in the same pass);
+    corpus totals are a 1-row collect; the per-doc score joins each
+    token row to the broadcast ``n_buckets``-row weight table and
+    partially aggregates by doc — no all-corpus shuffle beyond the
+    doc-keyed sum, no Python in the hot path.
+
+    Returns (``id_col``, imp_micro) — one row per document with ≥1
+    token; callers rank/threshold (see the registered
+    ``ext_dsir_select`` for the top-N form).
+    """
+    from fink_joiner_spark.operators.text import char_poly_hash, tokens
+
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("t"),
+        is_target.cast("boolean").alias("is_t"),
+    )
+    tok = d.select(
+        "doc_id", "is_t", F.explode(tokens(F.col("t"))).alias("w")
+    ).withColumn("b", char_poly_hash(F.col("w")) % n_buckets)
+    counts = tok.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).cast("long").alias("ct"),
+    )
+    totals = counts.agg(
+        F.sum("cr").alias("nr"), F.sum("ct").alias("nt")
+    ).first()
+    nr, nt = int(totals["nr"] or 0), int(totals["nt"] or 0)
+    # add-one smoothing over the bucket vocabulary; the log-ratio is
+    # built from the SAME expression shape the oracle uses:
+    # ln((ct+1)/(nt+B)) − ln((cr+1)/(nr+B)), doubles end to end
+    w_micro = F.floor(
+        (
+            F.log((F.col("ct") + F.lit(1.0)) / F.lit(float(nt + n_buckets)))
+            - F.log((F.col("cr") + F.lit(1.0)) / F.lit(float(nr + n_buckets)))
+        )
+        * 1_000_000.0
+        + 0.5
+    ).cast("long")
+    weights = counts.select("b", w_micro.alias("w_micro"))
+    return (
+        tok.join(F.broadcast(weights), "b")
+        .groupBy("doc_id")
+        .agg(F.sum("w_micro").alias("imp_micro"))
+        .select(F.col("doc_id").alias(id_col), "imp_micro")
+    )

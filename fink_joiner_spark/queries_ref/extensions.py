@@ -7064,3 +7064,54 @@ def stream_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
             .awaitTermination()
         )
     return spark.read.parquet(f"{work}/out").select("qid", "nid", "score", "rank")
+
+
+@register(
+    "ext_dsir_select",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang = 'en' AS is_t,
+             unnest({_DD_TOKS.format(t='text')}) AS w
+      FROM documents
+    ),
+    bt AS (
+      SELECT doc_id, is_t, {_DD_POLY.format(s='w')} % 1024 AS b FROM tok
+    ),
+    counts AS (
+      SELECT b, COUNT(*)::BIGINT AS cr,
+             SUM(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS ct
+      FROM bt GROUP BY b
+    ),
+    tot AS (SELECT SUM(cr)::BIGINT AS nr, SUM(ct)::BIGINT AS nt FROM counts),
+    wts AS (
+      SELECT b,
+             floor((ln((ct + 1.0) / (nt + 1024.0))
+                    - ln((cr + 1.0) / (nr + 1024.0))) * 1000000.0 + 0.5)::BIGINT
+               AS w_micro
+      FROM counts CROSS JOIN tot
+    ),
+    imp AS (
+      SELECT doc_id, SUM(w_micro)::BIGINT AS imp_micro
+      FROM bt JOIN wts USING (b) GROUP BY doc_id
+    )
+    SELECT doc_id, imp_micro FROM imp
+    QUALIFY ROW_NUMBER() OVER (ORDER BY imp_micro DESC, doc_id) <= 100
+    """,
+    "DSIR importance selection (Xie et al. 2023): hashed-unigram "
+    "add-one LMs over a TARGET domain (the English slice) and the raw "
+    "corpus; every doc scored log p_target − log p_raw as an exact "
+    "int64 micro-nat sum over per-bucket weights (cross-engine poly "
+    "hash, bucket log-ratios integerized once); top-100 selected — "
+    "the 'make the crawl look like the curated set' resampling pass "
+    "between quality filtering and mixture sampling. One "
+    "tokenize+explode pass, one <=1024-group count aggregate for BOTH "
+    "LMs, broadcast weight join, doc-keyed sum",
+)
+def ext_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import sampling
+
+    docs = table(spark, sf_dir, "documents")
+    imp = sampling.dsir_importance(
+        docs, "doc_id", "text", is_target=F.col("lang") == "en", n_buckets=1024
+    )
+    return imp.orderBy(F.col("imp_micro").desc(), "doc_id").limit(100)
