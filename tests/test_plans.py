@@ -659,3 +659,23 @@ def test_tpch_q16_not_in_plans_null_aware_anti(spark, sf_dir):
     plan = plans.formatted_plan(df)
     assert "LeftAnti" in plan, plan
     plans.asserts_no_cartesian(df)
+
+
+def test_dsir_weight_join_broadcasts_no_cartesian(spark, sf_dir):
+    """DSIR's per-doc scoring joins every token row to the bounded
+    (≤ n_buckets) weight table — that join must broadcast, and nothing
+    in the pipeline may degenerate to a cartesian product."""
+    df = _q("ext_dsir_select", spark, sf_dir)
+    plans.asserts_no_cartesian(df)
+    plan = plans.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_cross_corpus_dedup_candidates_are_keyed(spark, sf_dir):
+    """The ingest gate's candidate generation must stay a (band,
+    bucket)-keyed equi-join — never new×ref — and the final keep is a
+    left-anti join, not a subtract over the corpus."""
+    df = _q("dedup_cross_corpus", spark, sf_dir)
+    plans.asserts_no_cartesian(df)
+    plan = plans.formatted_plan(df)
+    assert "LeftAnti" in plan, plan
