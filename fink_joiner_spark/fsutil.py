@@ -94,11 +94,25 @@ class HadoopFS:
         leaning on this alone. NOTE (verified empirically): directory
         ``rename`` is NOT fail-if-exists on the local Hadoop FS — it
         replaces an empty destination and moves INTO a non-empty one —
-        so exclusive file creation is the only usable CAS here."""
+        so exclusive file creation is the only usable CAS here.
+
+        STRICT failure semantics (round 10): False means exactly
+        "the file already existed" — i.e. the CAS genuinely lost.
+        Every other failure re-raises: a streaming ``stop()`` can
+        interrupt the py4j call mid-flight AFTER the create succeeded
+        server-side, and swallowing that into False made a commit
+        whose marker had durably landed report "another writer won
+        this version" (observed live in the kill-midrun test; the
+        caller then aborted/retried a commit that already happened).
+        An interrupted caller now sees the real exception, and the
+        marker-aware abort keeps the committed version intact."""
         try:
             out = self._fs.create(self._path(p), False)
-        except Exception:  # noqa: BLE001 — FileAlreadyExists via py4j
-            return False
+        except Exception as exc:  # noqa: BLE001 — py4j-wrapped
+            je = getattr(exc, "java_exception", None)
+            if je is not None and "AlreadyExists" in je.getClass().getName():
+                return False
+            raise
         try:
             if content:
                 out.write(bytearray(content.encode("utf-8")))

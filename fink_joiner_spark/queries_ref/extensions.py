@@ -7115,3 +7115,78 @@ def ext_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", is_target=F.col("lang") == "en", n_buckets=1024
     )
     return imp.orderBy(F.col("imp_micro").desc(), "doc_id").limit(100)
+
+
+@register(
+    "stream_ingest_gate",
+    f"""
+    WITH {_MINHASH_BAND_CTES},
+    cc_cand AS (
+      SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_ref
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket
+       AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+    ),
+    cc_verified AS (
+      SELECT c.id_new,
+             len(list_filter(sa.shingles, s -> list_contains(sb.shingles, s))) AS inter,
+             len(sa.shingles) AS na, len(sb.shingles) AS nb
+      FROM cc_cand c
+      JOIN sh sa ON sa.doc_id = c.id_new
+      JOIN sh sb ON sb.doc_id = c.id_ref
+    ),
+    cc_dropped AS (
+      SELECT DISTINCT id_new FROM cc_verified
+      WHERE ROUND(inter::DOUBLE / (na + nb - inter), 4) >= 0.8
+    )
+    SELECT d.doc_id FROM documents d
+    ANTI JOIN cc_dropped x ON d.doc_id = x.id_new
+    WHERE d.doc_id % 2 = 1
+    """,
+    "the cross-corpus ingest gate run CONTINUOUSLY (the deployment "
+    "shape of dedup_cross_corpus): new documents ARRIVE AS A STREAM "
+    "and every micro-batch is gated against the static reference "
+    "corpus — kept rows land in replay-idempotent batch= dirs; the "
+    "drained union must equal the batch-mode gate over the same "
+    "documents exactly (same oracle), so a dropped, duplicated, or "
+    "un-gated batch breaks the hash. Per-batch cost is "
+    "O(batch + collisions with ref); the reference side's banding is "
+    "recomputed per batch here — a production deployment materializes "
+    "it once (it is a plain DataFrame; persist or store it)",
+)
+def stream_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from fink_joiner_spark.operators import similarity
+    from fink_joiner_spark.queries import (
+        STREAM_SHUFFLE_PARTITIONS,
+        stream_finish_fast,
+        stream_state_confs,
+    )
+    from fink_joiner_spark.sources.streaming import file_drip_feed
+
+    docs = table(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    # the static reference corpus, pinned once for every micro-batch
+    ref = docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "text").localCheckpoint()
+    work = tempfile.mkdtemp(prefix="fjs_ingest_gate_")
+
+    def gate(batch_df, batch_id: int) -> None:
+        kept = similarity.cross_corpus_dedup(
+            batch_df, ref, "doc_id", "text", n=3, k=16, bands=4, threshold=0.8
+        )
+        kept.select("doc_id").write.mode("overwrite").parquet(
+            f"{work}/out/batch={batch_id:06d}"
+        )
+
+    with stream_state_confs(spark, STREAM_SHUFFLE_PARTITIONS), \
+            stream_finish_fast(spark):
+        stream = file_drip_feed(spark, new, f"{work}/stage", "doc_id", n_files=2)
+        (
+            stream.writeStream.foreachBatch(gate)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .start()
+            .awaitTermination()
+        )
+    return spark.read.parquet(f"{work}/out").select("doc_id")

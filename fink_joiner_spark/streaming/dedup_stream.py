@@ -85,6 +85,8 @@ class SnapshotStore:
     # -- versioned-store plumbing -----------------------------------------
 
     def _store(self, spark: SparkSession | None = None) -> VersionedStore:
+        """Shared READ-side handle (no lease state is ever used through
+        it); writers must use :meth:`_writer` instead."""
         if self._vstore is None:
             if spark is None:
                 spark = SparkSession.getActiveSession()
@@ -97,6 +99,24 @@ class SnapshotStore:
                 spark, self.path, lease_ttl_s=self.lease_ttl_s, keep_commits=2
             )
         return self._vstore
+
+    def _writer(self, spark: SparkSession) -> VersionedStore:
+        """A FRESH store instance per write op. The lease token is
+        VersionedStore INSTANCE state, and one SnapshotStore object is
+        legitimately shared across threads here: a stopped streaming
+        query's foreachBatch callback can still be finishing its upsert
+        (py4j callback threads outlive ``query.stop()``) while the
+        restarted query's callback begins — through a SHARED instance
+        the restart's acquire would overwrite the zombie's token and
+        the zombie's commit-time fencing check would compare the lock
+        against its own replacement, i.e. pass. Separate instances make
+        the zombie a normal fenced writer: the restart steals the
+        (same-process) lease, the zombie's commit fails verification,
+        and begin()'s exclusive staging marker keeps their staging
+        directories disjoint meanwhile."""
+        return VersionedStore(
+            spark, self.path, lease_ttl_s=self.lease_ttl_s, keep_commits=2
+        )
 
     def current_version(self) -> int | None:
         return self._store().current()
@@ -234,7 +254,7 @@ class SnapshotStore:
         from pyspark.sql import functions as F
 
         spark = batch_df.sparkSession
-        store = self._store(spark)
+        store = self._writer(spark)
         st = self._state()
         if (
             batch_id is not None
@@ -302,7 +322,7 @@ class SnapshotStore:
         from pyspark.sql import functions as F
 
         spark = new.sparkSession
-        store = self._store(spark)
+        store = self._writer(spark)
         # pin the computed relation: one evaluation serves diff + write
         new = new.localCheckpoint(eager=True)
         bexpr = self._bucket_expr()

@@ -391,8 +391,19 @@ class VersionedStore:
             for name in self.fs.list_dirs(self.root):
                 if name.startswith("v") and name[1:].isdigit():
                     high = max(high, int(name[1:]))
+        # reserve the number with an exclusive staging marker: two
+        # writers racing through begin() (a fenced-later zombie and its
+        # replacement — the lease alone can't stop a steal-then-overlap
+        # within its window) must never STAGE into the same directory,
+        # or the survivor's written_parts listing would fold the
+        # loser's files into its committed manifest. The marker file is
+        # the version-number CAS; debris dirs (which already contain
+        # one) are skipped, never reused, and swept by commit-time GC.
         v = high + 1
-        self.fs.delete(self.vdir(v))
+        while not self.fs.create_exclusive(
+            f"{self.vdir(v)}/_staging", self._lease_token or ""
+        ):
+            v += 1
         return v
 
     @contextlib.contextmanager
@@ -424,9 +435,16 @@ class VersionedStore:
         ``lease_ttl_s`` even though the failing driver was alive and
         could release immediately. Safe to call when the lease was
         already lost/stolen (no-op release) or when nothing was staged.
-        Writers wrap begin→commit in try/except and abort-then-reraise."""
+        Writers wrap begin→commit in try/except and abort-then-reraise.
+
+        A version whose commit MARKER landed is never deleted here: an
+        exception can strike between the marker CAS and commit's
+        return (a streaming stop() interrupt, typically), and aborting
+        then must not destroy durably committed data."""
         try:
-            if version is not None:
+            if version is not None and not self.fs.exists(
+                f"{self._commits_dir()}/c{version:06d}"
+            ):
                 self.fs.delete(self.vdir(version))
         finally:
             self._release_lease()
@@ -490,8 +508,21 @@ class VersionedStore:
         # only a version whose marker landed has an immutable manifest —
         # cache strictly after the CAS succeeds
         _MANIFEST_CACHE[(self.root, version)] = tuple(rows)
-        self._release_lease()
-        self.gc()
+        # THE MARKER IS THE COMMIT POINT. Everything after it is
+        # housekeeping and must never turn a durable commit into a
+        # reported failure: a streaming stop() interrupts the
+        # foreachBatch callback at an arbitrary py4j call, and an
+        # exception thrown HERE would make the caller's transaction
+        # abort (formerly deleting the just-committed version's data
+        # out from under its live marker) and the batch retry/replay a
+        # commit that already happened. A failed release self-heals
+        # (same-process takeover is immediate; other processes wait
+        # out the TTL); a skipped GC is done by the next commit.
+        try:
+            self._release_lease()
+            self.gc()
+        except Exception:  # noqa: BLE001 — post-commit housekeeping
+            pass
 
     # manifest-composition helpers for writers ------------------------------
 
