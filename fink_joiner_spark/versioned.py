@@ -203,8 +203,18 @@ class VersionedStore:
                 self.fs.delete(tomb, recursive=False)
             expiry = int((time.time() + self.lease_ttl_s) * 1000)
             if self.fs.create_exclusive(self._lock_path(), f"{token}\n{expiry}"):
-                self._lease_token = token
-                return
+                # confirm the lock still carries OUR token: a racing
+                # same-process stealer can rename our fresh lock away
+                # between the create and the content write (content is
+                # not atomic with creation on any Hadoop FS), leaving
+                # either its lock or contentless debris at the path —
+                # returning "held" here without this check let two
+                # threads both believe they held the lease
+                cur = self._read_lock()
+                if cur is not None and cur[0] == token:
+                    self._lease_token = token
+                    return
+                continue
         raise ConcurrentWriteError(
             f"writer lease on {self.root}: lost the steal race 3 times"
         )

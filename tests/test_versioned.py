@@ -242,3 +242,75 @@ def test_lease_steal_rename_tombstone_no_double_hold(
     # the winner's lease was never clobbered: it commits normally
     _commit_one(spark, winner, vw, 2)
     assert winner.current() == vw
+
+
+def test_concurrent_writer_threads_one_wins_no_corruption(spark, tmp_path):
+    """Two writer THREADS racing one store (the zombie-callback shape
+    the kill-midrun test exposed): each uses its own VersionedStore
+    instance; at most one commit per version number lands, losers get
+    ConcurrentWriteError (never silent interleaving), staging dirs are
+    never shared (begin()'s exclusive _staging marker), and the final
+    committed state is exactly ONE writer's consistent dataset."""
+    import threading
+
+    root = str(tmp_path / "store")
+    results: dict[str, str] = {}
+    barrier = threading.Barrier(2)
+
+    def writer(tag: str, payload: int) -> None:
+        w = VersionedStore(spark, root, lease_ttl_s=30)
+        barrier.wait()
+        try:
+            with w.transaction() as v:
+                spark.range(payload).write.parquet(f"{w.vdir(v)}/data")
+                w.commit(v, [("data", "", v), ("_tag", tag, v)])
+            results[tag] = f"committed v{v}"
+        except ConcurrentWriteError:
+            results[tag] = "fenced"
+
+    threads = [
+        threading.Thread(target=writer, args=("a", 7)),
+        threading.Thread(target=writer, args=("b", 11)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(60)
+
+    outcomes = sorted(results.values())
+    assert len(outcomes) == 2 and all(
+        o.startswith(("committed", "fenced")) for o in outcomes
+    ), outcomes
+    # The contract is AT-MOST-one commit per version and fenced losers
+    # with NO visible change — not at-least-one: same-process writers
+    # may mutually steal (the takeover path exists for crash retry)
+    # and both fence, which is exactly the wanted zombie behavior. A
+    # fenced writer's retry must then succeed outright.
+    reader = VersionedStore(spark, root)
+    if reader.current() is None:
+        assert outcomes == ["fenced", "fenced"], outcomes
+        # the mutual-steal mess can leave lock debris (even a
+        # contentless lock, if a rename raced a content write): the
+        # convergence contract is that a retry succeeds once the
+        # debris ages out of ITS OWN short TTL — never a deadlock
+        deadline = time.time() + 30
+        while True:
+            retry = VersionedStore(spark, root, lease_ttl_s=0.5)
+            try:
+                with retry.transaction() as v:
+                    spark.range(7).write.parquet(f"{retry.vdir(v)}/data")
+                    retry.commit(v, [("data", "", v), ("_tag", "a", v)])
+                break
+            except ConcurrentWriteError:
+                assert time.time() < deadline, "retry never converged"
+                time.sleep(0.2)
+        reader = VersionedStore(spark, root)
+
+    # every committed version's manifest references a dataset whose
+    # rows exist and match ONE writer exactly (no mixed staging, no
+    # torn manifests)
+    assert reader.current() is not None
+    for v in reader.committed_versions():
+        t = reader.annotation("_tag", v)
+        cnt = reader.read("data", version=v).count()
+        assert (t, cnt) in {("a", 7), ("b", 11)}, (v, t, cnt, outcomes)
