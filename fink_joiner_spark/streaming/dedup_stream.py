@@ -73,13 +73,17 @@ class SnapshotStore:
 
     def __init__(self, path: str, keys: Sequence[str], order_col: str,
                  tie_breakers: Sequence[str] = (), n_buckets: int = 32,
-                 lease_ttl_s: float = 900.0):
+                 lease_ttl_s: float = 900.0, keep_commits: int = 2):
         self.path = path
         self.keys = list(keys)
         self.order_col = order_col
         self.tie_breakers = list(tie_breakers)
         self.n_buckets = n_buckets
         self.lease_ttl_s = lease_ttl_s
+        # GC grace: 2 keeps the previous snapshot readable through one
+        # flip; size to k+1 for consumers whose catch-up CDF reads may
+        # span k flips (see diff(from_version, to_version))
+        self.keep_commits = keep_commits
         self._vstore: VersionedStore | None = None
 
     # -- versioned-store plumbing -----------------------------------------
@@ -96,7 +100,8 @@ class SnapshotStore:
                     "first filesystem access"
                 )
             self._vstore = VersionedStore(
-                spark, self.path, lease_ttl_s=self.lease_ttl_s, keep_commits=2
+                spark, self.path, lease_ttl_s=self.lease_ttl_s,
+                keep_commits=self.keep_commits,
             )
         return self._vstore
 
@@ -115,7 +120,8 @@ class SnapshotStore:
         and begin()'s exclusive staging marker keeps their staging
         directories disjoint meanwhile."""
         return VersionedStore(
-            spark, self.path, lease_ttl_s=self.lease_ttl_s, keep_commits=2
+            spark, self.path, lease_ttl_s=self.lease_ttl_s,
+            keep_commits=self.keep_commits,
         )
 
     def current_version(self) -> int | None:
@@ -186,11 +192,30 @@ class SnapshotStore:
         ]
         return spark.read.parquet(*dirs) if dirs else None
 
-    def diff(self, spark: SparkSession) -> DataFrame | None:
-        """Change-data-feed between the previous and current committed
-        versions: re-derives the last upsert's delta FROM STORAGE —
-        rows only in the current version are inserts, rows only in the
-        previous are retracts (``is_retract`` flag, changelog schema).
+    def _read_version(self, spark: SparkSession, version: int) -> DataFrame | None:
+        store = self._store(spark)
+        dirs = [
+            self._bucket_dir(refs[-1], part.split("=", 1)[1])
+            for part, refs in sorted(store.parts(self._DATASET, version).items())
+        ]
+        return spark.read.parquet(*dirs) if dirs else None
+
+    def diff(
+        self,
+        spark: SparkSession,
+        from_version: int | None = None,
+        to_version: int | None = None,
+    ) -> DataFrame | None:
+        """Change-data-feed between two committed versions (defaults:
+        previous → current): re-derives the delta FROM STORAGE —
+        rows only in the ``to`` version are inserts, rows only in the
+        ``from`` version are retracts (``is_retract`` flag, changelog
+        schema). Any pair of versions inside the ``keep_commits``
+        grace window works — the multi-flip CDF a downstream consumer
+        uses to catch up after missing several upserts, without any
+        separate changelog durability story (the Delta/Iceberg CDF
+        pattern); a version outside the window raises the store's
+        clear retention error.
 
         This is time travel + CDF on the versioned layout (the
         Delta/Iceberg pattern): the changelog a consumer missed can
@@ -203,7 +228,14 @@ class SnapshotStore:
         """
         from pyspark.sql import functions as F
 
-        cur, prev = self.read(spark), self.read_previous(spark)
+        if from_version is None and to_version is None:
+            cur, prev = self.read(spark), self.read_previous(spark)
+        else:
+            vs = self._store(spark).committed_versions()
+            to_v = vs[-1] if to_version is None else to_version
+            from_v = vs[-2] if from_version is None else from_version
+            cur = self._read_version(spark, to_v)
+            prev = self._read_version(spark, from_v)
         if cur is None or prev is None:
             return None
         inserts = cur.exceptAll(prev).withColumn("is_retract", F.lit(False))

@@ -446,3 +446,34 @@ def test_side_output_sink_splits_good_and_dlq(spark, tmp_path):
     assert "_batch_id" in g.columns
     assert g.where(F.col("_batch_id").isNull()).count() == 0
     assert b.where(F.col("_batch_id").isNull()).count() == 0
+
+
+def test_cdf_between_arbitrary_retained_versions(spark, tmp_path):
+    """Time-travel CDF on the unified store: with keep_commits sized
+    up, diff(from, to) reconstructs the delta across MULTIPLE flips —
+    the catch-up path for a consumer that missed several upserts —
+    and composes: diff(v1, v3) == diff(v1, v2) + diff(v2, v3) applied
+    as a multiset."""
+    schema = "k long, ts long, v string"
+    store = SnapshotStore(str(tmp_path / "snap"), ["k"], "ts", keep_commits=5)
+
+    store.upsert(spark.createDataFrame([(1, 10, "a1"), (2, 10, "b1")], schema))
+    store.upsert(spark.createDataFrame([(1, 20, "a2")], schema))
+    store.upsert(spark.createDataFrame([(3, 30, "c1"), (2, 25, "b2")], schema))
+    vs = store._store(spark).committed_versions()
+    assert len(vs) == 3
+    v1, v2, v3 = vs
+
+    d13 = store.diff(spark, from_version=v1, to_version=v3)
+    got = sorted(tuple(r) for r in d13.collect())
+    want = sorted([
+        (1, 20, "a2", False), (3, 30, "c1", False), (2, 25, "b2", False),
+        (1, 10, "a1", True), (2, 10, "b1", True),
+    ])
+    assert got == want
+
+    # defaults still mean previous -> current (the last flip only)
+    dlast = sorted(tuple(r) for r in store.diff(spark).collect())
+    assert dlast == sorted([
+        (3, 30, "c1", False), (2, 25, "b2", False), (2, 10, "b1", True),
+    ])
