@@ -376,12 +376,20 @@ def main() -> None:
             spark = _fresh_jvm(spark)
             since_rotation = 0
             runs2, builds2, probes2, cpus2, failed2 = _measure(spark, name, fn)
-            # keep whichever measurement has the LOWER median: the
-            # rerun exists to disprove pollution — when the fresh JVM
-            # is WORSE (a cold query outside the warmup set paying its
-            # compile bill), the original number stands and the rerun
-            # is recorded as the counter-evidence instead
-            if not failed2 and _lower_median(runs2) < _lower_median(runs):
+            # adopt the rerun only when it BOTH beats the original's
+            # median AND has sane spread itself — an outlier-in-the-
+            # rerun would otherwise replace one polluted number with
+            # another, and always-keep-the-lower would systematically
+            # bias the headline sum downward vs rounds without this
+            # mechanism (ADVICE r10). When the fresh JVM is WORSE (a
+            # cold query outside the warmup set paying its compile
+            # bill), the original stands and the rerun is recorded as
+            # the counter-evidence instead
+            if (
+                not failed2
+                and not _spread_bad(runs2)
+                and _lower_median(runs2) < _lower_median(runs)
+            ):
                 detail = {
                     "median": _lower_median(runs2),
                     "min": min(runs2),
@@ -405,11 +413,13 @@ def main() -> None:
                     "runs": runs2,
                     "cpu_sec": _lower_median(cpus2),
                 }
-        if not cpus:
-            # a rep failed before the post-run CPU sample (or sampling
-            # itself failed) — the total would silently understate JVM
-            # CPU if this query counted as 0 (ADVICE r5)
+        if len(cpus) < len(runs):
+            # ANY rep missing its JVM-CPU sample (failed rep, or
+            # /proc sampling hiccup) understates the per-query median
+            # and hence total_cpu_sec — flag per-rep, not only the
+            # all-reps-missing case (ADVICE r5, restored r11)
             cpu_ok = False
+            detail["cpu_reps_sampled"] = len(cpus)
         dt = detail["median"]
         timings[name] = dt
         runs_detail[name] = detail

@@ -31,6 +31,32 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 
+def _is_already_exists(je) -> bool:
+    """True when a py4j-surfaced java exception means "the destination
+    file already existed" — the lost-CAS outcome of an exclusive
+    create. The local FS and HDFS raise `FileAlreadyExistsException`
+    at the top level, but RPC'd filesystems wrap it (HDFS client can
+    surface an un-unwrapped `RemoteException`; object-store connectors
+    type the conflict differently), so walk the cause chain and fall
+    back to the message text before declaring a real failure —
+    otherwise a benign lease/staging CAS loss turns into an op error
+    on those backends. Commit markers stay fail-safe either way (abort
+    is marker-aware)."""
+    seen = 0
+    while je is not None and seen < 8:
+        try:
+            if "AlreadyExists" in je.getClass().getName():
+                return True
+            msg = je.getMessage()
+            if msg is not None and "already exists" in str(msg).lower():
+                return True
+            je = je.getCause()
+        except Exception:  # noqa: BLE001 — defensive over py4j refs
+            return False
+        seen += 1
+    return False
+
+
 class HadoopFS:
     """Thin wrapper over ``org.apache.hadoop.fs.FileSystem`` for one
     base path's scheme. Methods accept plain path strings (any scheme
@@ -109,8 +135,7 @@ class HadoopFS:
         try:
             out = self._fs.create(self._path(p), False)
         except Exception as exc:  # noqa: BLE001 — py4j-wrapped
-            je = getattr(exc, "java_exception", None)
-            if je is not None and "AlreadyExists" in je.getClass().getName():
+            if _is_already_exists(getattr(exc, "java_exception", None)):
                 return False
             raise
         try:

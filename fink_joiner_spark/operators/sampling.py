@@ -305,11 +305,13 @@ def dsir_importance(
 
     Scale shape: one tokenize+explode pass over the corpus; the two
     LMs are ONE map-side-combined count aggregate over ≤ ``n_buckets``
-    groups (the target counts are a conditional sum in the same pass);
-    corpus totals are a 1-row collect; the per-doc score joins each
-    token row to the broadcast ``n_buckets``-row weight table and
-    partially aggregates by doc — no all-corpus shuffle beyond the
-    doc-keyed sum, no Python in the hot path.
+    groups (the target counts are a conditional sum in the same pass),
+    collected ONCE (≤ ``n_buckets`` rows) — totals and the broadcast
+    weight table both derive from that single collect, so the corpus
+    scan is never re-evaluated; the per-doc score joins each token row
+    to the broadcast ``n_buckets``-row weight table and partially
+    aggregates by doc — no all-corpus shuffle beyond the doc-keyed
+    sum, no Python in the hot path.
 
     Returns (``id_col``, imp_micro) — one row per document with ≥1
     token; callers rank/threshold (see the registered
@@ -325,14 +327,27 @@ def dsir_importance(
     tok = d.select(
         "doc_id", "is_t", F.explode(tokens(F.col("t"))).alias("w")
     ).withColumn("b", char_poly_hash(F.col("w")) % n_buckets)
-    counts = tok.groupBy("b").agg(
-        F.count(F.lit(1)).alias("cr"),
-        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).cast("long").alias("ct"),
+    # materialize the ≤ n_buckets count rows ONCE — totals and the
+    # weight table both derive from this collect, so the
+    # tokenize+explode pass over the corpus runs exactly once (an
+    # uncached `counts` DataFrame would be re-evaluated by the join
+    # below after totals.first() already paid the full scan)
+    count_rows = (
+        tok.groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("cr"),
+            F.sum(F.when(F.col("is_t"), 1).otherwise(0)).cast("long").alias("ct"),
+        )
+        .collect()
     )
-    totals = counts.agg(
-        F.sum("cr").alias("nr"), F.sum("ct").alias("nt")
-    ).first()
-    nr, nt = int(totals["nr"] or 0), int(totals["nt"] or 0)
+    spark = df.sparkSession
+    counts = spark.createDataFrame(
+        [(int(r["b"]), int(r["cr"]), int(r["ct"])) for r in count_rows]
+        or [(0, 0, 0)],
+        "b long, cr long, ct long",
+    )
+    nr = sum(int(r["cr"]) for r in count_rows)
+    nt = sum(int(r["ct"]) for r in count_rows)
     # add-one smoothing over the bucket vocabulary; the log-ratio is
     # built from the SAME expression shape the oracle uses:
     # ln((ct+1)/(nt+B)) − ln((cr+1)/(nr+B)), doubles end to end

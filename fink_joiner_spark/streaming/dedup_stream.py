@@ -232,6 +232,19 @@ class SnapshotStore:
             cur, prev = self.read(spark), self.read_previous(spark)
         else:
             vs = self._store(spark).committed_versions()
+            # mirror the no-args path's contract: fewer than two
+            # committed versions and a defaulted endpoint → no diff
+            # (not an IndexError); an EXPLICIT version must exist —
+            # surface the store's clear retention/unknown error.
+            if (to_version is None or from_version is None) and len(vs) < 2:
+                return None
+            for explicit in (to_version, from_version):
+                if explicit is not None and explicit not in vs:
+                    raise ValueError(
+                        f"version {explicit} is not a committed retained "
+                        f"version of {self.path} (retained: {vs}); it was "
+                        "either never committed or GC'd past keep_commits"
+                    )
             to_v = vs[-1] if to_version is None else to_version
             from_v = vs[-2] if from_version is None else from_version
             cur = self._read_version(spark, to_v)

@@ -187,10 +187,24 @@ class VersionedStore:
                         f"for another {expiry_ms / 1000 - time.time():.0f}s"
                     )
                 # expired or our own process's stale lease: steal by
-                # renaming the OBSERVED lock file to a unique tombstone.
-                # rename is the conditional primitive here — the source
-                # exists exactly once, so of N racing stealers exactly
-                # one rename succeeds and only that winner may recreate.
+                # renaming the lock file to a unique tombstone. rename
+                # resolves most races — the source exists exactly once
+                # per lock incarnation, so of N stealers racing on the
+                # SAME observed lock exactly one rename succeeds. But
+                # rename is path-conditional, not identity-conditional:
+                # between our _read_lock and our rename, a faster
+                # stealer can complete its whole steal (rename + fresh
+                # create), and our rename then grabs its FRESH LIVE
+                # lock instead of the expired one we observed. So after
+                # a successful rename, verify the tombstone's identity:
+                # if it carries a live foreign token, we stole the
+                # wrong incarnation — put it back and re-observe (the
+                # rename back is safe: only we know this tombstone's
+                # unique name, and the winner, having successfully
+                # created, will _verify_lease against this exact
+                # content). Residual: the winner may observe a missing
+                # lock for the restore window and fail _verify_lease —
+                # a liveness retry, never two holders.
                 # (The previous unconditional delete let a slow racer
                 # remove a FRESH lock another stealer had just created:
                 # P1 delete+create, P2 delete+create → two "holders".)
@@ -200,6 +214,27 @@ class VersionedStore:
                     # us): re-observe — we'll either see the winner's
                     # fresh live lease (raise) or a free lock (create).
                     continue
+                raw = self.fs.read_utf8(tomb)
+                if raw and "\n" in raw:
+                    t_tok, t_exp = raw.split("\n", 1)
+                    try:
+                        t_alive = time.time() * 1000 < int(t_exp.strip())
+                    except ValueError:
+                        t_alive = False
+                    if (
+                        t_tok != held_token
+                        and t_alive
+                        and not t_tok.startswith(_PROCESS_TOKEN)
+                    ):
+                        # wrong incarnation — a winner's fresh live
+                        # lease. Restore it and re-observe (→ raise).
+                        if not self.fs.rename(tomb, self._lock_path()):
+                            # lock path re-created meanwhile; the
+                            # stolen lease is dead either way — drop
+                            # the tombstone and let its owner's
+                            # _verify_lease fence it.
+                            self.fs.delete(tomb, recursive=False)
+                        continue
                 self.fs.delete(tomb, recursive=False)
             expiry = int((time.time() + self.lease_ttl_s) * 1000)
             if self.fs.create_exclusive(self._lock_path(), f"{token}\n{expiry}"):

@@ -477,3 +477,33 @@ def test_cdf_between_arbitrary_retained_versions(spark, tmp_path):
     assert dlast == sorted([
         (3, 30, "c1", False), (2, 25, "b2", False), (2, 10, "b1", True),
     ])
+
+
+def test_cdf_diff_guards_single_version_and_unknown_versions(spark, tmp_path):
+    """ADVICE r10 #2: diff(to_version=X) with from_version defaulted on
+    a one-version store must mirror the no-args path (None, "no
+    previous to diff against"), not IndexError on vs[-2]; an EXPLICIT
+    version that was never committed (or was GC'd) raises the store's
+    clear retention error instead of reading a missing directory."""
+    import pytest
+
+    schema = "k long, ts long, v string"
+    store = SnapshotStore(str(tmp_path / "snap"), ["k"], "ts", keep_commits=5)
+    store.upsert(spark.createDataFrame([(1, 10, "a1")], schema))
+    vs = store._store(spark).committed_versions()
+    assert len(vs) == 1
+    (v1,) = vs
+
+    # defaulted from_version, single committed version: no delta yet
+    assert store.diff(spark, to_version=v1) is None
+    assert store.diff(spark, from_version=v1) is None
+    assert store.diff(spark) is None
+
+    store.upsert(spark.createDataFrame([(2, 20, "b1")], schema))
+    with pytest.raises(ValueError, match="not a committed retained"):
+        store.diff(spark, from_version=v1, to_version=v1 + 99)
+    with pytest.raises(ValueError, match="not a committed retained"):
+        store.diff(spark, from_version=v1 - 1, to_version=v1)
+    # and the valid explicit pair still works
+    d = store.diff(spark, from_version=v1, to_version=v1 + 1)
+    assert sorted(tuple(r) for r in d.collect()) == [(2, 20, "b1", False)]

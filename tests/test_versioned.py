@@ -314,3 +314,51 @@ def test_concurrent_writer_threads_one_wins_no_corruption(spark, tmp_path):
         t = reader.annotation("_tag", v)
         cnt = reader.read("data", version=v).count()
         assert (t, cnt) in {("a", 7), ("b", 11)}, (v, t, cnt, outcomes)
+
+
+def test_lease_steal_wrong_incarnation_restores_live_lock(
+    spark, tmp_path, other_process, monkeypatch
+):
+    """ADVICE r10 #1: rename is path-conditional, not identity-
+    conditional. Between a loser's _read_lock (expired observation)
+    and its rename, a winner can complete a FULL steal (tombstone +
+    fresh live lock) — the loser's rename then grabs the winner's
+    LIVE lease. The fix verifies the tombstone's identity after the
+    rename: a live foreign token means wrong incarnation — restore it
+    and re-observe (raise). The winner's lease must survive the whole
+    episode, so it never gets fenced mid-op."""
+    root = str(tmp_path / "store")
+    stale = VersionedStore(spark, root, lease_ttl_s=0.05)
+    stale.begin()
+    time.sleep(0.15)
+
+    other_process()
+    winner = VersionedStore(spark, root, lease_ttl_s=30)
+    vw = winner.begin()  # full steal: lock path now holds a LIVE lease
+
+    # loser (third process) whose OBSERVATION is the stale pre-steal
+    # lock: feed it the expired reading once, then the real file
+    monkeypatch.setattr(versioned, "_PROCESS_TOKEN", "thirdproc9999")
+    loser = VersionedStore(spark, root, lease_ttl_s=30)
+    real_read = loser._read_lock
+    calls = {"n": 0}
+
+    def stale_first_read():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return ("deadproc-feedbeef", 1)  # expired long ago
+        return real_read()
+
+    monkeypatch.setattr(loser, "_read_lock", stale_first_read)
+    with pytest.raises(ConcurrentWriteError, match="held"):
+        loser.begin()
+    assert calls["n"] >= 2  # it re-observed instead of clobbering
+
+    # the winner's live lease was restored, not deleted: commit-time
+    # _verify_lease passes and the commit lands
+    _commit_one(spark, winner, vw, 2)
+    assert winner.current() == vw
+    # no tombstone debris left behind
+    import os as _os
+    debris = [n for n in _os.listdir(root) if ".tomb." in n]
+    assert debris == []
