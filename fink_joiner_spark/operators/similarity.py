@@ -72,15 +72,47 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+def _cap_postings(posting: DataFrame, max_doc_freq: int) -> DataFrame:
+    """Drop posting rows whose shingle appears in more than
+    ``max_doc_freq`` documents — the stopword-shingle cap that keeps a
+    posting-list self-join from going quadratic in one boilerplate
+    key at corpus scale. Plan: one map-side-combined doc-frequency
+    aggregate over the posting (each doc posts each distinct shingle
+    once, so COUNT = df), then an anti-join of the posting against the
+    HOT set — which is tiny (≤ Σ|postings|/cap keys), so AQE turns the
+    anti-join into a broadcast at runtime; nothing is forced."""
+    freq = posting.groupBy("s").agg(F.count(F.lit(1)).alias("df_s"))
+    hot = freq.where(F.col("df_s") > max_doc_freq).select("s")
+    return posting.join(hot, "s", "left_anti")
+
+
 def jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted-index join.
 
     Plan: explode shingles → self-join on shingle (hash shuffle keyed by
     shingle) → per-pair intersection counts → filter by J ≥ threshold.
-    Shuffle volume is Σ|posting list|², not |docs|² — with a stopword-
-    shingle cap this is the standard web-scale exact-verify step.
+    Shuffle volume is Σ|posting list|², not |docs|² — bounded ONLY if
+    no shingle's posting list explodes, which real corpora violate
+    (boilerplate headers, license blocks): one shingle shared by k docs
+    costs k² join rows. ``max_doc_freq`` is the standard web-scale
+    stopword-shingle cap: shingles in more than that many docs are
+    dropped from the INDEX (candidate generation only) and surviving
+    candidate pairs are then verified EXACTLY against their full
+    shingle arrays — so every emitted jaccard value is exact and the
+    cap trades only recall (a pair ALL of whose shared shingles are
+    boilerplate-hot is missed — by construction the pairs one wants to
+    miss). With df ≤ cap for every shingle the output is identical to
+    the uncapped plan (pinned in tests/test_similarity.py). Default
+    ``None`` preserves the historical single-aggregate plan
+    bit-for-bit.
+
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded 4dp.
     """
     sh = _spread(df).select(
@@ -93,6 +125,27 @@ def jaccard_pairs(
     posting = sh.select(
         "id", "n_sh", F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("s")
     )
+    if max_doc_freq is not None:
+        # capped path: candidates from the capped index, then exact
+        # verify on the raw arrays (the capped posting join can no
+        # longer COUNT the true intersection — hot shingles are gone)
+        t_micro = round(threshold * 1_000_000)
+        posting = _cap_postings(posting, max_doc_freq)
+        a, b = posting.alias("a"), posting.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.s") == F.col("b.s"))
+                & (F.col("a.id") < F.col("b.id"))
+                # length filter: J ≥ t forces t·na ≤ nb ≤ na/t —
+                # exact-integer micro-unit arithmetic (no float ulp)
+                & (F.col("b.n_sh") * t_micro <= F.col("a.n_sh") * 1_000_000)
+                & (F.col("a.n_sh") * t_micro <= F.col("b.n_sh") * 1_000_000),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+        )
+        return _verify_jaccard(cand, sh, threshold)
     a, b = posting.alias("a"), posting.alias("b")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
@@ -107,6 +160,29 @@ def jaccard_pairs(
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
         inter.withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _verify_jaccard(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact-verify candidate (id_a, id_b) pairs against the full
+    shingle arrays — the verify stage shared by the capped inverted
+    index and the prefix filter (same expression subtree as
+    :func:`jaccard_pairs_prefix`'s verify, so capped and prefix paths
+    emit bit-identical jaccard values)."""
+    av = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"),
+                   F.col("n_sh").alias("na"))
+    bv = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"),
+                   F.col("n_sh").alias("nb"))
+    verified = (
+        cand.join(av, "id_a")
+        .join(bv, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        verified.withColumn("jaccard", F.round(jac, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -2261,6 +2337,7 @@ def containment_pairs(
     n: int = 3,
     threshold: float = 0.8,
     min_shingles: int = 5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Directed near-superset detection: containment C(src→dst) =
     |S(src) ∩ S(dst)| / |S(src)| over n-gram shingle sets — catches a
@@ -2272,8 +2349,16 @@ def containment_pairs(
     self-join keyed by shingle hash, never all-pairs); each undirected
     candidate pair then yields up to two directed rows. ``min_shingles``
     suppresses trivial sources (3-token docs are "contained" in
-    everything). Output: (src, dst, containment), containment ≥
-    threshold, 4 dp.
+    everything). ``max_doc_freq`` is the same stopword-shingle cap as
+    :func:`jaccard_pairs` — boilerplate-hot shingles are dropped from
+    candidate generation only, candidates verify exactly against full
+    arrays, recall-only trade, default None keeps the historical plan
+    bit-for-bit. (No length filter in the capped candidate join: for
+    t ≤ 1, one direction's size condition nb ≥ t·na always holds when
+    na ≤ nb, so there is nothing to prune on — use
+    :func:`containment_pairs_prefix` for the prefix-filtered scale
+    path.) Output: (src, dst, containment), containment ≥ threshold,
+    4 dp.
     """
     sh = _spread(df).select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("shingles")
@@ -2281,6 +2366,15 @@ def containment_pairs(
     posting = sh.select(
         "id", "n_sh", F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("s")
     )
+    if max_doc_freq is not None:
+        posting = _cap_postings(posting, max_doc_freq)
+        a, b = posting.alias("a"), posting.alias("b")
+        cand = (
+            a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+        )
+        return _verify_containment(cand, sh, threshold, min_shingles)
     a, b = posting.alias("a"), posting.alias("b")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
@@ -2309,6 +2403,142 @@ def containment_pairs(
         .where((F.col("containment") >= threshold) & (F.col("n_src") >= min_shingles))
         .select("src", "dst", "containment")
     )
+
+
+def _verify_containment(
+    cand: DataFrame, sh: DataFrame, threshold: float, min_shingles: int
+) -> DataFrame:
+    """Exact directed verification of undirected candidate pairs
+    (id_a < id_b) against the full shingle arrays: one array_intersect
+    per pair, then up to two directed rows — identical output
+    expressions to :func:`containment_pairs`'s uncapped tail."""
+    av = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"),
+                   F.col("n_sh").alias("na"))
+    bv = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"),
+                   F.col("n_sh").alias("nb"))
+    verified = (
+        cand.join(av, "id_a")
+        .join(bv, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .where(F.col("inter") > 0)
+    )
+    fwd = verified.select(
+        F.col("id_a").alias("src"),
+        F.col("id_b").alias("dst"),
+        F.round(F.col("inter") / F.col("na"), 4).alias("containment"),
+        F.col("na").alias("n_src"),
+    )
+    rev = verified.select(
+        F.col("id_b").alias("src"),
+        F.col("id_a").alias("dst"),
+        F.round(F.col("inter") / F.col("nb"), 4).alias("containment"),
+        F.col("nb").alias("n_src"),
+    )
+    return (
+        fwd.unionByName(rev)
+        .where((F.col("containment") >= threshold) & (F.col("n_src") >= min_shingles))
+        .select("src", "dst", "containment")
+    )
+
+
+def containment_pairs_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    min_shingles: int = 5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Directed containment pairs — identical output to
+    :func:`containment_pairs` — via PREFIX FILTERING, the scale path
+    the plain inverted index lacks (r10 verdict: containment had no
+    capped/prefix variant at all).
+
+    Containment C(src→dst) ≥ t means overlap o ≥ ceil(t·|src|). By
+    the pairwise prefix theorem (Chaudhuri et al. 2006; the same
+    result :func:`jaccard_pairs_prefix` builds on), two sets in a
+    shared canonical order with overlap ≥ o must intersect within
+    their first ``|A|−o+1`` / ``|B|−o+1`` elements. The required
+    overlap depends only on the SOURCE's size, so the join is
+    asymmetric:
+
+    * **probe side** = each doc as a potential src: its first
+      ``na − ceil(t·na) + 1`` canonically-ordered (rarest-first)
+      shingles — the same (1−t)·na+1 prefix volume as the Jaccard
+      prefix;
+    * **index side** = full posting lists (dst's prefix bound
+      ``nb − ceil(t·min_shingles) + 1`` is ≈ nb for any useful
+      ``min_shingles`` — indexing the full set costs the same and
+      keeps the theorem's conditions trivially);
+    * **size filter** in the join: ``nb ≥ t·na`` (overlap ≤ nb),
+      exact micro-unit integers;
+    * **exact verify**: surviving (src, dst) candidates re-join the
+      raw arrays once; both directions are emitted from one
+      intersect, so the reverse direction rides along for free.
+
+    Skew posture: the probe side carries only rarest-first prefixes,
+    so a boilerplate-hot index key meets few probe rows — the hot-key
+    cell is |posting|×|probes carrying it in-prefix|, not |posting|².
+    ``max_doc_freq`` additionally caps the INDEX side (recall-only
+    trade, exact verify unaffected) for corpora where boilerplate
+    dominates whole prefixes. Never all-pairs; every shuffle keyed.
+    """
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    t_micro = round(threshold * 1_000_000)
+    sh = _spread(df).select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("shingles")
+    ).withColumn("n_sh", F.size("shingles")).where(F.col("n_sh") > 0)
+
+    post = sh.select("id", F.explode("shingles").alias("s"))
+    freq = post.groupBy("s").agg(F.count(F.lit(1)).alias("df_s"))
+    canon = (
+        post.join(freq, "s")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list(F.struct("df_s", "s"))).alias("_o"))
+        .select(
+            "id",
+            F.transform("_o", lambda x: x["s"]).alias("sorted_sh"),
+            F.size("_o").alias("n_sh"),
+        )
+    )
+    ceil_tn = F.expr(f"(n_sh * {t_micro} + 999999) div 1000000")
+    probe = (
+        canon.where(F.col("n_sh") >= min_shingles)
+        .select(
+            F.col("id").alias("src_id"),
+            F.col("n_sh").alias("na"),
+            F.explode(
+                F.slice("sorted_sh", 1, (F.col("n_sh") - ceil_tn + 1).cast("int"))
+            ).alias("s"),
+        )
+        .select("src_id", "na", F.xxhash64("s").alias("s"))
+    )
+    index = sh.select(
+        F.col("id").alias("dst_id"),
+        F.col("n_sh").alias("nb"),
+        F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("s"),
+    )
+    if max_doc_freq is not None:
+        index = _cap_postings(index, max_doc_freq)
+    cand = (
+        probe.join(
+            index,
+            (probe["s"] == index["s"])
+            & (probe["src_id"] != index["dst_id"])
+            # overlap ≥ ceil(t·na) needs nb ≥ t·na (overlap ≤ nb)
+            & (index["nb"] * 1_000_000 >= probe["na"] * t_micro),
+        )
+        # normalize to undirected (id_a < id_b) so the exact verify
+        # intersects each pair once and emits both directions
+        .select(
+            F.least("src_id", "dst_id").alias("id_a"),
+            F.greatest("src_id", "dst_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    return _verify_containment(cand, sh, threshold, min_shingles)
 
 
 def jaccard_pairs_prefix(

@@ -263,34 +263,17 @@ _R3_REGRESSED, _HISTORY_VERIFIED, _LAST_GREEN_ROUND = _correctness_history()
 # Maintained by hand at round end; superseded rows age out naturally
 # once the next CORRECTNESS file records them green.
 #
-# Round 10: every scored join hoisted its vector norms per side and
-# now pays one dot fold per pair instead of three (bit-identical by
-# construction — similarity.norm_col/dot_col) — so every
-# cosine-consuming and IVF-lifecycle query re-proves; the streaming
-# SnapshotStore was re-based onto the shared VersionedStore commit
-# protocol (the two queries that drive it re-prove, plus the CDF
-# reader); the BM25 family re-proves for the transaction/abort wrapper
-# around its maintenance ops (versioned.py lease-steal, cache, abort
-# fixes — success-path results unchanged by design, but the rule is
-# "module changed → driver re-proves").
+# Round 11: deliberately LEAN (r10 verdict ask #2 — the oldest-green
+# rotation tier gets the bulk of the 50-slot window so the r4 proof
+# cohort drains). Only queries whose EXECUTED PLAN changed re-prove:
+# dsir's count aggregate is now collected once and re-broadcast as a
+# local relation; jaccard/containment got a max_doc_freq cap parameter
+# but their registered cap=None plans are bit-identical, so they drain
+# through the oldest-green tier instead of burning changed-slots. The
+# two new capped/prefix queries enter via the never-verified tier.
 _ROUND_CHANGED = frozenset({
-    # flat cosine / sign-LSH bucket / PQ rerank consumers
-    "simsearch_topk_bruteforce", "simsearch_topk_lsh", "simsearch_topk_ivf",
-    "simsearch_topk_pq", "simsearch_topk_ivfpq", "simsearch_hard_negatives",
-    "dedup_embedding_cosine", "dedup_semantic_semdedup",
-    "kmeans_step", "ext_kmeans_epoch", "ext_hybrid_search_rrf",
-    # flat IVF assignment + upsert/delete localCheckpoint pinning
-    "simsearch_topk_ivf_indexed", "simsearch_ivf_index_incremental",
-    "simsearch_ivf_delete", "simsearch_ivf_retrain", "simsearch_ivf_upsert",
-    "stream_ivf_index_maintenance",
-    # SnapshotStore → VersionedStore unification
-    "stream_dedup_snapshot", "stream_snapshot_join_pipeline",
-    "ext_cdf_join_refresh",
-    # BM25 maintenance wrapped in transaction()/abort
-    "ext_bm25_index_probe", "ext_bm25_index_incremental",
-    "ext_bm25_index_upsert", "ext_bm25_index_delete",
-    "ext_bm25_index_compaction", "ext_bm25_index_time_travel",
-    "stream_bm25_index_maintenance",
+    # counts collect + literal weight table (plan changed, values not)
+    "ext_dsir_select",
 })
 
 

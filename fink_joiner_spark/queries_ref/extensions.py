@@ -2797,6 +2797,102 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_containment_prefix",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, {_DD_TOKS.format(t='text')} AS toks FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, {_DD_SHINGLES} AS shingles FROM tok
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_filter(a.shingles, s -> list_contains(b.shingles, s)))
+               AS inter,
+             len(a.shingles) AS na, len(b.shingles) AS nb
+      FROM sh a JOIN sh b
+        ON a.doc_id < b.doc_id
+       AND len(list_filter(a.shingles, s -> list_contains(b.shingles, s))) > 0
+    )
+    SELECT id_a AS src, id_b AS dst,
+           ROUND(inter::DOUBLE / na, 4) AS containment
+    FROM pairs
+    WHERE na >= 5 AND ROUND(inter::DOUBLE / na, 4) >= 0.8
+    UNION ALL
+    SELECT id_b, id_a, ROUND(inter::DOUBLE / nb, 4)
+    FROM pairs
+    WHERE nb >= 5 AND ROUND(inter::DOUBLE / nb, 4) >= 0.8
+    """,
+    "same directed containment-0.8 pairs as dedup_containment but via "
+    "prefix filtering (rarest-first src prefixes probe a full-set "
+    "index, exact array verify) — the scale path: a boilerplate-hot "
+    "index key meets only the few probes carrying it in-prefix",
+)
+def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import similarity
+
+    docs = table(spark, sf_dir, "documents")
+    return similarity.containment_pairs_prefix(
+        docs, "doc_id", "text", n=3, threshold=0.8
+    )
+
+
+@register(
+    "dedup_jaccard_capped",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, {_DD_TOKS.format(t='text')} AS toks FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, {_DD_SHINGLES} AS shingles FROM tok
+    ),
+    ex AS (
+      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh
+    ),
+    freq AS (
+      SELECT s, COUNT(*) AS df_s FROM ex GROUP BY s
+    ),
+    cold AS (
+      SELECT ex.doc_id, ex.n_sh, ex.s FROM ex JOIN freq USING (s)
+      WHERE freq.df_s <= 20
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM cold a JOIN cold b
+        ON a.s = b.s AND a.doc_id < b.doc_id
+       AND b.n_sh * 800000 <= a.n_sh * 1000000
+       AND a.n_sh * 800000 <= b.n_sh * 1000000
+    ),
+    verified AS (
+      SELECT c.id_a, c.id_b,
+             len(list_filter(a.shingles, s -> list_contains(b.shingles, s)))
+               AS inter,
+             len(a.shingles) AS na, len(b.shingles) AS nb
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b
+    )
+    SELECT id_a, id_b,
+           ROUND(inter::DOUBLE / (na + nb - inter), 4) AS jaccard
+    FROM verified
+    WHERE ROUND(inter::DOUBLE / (na + nb - inter), 4) >= 0.8
+    """,
+    "jaccard near-dup pairs with the web-scale stopword-shingle cap "
+    "(max_doc_freq=20): boilerplate-hot shingles leave candidate "
+    "generation, survivors verify EXACTLY on full arrays — the oracle "
+    "replicates the cap and the exact-integer length filter, so the "
+    "hash gate covers the capped path itself, not just cap=None",
+)
+def dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import similarity
+
+    docs = table(spark, sf_dir, "documents")
+    return similarity.jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8, max_doc_freq=20
+    )
+
+
+@register(
     "ext_table_stats",
     """
     WITH s AS (

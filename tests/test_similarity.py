@@ -768,3 +768,134 @@ def test_cross_corpus_dedup_gate_semantics(spark):
     kept = similarity.cross_corpus_dedup(new, ref, "doc_id", "text")
     assert sorted(r.doc_id for r in kept.collect()) == [3, 5, 7, 9]
     assert kept.columns == new.columns
+
+
+def _boilerplate_corpus(spark):
+    """20 docs sharing a HOT boilerplate header (every 3-gram of the
+    header has df=20) plus per-doc unique bodies; docs 1/2 and 3/4 are
+    near-dup pairs sharing rare body shingles too. The corpus where an
+    uncapped posting self-join pays k² rows on every header shingle."""
+    header = "terms of service all rights reserved do not redistribute this document"
+    bodies = {
+        1: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        2: "alpha beta gamma delta epsilon zeta eta theta iota lambda",
+        3: "one two three four five six seven eight nine ten",
+        4: "one two three four five six seven eight nine eleven",
+    }
+    rows = [(i, f"{header} {bodies[i]}") for i in bodies]
+    rows += [
+        (i, f"{header} unique{i} filler{i} body{i} text{i} words{i} here{i}")
+        for i in range(5, 21)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_jaccard_cap_equivalence_when_df_below_cap(spark):
+    """ADVICE/verdict r10 #1: with max_doc_freq ≥ the corpus's max
+    shingle df, the capped candidate+exact-verify path must emit
+    EXACTLY the uncapped single-aggregate plan's output (the cap only
+    prunes, and verification is exact) — on the boilerplate-heavy
+    fixture where the hot keys actually exist."""
+    from fink_joiner_spark.operators import similarity
+
+    df = _boilerplate_corpus(spark)
+    for t in (0.5, 0.8):
+        plain = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in similarity.jaccard_pairs(df, "doc_id", "text", 3, t).collect()
+        }
+        capped = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in similarity.jaccard_pairs(
+                df, "doc_id", "text", 3, t, max_doc_freq=100
+            ).collect()
+        }
+        assert plain == capped and len(plain) > 0
+
+
+def test_jaccard_cap_drops_boilerplate_only_pairs_keeps_rare_shared(spark):
+    """With the cap BELOW the boilerplate df, pairs whose only shared
+    shingles are the hot header disappear (the recall trade the cap
+    buys scale with), while near-dup pairs sharing RARE body shingles
+    survive with their EXACT jaccard — verification never approximates."""
+    from fink_joiner_spark.operators import similarity
+
+    df = _boilerplate_corpus(spark)
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in similarity.jaccard_pairs(
+            df, "doc_id", "text", 3, 0.5, max_doc_freq=10
+        ).collect()
+    }
+    plain = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in similarity.jaccard_pairs(df, "doc_id", "text", 3, 0.5).collect()
+    }
+    # the rare-shingle near-dup pairs survive, values exact
+    for pair in [(1, 2), (3, 4)]:
+        assert pair in capped and capped[pair] == plain[pair]
+    # every capped pair is a plain pair with the identical exact value
+    assert all(plain.get(p) == j for p, j in capped.items())
+    # and the boilerplate-only pairs (5..20 share ONLY the header) are
+    # the ones dropped — none of them shares any sub-cap shingle
+    assert all(not (p[0] >= 5 and p[1] >= 5) for p in capped)
+
+
+def test_containment_cap_and_prefix_equivalence(spark):
+    """containment_pairs(max_doc_freq=high) and
+    containment_pairs_prefix must both reproduce the uncapped
+    containment output exactly (prefix filtering is lossless; the cap
+    with df ≤ cap prunes nothing)."""
+    from fink_joiner_spark.operators import similarity
+
+    df = _boilerplate_corpus(spark)
+    # add a small doc fully contained in doc 1's text
+    contained = spark.createDataFrame(
+        [(99, "alpha beta gamma delta epsilon zeta eta")],
+        "doc_id long, text string",
+    )
+    df = df.unionByName(contained)
+    for t in (0.5, 0.8):
+        plain = {
+            (r["src"], r["dst"], r["containment"])
+            for r in similarity.containment_pairs(
+                df, "doc_id", "text", 3, t
+            ).collect()
+        }
+        capped = {
+            (r["src"], r["dst"], r["containment"])
+            for r in similarity.containment_pairs(
+                df, "doc_id", "text", 3, t, max_doc_freq=100
+            ).collect()
+        }
+        pref = {
+            (r["src"], r["dst"], r["containment"])
+            for r in similarity.containment_pairs_prefix(
+                df, "doc_id", "text", 3, t
+            ).collect()
+        }
+        assert plain == capped == pref and len(plain) > 0
+    # the contained doc is detected as a near-subset of doc 1
+    assert any(s == 99 and d == 1 for s, d, _ in plain)
+
+
+def test_containment_prefix_probe_volume_shrinks(spark, sf_dir):
+    """The prefix probe side posts ~(1-t)·n+1 shingles per src doc —
+    the index side is full, so total candidate-join input volume is
+    prefix+full, and hot index keys meet only in-prefix probes."""
+    from pyspark.sql import functions as F
+
+    from fink_joiner_spark.catalog import table
+    from fink_joiner_spark.operators.similarity import word_shingles
+
+    docs = table(spark, sf_dir, "documents")
+    sizes = (
+        docs.select(F.size(word_shingles(F.col("text"), 3)).alias("n"))
+        .where("n >= 5")
+        .agg(
+            F.sum("n").alias("full"),
+            F.sum(F.col("n") - F.ceil(F.col("n") * 0.8) + 1).alias("prefix"),
+        )
+        .first()
+    )
+    assert sizes["prefix"] < 0.3 * sizes["full"]
