@@ -274,6 +274,8 @@ _R3_REGRESSED, _HISTORY_VERIFIED, _LAST_GREEN_ROUND = _correctness_history()
 _ROUND_CHANGED = frozenset({
     # counts collect + literal weight table (plan changed, values not)
     "ext_dsir_select",
+    # real BMP decode replaced the fake featurizer (oracle rewritten)
+    "multimodal_features",
 })
 
 

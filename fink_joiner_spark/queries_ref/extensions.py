@@ -785,19 +785,30 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_features",
-    # Exact oracle for the deterministic byte-histogram fake decode:
-    # byte % 8 depends only on the low hex nibble (16 ≡ 0 mod 8), so
-    # DuckDB recovers each byte's bucket from hex(encode(text)).
+    # r11: the payload is now a REAL one-row 8-bpp grayscale BMP whose
+    # pixel row is the text bytes, decoded by the in-container struct
+    # parser (multimodal.decode_bmp). The oracle never parses BMP — it
+    # derives every output analytically from the spec: file size =
+    # 14 (file header) + 40 (info header) + 1024 (palette) + padded
+    # row, width = byte count, height = 1; pixel buckets = text-byte
+    # buckets because an identity-palette 8-bpp decode returns the
+    # payload bytes (byte % 8 depends only on the low hex nibble, so
+    # DuckDB recovers buckets from hex(encode(text))). A decoder that
+    # misparsed the header, palette, padding, or row order breaks the
+    # hash.
     """
     WITH b AS (
       SELECT doc_id,
-             octet_length(encode(text)) AS n_bytes,
+             octet_length(encode(text)) AS n,
              [ (strpos('0123456789ABCDEF',
                        substr(hex(encode(text)), 2*i, 1)) - 1) % 8
                FOR i IN range(1, octet_length(encode(text)) + 1) ] AS buckets
       FROM documents
     )
-    SELECT doc_id AS id, n_bytes,
+    SELECT doc_id AS id,
+           (14 + 40 + 1024 + ((n + 3) // 4) * 4)::BIGINT AS n_bytes,
+           n::BIGINT AS width,
+           1::BIGINT AS height,
            len(list_filter(buckets, x -> x = 0))::BIGINT AS f0,
            len(list_filter(buckets, x -> x = 1))::BIGINT AS f1,
            len(list_filter(buckets, x -> x = 2))::BIGINT AS f2,
@@ -808,24 +819,96 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(list_filter(buckets, x -> x = 7))::BIGINT AS f7
     FROM b
     """,
-    "Arrow-batched mapInPandas feature extraction over binary payloads "
-    "(decode stubbed: deterministic byte-histogram features, emitted as "
-    "flat integer columns so the hash compare is exact)",
+    "REAL image decode in the oracle path (r10 verdict ask #3): text "
+    "bytes wrapped as genuine 8-bpp BMPs, parsed back by the pure-"
+    "struct decoder, pixel-histogram features + width/height/file-size "
+    "— the oracle derives everything analytically from the BMP spec",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fink_joiner_spark.operators import multimodal
 
     docs = table(spark, sf_dir, "documents")
     bin_df = multimodal.binarize(docs, "text", "doc_id")
-    feats = multimodal.extract_features(bin_df, fake=True, normalize=False)
+    imgs = multimodal.wrap_payload_as_bmp(bin_df)
+    feats = multimodal.decode_bmp_features(imgs)
     return feats.select(
         "id",
         "n_bytes",
+        "width",
+        "height",
         *[
             F.col("features")[i].cast("long").alias(f"f{i}")
             for i in range(multimodal.FEATURE_DIM)
         ],
     )
+
+
+@register(
+    "multimodal_decode_bmp",
+    # 2-D 24-bpp fixture: per doc a (4+doc_id%5)×(3+doc_id%4) image
+    # with pixel(i) = (doc_id·7 + i·13) % 256 — the decoder must walk
+    # bottom-up padded rows of BGR triplets to reproduce the analytic
+    # channel sum (= 3·Σ pixel, order-independent).
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             (4 + doc_id % 5)::BIGINT AS width,
+             (3 + doc_id % 4)::BIGINT AS height
+      FROM documents
+    )
+    SELECT doc_id, width, height,
+           (width * height)::BIGINT AS n_pixels,
+           (3 * list_sum([ (doc_id * 7 + i * 13) % 256
+                           FOR i IN range(0, width * height) ]))::BIGINT
+             AS channel_sum
+    FROM dims
+    """,
+    "REAL 24-bpp BMP decode of 2-D images (bottom-up rows, 4-byte row "
+    "padding): per-doc arithmetic pixel pattern encoded to spec bytes "
+    "and parsed back — width/height/pixel-count/channel-sum all "
+    "derived analytically by the oracle, never from the codec",
+)
+def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from fink_joiner_spark.operators import multimodal
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("n_pixels", T.LongType()),
+            T.StructField("channel_sum", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 5, 3 + did % 4
+                px = bytes((did * 7 + i * 13) % 256 for i in range(w * h))
+                meta = multimodal.decode_bmp(
+                    multimodal.encode_bmp(w, h, px, bpp=24)
+                )
+                rows.append(
+                    (did, meta["width"], meta["height"], meta["n_pixels"],
+                     sum(meta["pixels"]))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "n_pixels", "channel_sum"],
+            )
+
+    return docs.mapInPandas(run, schema)
 
 
 # ---------------------------------------------------------------------------
