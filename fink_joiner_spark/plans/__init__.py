@@ -76,6 +76,32 @@ def asserts_whole_stage_codegen(df: DataFrame) -> None:
     assert "codegen id" in plan, f"no WholeStageCodegen span:\n{plan}"
 
 
+def plan_fingerprint(df: DataFrame) -> dict:
+    """Structural fingerprint of the STATIC physical plan — the
+    plan-shape regression signal the DuckDB value oracle is blind to
+    (r10 verdict ask #6): a lost broadcast, an extra shuffle, or a
+    de-pruned scan is still value-correct but a 100 TB regression.
+    Static (pre-AQE) on purpose: deterministic for fixed code + test
+    data, no execution needed; AQE can only improve on it at runtime.
+
+    Directional reading (enforced by tests/test_plan_shapes.py):
+    ``shuffles``/``cartesian``/``bnlj``/``max_scan_cols`` must not
+    rise, ``broadcast_joins`` must not fall, vs the committed
+    ``tests/plan_fingerprints.json`` baseline."""
+    plan = formatted_plan(df)
+    schemas = scan_read_schemas(plan)
+    return {
+        "shuffles": len(re.findall(r"Arguments: (?:hash|range)partitioning", plan)),
+        "broadcast_joins": plan.count("BroadcastHashJoin"),
+        "sort_merge_joins": plan.count("SortMergeJoin"),
+        "shuffled_hash_joins": plan.count("ShuffledHashJoin"),
+        "cartesian": plan.count("CartesianProduct"),
+        "bnlj": plan.count("BroadcastNestedLoopJoin"),
+        "scans": len(schemas),
+        "max_scan_cols": max((s.count(":") for s in schemas), default=0),
+    }
+
+
 def count_shuffles(df: DataFrame) -> int:
     """Number of shuffle exchanges in the plan (broadcast exchanges are
     deliberately NOT counted — they're the cheap alternative we audit
