@@ -182,6 +182,22 @@ def main() -> None:
     load_avg_start = _loadavg()
     load_contended = (load_avg_start[0] or 0) > max_load
 
+    # Fixture-build amortization (r10 verdict ask #8): the index
+    # lifecycle demos rebuild their pre-state fixture per call BY
+    # CONSTRUCTION; under 3 reps that setup ran three times and was
+    # ~40% of r10's bench wall. The bench scopes a per-run fixture
+    # cache (keyed by query-fixture name + sf + code tree hash inside
+    # fink_joiner_spark.fixtures) so rep 1 builds and reps 2-3 get a
+    # fresh private COPY — reruns measure the operator, not the setup.
+    # Correctness runs (pytest, the driver) never set this env var and
+    # keep building per call.
+    fixture_cache = os.environ.get("SPARK_GRAFT_FIXTURE_CACHE")
+    if fixture_cache is None:
+        import tempfile
+
+        fixture_cache = tempfile.mkdtemp(prefix="fjs_bench_fixture_cache_")
+        os.environ["SPARK_GRAFT_FIXTURE_CACHE"] = fixture_cache
+
     spark = get_spark("fink_joiner_spark-bench")
     fns = queries()
 
@@ -489,6 +505,7 @@ def main() -> None:
         # not the production read path; the probe share is the number
         # that matters at 100 TB (per-query build_s/probe_s in detail)
         "fixture_build_sec": round(total_build, 3),
+        "fixture_cache": bool(os.environ.get("SPARK_GRAFT_FIXTURE_CACHE")),
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(timings),

@@ -1300,16 +1300,20 @@ def simsearch_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "oracle); pruning plan-audited in tests/test_lake.py",
 )
 def simsearch_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
+    from fink_joiner_spark.fixtures import fixture_dir
     from fink_joiner_spark.operators import similarity
 
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     n_cells = 16
     exact = emb.count() <= _ANN_EXACT_MAX
-    work = tempfile.mkdtemp(prefix="fjs_ivf_idx_")
-    similarity.build_ivf_index(emb, "vec_id", "embedding", work, n_cells=n_cells)
+    work = fixture_dir(
+        "ivf_idx",
+        lambda w: similarity.build_ivf_index(
+            emb, "vec_id", "embedding", w, n_cells=n_cells
+        ),
+        sf_dir,
+    )
     return similarity.topk_ivf_indexed(
         spark, work, queries, "vec_id", "embedding",
         k=10, nprobe=n_cells if exact else 4,
@@ -1538,13 +1542,17 @@ QUALIFY ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) <= 20
     "all inside probed buckets)",
 )
 def ext_bm25_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
+    from fink_joiner_spark.fixtures import fixture_dir
     from fink_joiner_spark.operators import scoring
 
     docs = table(spark, sf_dir, "documents")
-    work = tempfile.mkdtemp(prefix="fjs_bm25_idx_")
-    scoring.build_bm25_index(docs, "doc_id", "text", work, n_buckets=32)
+    work = fixture_dir(
+        "bm25_idx",
+        lambda w: scoring.build_bm25_index(
+            docs, "doc_id", "text", w, n_buckets=32
+        ),
+        sf_dir,
+    )
     probe = scoring.bm25_indexed_scores(
         spark, work, ["join", "filter", "window"], k1=1.2, b=0.75
     )
@@ -1564,14 +1572,17 @@ def ext_bm25_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "breaks it",
 )
 def ext_bm25_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
+    from fink_joiner_spark.fixtures import fixture_dir
     from fink_joiner_spark.operators import scoring
 
     docs = table(spark, sf_dir, "documents")
-    work = tempfile.mkdtemp(prefix="fjs_bm25_inc_")
-    scoring.build_bm25_index(
-        docs.where(F.col("doc_id") % 2 == 0), "doc_id", "text", work, n_buckets=32
+    work = fixture_dir(
+        "bm25_inc",
+        lambda w: scoring.build_bm25_index(
+            docs.where(F.col("doc_id") % 2 == 0), "doc_id", "text", w,
+            n_buckets=32,
+        ),
+        sf_dir,
     )
     scoring.update_bm25_index(
         docs.where(F.col("doc_id") % 2 == 1), "doc_id", "text", work
@@ -1593,18 +1604,20 @@ def ext_bm25_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vector breaks the hash",
 )
 def simsearch_ivf_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
+    from fink_joiner_spark.fixtures import fixture_dir
     from fink_joiner_spark.operators import similarity
 
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     n_cells = 16
     exact = emb.count() <= _ANN_EXACT_MAX
-    work = tempfile.mkdtemp(prefix="fjs_ivf_inc_")
-    similarity.build_ivf_index(
-        emb.where(F.col("vec_id") % 2 == 0), "vec_id", "embedding", work,
-        n_cells=n_cells,
+    work = fixture_dir(
+        "ivf_inc",
+        lambda w: similarity.build_ivf_index(
+            emb.where(F.col("vec_id") % 2 == 0), "vec_id", "embedding", w,
+            n_cells=n_cells,
+        ),
+        sf_dir,
     )
     similarity.update_ivf_index(
         emb.where(F.col("vec_id") % 2 == 1), "vec_id", "embedding", work
@@ -1626,8 +1639,6 @@ def simsearch_ivf_index_incremental(spark: SparkSession, sf_dir: str) -> DataFra
     "any dropped batch, double-fold, or stale scalar breaks it",
 )
 def stream_bm25_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from fink_joiner_spark.operators import scoring
     from fink_joiner_spark.queries import (
         STREAM_SHUFFLE_PARTITIONS,
@@ -1637,17 +1648,23 @@ def stream_bm25_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
     from fink_joiner_spark.sources.streaming import file_drip_feed
 
     docs = table(spark, sf_dir, "documents")
-    work = tempfile.mkdtemp(prefix="fjs_bm25_stream_")
-    idx = f"{work}/idx"
     # build carries 3/4 of the corpus, the stream folds the rest in two
     # micro-batches — enough to exercise multi-batch maintenance; the
     # oracle still covers the WHOLE corpus, so a dropped or double-
     # folded batch can't hide. 8 buckets: the fold rewrites term stats
     # per batch, and per-directory task overhead dominates at demo
     # scale (pruning-ratio coverage lives in tests/test_lake.py at 32)
-    scoring.build_bm25_index(
-        docs.where(F.col("doc_id") % 4 != 1), "doc_id", "text", idx, n_buckets=8
+    from fink_joiner_spark.fixtures import fixture_dir
+
+    work = fixture_dir(
+        "bm25_stream",
+        lambda w: scoring.build_bm25_index(
+            docs.where(F.col("doc_id") % 4 != 1), "doc_id", "text",
+            f"{w}/idx", n_buckets=8,
+        ),
+        sf_dir,
     )
+    idx = f"{work}/idx"
     delta = docs.where(F.col("doc_id") % 4 == 1).select("doc_id", "text")
     with stream_state_confs(spark, STREAM_SHUFFLE_PARTITIONS), \
             stream_finish_fast(spark):
@@ -5653,12 +5670,10 @@ def kafka_avro_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "missed bucket, or stale scalar breaks it",
 )
 def ext_bm25_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
+    from fink_joiner_spark.fixtures import fixture_dir
     from fink_joiner_spark.operators import scoring
 
     docs = table(spark, sf_dir, "documents")
-    work = tempfile.mkdtemp(prefix="fjs_bm25_upsert_")
     # stale corpus: even ids carry reversed (wrong) text, ids %4==3
     # don't exist yet
     stale = docs.where(F.col("doc_id") % 4 != 3).withColumn(
@@ -5671,7 +5686,11 @@ def ext_bm25_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-directory task overhead dominates at demo scale (measured
     # 15% off the warm run vs 16; pruning-ratio coverage lives in
     # tests/test_lake.py at 32 buckets)
-    scoring.build_bm25_index(stale, "doc_id", "text", work, n_buckets=8)
+    work = fixture_dir(
+        "bm25_upsert",
+        lambda w: scoring.build_bm25_index(stale, "doc_id", "text", w, n_buckets=8),
+        sf_dir,
+    )
     delta = docs.where(
         (F.col("doc_id") % 2 == 0) | (F.col("doc_id") % 4 == 3)
     ).select("doc_id", "text")
@@ -5748,22 +5767,26 @@ def ext_index_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tests/test_lake.py",
 )
 def simsearch_ivf_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
+    from fink_joiner_spark.fixtures import fixture_dir
     from fink_joiner_spark.operators import similarity
 
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     n_cells = 16
     exact = emb.count() <= _ANN_EXACT_MAX
-    work = tempfile.mkdtemp(prefix="fjs_ivf_retrain_")
-    similarity.build_ivf_index(
-        emb.where(F.col("vec_id") % 2 == 0), "vec_id", "embedding", work,
-        n_cells=n_cells,
-    )
-    similarity.update_ivf_index(
-        emb.where(F.col("vec_id") % 2 == 1), "vec_id", "embedding", work
-    )
+
+    def _setup(w: str) -> None:
+        # the drifted pre-state the retrain (the operator under test)
+        # fixes: build on half, fold the rest against the frozen seeds
+        similarity.build_ivf_index(
+            emb.where(F.col("vec_id") % 2 == 0), "vec_id", "embedding", w,
+            n_cells=n_cells,
+        )
+        similarity.update_ivf_index(
+            emb.where(F.col("vec_id") % 2 == 1), "vec_id", "embedding", w
+        )
+
+    work = fixture_dir("ivf_retrain", _setup, sf_dir)
     similarity.retrain_ivf_index(spark, work, train_iters=2)
     return similarity.topk_ivf_indexed(
         spark, work, queries, "vec_id", "embedding",
@@ -6111,19 +6134,21 @@ def ext_tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "entered",
 )
 def ext_bm25_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
+    from fink_joiner_spark.fixtures import fixture_dir
     from fink_joiner_spark.operators import scoring
 
     docs = table(spark, sf_dir, "documents")
-    work = tempfile.mkdtemp(prefix="fjs_bm25_del_")
     junk = docs.select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.reverse(F.col("text")).alias("text"),
     ).where(F.col("doc_id") % 3 == 0)
     dirty = docs.select("doc_id", "text").unionByName(junk)
     # 8 buckets: same demo-scale trade-off as ext_bm25_index_upsert
-    scoring.build_bm25_index(dirty, "doc_id", "text", work, n_buckets=8)
+    work = fixture_dir(
+        "bm25_del",
+        lambda w: scoring.build_bm25_index(dirty, "doc_id", "text", w, n_buckets=8),
+        sf_dir,
+    )
     n = scoring.delete_from_bm25_index(
         junk.select("doc_id"), "doc_id", work
     )
@@ -6147,15 +6172,12 @@ def ext_bm25_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     "breaks the hash",
 )
 def simsearch_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from fink_joiner_spark.operators import similarity
 
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     n_cells = 16
     exact = emb.count() <= _ANN_EXACT_MAX
-    work = tempfile.mkdtemp(prefix="fjs_ivf_del_")
     junk = emb.where(F.col("vec_id") % 3 == 0).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
         F.reverse(F.col("embedding")).alias("embedding"),
@@ -6164,7 +6186,15 @@ def simsearch_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     # all-cell probing at small sf makes the probe exactly brute force
     # over whatever vectors REMAIN, whatever the codebook — so the
     # junk-polluted build's seeds can't mask a surviving junk vector
-    similarity.build_ivf_index(dirty, "vec_id", "embedding", work, n_cells=n_cells)
+    from fink_joiner_spark.fixtures import fixture_dir
+
+    work = fixture_dir(
+        "ivf_del",
+        lambda w: similarity.build_ivf_index(
+            dirty, "vec_id", "embedding", w, n_cells=n_cells
+        ),
+        sf_dir,
+    )
     n = similarity.delete_from_ivf_index(
         junk.select("vec_id"), "vec_id", work
     )
@@ -6190,15 +6220,12 @@ def simsearch_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     "double-indexed state a plain append leaves) breaks the hash",
 )
 def simsearch_ivf_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from fink_joiner_spark.operators import similarity
 
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     n_cells = 16
     exact = emb.count() <= _ANN_EXACT_MAX
-    work = tempfile.mkdtemp(prefix="fjs_ivf_upsert_")
     # stale corpus: even ids carry reversed (wrong) embeddings, ids
     # %4==3 don't exist yet
     stale = emb.where(F.col("vec_id") % 4 != 3).select(
@@ -6207,7 +6234,15 @@ def simsearch_ivf_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id") % 2 == 0, F.reverse(F.col("embedding"))
         ).otherwise(F.col("embedding")).alias("embedding"),
     )
-    similarity.build_ivf_index(stale, "vec_id", "embedding", work, n_cells=n_cells)
+    from fink_joiner_spark.fixtures import fixture_dir
+
+    work = fixture_dir(
+        "ivf_upsert",
+        lambda w: similarity.build_ivf_index(
+            stale, "vec_id", "embedding", w, n_cells=n_cells
+        ),
+        sf_dir,
+    )
     delta = emb.where(
         (F.col("vec_id") % 2 == 0) | (F.col("vec_id") % 4 == 3)
     ).select("vec_id", "embedding")
@@ -6231,8 +6266,6 @@ def simsearch_ivf_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exactly — a dropped or double-folded batch breaks the hash",
 )
 def stream_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from fink_joiner_spark.operators import similarity
     from fink_joiner_spark.queries import (
         STREAM_SHUFFLE_PARTITIONS,
@@ -6245,12 +6278,17 @@ def stream_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 8)
     n_cells = 16
     exact = emb.count() <= _ANN_EXACT_MAX
-    work = tempfile.mkdtemp(prefix="fjs_ivf_stream_")
-    idx = f"{work}/idx"
-    similarity.build_ivf_index(
-        emb.where(F.col("vec_id") % 2 == 0), "vec_id", "embedding", idx,
-        n_cells=n_cells,
+    from fink_joiner_spark.fixtures import fixture_dir
+
+    work = fixture_dir(
+        "ivf_stream",
+        lambda w: similarity.build_ivf_index(
+            emb.where(F.col("vec_id") % 2 == 0), "vec_id", "embedding",
+            f"{w}/idx", n_cells=n_cells,
+        ),
+        sf_dir,
     )
+    idx = f"{work}/idx"
     delta = emb.where(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
     with stream_state_confs(spark, STREAM_SHUFFLE_PARTITIONS), \
             stream_finish_fast(spark):
@@ -6518,19 +6556,23 @@ def ext_csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus oracle — compaction moves bytes, never counts",
 )
 def ext_bm25_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
+    from fink_joiner_spark.fixtures import fixture_dir
     from fink_joiner_spark.operators import scoring
 
     docs = table(spark, sf_dir, "documents")
-    work = tempfile.mkdtemp(prefix="fjs_bm25_compact_")
-    scoring.build_bm25_index(
-        docs.where(F.col("doc_id") % 4 == 0), "doc_id", "text", work, n_buckets=8
-    )
-    for rem in (1, 2, 3):
-        scoring.update_bm25_index(
-            docs.where(F.col("doc_id") % 4 == rem), "doc_id", "text", work
+
+    def _setup(w: str) -> None:
+        # the fragmented pre-state compaction (the operator under
+        # test) exists to fix: one build + three incremental folds
+        scoring.build_bm25_index(
+            docs.where(F.col("doc_id") % 4 == 0), "doc_id", "text", w, n_buckets=8
         )
+        for rem in (1, 2, 3):
+            scoring.update_bm25_index(
+                docs.where(F.col("doc_id") % 4 == rem), "doc_id", "text", w
+            )
+
+    work = fixture_dir("bm25_compact", _setup, sf_dir)
     from fink_joiner_spark.versioned import VersionedStore
 
     n_before = len(VersionedStore(spark, work).read("postings").inputFiles())
@@ -6976,21 +7018,27 @@ def ext_tpch_q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> Data
     "the history, within the GC grace window)",
 )
 def ext_bm25_index_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
+    from fink_joiner_spark.fixtures import fixture_dir
     from fink_joiner_spark.operators import scoring
     from fink_joiner_spark.versioned import VersionedStore
 
     docs = table(spark, sf_dir, "documents")
-    work = tempfile.mkdtemp(prefix="fjs_bm25_tt_")
     terms = ["join", "filter", "window"]
-    scoring.build_bm25_index(
-        docs.where(F.col("doc_id") % 2 == 0), "doc_id", "text", work, n_buckets=8
-    )
-    v1 = VersionedStore(spark, work).current()
-    scoring.update_bm25_index(
-        docs.where(F.col("doc_id") % 2 == 1), "doc_id", "text", work
-    )
+
+    def _setup(w: str) -> None:
+        # the two-version history the time-travel probe (the operator
+        # under test) reads across: half-corpus build, full-corpus fold
+        scoring.build_bm25_index(
+            docs.where(F.col("doc_id") % 2 == 0), "doc_id", "text", w, n_buckets=8
+        )
+        scoring.update_bm25_index(
+            docs.where(F.col("doc_id") % 2 == 1), "doc_id", "text", w
+        )
+
+    work = fixture_dir("bm25_tt", _setup, sf_dir)
+    # v1 = the older retained version (the pre-fold snapshot); the
+    # fixture history is exactly [build, fold] within the grace window
+    v1 = VersionedStore(spark, work).committed_versions()[0]
 
     def _top(df, tag):
         return (
@@ -7045,8 +7093,7 @@ def _topk_oracle_where(corpus_where: str) -> str:
     "readable within the keep_commits GC grace window",
 )
 def simsearch_ivf_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
+    from fink_joiner_spark.fixtures import fixture_dir
     from fink_joiner_spark.operators import similarity
     from fink_joiner_spark.versioned import VersionedStore
 
@@ -7055,15 +7102,19 @@ def simsearch_ivf_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_cells = 16
     exact = emb.count() <= _ANN_EXACT_MAX
     nprobe = n_cells if exact else 4
-    work = tempfile.mkdtemp(prefix="fjs_ivf_tt_")
-    similarity.build_ivf_index(
-        emb.where(F.col("vec_id") % 2 == 0), "vec_id", "embedding", work,
-        n_cells=n_cells,
-    )
-    v1 = VersionedStore(spark, work).current()
-    similarity.update_ivf_index(
-        emb.where(F.col("vec_id") % 2 == 1), "vec_id", "embedding", work
-    )
+
+    def _setup(w: str) -> None:
+        similarity.build_ivf_index(
+            emb.where(F.col("vec_id") % 2 == 0), "vec_id", "embedding", w,
+            n_cells=n_cells,
+        )
+        similarity.update_ivf_index(
+            emb.where(F.col("vec_id") % 2 == 1), "vec_id", "embedding", w
+        )
+
+    work = fixture_dir("ivf_tt", _setup, sf_dir)
+    # the older retained version = the pre-fold half-corpus snapshot
+    v1 = VersionedStore(spark, work).committed_versions()[0]
 
     def _tag(df, tag):
         return df.select(
@@ -7101,22 +7152,23 @@ def simsearch_ivf_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hash-matches the same _RRF_ORACLE",
 )
 def ext_hybrid_indexed_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from pyspark.sql import Window
 
+    from fink_joiner_spark.fixtures import fixture_dir
     from fink_joiner_spark.operators import scoring, similarity
 
     docs = table(spark, sf_dir, "documents")
     emb = table(spark, sf_dir, "embeddings")
     n_cells = 16
     exact = emb.count() <= _ANN_EXACT_MAX
-    work = tempfile.mkdtemp(prefix="fjs_hybrid_idx_")
 
-    scoring.build_bm25_index(docs, "doc_id", "text", f"{work}/bm25", n_buckets=8)
-    similarity.build_ivf_index(
-        emb, "vec_id", "embedding", f"{work}/ivf", n_cells=n_cells
-    )
+    def _setup(w: str) -> None:
+        scoring.build_bm25_index(docs, "doc_id", "text", f"{w}/bm25", n_buckets=8)
+        similarity.build_ivf_index(
+            emb, "vec_id", "embedding", f"{w}/ivf", n_cells=n_cells
+        )
+
+    work = fixture_dir("hybrid_idx", _setup, sf_dir)
 
     bm = scoring.bm25_indexed_scores(
         spark, f"{work}/bm25", ["join", "filter", "window"]
@@ -7204,8 +7256,7 @@ def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a dropped, duplicated, or mixed-version batch breaks it",
 )
 def stream_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
+    from fink_joiner_spark.fixtures import fixture_dir
     from fink_joiner_spark.operators import similarity
     from fink_joiner_spark.queries import (
         STREAM_SHUFFLE_PARTITIONS,
@@ -7219,9 +7270,14 @@ def stream_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_cells = 16
     exact = emb.count() <= _ANN_EXACT_MAX
     nprobe = n_cells if exact else 4
-    work = tempfile.mkdtemp(prefix="fjs_ann_serve_")
+    work = fixture_dir(
+        "ann_serve",
+        lambda w: similarity.build_ivf_index(
+            emb, "vec_id", "embedding", f"{w}/idx", n_cells=n_cells
+        ),
+        sf_dir,
+    )
     idx = f"{work}/idx"
-    similarity.build_ivf_index(emb, "vec_id", "embedding", idx, n_cells=n_cells)
 
     def probe(batch_df, batch_id: int) -> None:
         out = similarity.topk_ivf_indexed(
