@@ -2938,6 +2938,61 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_containment_capped",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, {_DD_TOKS.format(t='text')} AS toks FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, {_DD_SHINGLES} AS shingles FROM tok
+    ),
+    ex AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ),
+    freq AS (
+      SELECT s, COUNT(*) AS df_s FROM ex GROUP BY s
+    ),
+    cold AS (
+      SELECT ex.doc_id, ex.s FROM ex JOIN freq USING (s)
+      WHERE freq.df_s <= 20
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM cold a JOIN cold b ON a.s = b.s AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT c.id_a, c.id_b,
+             len(list_filter(a.shingles, s -> list_contains(b.shingles, s)))
+               AS inter,
+             len(a.shingles) AS na, len(b.shingles) AS nb
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b
+    )
+    SELECT id_a AS src, id_b AS dst,
+           ROUND(inter::DOUBLE / na, 4) AS containment
+    FROM verified
+    WHERE inter > 0 AND na >= 5 AND ROUND(inter::DOUBLE / na, 4) >= 0.8
+    UNION ALL
+    SELECT id_b, id_a, ROUND(inter::DOUBLE / nb, 4)
+    FROM verified
+    WHERE inter > 0 AND nb >= 5 AND ROUND(inter::DOUBLE / nb, 4) >= 0.8
+    """,
+    "directed containment with the stopword-shingle cap "
+    "(max_doc_freq=20): hot shingles leave candidate generation, "
+    "survivors verify exactly — the oracle replicates the cap in SQL "
+    "so the hash gate proves the capped containment path itself",
+)
+def dedup_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import similarity
+
+    docs = table(spark, sf_dir, "documents")
+    return similarity.containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8, max_doc_freq=20
+    )
+
+
+@register(
     "dedup_jaccard_capped",
     f"""
     WITH tok AS (
