@@ -789,6 +789,143 @@ def winnowed_fingerprints(
     return sel
 
 
+# Rolling-hash winnowing constants (shared with the DuckDB oracle):
+# polynomial base/modulus of char_poly_hash, plus the precomputed
+# modular inverse of the base (pow(31, MOD-2, MOD)) so window hashes
+# derive from a PLAIN windowed sum — the only windowable form of the
+# recurrence. Every intermediate stays < 2^63 in BOTH engines:
+# wc = c·invB^pos < MOD, window sum < gram_len·MOD ≈ 2e10, and the
+# final (sum % MOD)·B^k product < MOD² ≈ 1e18.
+WINNOW_MOD = 1_000_000_007
+WINNOW_BASE = 31
+WINNOW_INV_BASE = 129032259  # pow(31, WINNOW_MOD - 2, WINNOW_MOD)
+# packed selection key: g·2^31 + pos (g < MOD < 2^31 never true —
+# MOD ≈ 2^30, so g < 2^30 and the key < 2^61; pos bound 2^31 chars)
+_WINNOW_POS_PACK = 1 << 31
+
+
+def winnowed_fingerprints_rolling(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    gram_len: int = 20,
+    window: int = 8,
+) -> DataFrame:
+    """Winnowing fingerprint selection via a TRUE ROLLING HASH — the
+    form Schleimer/Wilkerson/Aiken 2003 actually prescribe (§4: "use
+    a rolling hash function") and the scale path of
+    :func:`winnowed_fingerprints`, whose md5-per-gram baseline pays
+    O(chars·gram_len) digest work plus per-gram substring/hex
+    allocation (the suite's hottest CPU query at sf0.1: 225 cpu-s).
+
+    Here each char is hashed ONCE: the L-gram polynomial hash
+    ``g(i) = Σ c_{i+k}·B^{L-1-k} mod M`` is recovered from a plain
+    windowed sum of position-weighted codepoints —
+    ``g(i) = (Σ_{j=i..i+L-1} c_j·invB^j) · B^{i+L-1} mod M`` — so the
+    whole pipeline is: explode chars (O(chars) rows), one broadcast
+    join to an exact driver-computed power table (bounded by max doc
+    length; ~16 MB even at 1M-char docs), ONE windowed sum, one
+    windowed min for the selection — all codegen longs, no digests,
+    no string keys (selection minimizes the packed int
+    ``g·2^31 + pos``, the same lowest-hash-then-lowest-position tie
+    rule as the md5 variant).
+
+    Fingerprint VALUES differ from the md5 variant by construction
+    (different hash family, same selection guarantee: docs sharing a
+    substring ≥ gram_len + window − 1 chars share a selected
+    fingerprint). A 30-bit hash space is the MOSS posture —
+    fingerprinting, not exactness; the pair stage counts shared
+    fingerprints, it never claims byte equality. Emits
+    (doc_id, pos, fp) with fp a long.
+    """
+    from pyspark.sql import Window
+
+    from fink_joiner_spark.operators.similarity import _spread
+
+    spark = df.sparkSession
+    d = _spread(df).select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("t")
+    ).where(F.length("t") >= gram_len)
+    max_len = d.agg(F.max(F.length("t"))).first()[0]  # 1-row driver collect
+    if max_len is None:
+        return spark.createDataFrame([], "doc_id long, pos long, fp long")
+    # exact power tables, driver-computed ints (no RNG, no floats)
+    powi, powb, vi, vb = [], [], 1, 1
+    for k in range(max_len + gram_len + 1):
+        powi.append((k, vi))
+        powb.append((k, vb))
+        vi = vi * WINNOW_INV_BASE % WINNOW_MOD
+        vb = vb * WINNOW_BASE % WINNOW_MOD
+    powi_df = F.broadcast(spark.createDataFrame(powi, "pos long, vi long"))
+    powb_df = F.broadcast(spark.createDataFrame(powb, "gpos long, vb long"))
+
+    chars = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("t"))).alias("pos"),
+        "t",
+    ).select(
+        "doc_id", "pos", F.ascii(F.substring("t", F.col("pos"), F.lit(1))).alias("c")
+    )
+    weighted = chars.join(powi_df, "pos").select(
+        "doc_id", "pos", (F.col("c") * F.col("vi") % WINNOW_MOD).alias("wc")
+    )
+    wsum = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, gram_len - 1)
+    s = weighted.select(
+        "doc_id",
+        "pos",
+        (F.sum("wc").over(wsum) % WINNOW_MOD).alias("S"),
+        F.count(F.lit(1)).over(wsum).alias("nw"),
+    ).where(F.col("nw") == gram_len)
+    grams = s.withColumn("gpos", F.col("pos") + (gram_len - 1)).join(
+        powb_df, "gpos"
+    ).select(
+        "doc_id", "pos", (F.col("S") * F.col("vb") % WINNOW_MOD).alias("g")
+    )
+    key = F.col("g") * _WINNOW_POS_PACK + F.col("pos")
+    wsel = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
+    return (
+        grams.withColumn("k", F.min(key).over(wsel))
+        .select(
+            "doc_id",
+            (F.col("k") % _WINNOW_POS_PACK).alias("pos"),
+            # integer div, NOT `/`: the packed key reaches ~2^61 and
+            # double division would lose bits past 2^53
+            F.expr(f"k div {_WINNOW_POS_PACK}").alias("fp"),
+        )
+        .distinct()
+    )
+
+
+def winnowing_pairs_rolling(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    gram_len: int = 20,
+    window: int = 8,
+    min_shared: int = 3,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """:func:`winnowing_pairs` on the rolling-hash fingerprints — long
+    join keys instead of 16-hex strings, same posting-cap knob, same
+    output shape (doc_a, doc_b, n_shared)."""
+    fp = winnowed_fingerprints_rolling(df, id_col, text_col, gram_len, window)
+    u = fp.select("doc_id", "fp").distinct()
+    if max_doc_freq is not None:
+        keep = u.groupBy("fp").agg(F.count(F.lit(1)).alias("_df")).where(
+            F.col("_df") <= max_doc_freq
+        )
+        u = u.join(keep.select("fp"), "fp")
+    a = u.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = u.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
 def winnowing_pairs(
     df: DataFrame,
     id_col: str,

@@ -4066,6 +4066,84 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_winnowing_rolling",
+    # rolling-hash winnowing, replicated exactly: per-char codepoints,
+    # position-weighted by invB^pos (recursive-CTE power tables), one
+    # windowed sum recovers each L-gram's polynomial hash
+    # g(i) = (Σ_{j=i..i+L-1} c_j·invB^j)·B^{i+L-1} mod M, selection
+    # minimizes the packed key g·2^31+pos per 8-gram window. Every
+    # intermediate < 2^63 in both engines (see text.WINNOW_MOD note).
+    """
+    WITH RECURSIVE bounds AS (
+      SELECT COALESCE(MAX(length(text)), 0) + 21 AS kmax FROM documents
+    ),
+    powb(k, v) AS (
+      SELECT 0, 1::BIGINT
+      UNION ALL
+      SELECT k + 1, (v * 31) % 1000000007 FROM powb
+      WHERE k < (SELECT kmax FROM bounds)
+    ),
+    powi(k, v) AS (
+      SELECT 0, 1::BIGINT
+      UNION ALL
+      SELECT k + 1, (v * 129032259::BIGINT) % 1000000007 FROM powi
+      WHERE k < (SELECT kmax FROM bounds)
+    ),
+    chars AS (
+      SELECT doc_id, u['pos'] AS pos, u['c'] AS c FROM (
+        SELECT doc_id,
+               unnest([{'pos': i, 'c': ascii(t[i])}
+                       FOR i IN generate_series(1, length(t))]) AS u
+        FROM (SELECT doc_id, text AS t FROM documents WHERE length(text) >= 20)
+      )
+    ),
+    weighted AS (
+      SELECT c1.doc_id, c1.pos, (c1.c * pi.v) % 1000000007 AS wc
+      FROM chars c1 JOIN powi pi ON pi.k = c1.pos
+    ),
+    s AS (
+      SELECT doc_id, pos,
+             SUM(wc) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 19 FOLLOWING)
+               % 1000000007 AS S,
+             COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 19 FOLLOWING) AS nw
+      FROM weighted
+    ),
+    grams AS (
+      SELECT s.doc_id, s.pos,
+             ((s.S * pb.v) % 1000000007) * 2147483648::BIGINT + s.pos AS key
+      FROM s JOIN powb pb ON pb.k = s.pos + 19
+      WHERE s.nw = 20
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id, k // 2147483648 AS fp
+      FROM (SELECT doc_id,
+                   min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS k
+            FROM grams)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::BIGINT AS n_shared
+    FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 3
+    """,
+    "winnowing near-dup pairs via a TRUE ROLLING HASH (the MOSS "
+    "paper's own prescription; scale path of dedup_winnowing_pairs): "
+    "each char hashed once, L-gram hashes from ONE windowed sum of "
+    "invB^pos-weighted codepoints — no per-gram md5/substring/hex, "
+    "long join keys; same selection guarantee at ~2/(w+1) density",
+)
+def dedup_winnowing_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import text as txt
+
+    docs = table(spark, sf_dir, "documents")
+    return txt.winnowing_pairs_rolling(
+        docs, "doc_id", "text", gram_len=20, window=8, min_shared=3
+    )
+
+
+@register(
     "ext_tpch_q6_forecast",
     """
     SELECT COUNT(*)::BIGINT AS n_lines,

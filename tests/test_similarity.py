@@ -965,3 +965,50 @@ def test_wrap_then_decode_is_identity_on_spark(spark, sf_dir):
     assert set(r) == set(f) and len(r) == 50
     for rid, (w, h, feats) in r.items():
         assert h == 1 and feats == f[rid] and w == sum(int(x) for x in f[rid])
+
+
+def test_rolling_winnowing_detects_same_near_dups_as_md5(spark):
+    """The rolling-hash variant changes the hash family, not the
+    guarantee: docs sharing a substring >= gram_len + window - 1 chars
+    must share selected fingerprints under BOTH variants, and
+    unrelated docs under neither."""
+    from fink_joiner_spark.operators import text as txt
+
+    shared = "this exact one hundred character passage is copied verbatim between the first two documents here!!!!"
+    assert len(shared) == 100
+    rows = [
+        (1, "prefix one " + shared + " suffix alpha"),
+        (2, "different lead-in text " + shared + " other tail"),
+        (3, "entirely unrelated content with nothing in common at all, "
+            "plus enough length to generate fingerprints of its own"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for fn in (txt.winnowing_pairs, txt.winnowing_pairs_rolling):
+        pairs = {(r["doc_a"], r["doc_b"]) for r in
+                 fn(df, "doc_id", "text", 20, 8, min_shared=3).collect()}
+        assert (1, 2) in pairs, fn.__name__
+        assert not any(3 in p for p in pairs), fn.__name__
+
+
+def test_rolling_fingerprints_match_direct_polynomial(spark):
+    """The windowed-sum reconstruction is bit-identical to computing
+    each L-gram's polynomial hash directly (the algebra the oracle
+    also relies on)."""
+    from fink_joiner_spark.operators import text as txt
+
+    t = "the quick brown fox jumps over the lazy dog 0123456789"
+    df = spark.createDataFrame([(1, t)], "doc_id long, text string")
+    got = {
+        (r["pos"], r["fp"])
+        for r in txt.winnowed_fingerprints_rolling(df, "doc_id", "text", 20, 8).collect()
+    }
+    M, B, L, W = txt.WINNOW_MOD, txt.WINNOW_BASE, 20, 8
+    grams = [
+        (i + 1, sum(ord(t[i + k]) * pow(B, L - 1 - k, M) for k in range(L)) % M)
+        for i in range(len(t) - L + 1)
+    ]
+    want = set()
+    for q in range(len(grams)):
+        win = grams[q : q + W]
+        want.add(min((g, p) for p, g in win)[::-1])
+    assert got == want
