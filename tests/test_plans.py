@@ -679,3 +679,28 @@ def test_cross_corpus_dedup_candidates_are_keyed(spark, sf_dir):
     plans.asserts_no_cartesian(df)
     plan = plans.formatted_plan(df)
     assert "LeftAnti" in plan, plan
+
+
+def test_capped_dedup_family_no_cartesian_keyed_joins(spark, sf_dir):
+    """r11 posting-cap family: capped jaccard/containment and
+    prefix-filtered containment must stay keyed joins (no cartesian,
+    no broadcast-nested-loop) and read only (doc_id, text)."""
+    for name in ("dedup_jaccard_capped", "dedup_containment_capped",
+                 "dedup_containment_prefix"):
+        df = _q(name, spark, sf_dir)
+        plan = plans.formatted_plan(df)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        plans.asserts_column_pruned(df, "doc_id", max_cols=2)
+
+
+def test_rolling_winnowing_plan_is_keyed_and_pruned(spark, sf_dir):
+    """Rolling winnowing: power-table joins must be broadcasts (the
+    tables are bounded by max doc length), the pair join keyed, the
+    scan pruned to (doc_id, text)."""
+    df = _q("dedup_winnowing_rolling", spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    plans.asserts_broadcast_join(df, min_count=2)  # powi + powb
+    plans.asserts_column_pruned(df, "doc_id", max_cols=2)
