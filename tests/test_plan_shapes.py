@@ -53,7 +53,9 @@ _GATED = [
     "dedup_jaccard_prefix",
     "dedup_containment",
     "dedup_containment_prefix",
+    "dedup_containment_capped",
     "dedup_winnowing_pairs",
+    "dedup_winnowing_rolling",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "dedup_semantic_semdedup",
