@@ -192,11 +192,17 @@ def main() -> None:
     # Correctness runs (pytest, the driver) never set this env var and
     # keep building per call.
     fixture_cache = os.environ.get("SPARK_GRAFT_FIXTURE_CACHE")
-    if fixture_cache is None:
+    cache_is_ours = fixture_cache is None
+    if cache_is_ours:
+        import atexit
+        import shutil
         import tempfile
 
         fixture_cache = tempfile.mkdtemp(prefix="fjs_bench_fixture_cache_")
         os.environ["SPARK_GRAFT_FIXTURE_CACHE"] = fixture_cache
+        # a full-suite cache is ~1 GB of index fixtures — don't leave
+        # one per round in /tmp (user-provided dirs are theirs to keep)
+        atexit.register(shutil.rmtree, fixture_cache, ignore_errors=True)
 
     spark = get_spark("fink_joiner_spark-bench")
     fns = queries()
