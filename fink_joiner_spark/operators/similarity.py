@@ -2487,22 +2487,7 @@ def containment_pairs_prefix(
     if not 0 < threshold <= 1:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     t_micro = round(threshold * 1_000_000)
-    sh = _spread(df).select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("shingles")
-    ).withColumn("n_sh", F.size("shingles")).where(F.col("n_sh") > 0)
-
-    post = sh.select("id", F.explode("shingles").alias("s"))
-    freq = post.groupBy("s").agg(F.count(F.lit(1)).alias("df_s"))
-    canon = (
-        post.join(freq, "s")
-        .groupBy("id")
-        .agg(F.sort_array(F.collect_list(F.struct("df_s", "s"))).alias("_o"))
-        .select(
-            "id",
-            F.transform("_o", lambda x: x["s"]).alias("sorted_sh"),
-            F.size("_o").alias("n_sh"),
-        )
-    )
+    sh, canon = _canonical_shingles(df, id_col, text_col, n)
     ceil_tn = F.expr(f"(n_sh * {t_micro} + 999999) div 1000000")
     probe = (
         canon.where(F.col("n_sh") >= min_shingles)
@@ -2626,6 +2611,35 @@ def jaccard_pairs_prefix(
     )
 
 
+def _canonical_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared canonical-order construction for the prefix-filter
+    family (:func:`jaccard_pairs_prefix`,
+    :func:`containment_pairs_prefix`): returns ``(sh, canon)`` where
+    ``sh`` is (id, shingles, n_sh) for docs with ≥1 shingle and
+    ``canon`` is (id, sorted_sh, n_sh) with shingles in the GLOBAL
+    rarest-first total order (document frequency, ties by value) —
+    one shingle-keyed join + one doc-keyed agg."""
+    sh = _spread(df).select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("shingles")
+    ).withColumn("n_sh", F.size("shingles")).where(F.col("n_sh") > 0)
+
+    post = sh.select("id", F.explode("shingles").alias("s"))
+    freq = post.groupBy("s").agg(F.count(F.lit(1)).alias("df_s"))
+    canon = (
+        post.join(freq, "s")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list(F.struct("df_s", "s"))).alias("_o"))
+        .select(
+            "id",
+            F.transform("_o", lambda x: x["s"]).alias("sorted_sh"),
+            F.size("_o").alias("n_sh"),
+        )
+    )
+    return sh, canon
+
+
 def _prefix_postings(
     df: DataFrame, id_col: str, text_col: str, n: int, threshold: float
 ) -> tuple[DataFrame, DataFrame, int]:
@@ -2648,24 +2662,7 @@ def _prefix_postings(
     order subtree and cost ~50% at sf0.1."""
     import math
 
-    sh = _spread(df).select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("shingles")
-    ).where(F.size("shingles") > 0)
-
-    post = sh.select("id", F.explode("shingles").alias("s"))
-    freq = post.groupBy("s").agg(F.count(F.lit(1)).alias("df_s"))
-    # canonical rarest-first order per doc, rebuilt via sort_array on
-    # (df, shingle) structs — one shingle-keyed join + one doc-keyed agg
-    canon = (
-        post.join(freq, "s")
-        .groupBy("id")
-        .agg(F.sort_array(F.collect_list(F.struct("df_s", "s"))).alias("_o"))
-        .select(
-            "id",
-            F.transform("_o", lambda x: x["s"]).alias("sorted_sh"),
-            F.size("_o").alias("n_sh"),
-        )
-    )
+    sh, canon = _canonical_shingles(df, id_col, text_col, n)
     # Exact-integer threshold arithmetic: t as micro-units so that
     # ceil(t*n) and the length filters never hinge on a float ulp
     # (10 * 0.7 is 7.000000000000001 in IEEE double — ceil'ing THAT
