@@ -53,6 +53,10 @@ FEATURE_DIM = 8
 
 _BMP_FILE_HEADER = "<2sIHHI"   # magic, file size, 2×reserved, pixel offset
 _BMP_INFO_HEADER = "<IiiHHIIiiII"  # BITMAPINFOHEADER (40 bytes)
+# identity gray palette (1 KB), built once — encode_bmp runs per DOC
+# inside mapInPandas batches, and rebuilding 256 4-byte entries per
+# call showed up in the sf0.1 bench
+_GRAY_PALETTE = b"".join(bytes((i, i, i, 0)) for i in range(256))
 
 
 def encode_bmp(width: int, height: int, pixels: bytes, bpp: int = 8) -> bytes:
@@ -66,7 +70,7 @@ def encode_bmp(width: int, height: int, pixels: bytes, bpp: int = 8) -> bytes:
     mirrored bug)."""
     if bpp == 8:
         row_size = (width + 3) & ~3
-        palette = b"".join(bytes((i, i, i, 0)) for i in range(256))
+        palette = _GRAY_PALETTE
         row_of = lambda r: pixels[r * width : (r + 1) * width]  # noqa: E731
     elif bpp == 24:
         row_size = (width * 3 + 3) & ~3
@@ -259,15 +263,19 @@ def decode_bmp_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     identical plumbing a PIL/ffmpeg deployment would use at this
     boundary."""
 
+    import numpy as np
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for rid, payload in zip(pdf["id"], pdf["payload"]):
                 b = bytes(payload)
                 meta = decode_bmp(b)
-                buckets = [0] * dim
-                for v in meta["pixels"]:
-                    buckets[v % dim] += 1
+                # vectorized bucket histogram — a per-byte Python loop
+                # here was the dominant cost of the whole query at
+                # sf0.1 (pixels ≈ full corpus bytes)
+                px = np.frombuffer(meta["pixels"], dtype=np.uint8)
+                buckets = np.bincount(px % dim, minlength=dim)
                 rows.append(
                     (rid, len(b), meta["width"], meta["height"],
                      [float(x) for x in buckets])
