@@ -13,10 +13,13 @@ REAL** — :func:`decode_bmp` is a pure-struct parser (the same stance
 as ``sources/avro_wire.py``: no codec library needed for a
 spec-defined byte layout) handling BITMAPINFOHEADER files at 8 and
 24 bpp, bottom-up and top-down row order, and 4-byte row padding.
-Exotic formats (PNG/JPEG/video — entropy-coded, genuinely need a
-codec lib) remain an honest ``NotImplementedError`` stub:
-:func:`decode_stub` keeps the deterministic fake featurizer for them
-so the Arrow plumbing is testable either way.
+**WAV/PCM decode is REAL too** — :func:`decode_wav` walks the RIFF
+chunk list (unknown chunks skipped with the spec's odd-size pad
+byte), parses the PCM ``fmt `` chunk and extracts interleaved 8/16-bit
+frames. Exotic formats (PNG/JPEG/MP3/AAC/video — entropy-coded,
+genuinely need a codec lib) remain an honest ``NotImplementedError``
+stub: :func:`decode_stub` keeps the deterministic fake featurizer for
+them so the Arrow plumbing is testable either way.
 """
 
 from __future__ import annotations
@@ -546,3 +549,220 @@ def phash_dup_pairs(
         .distinct()
     )
     return cand.where(F.col("hamming") <= max_hamming)
+
+
+# -- real WAV/PCM codec (RIFF struct parsing — no external libs) -----------
+#
+# Same stance as the BMP codec above and sources/avro_wire.py: RIFF/WAVE
+# canonical PCM is a spec-defined byte layout (chunked container, 16-byte
+# fmt chunk, interleaved little-endian frames) that needs zero codec
+# libraries — so the audio leg of the multimodal boundary gets a REAL
+# in-container decode too. Compressed audio (MP3/AAC/Opus — entropy
+# coded) stays an honest NotImplementedError, exactly like PNG/JPEG on
+# the image side. Reference parity: the reference treats payloads as
+# opaque bytes end-to-end (FlinkJoiner CRMLSJoiner.scala:93-120 moves
+# envelope bytes, never media); this family is the LLM-pipeline
+# extension surface.
+
+_RIFF_CHUNK = "<4sI"          # chunk id, chunk byte size (word-aligned)
+_WAV_FMT_PCM = "<HHIIHH"      # format tag, channels, rate, byte rate,
+                              # block align, bits per sample
+
+
+def encode_wav(
+    sample_rate: int,
+    channels: int,
+    bits: int,
+    frames: bytes,
+    extra_chunks: tuple[tuple[bytes, bytes], ...] = (),
+) -> bytes:
+    """Spec-conformant canonical WAVE writer: ``RIFF`` header, 16-byte
+    PCM ``fmt `` chunk, any ``extra_chunks`` (id, body) word-aligned
+    with the RIFF pad byte after odd-sized bodies, then the ``data``
+    chunk holding the raw interleaved little-endian PCM frame stream.
+    """
+    if bits not in (8, 16):
+        raise NotImplementedError(f"{bits}-bit PCM encode not implemented")
+    if channels < 1:
+        raise ValueError(f"channels must be >= 1, got {channels}")
+    block_align = channels * bits // 8
+    if len(frames) % block_align:
+        raise ValueError(
+            f"frame stream length {len(frames)} is not a multiple of "
+            f"block align {block_align}"
+        )
+    byte_rate = sample_rate * block_align
+    fmt_body = struct.pack(
+        _WAV_FMT_PCM, 1, channels, sample_rate, byte_rate, block_align, bits
+    )
+    chunks = bytearray()
+    chunks += struct.pack(_RIFF_CHUNK, b"fmt ", len(fmt_body)) + fmt_body
+    for cid, body in extra_chunks:
+        chunks += struct.pack(_RIFF_CHUNK, bytes(cid), len(body)) + body
+        if len(body) & 1:  # RIFF: chunks start on even offsets
+            chunks += b"\x00"
+    chunks += struct.pack(_RIFF_CHUNK, b"data", len(frames)) + frames
+    if len(frames) & 1:
+        chunks += b"\x00"
+    riff_size = 4 + len(chunks)  # 'WAVE' + all chunks
+    return struct.pack(_RIFF_CHUNK, b"RIFF", riff_size) + b"WAVE" + bytes(chunks)
+
+
+def decode_wav(payload: bytes) -> dict:
+    """REAL in-container audio decode: walk the RIFF chunk list of a
+    WAVE payload (skipping unknown chunks and their odd-size pad bytes
+    per the spec), parse the PCM ``fmt `` chunk, and return
+    ``{sample_rate, channels, bits, block_align, n_frames, samples}``
+    where ``samples`` is the flat interleaved sample sequence in file
+    order — unsigned 0..255 at 8 bits, signed little-endian at 16.
+
+    Raises ``NotImplementedError`` for non-WAVE magic and non-PCM
+    format tags (IEEE float, ADPCM, MP3-in-WAV — the honest stub
+    boundary for formats that genuinely need a codec library) and
+    ``ValueError`` for structurally broken files (truncated chunks,
+    data before fmt, misaligned frame stream).
+    """
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "not a RIFF/WAVE payload — only canonical PCM WAV is "
+            "implemented in-container; MP3/AAC/Opus need a codec lib"
+        )
+    fmt = None
+    data = None
+    off = 12
+    while off + 8 <= len(payload):
+        cid, size = struct.unpack_from(_RIFF_CHUNK, payload, off)
+        off += 8
+        if off + size > len(payload):
+            raise ValueError(
+                f"truncated WAV: chunk {cid!r} claims {size} bytes at "
+                f"offset {off}, file has {len(payload)}"
+            )
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError(f"fmt chunk too small ({size} < 16)")
+            fmt = struct.unpack_from(_WAV_FMT_PCM, payload, off)
+        elif cid == b"data":
+            if fmt is None:
+                raise ValueError("data chunk before fmt chunk")
+            data = payload[off : off + size]
+        off += size + (size & 1)  # word alignment pad
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    format_tag, channels, sample_rate, _byte_rate, block_align, bits = fmt
+    if format_tag != 1:
+        raise NotImplementedError(
+            f"WAV format tag {format_tag} (non-PCM) not implemented — "
+            "only canonical PCM (tag 1) decodes in-container"
+        )
+    if bits not in (8, 16):
+        raise NotImplementedError(f"{bits}-bit PCM decode not implemented")
+    if block_align != channels * bits // 8:
+        raise ValueError(
+            f"block align {block_align} inconsistent with "
+            f"{channels}ch/{bits}bit"
+        )
+    if len(data) % block_align:
+        raise ValueError(
+            f"data chunk length {len(data)} not a multiple of block "
+            f"align {block_align}"
+        )
+    if bits == 8:
+        samples = list(data)
+    else:
+        samples = [
+            struct.unpack_from("<h", data, i)[0] for i in range(0, len(data), 2)
+        ]
+    return {
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "bits": bits,
+        "block_align": block_align,
+        "n_frames": len(data) // block_align,
+        "samples": samples,
+    }
+
+
+_WAV_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("channels", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_us", T.LongType()),
+        T.StructField("sample_sum", T.LongType()),
+        T.StructField("sample_sq_sum", T.LongType()),
+        T.StructField("peak", T.LongType()),
+    ]
+)
+
+WAV_WRAP_RATE = 8_000  # fixed rate for the text-corpus wrap fixture
+
+
+def wrap_payload_as_wav(df: DataFrame, sample_rate: int = WAV_WRAP_RATE) -> DataFrame:
+    """Wrap each binary payload as a REAL 8-bit mono PCM WAV whose
+    sample stream IS the payload bytes (the audio twin of
+    :func:`wrap_payload_as_bmp`) — including a deliberately odd-sized
+    unknown ``note`` chunk so the decoder's RIFF chunk walk and pad-
+    byte handling are exercised on every row, not just in unit tests.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "payload": pdf["payload"].map(
+                        lambda b: encode_wav(
+                            sample_rate, 1, 8, bytes(b),
+                            extra_chunks=((b"note", b"fjs"),),
+                        )
+                    ),
+                }
+            )
+
+    return df.mapInPandas(run, _BMP_WRAP_SCHEMA)
+
+
+def decode_wav_features(df: DataFrame) -> DataFrame:
+    """REAL audio decode + feature extraction, Arrow-batched: parse
+    each payload as a PCM WAV (:func:`decode_wav`), then compute exact
+    integer signal features — frame count, microsecond duration
+    (``n_frames * 1_000_000 // rate``, integer math so oracles
+    hash-compare), sample sum, sum of squares (the RMS numerator) and
+    absolute peak. mapInPandas, no shuffle, partitioning preserved."""
+
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf["id"], pdf["payload"]):
+                b = bytes(payload)
+                meta = decode_wav(b)
+                # vectorized signal stats — same lesson as the BMP
+                # histogram: per-sample Python loops dominate at sf0.1
+                s = np.asarray(meta["samples"], dtype=np.int64)
+                rows.append(
+                    (
+                        rid,
+                        len(b),
+                        meta["sample_rate"],
+                        meta["channels"],
+                        meta["n_frames"],
+                        meta["n_frames"] * 1_000_000 // meta["sample_rate"],
+                        int(s.sum()) if s.size else 0,
+                        int((s * s).sum()) if s.size else 0,
+                        int(np.abs(s).max()) if s.size else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "n_bytes", "sample_rate", "channels", "n_frames",
+                    "duration_us", "sample_sum", "sample_sq_sum", "peak",
+                ],
+            )
+
+    return df.mapInPandas(run, _WAV_FEATURE_SCHEMA)

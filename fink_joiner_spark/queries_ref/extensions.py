@@ -911,6 +911,148 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(run, schema)
 
 
+@register(
+    "multimodal_decode_wav",
+    # Analytic 16-bit PCM fixture: per doc a (1+doc_id%2)-channel,
+    # (12+doc_id%9)-frame stream at rate 8000+(doc_id%4)*4000 with
+    # flat interleaved sample(i) = ((doc_id·31 + i·17) % 65536) − 32768.
+    # The decoder must walk the RIFF chunk list past a deliberately
+    # odd-sized unknown chunk (spec pad byte), parse the fmt chunk and
+    # unpack signed little-endian frames to reproduce the POSITION-
+    # WEIGHTED sum — any interleave/order/sign misparse breaks it.
+    """
+    WITH d AS (
+      SELECT doc_id,
+             (1 + doc_id % 2)::BIGINT AS channels,
+             (12 + doc_id % 9)::BIGINT AS n_frames,
+             (8000 + (doc_id % 4) * 4000)::BIGINT AS sample_rate
+      FROM documents
+    )
+    SELECT doc_id, sample_rate, channels, n_frames,
+           (n_frames * 1000000 // sample_rate)::BIGINT AS duration_us,
+           list_sum([ (i + 1) * (((doc_id * 31 + i * 17) % 65536) - 32768)
+                      FOR i IN range(0, n_frames * channels) ])::BIGINT
+             AS weighted_sum,
+           list_max([ abs(((doc_id * 31 + i * 17) % 65536) - 32768)
+                      FOR i IN range(0, n_frames * channels) ])::BIGINT
+             AS peak
+    FROM d
+    """,
+    "REAL 16-bit PCM WAV decode (RIFF chunk walk incl. odd-size pad "
+    "bytes, signed LE interleaved frames): per-doc arithmetic sample "
+    "pattern encoded to spec bytes and parsed back — rate/channels/"
+    "frames/duration plus a position-weighted sample sum the oracle "
+    "derives analytically, never from the codec",
+)
+def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import struct
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from fink_joiner_spark.operators import multimodal
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("sample_rate", T.LongType()),
+            T.StructField("channels", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("duration_us", T.LongType()),
+            T.StructField("weighted_sum", T.LongType()),
+            T.StructField("peak", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                ch, nf, rate = 1 + did % 2, 12 + did % 9, 8000 + (did % 4) * 4000
+                vals = [
+                    ((did * 31 + i * 17) % 65536) - 32768
+                    for i in range(nf * ch)
+                ]
+                wav = multimodal.encode_wav(
+                    rate, ch, 16,
+                    b"".join(struct.pack("<h", v) for v in vals),
+                    extra_chunks=((b"note", b"fjs"),),
+                )
+                m = multimodal.decode_wav(wav)
+                rows.append(
+                    (
+                        did,
+                        m["sample_rate"],
+                        m["channels"],
+                        m["n_frames"],
+                        m["n_frames"] * 1_000_000 // m["sample_rate"],
+                        sum((i + 1) * s for i, s in enumerate(m["samples"])),
+                        max(abs(s) for s in m["samples"]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "channels", "n_frames",
+                    "duration_us", "weighted_sum", "peak",
+                ],
+            )
+
+    return docs.mapInPandas(run, schema)
+
+
+@register(
+    "multimodal_audio_features",
+    # The audio twin of multimodal_features: the payload is a REAL
+    # 8-bit mono PCM WAV whose sample stream is the text bytes (plus an
+    # odd-sized unknown 'note' chunk the chunk walk must skip). The
+    # oracle never parses RIFF — file size is derived from the spec
+    # (12 RIFF/WAVE + 24 fmt + 12 padded note + 8 data header + n
+    # samples + odd-n pad) and the signal stats from the hex-decoded
+    # text bytes. COALESCE guards the empty-document case (DuckDB
+    # list_sum of [] is NULL; the decoder emits 0).
+    """
+    WITH b AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS n,
+             [ (strpos('0123456789ABCDEF',
+                       substr(hex(encode(text)), 2*i - 1, 1)) - 1) * 16
+               + (strpos('0123456789ABCDEF',
+                         substr(hex(encode(text)), 2*i, 1)) - 1)
+               FOR i IN range(1, octet_length(encode(text)) + 1) ] AS vals
+      FROM documents
+    )
+    SELECT doc_id AS id,
+           (56 + n + n % 2)::BIGINT AS n_bytes,
+           8000::BIGINT AS sample_rate,
+           1::BIGINT AS channels,
+           n::BIGINT AS n_frames,
+           (n * 125)::BIGINT AS duration_us,
+           COALESCE(list_sum(vals), 0)::BIGINT AS sample_sum,
+           COALESCE(list_sum(list_transform(vals, x -> x * x)), 0)::BIGINT
+             AS sample_sq_sum,
+           COALESCE(list_max(vals), 0)::BIGINT AS peak
+    FROM b
+    """,
+    "REAL audio decode in the oracle path: text bytes wrapped as "
+    "genuine 8-bit mono PCM WAVs, parsed back by the RIFF chunk "
+    "walker, exact integer signal features (sum, energy, peak, "
+    "integer-microsecond duration) — the oracle derives everything "
+    "analytically from the WAVE spec and the raw bytes",
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_joiner_spark.operators import multimodal
+
+    docs = table(spark, sf_dir, "documents")
+    bin_df = multimodal.binarize(docs, "text", "doc_id")
+    return multimodal.decode_wav_features(multimodal.wrap_payload_as_wav(bin_df))
+
+
 # ---------------------------------------------------------------------------
 # Pretraining-pipeline text filters: PII scrubbing, repetition ratio,
 # percentile length filter.

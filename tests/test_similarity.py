@@ -1012,3 +1012,104 @@ def test_rolling_fingerprints_match_direct_polynomial(spark):
         win = grams[q : q + W]
         want.add(min((g, p) for p, g in win)[::-1])
     assert got == want
+
+
+def test_wav_decoder_against_handwritten_spec_bytes():
+    """The REAL audio codec pinned against a WAV built BY HAND from the
+    RIFF/WAVE spec — not by our own encoder — so writer and parser
+    can't share a mirrored bug: 16-bit mono PCM at 8 kHz, an unknown
+    odd-sized LIST chunk (pad byte) between fmt and data."""
+    import struct
+
+    golden = (
+        b"RIFF" + struct.pack("<I", 54) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        + b"LIST" + struct.pack("<I", 3) + b"abc\x00"  # odd size → pad
+        + b"data" + struct.pack("<I", 6)
+        + struct.pack("<hhh", 1000, -1000, 258)
+    )
+    m = multimodal.decode_wav(golden)
+    assert (m["sample_rate"], m["channels"], m["bits"], m["n_frames"]) == (
+        8000, 1, 16, 3,
+    )
+    assert m["samples"] == [1000, -1000, 258]
+
+
+def test_wav_codec_roundtrip_depths_and_channels():
+    import struct
+
+    # 8-bit mono, odd sample count (data pad byte on the wire)
+    pcm8 = bytes([0, 127, 255, 128, 1])
+    enc = multimodal.encode_wav(8000, 1, 8, pcm8)
+    assert len(enc) % 2 == 0  # odd data chunk padded per spec
+    m = multimodal.decode_wav(enc)
+    assert (m["channels"], m["bits"], m["n_frames"]) == (1, 8, 5)
+    assert m["samples"] == list(pcm8)
+    # 16-bit stereo: frames stay interleaved L R L R in file order
+    vals = [3, -3, 32767, -32768, 17, 4242]
+    enc = multimodal.encode_wav(44100, 2, 16, b"".join(
+        struct.pack("<h", v) for v in vals
+    ), extra_chunks=((b"note", b"xy"),))
+    m = multimodal.decode_wav(enc)
+    assert (m["sample_rate"], m["channels"], m["n_frames"]) == (44100, 2, 3)
+    assert m["samples"] == vals
+    # zero-frame degenerate
+    assert multimodal.decode_wav(multimodal.encode_wav(8000, 1, 8, b""))[
+        "n_frames"
+    ] == 0
+
+
+def test_wav_decoder_rejects_exotic_formats():
+    """Compressed/float audio stays an HONEST stub: NotImplementedError,
+    never a silent wrong answer; broken structure is a hard error."""
+    import struct
+
+    import pytest
+
+    for bad in (b"ID3\x03" + b"\x00" * 64, b"", b"RIFF\x10\x00\x00\x00AVI "):
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_wav(bad)
+    # IEEE-float format tag (3) → honest stub
+    f32 = (
+        b"RIFF" + struct.pack("<I", 40) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+        + b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    )
+    with pytest.raises(NotImplementedError, match="non-PCM"):
+        multimodal.decode_wav(f32)
+    # truncated data chunk is a hard error, not a short read
+    enc = multimodal.encode_wav(8000, 1, 16, struct.pack("<hh", 5, 6))
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_wav(enc[:-3])
+    # data before fmt violates the decode dependency
+    nofmt = (
+        b"RIFF" + struct.pack("<I", 14) + b"WAVE"
+        + b"data" + struct.pack("<I", 2) + b"\x00\x00"
+    )
+    with pytest.raises(ValueError):
+        multimodal.decode_wav(nofmt)
+
+
+def test_wrap_then_decode_wav_is_identity_on_spark(spark, sf_dir):
+    """End-to-end through the Arrow plumbing: wrap text payloads as
+    real 8-bit PCM WAVs (with the odd 'note' chunk every row), decode
+    with the real RIFF walker, exact signal stats equal the python
+    byte stats."""
+    docs = table(spark, sf_dir, "documents").limit(50)
+    bin_df = multimodal.binarize(docs, "text", "doc_id")
+    real = multimodal.decode_wav_features(multimodal.wrap_payload_as_wav(bin_df))
+    got = {r["id"]: r.asDict() for r in real.collect()}
+    want = {r["doc_id"]: bytes(r["text"], "utf-8") for r in docs.collect()}
+    assert set(got) == set(want) and len(got) == 50
+    for rid, raw in want.items():
+        g = got[rid]
+        assert g["n_frames"] == len(raw)
+        assert g["sample_rate"] == multimodal.WAV_WRAP_RATE
+        assert g["channels"] == 1
+        assert g["n_bytes"] == 56 + len(raw) + len(raw) % 2
+        assert g["sample_sum"] == sum(raw)
+        assert g["sample_sq_sum"] == sum(v * v for v in raw)
+        assert g["peak"] == (max(raw) if raw else 0)
+        assert g["duration_us"] == len(raw) * 1_000_000 // multimodal.WAV_WRAP_RATE
