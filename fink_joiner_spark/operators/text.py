@@ -662,7 +662,11 @@ def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def duplicated_spans(
-    df: DataFrame, id_col: str, text_col: str, min_len: int = 40
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 40,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Maximal exactly-duplicated character spans of length >= ``min_len``
     — the true exact-substring dedup pass (Lee et al. 2022,
@@ -677,19 +681,41 @@ def duplicated_spans(
     substring is itself duplicated, so consecutive duplicated-gram
     positions merge into exactly the maximal span.
 
-    Plan: explode start positions (sequence 1..len-L+1), fingerprint
-    each L-gram with md5 (128-bit — cross-engine, collision-free in
-    practice; grouping ships 32 hex chars per position, never the
-    gram), ONE groupBy(gram) occurrence count with map-side combine,
-    one keyed join back, then a PER-DOC window (lag -> break flag ->
-    running span id) to merge adjacent positions. Shuffle volume is
-    ~32 bytes x corpus chars — the known cost of fingerprint-gram
-    dedup; the suffix-array equivalent is ~8 bytes/char but needs a
-    global sort. A winnowing/minimizer selection (Schleimer et al.
-    2003) would drop the constant to ~32/w with a (min_len + w - 1)
-    length guarantee — the documented next step if gram volume ever
-    dominates. The per-doc window partitions on doc_id (bounded by doc
-    length), never globally.
+    Plan: explode start positions, fingerprint each L-gram (see
+    ``hash_fn``), ONE groupBy(gram) occurrence count with map-side
+    combine, one keyed join back, then a PER-DOC window (lag -> break
+    flag -> running span id) to merge adjacent positions. The per-doc
+    window partitions on doc_id (bounded by doc length), never
+    globally.
+
+    ``hash_fn``:
+
+    * ``"md5"`` (default, the registered query's path) — fingerprint
+      each L-gram with md5 (128-bit, collision-proof in practice),
+      ONE groupBy(gram) occurrence count with map-side combine (hash
+      aggregate — no sort anywhere), one keyed join back. The grams
+      subtree is evaluated twice (agg side + join side), but the
+      recompute is just explode + digest — cheap, and cheaper than
+      materializing. O(chars·min_len) digest work and a 32-hex-char
+      shuffle key per position are the known costs.
+    * ``"rolling"`` — a double-modulus rolling polynomial (each char
+      hashed once, two ~30-bit residues packed into a ~60-bit long so
+      exactness survives the birthday bound that rules out winnowing's
+      single 30-bit modulus; occurrence count as a window over g so
+      the windowed-sum pipeline is evaluated once). TRIED AND REJECTED
+      for the registered query on measurement (round 11, sf0.1,
+      warm alternating A/B ×4): rolling 36.5/14.3/11.5/7.1 s vs md5
+      9.0/12.9/5.8/6.6 s in the same session, and the historical
+      md5+groupBy form benches 2.1-2.5 s healthy. The digest work md5
+      pays is NOT this operator's bottleneck — the rolling form trades
+      it for two per-doc window sorts (the windowed sum + the
+      count-over-g sort of every gram row), and sorts dominate
+      digests at stride 1. Winnowing's rolling win (2× there) comes
+      from its ~2/(w+1) SELECTION density shrinking everything
+      downstream — exact spans keep every position, so there is no
+      density win to pay for the sorts. Kept as a code path with a
+      pytest pinning rolling ≡ md5 so the measurement stays
+      reproducible.
 
     Emits ``(doc_id, span_start, span_len)``, 1-based start, one row
     per maximal duplicated span.
@@ -698,18 +724,103 @@ def duplicated_spans(
 
     from fink_joiner_spark.operators.similarity import _spread
 
+    spark = df.sparkSession
     d = _spread(df).select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("t")
     ).where(F.length("t") >= min_len)
-    grams = d.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(1), F.length("t") - (min_len - 1))).alias("pos"),
-        "t",
-    ).select(
-        "doc_id", "pos", F.md5(F.substring("t", F.col("pos"), F.lit(min_len))).alias("g")
-    )
-    occ = grams.groupBy("g").agg(F.count(F.lit(1)).alias("n_occ"))
-    hits = grams.join(occ.where(F.col("n_occ") >= 2), "g").select("doc_id", "pos")
+    if hash_fn == "md5":
+        grams = d.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("t") - (min_len - 1))
+            ).alias("pos"),
+            "t",
+        ).select(
+            "doc_id",
+            "pos",
+            F.md5(F.substring("t", F.col("pos"), F.lit(min_len))).alias("g"),
+        )
+    elif hash_fn == "rolling":
+        max_len = d.agg(F.max(F.length("t"))).first()[0]  # 1-row collect
+        if max_len is None:
+            return spark.createDataFrame(
+                [], "doc_id long, span_start long, span_len long"
+            )
+        # exact driver-computed power tables for BOTH moduli (the same
+        # windowed-sum unwind as winnowed_fingerprints_rolling: wc =
+        # c·invB^pos, g = (Σ wc)·B^{pos+L-1}; every intermediate < 2^63:
+        # window sum < L·M ≈ 2^35, (S%M)·vb < M² ≈ 1e18)
+        rows = []
+        vi1 = vb1 = vi2 = vb2 = 1
+        for k in range(max_len + min_len + 1):
+            rows.append((k, vi1, vb1, vi2, vb2))
+            vi1 = vi1 * WINNOW_INV_BASE % WINNOW_MOD
+            vb1 = vb1 * WINNOW_BASE % WINNOW_MOD
+            vi2 = vi2 * SPAN_INV_BASE2 % SPAN_MOD2
+            vb2 = vb2 * SPAN_BASE2 % SPAN_MOD2
+        pow_df = F.broadcast(
+            spark.createDataFrame(
+                rows, "k long, vi1 long, vb1 long, vi2 long, vb2 long"
+            )
+        )
+        chars = d.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.length("t"))).alias("pos"),
+            "t",
+        ).select(
+            "doc_id",
+            "pos",
+            F.ascii(F.substring("t", F.col("pos"), F.lit(1))).alias("c"),
+        )
+        weighted = chars.join(
+            pow_df, chars.pos == pow_df.k
+        ).select(
+            "doc_id",
+            "pos",
+            (F.col("c") * F.col("vi1") % WINNOW_MOD).alias("w1"),
+            (F.col("c") * F.col("vi2") % SPAN_MOD2).alias("w2"),
+        )
+        wsum = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+            0, min_len - 1
+        )
+        s = weighted.select(
+            "doc_id",
+            "pos",
+            (F.sum("w1").over(wsum) % WINNOW_MOD).alias("s1"),
+            (F.sum("w2").over(wsum) % SPAN_MOD2).alias("s2"),
+            F.count(F.lit(1)).over(wsum).alias("nw"),
+        ).where(F.col("nw") == min_len)
+        grams = s.join(
+            pow_df, s.pos + (min_len - 1) == pow_df.k
+        ).select(
+            "doc_id",
+            "pos",
+            (
+                (F.col("s1") * F.col("vb1") % WINNOW_MOD) * SPAN_MOD2
+                + F.col("s2") * F.col("vb2") % SPAN_MOD2
+            ).alias("g"),
+        )
+    else:
+        raise ValueError(f"hash_fn must be md5|rolling, got {hash_fn!r}")
+    if hash_fn == "md5":
+        # groupBy + join-back: evaluates the grams subtree twice, but
+        # explode+digest recompute is cheap and the hash aggregate
+        # never sorts — the measured winner (see docstring)
+        occ = grams.groupBy("g").agg(F.count(F.lit(1)).alias("n_occ"))
+        hits = grams.join(occ.where(F.col("n_occ") >= 2), "g").select(
+            "doc_id", "pos"
+        )
+    else:
+        # the rolling pipeline is expensive to recompute (per-doc
+        # window sort), so count occurrences as ONE window over g
+        # instead of re-deriving the subtree on the join side
+        # (groupBy+join form of THIS path measured 31.9 s vs 8.8 s)
+        wocc = Window.partitionBy("g")
+        hits = (
+            grams.withColumn("n_occ", F.count(F.lit(1)).over(wocc))
+            .where(F.col("n_occ") >= 2)
+            .select("doc_id", "pos")
+        )
     w = Window.partitionBy("doc_id").orderBy("pos")
     brk = F.when(
         F.lag("pos").over(w).isNull() | (F.col("pos") - F.lag("pos").over(w) > 1), 1
@@ -799,6 +910,11 @@ def winnowed_fingerprints(
 WINNOW_MOD = 1_000_000_007
 WINNOW_BASE = 31
 WINNOW_INV_BASE = 129032259  # pow(31, WINNOW_MOD - 2, WINNOW_MOD)
+# second independent modulus/base for duplicated_spans' double-width
+# rolling fingerprint (exactness needs ~60 bits, not winnowing's 30)
+SPAN_MOD2 = 998_244_353
+SPAN_BASE2 = 131
+SPAN_INV_BASE2 = 922042494  # pow(131, SPAN_MOD2 - 2, SPAN_MOD2)
 # packed selection key: g·2^31 + pos (g < MOD < 2^31 never true —
 # MOD ≈ 2^30, so g < 2^30 and the key < 2^61; pos bound 2^31 chars)
 _WINNOW_POS_PACK = 1 << 31

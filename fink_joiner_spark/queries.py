@@ -281,6 +281,12 @@ _ROUND_CHANGED = frozenset({
     # construction, but real logic changed → re-prove)
     "ext_bm25_index_time_travel", "simsearch_ivf_time_travel",
 })
+# NOT in the changed set: text_exact_dup_spans — a rolling-hash gram
+# fingerprint was tried this round and REJECTED on warm A/B measurement
+# (rolling 7.1-36.5 s vs md5 5.8-12.9 s same session; md5+groupBy
+# benches 2.1-2.5 s healthy); the registered md5 plan is bit-identical
+# to r5-r10, the rejected path survives as duplicated_spans(
+# hash_fn="rolling") with a pytest pinning output equality.
 # NOT in the changed set despite their bodies moving: the other 14
 # index-lifecycle queries whose setup now routes through
 # fixtures.fixture_dir — on the driver path (no SPARK_GRAFT_FIXTURE_CACHE

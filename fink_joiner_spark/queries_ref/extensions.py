@@ -4159,7 +4159,10 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "al. 2022 exact-substring dedup, stride-1 fingerprint grams "
     "instead of a suffix array): explode start positions, md5 L-gram "
     "fingerprints, one occurrence-count shuffle, one join back, "
-    "per-doc windows to merge adjacent positions into maximal spans",
+    "per-doc windows to merge adjacent positions into maximal spans; "
+    "a rolling-hash variant was A/B-measured and REJECTED here — no "
+    "winnowing-style density win to pay for its window sorts (see "
+    "duplicated_spans docstring)",
 )
 def text_exact_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fink_joiner_spark.operators import text as txt

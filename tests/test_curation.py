@@ -300,6 +300,31 @@ def test_duplicated_spans_maximal_merge_and_intra_doc(spark):
     }
 
 
+def test_duplicated_spans_rolling_equals_md5(spark, sf_dir):
+    """The double-modulus rolling fingerprint (the measured-and-
+    rejected alternate — kept so the A/B in the docstring stays
+    reproducible) must produce the EXACT same spans as the 128-bit
+    md5 path on the real corpus — exactness is the operator's
+    contract, so neither hash family may change the answer."""
+    from fink_joiner_spark.catalog import table
+    from fink_joiner_spark.operators import text as text_ops
+
+    docs = table(spark, sf_dir, "documents")
+    roll = {
+        tuple(r)
+        for r in text_ops.duplicated_spans(
+            docs, "doc_id", "text", min_len=40, hash_fn="rolling"
+        ).collect()
+    }
+    md5 = {
+        tuple(r)
+        for r in text_ops.duplicated_spans(
+            docs, "doc_id", "text", min_len=40, hash_fn="md5"
+        ).collect()
+    }
+    assert roll == md5 and roll
+
+
 def test_winnowing_guarantee_and_density(spark):
     """Schleimer et al. guarantee: docs sharing a substring of length
     >= gram_len + window - 1 MUST share a selected fingerprint — for
