@@ -328,12 +328,22 @@ def pagerank_bounded(
     plan stays bounded for large ``iters``; the default None keeps the
     linear plan, which is right for the bounded k ≤ 5 registry use.
     """
-    # The distinct edge set feeds deg, the node set, AND every round's
-    # gather join — 3+iters plan subtrees. A lazy localCheckpoint
-    # materializes it ONCE (RDD-block reuse across all consumers inside
-    # the single result job) instead of re-scanning/re-distincting the
-    # raw edges per consumer; blocks are released by free_checkpoints()
-    # after the result is consumed, the CC contract.
+    # The distinct edge set feeds the degree count, the node set and
+    # every round's gather join. Materialize ONCE via lazy
+    # localCheckpoint (RDD-block reuse across all consumers inside the
+    # single result job); blocks are released by free_checkpoints()
+    # after the result is consumed, the CC contract. Round 11: the
+    # per-round loop body used to be TWO joins (r⋈deg for shares, then
+    # shares⋈e for the gather) plus a re-derived nodes frame — the
+    # degree join is round-invariant, so it is hoisted into a
+    # checkpointed adjacency-with-out-degree frame (u, v, d) and each
+    # round is ONE keyed join + one partial-agg shuffle + one left
+    # join; nodes (union+distinct, previously recomputed by every
+    # round's left join) is checkpointed too. r div d moves from
+    # per-node to per-edge — the identical int64 value, so the value
+    # hash is unchanged. Result-plan shuffle count at the registry's
+    # k: 10 → 6 (plans.count_shuffles), with the hoisted adj/nodes
+    # paid once in the checkpoint materializations.
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .distinct()
@@ -341,30 +351,25 @@ def pagerank_bounded(
     )
     _PENDING_FREE.append(_ckpt_handle(e))
     deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    adj = e.join(deg, "u").localCheckpoint(eager=False)  # (u, v, d)
+    _PENDING_FREE.append(_ckpt_handle(adj))
     nodes = (
         e.select(F.col("u").alias("node"))
         .unionByName(e.select(F.col("v").alias("node")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
+    _PENDING_FREE.append(_ckpt_handle(nodes))
     teleport = (100 - damping_pct) * unit // 100
     r = nodes.select("node", F.lit(unit).cast("long").alias("r"))
-    # r's lineage re-enters deg and e every round — qualified aliases
-    # keep the self-joins unambiguous without disabling the analyzer
-    # check.
+    # r's lineage re-enters adj every round — qualified aliases keep
+    # the self-joins unambiguous without disabling the analyzer check.
     for it in range(iters):
-        shares = (
-            r.alias("rr")
-            .join(deg.alias("dg"), F.col("rr.node") == F.col("dg.u"))
-            .select(
-                F.col("dg.u").alias("u"),
-                F.expr("rr.r div dg.d").alias("share"),
-            )
-        )
         gathered = (
-            shares.alias("sh")
-            .join(e.alias("ed"), F.col("sh.u") == F.col("ed.u"))
-            .groupBy(F.col("ed.v"))
-            .agg(F.sum(F.col("sh.share")).alias("s"))
+            r.alias("rr")
+            .join(adj.alias("ad"), F.col("rr.node") == F.col("ad.u"))
+            .groupBy(F.col("ad.v"))
+            .agg(F.sum(F.expr("rr.r div ad.d")).alias("s"))
         )
         r = (
             nodes.alias("nd")
