@@ -398,29 +398,6 @@ def main() -> None:
             and med > 2.5 * ref and med - ref > 0.5
         )
 
-    # Deterministic family-clustered execution order (round 11): the
-    # registry's driver-rotation order reshuffles every round, so a
-    # query's JVM neighborhood — the thing the r9 per-thread sampler
-    # showed inflating interpreted-HOF queries via shared-call-site
-    # profile pollution — changed round to round, and the pollution
-    # landed on DIFFERENT victims each run (r11: j1/j4/crmls regressed
-    # 4-9× in-suite, healthy standalone minutes later). Sorted-name
-    # order clusters families (shared prefixes) so each segment holds
-    # the same neighbors every round, and the two HOF-densest blocks
-    # (dedup_*, text_* — every historical blowup victim lives there)
-    # get their own fresh JVM at block entry AND exit, so their
-    # profiles cannot leak into the join/e2e families. Totals are
-    # order-independent sums of per-query medians; this only changes
-    # which plans share a JVM — the production shape is one pipeline's
-    # plans per JVM anyway.
-    _DENSE_PREFIXES = ("dedup_", "text_")
-
-    def _dense_block(n: str) -> str:
-        for p in _DENSE_PREFIXES:
-            if n.startswith(p):
-                return p
-        return ""
-
     timings: dict[str, float] = {}
     runs_detail: dict[str, dict] = {}
     total = 0.0
@@ -428,23 +405,12 @@ def main() -> None:
     total_build = 0.0
     cpu_ok = True
     since_rotation = 0
-    prev_block: str | None = None
-    for name, fn in sorted(fns.items()):
-        block = _dense_block(name)
-        crossed_dense = (
-            prev_block is not None and block != prev_block
-            and (block or prev_block)
-        )
-        if seg_size and (since_rotation >= seg_size or crossed_dense):
-            why = (
-                f"dense-block boundary ({prev_block or 'mixed'} -> "
-                f"{block or 'mixed'})" if crossed_dense and
-                since_rotation < seg_size else "profile-pollution segmentation"
-            )
-            print(f"bench: rotating to a fresh JVM ({why})", file=sys.stderr)
+    for name, fn in fns.items():
+        if seg_size and since_rotation >= seg_size:
+            print("bench: rotating to a fresh JVM (profile-pollution "
+                  "segmentation)", file=sys.stderr)
             spark = _fresh_jvm(spark)
             since_rotation = 0
-        prev_block = block
         since_rotation += 1
         q_load = _loadavg()[0]
         runs, builds, probes, cpus, failed = _measure(spark, name, fn)
