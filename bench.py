@@ -302,7 +302,18 @@ def main() -> None:
         old_spark.stop()
         gw = SparkContext._gateway
         if gw is not None:
+            proc = getattr(gw, "proc", None)
             gw.shutdown()
+            # shutdown() closes the py4j sockets but the JVM process
+            # survives it (observed: one idle multi-GB-heap zombie per
+            # rotation, parented to the bench python) — reap it so a
+            # long segmented run doesn't accumulate dead heaps
+            if proc is not None:
+                try:
+                    proc.terminate()
+                    proc.wait(timeout=30)
+                except Exception:  # noqa: BLE001 — cleanup best-effort
+                    pass
         SparkContext._gateway = None
         SparkContext._jvm = None
         # clear the classproperty-cached sessions so getOrCreate builds
