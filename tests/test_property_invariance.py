@@ -274,3 +274,88 @@ def test_twap_time_shift_invariance(spark, rows, shift):
     base = [(k, ts, c) for k, ts, c in rows]
     moved = [(k, ts + shift, c) for k, ts, c in rows]
     assert twap(base) == twap(moved)
+
+
+# ---------------------------------------------------------------------------
+# Codec roundtrip properties (pure python — no Spark session)
+# ---------------------------------------------------------------------------
+
+_wav_cases = st.tuples(
+    st.integers(1, 192_000),                      # sample rate
+    st.integers(1, 8),                            # channels
+    st.sampled_from([8, 16]),                     # bits
+    st.integers(0, 37),                           # frame count
+    st.lists(                                     # unknown chunks (odd+even)
+        st.tuples(
+            st.sampled_from([b"LIST", b"cue ", b"note", b"junk"]),
+            st.binary(min_size=0, max_size=9),
+        ),
+        max_size=3,
+    ),
+    st.randoms(use_true_random=False),
+)
+
+
+@given(case=_wav_cases)
+@settings(max_examples=60, deadline=None)
+def test_wav_codec_roundtrip_property(case):
+    """∀ (rate, channels, bits, frames, unknown chunks): decode ∘ encode
+    is the identity on every fmt field and the full interleaved sample
+    sequence, and unknown chunks (any id, odd OR even size, anywhere
+    before data) never perturb the decode — the RIFF chunk walk and the
+    spec's word-alignment pad byte hold for arbitrary layouts, not just
+    the fixtures."""
+    import struct
+
+    from fink_joiner_spark.operators import multimodal
+
+    rate, ch, bits, nf, extra, rnd = case
+    n = nf * ch
+    if bits == 8:
+        samples = [rnd.randrange(256) for _ in range(n)]
+        frames = bytes(samples)
+    else:
+        samples = [rnd.randrange(-32768, 32768) for _ in range(n)]
+        frames = b"".join(struct.pack("<h", v) for v in samples)
+    enc = multimodal.encode_wav(rate, ch, bits, frames, extra_chunks=tuple(extra))
+    # RIFF size field must cover the whole file per spec
+    (riff_size,) = struct.unpack_from("<I", enc, 4)
+    assert riff_size + 8 == len(enc)
+    assert len(enc) % 2 == 0  # every chunk word-aligned
+    m = multimodal.decode_wav(enc)
+    assert (m["sample_rate"], m["channels"], m["bits"]) == (rate, ch, bits)
+    assert m["n_frames"] == nf
+    assert m["samples"] == samples
+
+
+@given(
+    w=st.integers(0, 23),
+    h=st.integers(0, 9),
+    bpp=st.sampled_from([8, 24]),
+    top_down=st.booleans(),
+    rnd=st.randoms(use_true_random=False),
+)
+@settings(max_examples=60, deadline=None)
+def test_bmp_codec_roundtrip_property(w, h, bpp, top_down, rnd):
+    """∀ (width, height, depth, row order): decode ∘ encode returns the
+    expected channel bytes in logical top-down order — encode_bmp takes
+    one GRAY byte per pixel at both depths (24 bpp expands to BGR
+    triplets, the writer's documented contract), and the row-padding /
+    bottom-up-storage arithmetic must hold for every size, incl.
+    degenerate zero-size images and widths at every pad remainder."""
+    import struct
+
+    from fink_joiner_spark.operators import multimodal
+
+    px = bytes(rnd.randrange(256) for _ in range(w * h))
+    enc = bytearray(multimodal.encode_bmp(w, h, px, bpp=bpp))
+    logical = px if bpp == 8 else b"".join(bytes((v, v, v)) for v in px)
+    want = logical
+    if top_down and h > 1:
+        struct.pack_into("<i", enc, 22, -h)
+        row = w if bpp == 8 else 3 * w
+        rows = [logical[i * row:(i + 1) * row] for i in range(h)]
+        want = b"".join(reversed(rows))
+    m = multimodal.decode_bmp(bytes(enc))
+    assert (m["width"], m["height"], m["bpp"], m["n_pixels"]) == (w, h, bpp, w * h)
+    assert m["pixels"] == want
