@@ -5935,6 +5935,114 @@ def kafka_avro_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "avro_ocf_roundtrip",
+    # Analytic fixture: per doc an OCF holding n = 3 + doc_id%7 flat
+    # records rec(i) = {k: doc_id·13 + i·7, name: 'r' || (k % 97),
+    # flag: k % 3 == 0} framed at 4 records/block, odd doc_ids deflate-
+    # compressed. The decoder must parse the header metadata map, walk
+    # <count, size, data, sync> blocks verifying every sync marker,
+    # inflate the raw-RFC-1951 blocks, and varint-decode the records —
+    # the oracle derives every aggregate analytically, never from the
+    # codec; a misparse of the map, block framing, zigzag longs or
+    # string lengths breaks the hash.
+    """
+    WITH d AS (SELECT doc_id, (3 + doc_id % 7)::BIGINT AS n FROM documents)
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 1 THEN 'deflate' ELSE 'null' END AS codec,
+           ((n + 3) // 4)::BIGINT AS n_blocks,
+           n AS n_records,
+           list_sum([ doc_id * 13 + i * 7
+                      FOR i IN range(0, n) ])::BIGINT AS k_sum,
+           list_sum([ 1 + len(((doc_id * 13 + i * 7) % 97)::VARCHAR)
+                      FOR i IN range(0, n) ])::BIGINT AS name_len_sum,
+           len(list_filter([ (doc_id * 13 + i * 7) % 3
+                             FOR i IN range(0, n) ],
+                           x -> x = 0))::BIGINT AS flags_true
+    FROM d
+    """,
+    "REAL Avro Object Container FILE decode (the file-format twin of "
+    "the S2 wire codec): spec-conformant OCF bytes per doc (metadata "
+    "map, sync-framed blocks, null AND raw-deflate codecs) parsed back "
+    "by the pure-python chunk walker — block count, record count and "
+    "per-field aggregates all derived analytically by the oracle",
+)
+def avro_ocf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from fink_joiner_spark.sources import avro_wire
+
+    sch = json.dumps(
+        {
+            "type": "record",
+            "name": "rec",
+            "fields": [
+                {"name": "k", "type": "long"},
+                {"name": "name", "type": "string"},
+                {"name": "flag", "type": "boolean"},
+            ],
+        }
+    )
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("codec", T.StringType()),
+            T.StructField("n_blocks", T.LongType()),
+            T.StructField("n_records", T.LongType()),
+            T.StructField("k_sum", T.LongType()),
+            T.StructField("name_len_sum", T.LongType()),
+            T.StructField("flags_true", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 3 + did % 7
+                recs = [
+                    {
+                        "k": did * 13 + i * 7,
+                        "name": f"r{(did * 13 + i * 7) % 97}",
+                        "flag": (did * 13 + i * 7) % 3 == 0,
+                    }
+                    for i in range(n)
+                ]
+                codec = "deflate" if did % 2 else "null"
+                doc = avro_wire.decode_ocf(
+                    avro_wire.encode_ocf(sch, recs, codec=codec, records_per_block=4)
+                )
+                rows = doc["rows"]
+                out.append(
+                    (
+                        did,
+                        doc["codec"],
+                        doc["n_blocks"],
+                        len(rows),
+                        sum(r["k"] for r in rows),
+                        sum(len(r["name"]) for r in rows),
+                        sum(1 for r in rows if r["flag"]),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "codec", "n_blocks", "n_records",
+                    "k_sum", "name_len_sum", "flags_true",
+                ],
+            )
+
+    return docs.mapInPandas(run, schema)
+
+
+@register(
     "ext_bm25_index_upsert",
     _BM25_INDEXED_ORACLE,
     "latest-version index upsert (the reference's signature semantics "

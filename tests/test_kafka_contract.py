@@ -223,3 +223,81 @@ def test_avro_decode_rejects_trailing_bytes():
     fields = [("n", "long")]
     with pytest.raises(ValueError, match="trailing"):
         aw.decode_record(fields, aw.encode_record(fields, {"n": 7}) + b"\x00")
+
+
+_OCF_SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "ev",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "tag", "type": "string"},
+            {"name": "live", "type": "boolean"},
+        ],
+    }
+)
+
+
+def _ocf_rows(base: int, n: int) -> list[dict]:
+    return [
+        {"id": base * 1000 + i, "tag": f"t{(base + i) % 11}", "live": i % 2 == 0}
+        for i in range(n)
+    ]
+
+
+def test_ocf_codec_roundtrip_both_codecs_and_structure():
+    """OCF write→parse is the identity for null AND raw-deflate blocks;
+    block framing (count, size, sync) follows records_per_block; the
+    metadata map carries schema + codec."""
+    from fink_joiner_spark.sources import avro_wire as aw
+
+    rows = _ocf_rows(3, 150)
+    for codec in ("null", "deflate"):
+        enc = aw.encode_ocf(_OCF_SCHEMA, rows, codec=codec, records_per_block=64)
+        doc = aw.decode_ocf(enc)
+        assert doc["rows"] == rows
+        assert doc["n_blocks"] == 3 and doc["codec"] == codec
+        assert json.loads(doc["schema"]) == json.loads(_OCF_SCHEMA)
+    # deflate must actually compress the repetitive payload
+    assert len(aw.encode_ocf(_OCF_SCHEMA, rows, codec="deflate")) < len(
+        aw.encode_ocf(_OCF_SCHEMA, rows, codec="null")
+    )
+
+
+def test_ocf_decoder_rejects_corruption_and_exotic_codecs():
+    """Structural damage is a hard error; library-needing codecs and
+    non-OCF magic are the honest NotImplementedError boundary."""
+    from fink_joiner_spark.sources import avro_wire as aw
+
+    enc = aw.encode_ocf(_OCF_SCHEMA, _ocf_rows(0, 10), records_per_block=4)
+    with pytest.raises(NotImplementedError, match="magic"):
+        aw.decode_ocf(b"PAR1" + enc[4:])
+    with pytest.raises(NotImplementedError, match="codec"):
+        aw.encode_ocf(_OCF_SCHEMA, [], codec="snappy")
+    with pytest.raises(ValueError, match="truncated"):
+        aw.decode_ocf(enc[:-10])
+    bad = bytearray(enc)
+    bad[-1] ^= 0xFF  # flip a byte of the final sync marker
+    with pytest.raises(ValueError, match="sync"):
+        aw.decode_ocf(bytes(bad))
+
+
+def test_read_ocf_distributed_over_binary_files(spark, tmp_path):
+    """The jar-free OCF source: three container files (mixed codecs)
+    land via the built-in binaryFile scan + mapInPandas decode; rows
+    equal the union of the writers' inputs, and a reader schema that
+    disagrees with the embedded writer schema is an error, not a cast."""
+    from fink_joiner_spark.sources import avro_wire as aw
+
+    want = []
+    for i, codec in enumerate(("null", "deflate", "null")):
+        rows = _ocf_rows(i, 40 + i)
+        want.extend((r["id"], r["tag"], r["live"]) for r in rows)
+        (tmp_path / f"part-{i}.avro").write_bytes(
+            aw.encode_ocf(_OCF_SCHEMA, rows, codec=codec, records_per_block=16)
+        )
+    got = aw.read_ocf(spark, str(tmp_path), _OCF_SCHEMA)
+    assert sorted(tuple(r) for r in got.collect()) == sorted(want)
+    other = _OCF_SCHEMA.replace('"id"', '"uid"')
+    with pytest.raises(Exception, match="writer schema"):
+        aw.read_ocf(spark, str(tmp_path), other).collect()
