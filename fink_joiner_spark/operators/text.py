@@ -702,7 +702,11 @@ def duplicated_spans(
       hashed once, two ~30-bit residues packed into a ~60-bit long so
       exactness survives the birthday bound that rules out winnowing's
       single 30-bit modulus; occurrence count as a window over g so
-      the windowed-sum pipeline is evaluated once). TRIED AND REJECTED
+      the windowed-sum pipeline is evaluated once). The per-char value
+      is the full UTF-8 byte sequence as an int (injective — NOT
+      ``ascii()``, whose first-signed-byte value collides distinct
+      non-ASCII chars and goes negative; ADVICE r11), so the exactness
+      contract holds on any UTF-8 corpus, not only ASCII. TRIED AND REJECTED
       for the registered query on measurement (round 11, sf0.1,
       warm alternating A/B ×4): rolling 36.5/14.3/11.5/7.1 s vs md5
       9.0/12.9/5.8/6.6 s in the same session, and the historical
@@ -763,22 +767,32 @@ def duplicated_spans(
                 rows, "k long, vi1 long, vb1 long, vi2 long, vb2 long"
             )
         )
+        # char -> int must be INJECTIVE for the exactness contract:
+        # ascii() returns only the first (signed) UTF-8 byte, so
+        # distinct non-ASCII chars sharing a lead byte would collide
+        # deterministically and negative residues would break the
+        # h1*SPAN_MOD2+h2 packing (ADVICE r11). Hash the char's full
+        # UTF-8 byte sequence as a big-endian int instead (conv of the
+        # hex — <= 2^32, non-negative, injective because UTF-8 is),
+        # then reduce per modulus before the power multiply so every
+        # product stays < M^2 ~ 1e18 < 2^63.
+        cval = F.conv(
+            F.hex(F.encode(F.substring("t", F.col("pos"), F.lit(1)), "UTF-8")),
+            16,
+            10,
+        ).cast("long")
         chars = d.select(
             "doc_id",
             F.explode(F.sequence(F.lit(1), F.length("t"))).alias("pos"),
             "t",
-        ).select(
-            "doc_id",
-            "pos",
-            F.ascii(F.substring("t", F.col("pos"), F.lit(1))).alias("c"),
-        )
+        ).select("doc_id", "pos", cval.alias("c"))
         weighted = chars.join(
             pow_df, chars.pos == pow_df.k
         ).select(
             "doc_id",
             "pos",
-            (F.col("c") * F.col("vi1") % WINNOW_MOD).alias("w1"),
-            (F.col("c") * F.col("vi2") % SPAN_MOD2).alias("w2"),
+            (F.col("c") % WINNOW_MOD * F.col("vi1") % WINNOW_MOD).alias("w1"),
+            (F.col("c") % SPAN_MOD2 * F.col("vi2") % SPAN_MOD2).alias("w2"),
         )
         wsum = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
             0, min_len - 1
@@ -951,7 +965,13 @@ def winnowed_fingerprints_rolling(
     substring ≥ gram_len + window − 1 chars share a selected
     fingerprint). A 30-bit hash space is the MOSS posture —
     fingerprinting, not exactness; the pair stage counts shared
-    fingerprints, it never claims byte equality. Emits
+    fingerprints, it never claims byte equality. Chars hash via
+    ``ascii()`` = the first UTF-8 byte, so non-ASCII chars sharing a
+    lead byte collide — acceptable under the fingerprint contract
+    (collisions only ADD candidate pairs; the selection guarantee is
+    unaffected) but unlike :func:`duplicated_spans`'s injective
+    rolling path this variant is tuned for ASCII/BMP corpora; the
+    DuckDB oracle pins the same ASCII fixture semantics. Emits
     (doc_id, pos, fp) with fp a long.
     """
     from pyspark.sql import Window

@@ -289,7 +289,11 @@ def decode_ocf(payload: bytes) -> dict:
             vlen, pos = _read_long(payload, pos)
             meta[k] = payload[pos : pos + vlen]
             pos += vlen
-    schema_json = meta.get(b"avro.schema", b"").decode()
+    if b"avro.schema" not in meta:
+        # a raw JSONDecodeError from parse_schema("") would hide the
+        # actual defect (ADVICE r11)
+        raise ValueError("OCF header missing avro.schema metadata")
+    schema_json = meta[b"avro.schema"].decode()
     codec = meta.get(b"avro.codec", b"null").decode() or "null"
     if codec not in ("null", "deflate"):
         raise NotImplementedError(
@@ -297,6 +301,13 @@ def decode_ocf(payload: bytes) -> dict:
             "decode in-container"
         )
     fields = parse_schema(schema_json)
+    if pos + 16 > len(payload):
+        # a file truncated inside the header sync must not decode as a
+        # valid empty file (ADVICE r11)
+        raise ValueError(
+            f"truncated OCF header: need 16 sync bytes at offset {pos}, "
+            f"have {len(payload) - pos}"
+        )
     sync = payload[pos : pos + 16]
     pos += 16
     rows: list[dict] = []
@@ -323,6 +334,14 @@ def decode_ocf(payload: bytes) -> dict:
             rec, used = _decode_record_at(fields, data, dpos)
             rows.append(rec)
             dpos = used
+        if dpos != len(data):
+            # a corrupted record count must not silently drop trailing
+            # records — mirror decode_record's hard trailing-bytes
+            # error (ADVICE r11)
+            raise ValueError(
+                f"block record overcount: {len(data) - dpos} trailing "
+                f"bytes after {n_rec} records"
+            )
         n_blocks += 1
     return {"schema": schema_json, "codec": codec, "n_blocks": n_blocks, "rows": rows}
 
@@ -355,20 +374,30 @@ def _decode_record_at(
     return row, pos
 
 
-def read_ocf(spark, path: str, avro_schema_json: str) -> DataFrame:
+def read_ocf(
+    spark, path: str, avro_schema_json: str, glob: str = "*.avro"
+) -> DataFrame:
     """Distributed OCF source without the spark-avro jar: the built-in
     ``binaryFile`` source distributes whole files across tasks (OCF
     files are the split unit here — at 100 TB the parallelism is the
-    file count, the layout every Avro-landing pipeline already has),
-    and the block/record decode runs in Arrow-batched ``mapInPandas``
-    next to the data. Schema is validated against each file's embedded
-    writer schema (field names+types must match) — a mismatch is an
-    error, not a silent cast."""
+    file count, the layout every Avro-landing pipeline already has;
+    see :func:`read_ocf_split` for intra-file parallelism on large
+    files), and the block/record decode runs in Arrow-batched
+    ``mapInPandas`` next to the data. Schema is validated against each
+    file's embedded writer schema (field names+types must match) — a
+    mismatch is an error, not a silent cast. ``glob`` (default
+    ``*.avro``) keeps the ancillary files real writers leave in Avro
+    directories (_SUCCESS, .crc) out of the magic check (ADVICE r11)."""
     fields = parse_schema(avro_schema_json)
     schema = T.StructType([T.StructField(n, _SPARK_TYPES[t]) for n, t in fields])
     names = [n for n, _ in fields]
 
-    raw = spark.read.format("binaryFile").load(path).select("content")
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("content")
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

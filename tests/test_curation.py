@@ -477,3 +477,48 @@ def test_canonical_url_edge_cases(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r[0] for r in df.select(canonical_url(F.col("url"))).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_duplicated_spans_rolling_injective_on_non_ascii(spark):
+    """ADVICE r11: ascii() hashes only the first (signed) UTF-8 byte,
+    so distinct accented chars sharing the 0xC3 lead byte used to
+    collide deterministically and fabricate duplicate spans the md5
+    path never emits. The rolling path now hashes the full UTF-8 byte
+    sequence (injective) — rolling must equal md5 on a corpus built
+    ENTIRELY from lead-byte-sharing chars: two unrelated docs (no
+    shared 40-gram => no spans) plus a pair sharing a 45-char
+    substring (=> identical spans from both hash families)."""
+    from fink_joiner_spark.operators import text as text_ops
+
+    import random
+
+    rng = random.Random(7)
+    alphabet = "àáâãäåæçèé"  # U+00E0..U+00E9 — all UTF-8 0xC3 0xA0..0xA9
+
+    def doc(n):
+        return "".join(rng.choice(alphabet) for _ in range(n))
+
+    shared = doc(45)
+    docs = spark.createDataFrame(
+        [
+            (1, doc(70)),
+            (2, doc(70)),
+            (3, doc(10) + shared + doc(10)),
+            (4, doc(12) + shared + doc(8)),
+        ],
+        "doc_id long, text string",
+    )
+    roll = {
+        tuple(r)
+        for r in text_ops.duplicated_spans(
+            docs, "doc_id", "text", min_len=40, hash_fn="rolling"
+        ).collect()
+    }
+    md5 = {
+        tuple(r)
+        for r in text_ops.duplicated_spans(
+            docs, "doc_id", "text", min_len=40, hash_fn="md5"
+        ).collect()
+    }
+    assert roll == md5
+    assert {d for d, _, _ in roll} == {3, 4}  # the planted pair, only

@@ -301,3 +301,58 @@ def test_read_ocf_distributed_over_binary_files(spark, tmp_path):
     other = _OCF_SCHEMA.replace('"id"', '"uid"')
     with pytest.raises(Exception, match="writer schema"):
         aw.read_ocf(spark, str(tmp_path), other).collect()
+
+
+def test_ocf_decoder_rejects_header_and_count_corruption():
+    """ADVICE r11 hardening: a corrupted block record COUNT must not
+    silently drop trailing records; a file truncated inside the header
+    sync must not decode as a valid empty file; a header without
+    avro.schema must raise a diagnosable error, not a JSONDecodeError."""
+    from fink_joiner_spark.sources import avro_wire as aw
+
+    enc = aw.encode_ocf(_OCF_SCHEMA, _ocf_rows(1, 4), records_per_block=4)
+    sync = aw._ocf_sync(_OCF_SCHEMA)
+    block_start = enc.index(sync) + 16
+    # zigzag(4)=8 is a single varint byte; patch the count down to 3 so
+    # one record's bytes trail the loop
+    assert enc[block_start] == 8
+    bad = bytearray(enc)
+    bad[block_start] = 6  # zigzag(3)
+    with pytest.raises(ValueError, match="overcount"):
+        aw.decode_ocf(bytes(bad))
+    # truncated inside the 16-byte header sync marker
+    with pytest.raises(ValueError, match="truncated OCF header"):
+        aw.decode_ocf(enc[: enc.index(sync) + 8])
+    # header whose metadata map lacks avro.schema entirely
+    k = b"avro.codec"
+    v = b"null"
+    hdr = (
+        aw.OCF_MAGIC
+        + aw._write_long(1)
+        + aw._write_long(len(k)) + k
+        + aw._write_long(len(v)) + v
+        + aw._write_long(0)
+        + b"\x00" * 16
+    )
+    with pytest.raises(ValueError, match="missing avro.schema"):
+        aw.decode_ocf(hdr)
+
+
+def test_read_ocf_skips_non_avro_sidecar_files(spark, tmp_path):
+    """ADVICE r11: ancillary non-hidden files real writers leave next
+    to the data (manifests, readmes — hidden _SUCCESS/.crc are already
+    filtered by Spark's listing) must not hit the OCF magic check."""
+    from fink_joiner_spark.sources import avro_wire as aw
+
+    rows = _ocf_rows(5, 30)
+    (tmp_path / "part-0.avro").write_bytes(
+        aw.encode_ocf(_OCF_SCHEMA, rows, records_per_block=8)
+    )
+    (tmp_path / "manifest.json").write_text('{"files": 1}')
+    got = aw.read_ocf(spark, str(tmp_path), _OCF_SCHEMA)
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        (r["id"], r["tag"], r["live"]) for r in rows
+    )
+    # and without the glob the sidecar is (correctly) a hard error
+    with pytest.raises(Exception, match="magic|OCF"):
+        aw.read_ocf(spark, str(tmp_path), _OCF_SCHEMA, glob="*").collect()
