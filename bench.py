@@ -370,14 +370,20 @@ def main() -> None:
     def _spread_bad(runs):
         return len(runs) >= 2 and min(runs) > 0 and max(runs) / min(runs) > 4
 
-    # Prior-round reference medians (r11): uniformly-inflated reps —
-    # the dominant pollution shape in the r11 full run (j4 5.9/7.5/2.5 s
-    # vs a healthy 1.1 s; spread 2.9× slips under the 4× bar) — are
-    # invisible to the spread test but obvious against last round's
-    # committed per-query medians. A query >2.5× its prior median also
-    # earns the fresh-JVM re-measure (same adopt rule: lower median AND
-    # sane spread; both numbers recorded). Capped so a genuinely slower
-    # tree pays at most a bounded rerun tax, never a doubled run.
+    # Prior-round reference medians (r11, bar lowered r12): uniformly-
+    # inflated reps — the dominant pollution shape in the r11 full run
+    # (j4 5.9/7.5/2.5 s vs a healthy 1.1 s; spread 2.9× slips under the
+    # 4× bar) — are invisible to the spread test but obvious against
+    # last round's committed per-query medians. The r11 verdict measured
+    # 70/206 common queries landing in the 1.5-2.5× band that the old
+    # 2.5× bar waved through (~30-40 s of phantom regression per
+    # artifact), so the trigger is now >1.5× prior median (with the
+    # same 0.5 s absolute floor so micro-queries don't churn) and the
+    # budget rises 15→40. Same adopt rule: the rerun wins only with a
+    # LOWER median AND sane spread; both numbers recorded. Capped so a
+    # genuinely slower tree pays a bounded rerun tax, never a doubled
+    # run — and a real regression survives the rerun and stays in the
+    # artifact with its counter-evidence attached.
     prior_medians: dict[str, float] = {}
     try:
         import glob as _glob
@@ -399,14 +405,14 @@ def main() -> None:
                         prior_medians[qn] = float(qd["median"])
     except Exception:  # noqa: BLE001 — reference is best-effort
         prior_medians = {}
-    prior_reruns_left = 15
+    prior_reruns_left = 40
 
     def _prior_bad(name, runs):
         ref = prior_medians.get(name)
         med = _lower_median(runs)
         return (
             ref is not None and med is not None
-            and med > 2.5 * ref and med - ref > 0.5
+            and med > 1.5 * ref and med - ref > 0.5
         )
 
     timings: dict[str, float] = {}
@@ -455,7 +461,7 @@ def main() -> None:
                 f"rep spread {min(runs)}..{max(runs)} crossed the 4x "
                 "outlier bar"
                 if _spread_bad(runs)
-                else f"median {_lower_median(runs)} > 2.5x prior-round "
+                else f"median {_lower_median(runs)} > 1.5x prior-round "
                      f"median {prior_medians.get(name)}"
             )
             print(f"bench {name}: {reason} - re-running in a fresh "
