@@ -102,6 +102,44 @@ def plan_fingerprint(df: DataFrame) -> dict:
     }
 
 
+def stream_plan_fingerprint(query) -> dict:
+    """Structural fingerprint of a streaming query's LAST EXECUTED
+    micro-batch physical plan (r11 verdict ask #2: extend the
+    plan-shape gate to the stream families, whose plan only exists at
+    runtime). Takes a started/finished ``StreamingQuery``; reads the
+    same explain string ``query.explain()`` prints (simple mode — the
+    micro-batch plan is post-AQE-free and single-line node labels, so
+    ``Exchange hashpartitioning`` IS the tree label here, unlike the
+    formatted batch explain).
+
+    Counters and their directional reading (tests/test_plan_shapes.py):
+
+    * ``shuffles`` / ``cartesian`` must not rise, ``broadcast_joins``
+      must not fall — same economics as the batch gate;
+    * the STATEFUL operator counts (``state_store_saves``,
+      ``streaming_dedups``, ``symmetric_join``, ``pandas_with_state``,
+      ``watermarks``) must match EXACTLY — a changed count is changed
+      streaming semantics, not an optimization;
+    * ``state_partitions`` (the stateful shuffle width, sized to state
+      volume per SCALE.md) must not rise.
+    """
+    plan = query._jsq.explainInternal(False)  # noqa: SLF001 — py4j handle
+    return {
+        "shuffles": len(re.findall(r"Exchange (?:hash|range)partitioning", plan)),
+        "broadcast_joins": plan.count("BroadcastHashJoin"),
+        "cartesian": plan.count("CartesianProduct"),
+        "state_store_saves": plan.count("StateStoreSave"),
+        "streaming_dedups": len(re.findall(r"StreamingDeduplicate", plan)),
+        "symmetric_join": plan.count("StreamingSymmetricHashJoin"),
+        "pandas_with_state": plan.count("FlatMapGroupsInPandasWithState"),
+        "watermarks": plan.count("EventTimeWatermark"),
+        "state_partitions": max(
+            (int(m) for m in re.findall(r"numPartitions = (\d+)", plan)),
+            default=0,
+        ),
+    }
+
+
 def count_shuffles(df: DataFrame) -> int:
     """Number of shuffle exchanges in the plan (broadcast exchanges are
     deliberately NOT counted — they're the cheap alternative we audit

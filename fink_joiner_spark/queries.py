@@ -263,38 +263,30 @@ _R3_REGRESSED, _HISTORY_VERIFIED, _LAST_GREEN_ROUND = _correctness_history()
 # Maintained by hand at round end; superseded rows age out naturally
 # once the next CORRECTNESS file records them green.
 #
-# Round 11: deliberately LEAN (r10 verdict ask #2 — the oldest-green
-# rotation tier gets the bulk of the 50-slot window so the r4 proof
-# cohort drains). Only queries whose EXECUTED PLAN changed re-prove:
-# dsir's count aggregate is now collected once and re-broadcast as a
-# local relation; jaccard/containment got a max_doc_freq cap parameter
-# but their registered cap=None plans are bit-identical, so they drain
-# through the oldest-green tier instead of burning changed-slots. The
-# two new capped/prefix queries enter via the never-verified tier.
+# Round 12: lean again (r11 verdict ask #6 — the oldest-green tier
+# must drain the r5 proof cohort, so ≥30 of the 50 slots go to
+# rotation). Re-prove only what actually changed:
 _ROUND_CHANGED = frozenset({
-    # counts collect + literal weight table (plan changed, values not)
-    "ext_dsir_select",
-    # real BMP decode replaced the fake featurizer (oracle rewritten)
-    "multimodal_features",
-    # time-travel v1 now derived from committed_versions()[0] after the
-    # fixture setup instead of current() mid-setup (same value by
-    # construction, but real logic changed → re-prove)
-    "ext_bm25_index_time_travel", "simsearch_ivf_time_travel",
+    # the r11 loop-invariant hoist (10→6 shuffles/round) shipped
+    # without a driver re-prove — the r11 verdict's "what's wrong" #1;
+    # its executed plan changed in d0f89bb and its newest green is r5
+    "graph_pagerank_bounded",
+    # decode_ocf hardened this round (block record-count overcount is
+    # now a hard error, header-sync truncation check, missing
+    # avro.schema diagnostic): same values on well-formed files, but
+    # the decode logic every row passes through changed → re-prove
+    "avro_ocf_roundtrip",
 })
-# NOT in the changed set: text_exact_dup_spans — a rolling-hash gram
-# fingerprint was tried this round and REJECTED on warm A/B measurement
-# (rolling 7.1-36.5 s vs md5 5.8-12.9 s same session; md5+groupBy
-# benches 2.1-2.5 s healthy); the registered md5 plan is bit-identical
-# to r5-r10, the rejected path survives as duplicated_spans(
-# hash_fn="rolling") with a pytest pinning output equality.
-# NOT in the changed set despite their bodies moving: the other 14
-# index-lifecycle queries whose setup now routes through
-# fixtures.fixture_dir — on the driver path (no SPARK_GRAFT_FIXTURE_CACHE
-# env) that helper is mkdtemp + the identical setup calls, i.e. the
-# same executed Spark operations; all 16 were hash-verified against
-# their DuckDB oracles in-session on a vanilla driver-replica run
-# (cached AND uncached paths). Burning 16 changed-slots would starve
-# the r4 proof-cohort drain this round's verdict ask #2 prioritizes.
+# NOT in the changed set: graph_pagerank_step / dedup_cc_clusters /
+# ext_dedup_cluster_sizes — d0f89bb touched ONLY pagerank_bounded
+# (verified against the diff); the CC loop and the one-step query are
+# byte-identical, so they drain through the oldest-green tier.
+# NOT in the changed set: duplicated_spans' rolling path got the
+# injective UTF-8 char hash this round, but the REGISTERED
+# text_exact_dup_spans query uses the md5 path (bit-identical plan);
+# the rolling path is pytest-pinned equal to md5 on ASCII and
+# non-ASCII corpora. dedup_winnowing_rolling still hashes via ascii()
+# by design (fingerprint contract, docstring + oracle unchanged).
 
 
 # Every query with a green hash-match row in ANY driver round —
