@@ -6043,6 +6043,88 @@ def avro_ocf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "avro_ocf_split_roundtrip",
+    # Analytic fixture: ONE snappy-compressed multi-block OCF file
+    # holding a record per doc_id divisible by 3 — rec = {id: doc_id,
+    # v: doc_id*17 % 1001, tag: 't' || doc_id%7} framed at 2
+    # records/block (2/block so the file is multi-block at every
+    # SF) — read back through the SPLITTABLE byte-range
+    # reader (sync-marker scanning, >= 4 intra-file tasks enforced in
+    # the query body). The oracle derives the per-tag aggregates from
+    # the documents table directly, never from the codec: a block
+    # owned by two splits doubles a count, a dropped boundary block
+    # loses one, a snappy/CRC misparse breaks everything.
+    """
+    SELECT 't' || (doc_id % 7)::VARCHAR AS tag,
+           COUNT(*)::BIGINT AS cnt,
+           SUM(doc_id)::BIGINT AS id_sum,
+           SUM((doc_id * 17) % 1001)::BIGINT AS v_sum
+    FROM documents WHERE doc_id % 3 = 0
+    GROUP BY 1
+    """,
+    "splittable OCF source: one multi-block snappy container file "
+    "read in >= 4 byte-range tasks (each task sync-scans to its first "
+    "owned block; pure-python snappy + Avro CRC32 trailer), aggregated "
+    "per tag against an analytic oracle over the source table",
+)
+def avro_ocf_split_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 twin at FILE scale (r11 verdict ask #3): the reference's
+    Avro landing surface, re-expressed with the standard
+    splittable-Avro contract so one large file parallelizes across
+    tasks instead of binaryFile's one-array-per-file 2 GB bound."""
+    import json
+    import os
+    import tempfile
+
+    from fink_joiner_spark.sources import avro_wire
+
+    sch = json.dumps(
+        {
+            "type": "record",
+            "name": "rec",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "v", "type": "long"},
+                {"name": "tag", "type": "string"},
+            ],
+        }
+    )
+    ids = sorted(
+        r.doc_id
+        for r in table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 3 == 0)
+        .collect()
+    )  # bounded fixture build: one long per kept doc, sorted for a
+    # deterministic file layout
+    rows = [
+        {"id": d, "v": (d * 17) % 1001, "tag": f"t{d % 7}"} for d in ids
+    ]
+    work = tempfile.mkdtemp(prefix="fjs_ocf_split_")
+    fpath = os.path.join(work, "data.avro")
+    with open(fpath, "wb") as fh:
+        fh.write(
+            avro_wire.encode_ocf(sch, rows, codec="snappy", records_per_block=2)
+        )
+    # size the ranges so the single file yields real intra-file
+    # parallelism at EVERY test SF (tiny blocks, target ~ size/8 with
+    # a floor above the ~30-byte min block) — the query is the
+    # EVIDENCE the split contract works
+    target = max(64, os.path.getsize(fpath) // 8)
+    splits = avro_wire.plan_ocf_splits(fpath, sch, target_split_bytes=target)
+    if len(splits) < 4:
+        raise ValueError(f"expected >= 4 splits, planned {len(splits)}")
+    got = avro_wire.read_ocf_split(spark, fpath, sch, target_split_bytes=target)
+    return got.groupBy("tag").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("id").cast("long").alias("id_sum"),
+        F.sum("v").cast("long").alias("v_sum"),
+    )
+
+
+
+
+@register(
     "ext_bm25_index_upsert",
     _BM25_INDEXED_ORACLE,
     "latest-version index upsert (the reference's signature semantics "

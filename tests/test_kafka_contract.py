@@ -252,7 +252,7 @@ def test_ocf_codec_roundtrip_both_codecs_and_structure():
     from fink_joiner_spark.sources import avro_wire as aw
 
     rows = _ocf_rows(3, 150)
-    for codec in ("null", "deflate"):
+    for codec in ("null", "deflate", "snappy"):
         enc = aw.encode_ocf(_OCF_SCHEMA, rows, codec=codec, records_per_block=64)
         doc = aw.decode_ocf(enc)
         assert doc["rows"] == rows
@@ -273,7 +273,7 @@ def test_ocf_decoder_rejects_corruption_and_exotic_codecs():
     with pytest.raises(NotImplementedError, match="magic"):
         aw.decode_ocf(b"PAR1" + enc[4:])
     with pytest.raises(NotImplementedError, match="codec"):
-        aw.encode_ocf(_OCF_SCHEMA, [], codec="snappy")
+        aw.encode_ocf(_OCF_SCHEMA, [], codec="zstandard")
     with pytest.raises(ValueError, match="truncated"):
         aw.decode_ocf(enc[:-10])
     bad = bytearray(enc)
@@ -356,3 +356,94 @@ def test_read_ocf_skips_non_avro_sidecar_files(spark, tmp_path):
     # and without the glob the sidecar is (correctly) a hard error
     with pytest.raises(Exception, match="magic|OCF"):
         aw.read_ocf(spark, str(tmp_path), _OCF_SCHEMA, glob="*").collect()
+
+
+def test_snappy_block_format_copies_and_crc():
+    """The pure-Python snappy codec: copy elements (1- and 2-byte
+    offsets, including the overlapping run-replication case) decode
+    per the published format, the all-literal compressor roundtrips,
+    and the Avro CRC32 trailer catches payload corruption."""
+    import zlib
+
+    from fink_joiner_spark.sources import avro_wire as aw
+
+    # hand-crafted stream: literal "abcd", then copy(offset=4, len=8)
+    # overlapping its own output -> run replication "abcdabcdabcd"
+    crafted = bytes([12, (4 - 1) << 2]) + b"abcd" + bytes([(4 << 2) | 1, 4])
+    assert aw.snappy_decompress(crafted) == b"abcdabcdabcd"
+    # copy with 2-byte offset: literal 64 bytes (1 extra length byte),
+    # then copy(offset=64, len=10)
+    lit = bytes(range(64))
+    crafted2 = (
+        aw._snappy_uvarint(74)
+        + bytes([60 << 2, 63])
+        + lit
+        + bytes([(9 << 2) | 2, 64, 0])
+    )
+    assert aw.snappy_decompress(crafted2) == lit + lit[:10]
+    # roundtrip through the all-literal compressor, incl. >256-byte runs
+    for payload in (b"", b"x", b"hello world" * 50, bytes(range(256)) * 5):
+        assert aw.snappy_decompress(aw.snappy_compress(payload)) == payload
+    # truncation + length-mismatch defenses
+    with pytest.raises(ValueError, match="truncated literal"):
+        aw.snappy_decompress(bytes([10, (9 - 1) << 2]) + b"abc")
+    with pytest.raises(ValueError, match="offset"):
+        aw.snappy_decompress(bytes([4, (3 << 2) | 1, 200]))
+    # Avro snappy block: flip a payload byte -> CRC32 mismatch
+    enc = aw.encode_ocf(_OCF_SCHEMA, _ocf_rows(2, 8), codec="snappy",
+                        records_per_block=8)
+    sync = aw._ocf_sync(_OCF_SCHEMA)
+    block_data_at = enc.index(sync) + 16 + 2  # count + size varints
+    bad = bytearray(enc)
+    bad[block_data_at + 3] ^= 0x55
+    with pytest.raises(ValueError, match="CRC32|snappy"):
+        aw.decode_ocf(bytes(bad))
+
+
+def test_read_ocf_split_intra_file_parallelism(spark, tmp_path):
+    """r11 verdict ask #3: ONE multi-block container file read in >= 4
+    byte-range tasks (sync-marker splitting), same rows as the
+    whole-file reader, for every in-container codec."""
+    from fink_joiner_spark.sources import avro_wire as aw
+
+    rows = _ocf_rows(7, 600)
+    want = sorted((r["id"], r["tag"], r["live"]) for r in rows)
+    for codec in ("null", "deflate", "snappy"):
+        p = tmp_path / f"one-{codec}.avro"
+        p.write_bytes(
+            aw.encode_ocf(_OCF_SCHEMA, rows, codec=codec, records_per_block=16)
+        )
+        splits = aw.plan_ocf_splits(str(p), _OCF_SCHEMA, target_split_bytes=1024)
+        assert len(splits) >= 4, f"{codec}: only {len(splits)} splits"
+        got = aw.read_ocf_split(
+            spark, str(p), _OCF_SCHEMA, target_split_bytes=1024
+        )
+        assert sorted(tuple(r) for r in got.collect()) == want
+        # block ownership must tile exactly: no dup, no loss, at every
+        # split granularity (boundaries land mid-block both ways)
+        for target in (300, 7000, 10**9):
+            got2 = aw.read_ocf_split(
+                spark, str(p), _OCF_SCHEMA, target_split_bytes=target
+            )
+            assert sorted(tuple(r) for r in got2.collect()) == want
+
+
+def test_read_ocf_split_directory_and_schema_gate(spark, tmp_path):
+    """Directory reads mix files and codecs; sidecars are skipped via
+    the glob; a writer-schema mismatch fails at PLANNING time (driver
+    header read), before any task runs."""
+    from fink_joiner_spark.sources import avro_wire as aw
+
+    want = []
+    for i, codec in enumerate(("null", "deflate", "snappy")):
+        rows = _ocf_rows(i, 50 + i)
+        want.extend((r["id"], r["tag"], r["live"]) for r in rows)
+        (tmp_path / f"part-{i}.avro").write_bytes(
+            aw.encode_ocf(_OCF_SCHEMA, rows, codec=codec, records_per_block=8)
+        )
+    (tmp_path / "manifest.json").write_text("{}")
+    got = aw.read_ocf_split(spark, str(tmp_path), _OCF_SCHEMA,
+                            target_split_bytes=2048)
+    assert sorted(tuple(r) for r in got.collect()) == sorted(want)
+    with pytest.raises(ValueError, match="writer schema"):
+        aw.plan_ocf_splits(str(tmp_path), _OCF_SCHEMA.replace('"id"', '"uid"'))
