@@ -912,6 +912,78 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_png",
+    # 2-D RGB fixture: per doc a (4+doc_id%5)x(3+doc_id%4) image with
+    # interleaved channel byte(i) = (doc_id*11 + i*19) % 256, written
+    # with the scanline filter CYCLING 0-4 (None/Sub/Up/Average/Paeth)
+    # and the zlib stream split over two IDAT chunks — the decoder
+    # must CRC-check chunks, concatenate+inflate IDAT and invert every
+    # filter to reproduce the analytic channel sum.
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             (4 + doc_id % 5)::BIGINT AS width,
+             (3 + doc_id % 4)::BIGINT AS height
+      FROM documents
+    )
+    SELECT doc_id, width, height,
+           (width * height)::BIGINT AS n_pixels,
+           list_sum([ (doc_id * 11 + i * 19) % 256
+                      FOR i IN range(0, width * height * 3) ])::BIGINT
+             AS channel_sum
+    FROM dims
+    """,
+    "REAL PNG decode (stdlib zlib): CRC-checked chunk walk, two-IDAT "
+    "inflate, all five scanline filters inverted — width/height/"
+    "pixel-count/channel-sum derived analytically by the oracle, "
+    "never from the codec",
+)
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from fink_joiner_spark.operators import multimodal
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("n_pixels", T.LongType()),
+            T.StructField("channel_sum", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 5, 3 + did % 4
+                px = bytes(
+                    (did * 11 + i * 19) % 256 for i in range(w * h * 3)
+                )
+                meta = multimodal.decode_png(
+                    multimodal.encode_png(w, h, px, color_type=2, idat_split=2)
+                )
+                rows.append(
+                    (did, meta["width"], meta["height"], meta["n_pixels"],
+                     sum(meta["pixels"]))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "n_pixels", "channel_sum"],
+            )
+
+    return docs.mapInPandas(run, schema)
+
+
+@register(
     "multimodal_decode_wav",
     # Analytic 16-bit PCM fixture: per doc a (1+doc_id%2)-channel,
     # (12+doc_id%9)-frame stream at rate 8000+(doc_id%4)*4000 with

@@ -1113,3 +1113,94 @@ def test_wrap_then_decode_wav_is_identity_on_spark(spark, sf_dir):
         assert g["sample_sq_sum"] == sum(v * v for v in raw)
         assert g["peak"] == (max(raw) if raw else 0)
         assert g["duration_us"] == len(raw) * 1_000_000 // multimodal.WAV_WRAP_RATE
+
+
+def test_png_decoder_against_handwritten_spec_bytes():
+    """The REAL PNG codec (r11 verdict ask #5) pinned against a PNG
+    assembled BY HAND from the published spec (signature + explicit
+    IHDR/IDAT/IEND chunk framing, zlib by the stdlib reference
+    implementation) — not by our own encoder, so writer and parser
+    can't share a mirrored bug: 2x2 grayscale, filter 0 rows."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">II", 2, 2) + bytes([8, 0, 0, 0, 0])
+    scanlines = bytes([0, 10, 20, 0, 30, 40])  # filter-0 rows
+    golden = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scanlines))
+        + chunk(b"IEND", b"")
+    )
+    m = multimodal.decode_png(golden)
+    assert (m["width"], m["height"], m["color_type"], m["channels"]) == (2, 2, 0, 1)
+    assert m["pixels"] == bytes([10, 20, 30, 40])
+
+
+def test_png_codec_roundtrip_filters_colortypes_and_idat_split():
+    """Every scanline filter (None/Sub/Up/Average/Paeth), every
+    supported color type, and a zlib stream split across 3 IDAT chunks
+    must all reproduce the input bytes exactly."""
+    for ft in range(5):
+        px = bytes((i * 31 + 7) % 256 for i in range(9 * 4))
+        enc = multimodal.encode_png(9, 4, px, color_type=0,
+                                    filter_of_row=lambda r, ft=ft: ft)
+        assert multimodal.decode_png(enc)["pixels"] == px, f"filter {ft}"
+    for ct, ch in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        px = bytes((i * 13 + 5) % 256 for i in range(5 * 3 * ch))
+        enc = multimodal.encode_png(5, 3, px, color_type=ct, idat_split=3)
+        m = multimodal.decode_png(enc)
+        assert (m["channels"], m["pixels"]) == (ch, px), f"color type {ct}"
+
+
+def test_png_decoder_rejects_corruption_and_exotic_variants():
+    """Bad CRC / truncation / length mismatch are hard ValueErrors;
+    palette, 16-bit and interlaced PNGs (and non-PNG magic) stay the
+    honest NotImplementedError boundary."""
+    import struct
+    import zlib
+
+    import pytest
+
+    px = bytes(range(12))
+    enc = multimodal.encode_png(4, 3, px, color_type=0)
+    with pytest.raises(NotImplementedError, match="not a PNG"):
+        multimodal.decode_png(b"BM" + enc[2:])
+    bad = bytearray(enc)
+    bad[-5] ^= 0xFF  # inside IEND's CRC
+    with pytest.raises(ValueError, match="CRC32"):
+        multimodal.decode_png(bytes(bad))
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_png(enc[:-6])
+
+    def retag(payload, offset, value):
+        """Patch one IHDR byte and fix the CRC so only that field is bad."""
+        b = bytearray(payload)
+        b[offset] = value
+        data = bytes(b[16 : 16 + 13])
+        b[16 + 13 : 16 + 17] = struct.pack(
+            ">I", zlib.crc32(b"IHDR" + data) & 0xFFFFFFFF
+        )
+        return bytes(b)
+
+    # IHDR layout: sig(8) + len(4) + type(4) -> data at 16: w4 h4
+    # depth@24 colortype@25 comp filt interlace@28
+    with pytest.raises(NotImplementedError, match="bit depth"):
+        multimodal.decode_png(retag(enc, 24, 16))
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        multimodal.decode_png(retag(enc, 28, 1))
+    with pytest.raises(NotImplementedError, match="color type"):
+        multimodal.decode_png(retag(enc, 25, 3))
+    # height lies about the pixel data -> inflated-length mismatch
+    b = bytearray(enc)
+    b[20:24] = struct.pack(">I", 7)
+    data = bytes(b[16 : 16 + 13])
+    b[16 + 13 : 16 + 17] = struct.pack(">I", zlib.crc32(b"IHDR" + data) & 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="expected"):
+        multimodal.decode_png(bytes(b))
