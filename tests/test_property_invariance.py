@@ -359,3 +359,151 @@ def test_bmp_codec_roundtrip_property(w, h, bpp, top_down, rnd):
     m = multimodal.decode_bmp(bytes(enc))
     assert (m["width"], m["height"], m["bpp"], m["n_pixels"]) == (w, h, bpp, w * h)
     assert m["pixels"] == want
+
+
+# ---------------------------------------------------------------------------
+# Avro OCF + snappy codec properties (round 12)
+# ---------------------------------------------------------------------------
+
+_OCF_PROP_SCHEMA = (
+    '{"type": "record", "name": "p", "fields": ['
+    '{"name": "k", "type": "long"}, {"name": "s", "type": "string"}, '
+    '{"name": "f", "type": "boolean"}]}'
+)
+
+
+@given(data=st.binary(min_size=0, max_size=2000))
+@settings(max_examples=80, deadline=None)
+def test_snappy_literal_roundtrip_property(data):
+    """∀ payload: decompress ∘ compress is the identity (the all-literal
+    writer must stay inside the spec for every length, incl. the 1- and
+    2-byte extended literal-length encodings)."""
+    from fink_joiner_spark.sources import avro_wire as aw
+
+    assert aw.snappy_decompress(aw.snappy_compress(data)) == data
+
+
+@given(rnd=st.randoms(use_true_random=False), n_elems=st.integers(1, 12))
+@settings(max_examples=80, deadline=None)
+def test_snappy_copy_elements_property(rnd, n_elems):
+    """∀ random valid element sequences (literals + 1/2/4-byte-offset
+    copies, overlapping ones included): the decoder reproduces the
+    reference reconstruction byte for byte."""
+    from fink_joiner_spark.sources import avro_wire as aw
+
+    out = bytearray()
+    stream = bytearray()
+    for _ in range(n_elems):
+        if not out or rnd.random() < 0.5:
+            lit = bytes(rnd.randrange(256) for _ in range(rnd.randrange(1, 80)))
+            n = len(lit)
+            if n <= 60:
+                stream.append((n - 1) << 2)
+            else:
+                stream.append(60 << 2)
+                stream += (n - 1).to_bytes(1, "little")
+            stream += lit
+            out += lit
+        else:
+            off = rnd.randrange(1, len(out) + 1)
+            kind = rnd.choice([1, 2, 4])
+            if kind == 1:
+                ln = rnd.randrange(4, 12)
+                if off > 2047:
+                    kind = 2
+            if kind == 2:
+                ln = rnd.randrange(1, 65)
+                if off > 65535:
+                    kind = 4
+            if kind == 4:
+                ln = rnd.randrange(1, 65)
+            if kind == 1:
+                stream.append(((off >> 8) << 5) | ((ln - 4) << 2) | 1)
+                stream += bytes([off & 0xFF])
+            elif kind == 2:
+                stream.append(((ln - 1) << 2) | 2)
+                stream += off.to_bytes(2, "little")
+            else:
+                stream.append(((ln - 1) << 2) | 3)
+                stream += off.to_bytes(4, "little")
+            start = len(out) - off
+            for i in range(ln):  # overlapping-copy reference semantics
+                out.append(out[start + i])
+    from fink_joiner_spark.sources.avro_wire import _snappy_uvarint
+
+    assert aw.snappy_decompress(_snappy_uvarint(len(out)) + bytes(stream)) == bytes(out)
+
+
+_ocf_rows_strategy = st.lists(
+    st.tuples(
+        st.integers(-(2**62), 2**62),
+        st.text(max_size=12),
+        st.booleans(),
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(
+    rows=_ocf_rows_strategy,
+    codec=st.sampled_from(["null", "deflate", "snappy"]),
+    per_block=st.integers(1, 7),
+)
+@settings(max_examples=60, deadline=None)
+def test_ocf_codec_roundtrip_property(rows, codec, per_block):
+    """∀ (rows, codec, block size): decode ∘ encode is the identity and
+    the block count follows the framing arithmetic."""
+    from fink_joiner_spark.sources import avro_wire as aw
+
+    recs = [{"k": k, "s": s, "f": f} for k, s, f in rows]
+    doc = aw.decode_ocf(
+        aw.encode_ocf(_OCF_PROP_SCHEMA, recs, codec=codec,
+                      records_per_block=per_block)
+    )
+    assert doc["rows"] == recs
+    assert doc["codec"] == codec
+    assert doc["n_blocks"] == -(-len(recs) // per_block)
+
+
+@given(
+    rows=_ocf_rows_strategy,
+    codec=st.sampled_from(["null", "deflate", "snappy"]),
+    per_block=st.integers(1, 5),
+    target=st.integers(32, 4000),
+)
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_ocf_split_tiling_property(tmp_path_factory, rows, codec, per_block, target):
+    """∀ (rows, codec, block size, split granularity): the byte-range
+    readers together produce every record EXACTLY once — split
+    boundaries may land inside block headers, block data, or sync
+    markers; ownership must still tile. Drives plan_ocf_splits +
+    _decode_ocf_range directly (pyarrow local FS, no Spark session)."""
+    from pyarrow import fs as pafs
+
+    from fink_joiner_spark.sources import avro_wire as aw
+
+    recs = [{"k": k, "s": s, "f": f} for k, s, f in rows]
+    d = tmp_path_factory.mktemp("ocfsplit")
+    p = d / "x.avro"
+    p.write_bytes(
+        aw.encode_ocf(_OCF_PROP_SCHEMA, recs, codec=codec,
+                      records_per_block=per_block)
+    )
+    splits = aw.plan_ocf_splits(str(p), _OCF_PROP_SCHEMA, target_split_bytes=target)
+    fields = aw.parse_schema(_OCF_PROP_SCHEMA)
+    filesystem = pafs.LocalFileSystem()
+    got = []
+    for s in splits:
+        got.extend(
+            aw._decode_ocf_range(
+                filesystem, s["path"], s["start"], s["end"],
+                s["header_end"], s["codec"], s["sync"], fields,
+                chunk=97,  # tiny chunk: exercise the buffered scan paths
+            )
+        )
+    assert got == recs  # splits are ordered, blocks within splits too
