@@ -252,7 +252,7 @@ def test_ocf_codec_roundtrip_both_codecs_and_structure():
     from fink_joiner_spark.sources import avro_wire as aw
 
     rows = _ocf_rows(3, 150)
-    for codec in ("null", "deflate", "snappy"):
+    for codec in ("null", "deflate", "snappy", "bzip2", "xz"):
         enc = aw.encode_ocf(_OCF_SCHEMA, rows, codec=codec, records_per_block=64)
         doc = aw.decode_ocf(enc)
         assert doc["rows"] == rows

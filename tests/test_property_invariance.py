@@ -447,7 +447,7 @@ _ocf_rows_strategy = st.lists(
 
 @given(
     rows=_ocf_rows_strategy,
-    codec=st.sampled_from(["null", "deflate", "snappy"]),
+    codec=st.sampled_from(["null", "deflate", "snappy", "bzip2", "xz"]),
     per_block=st.integers(1, 7),
 )
 @settings(max_examples=60, deadline=None)
@@ -468,7 +468,7 @@ def test_ocf_codec_roundtrip_property(rows, codec, per_block):
 
 @given(
     rows=_ocf_rows_strategy,
-    codec=st.sampled_from(["null", "deflate", "snappy"]),
+    codec=st.sampled_from(["null", "deflate", "snappy", "bzip2", "xz"]),
     per_block=st.integers(1, 5),
     target=st.integers(32, 4000),
 )
