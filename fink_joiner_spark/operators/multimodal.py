@@ -18,8 +18,9 @@ chunk list (unknown chunks skipped with the spec's odd-size pad
 byte), parses the PCM ``fmt `` chunk and extracts interleaved 8/16-bit
 frames. **PNG decode is REAL as of r12** — :func:`decode_png` walks
 the CRC-checked chunk list, inflates IDAT with stdlib zlib, and
-un-filters every scanline (all five spec filters); palette images,
-non-8-bit depths and Adam7 interlacing stay out. Formats that are
+un-filters every scanline (all five spec filters) for 8- and 16-bit
+gray/RGB/gray+A/RGBA and 8-bit palette (PLTE) images; sub-byte
+depths and Adam7 interlacing stay out. Formats that are
 entropy-coded beyond zlib (JPEG/MP3/AAC/video — genuinely need a
 codec lib) remain an honest ``NotImplementedError`` stub:
 :func:`decode_stub` keeps the deterministic fake featurizer for them
@@ -814,21 +815,36 @@ def encode_png(
     color_type: int = 0,
     filter_of_row=lambda r: r % 5,
     idat_split: int = 1,
+    bit_depth: int = 8,
+    palette: list[tuple[int, int, int]] | None = None,
 ) -> bytes:
-    """Spec-conformant PNG writer, 8-bit depth: signature, IHDR,
-    ``idat_split`` IDAT chunks over one zlib stream, IEND. ``pixels``
-    is the interleaved channel bytes row-major TOP-DOWN
-    (w·h·channels). ``filter_of_row`` picks each scanline's filter
-    type (default cycles 0-4 so a decoder must implement ALL of None/
-    Sub/Up/Average/Paeth to reproduce the pixels). The fixture
-    generator for the real decoder — itself pinned by a hand-written
-    golden byte layout in tests/test_mining.py."""
+    """Spec-conformant PNG writer: signature, IHDR, (PLTE for color
+    type 3), ``idat_split`` IDAT chunks over one zlib stream, IEND.
+    ``pixels`` is the interleaved channel bytes row-major TOP-DOWN —
+    w·h·channels bytes at depth 8, twice that (big-endian sample
+    pairs) at depth 16; for palette images (color type 3, depth 8)
+    one INDEX byte per pixel plus ``palette`` = [(r, g, b), ...].
+    ``filter_of_row`` picks each scanline's filter type (default
+    cycles 0-4 so a decoder must implement ALL of None/Sub/Up/
+    Average/Paeth to reproduce the pixels). The fixture generator for
+    the real decoder — itself pinned by a hand-written golden byte
+    layout in tests."""
     import zlib
 
-    ch = _PNG_CHANNELS.get(color_type)
-    if ch is None:
-        raise NotImplementedError(f"PNG color type {color_type} (palette?)")
-    stride = width * ch
+    if color_type == 3:
+        if bit_depth != 8:
+            raise NotImplementedError("palette PNGs implemented at depth 8 only")
+        if not palette or len(palette) > 256:
+            raise ValueError("color type 3 needs a palette of 1-256 entries")
+        ch = 1
+    else:
+        ch = _PNG_CHANNELS.get(color_type)
+        if ch is None:
+            raise NotImplementedError(f"PNG color type {color_type}")
+    if bit_depth not in (8, 16):
+        raise NotImplementedError(f"PNG bit depth {bit_depth} (8/16 implemented)")
+    bpp = ch * bit_depth // 8
+    stride = width * bpp
     if len(pixels) != stride * height:
         raise ValueError(f"need {stride * height} pixel bytes, got {len(pixels)}")
     raw = bytearray()
@@ -841,14 +857,14 @@ def encode_png(
             raw += row
         elif ft == 1:
             raw += bytes(
-                (row[x] - (row[x - ch] if x >= ch else 0)) & 0xFF
+                (row[x] - (row[x - bpp] if x >= bpp else 0)) & 0xFF
                 for x in range(stride)
             )
         elif ft == 2:
             raw += bytes((row[x] - prior[x]) & 0xFF for x in range(stride))
         elif ft == 3:
             raw += bytes(
-                (row[x] - ((row[x - ch] if x >= ch else 0) + prior[x]) // 2)
+                (row[x] - ((row[x - bpp] if x >= bpp else 0) + prior[x]) // 2)
                 & 0xFF
                 for x in range(stride)
             )
@@ -857,9 +873,9 @@ def encode_png(
                 (
                     row[x]
                     - _paeth(
-                        row[x - ch] if x >= ch else 0,
+                        row[x - bpp] if x >= bpp else 0,
                         prior[x],
-                        prior[x - ch] if x >= ch else 0,
+                        prior[x - bpp] if x >= bpp else 0,
                     )
                 )
                 & 0xFF
@@ -871,7 +887,12 @@ def encode_png(
     ihdr = (
         width.to_bytes(4, "big")
         + height.to_bytes(4, "big")
-        + bytes([8, color_type, 0, 0, 0])
+        + bytes([bit_depth, color_type, 0, 0, 0])
+    )
+    plte = (
+        _png_chunk(b"PLTE", b"".join(bytes(e) for e in palette))
+        if color_type == 3
+        else b""
     )
     z = zlib.compress(bytes(raw), 6)
     n = max(1, idat_split)
@@ -879,7 +900,10 @@ def encode_png(
     idats = b"".join(
         _png_chunk(b"IDAT", z[i : i + step]) for i in range(0, len(z), step)
     ) or _png_chunk(b"IDAT", b"")
-    return _PNG_SIG + _png_chunk(b"IHDR", ihdr) + idats + _png_chunk(b"IEND", b"")
+    return (
+        _PNG_SIG + _png_chunk(b"IHDR", ihdr) + plte + idats
+        + _png_chunk(b"IEND", b"")
+    )
 
 
 def decode_png(payload: bytes) -> dict:
@@ -890,10 +914,14 @@ def decode_png(payload: bytes) -> dict:
     ``{width, height, color_type, channels, n_pixels, pixels}`` with
     ``pixels`` the interleaved channel bytes row-major TOP-DOWN.
 
-    Raises ``NotImplementedError`` for non-PNG magic, palette images,
-    non-8-bit depths and Adam7 interlacing (the honest boundary) and
+    Palette images (color type 3 + PLTE, depth 8) decode to EXPANDED
+    RGB triplets (``channels`` = 3); 16-bit images return big-endian
+    sample pairs in ``pixels`` (``bit_depth`` = 16). Raises
+    ``NotImplementedError`` for non-PNG magic, sub-byte depths
+    (1/2/4) and Adam7 interlacing (the honest boundary) and
     ``ValueError`` for structural corruption (bad CRC, truncated
-    chunk, wrong inflated length, unknown filter type)."""
+    chunk, wrong inflated length, unknown filter type, palette
+    index past the PLTE)."""
     import zlib
 
     if len(payload) < 8 or payload[:8] != _PNG_SIG:
@@ -903,6 +931,7 @@ def decode_png(payload: bytes) -> dict:
         )
     pos = 8
     ihdr = None
+    plte = None
     idat = bytearray()
     while pos < len(payload):
         if pos + 8 > len(payload):
@@ -921,7 +950,9 @@ def decode_png(payload: bytes) -> dict:
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"PLTE":
-            raise NotImplementedError("palette PNGs not implemented")
+            if len(data) % 3 or not data:
+                raise ValueError(f"PLTE length {len(data)} not a multiple of 3")
+            plte = data
         elif ctype == b"IEND":
             break
     if ihdr is None or len(ihdr) != 13:
@@ -929,14 +960,26 @@ def decode_png(payload: bytes) -> dict:
     width = int.from_bytes(ihdr[0:4], "big")
     height = int.from_bytes(ihdr[4:8], "big")
     depth, color_type, _comp, _filt, interlace = ihdr[8:13]
-    if depth != 8:
-        raise NotImplementedError(f"PNG bit depth {depth} (only 8 implemented)")
     if interlace:
         raise NotImplementedError("Adam7-interlaced PNGs not implemented")
-    ch = _PNG_CHANNELS.get(color_type)
-    if ch is None:
-        raise NotImplementedError(f"PNG color type {color_type}")
-    stride = width * ch
+    if color_type == 3:
+        if depth != 8:
+            raise NotImplementedError(
+                f"palette PNG bit depth {depth} (only 8 implemented)"
+            )
+        if plte is None:
+            raise ValueError("palette PNG missing its PLTE chunk")
+        ch = 1
+    else:
+        ch = _PNG_CHANNELS.get(color_type)
+        if ch is None:
+            raise NotImplementedError(f"PNG color type {color_type}")
+        if depth not in (8, 16):
+            raise NotImplementedError(
+                f"PNG bit depth {depth} (8/16 implemented)"
+            )
+    bpp = ch * depth // 8
+    stride = width * bpp
     raw = zlib.decompress(bytes(idat))
     if len(raw) != (stride + 1) * height:
         raise ValueError(
@@ -952,7 +995,7 @@ def decode_png(payload: bytes) -> dict:
             pass
         elif ft == 1:
             for x in range(stride):
-                line[x] = (line[x] + (line[x - ch] if x >= ch else 0)) & 0xFF
+                line[x] = (line[x] + (line[x - bpp] if x >= bpp else 0)) & 0xFF
         elif ft == 2:
             for x in range(stride):
                 line[x] = (line[x] + prior[x]) & 0xFF
@@ -960,27 +1003,41 @@ def decode_png(payload: bytes) -> dict:
             for x in range(stride):
                 line[x] = (
                     line[x]
-                    + ((line[x - ch] if x >= ch else 0) + prior[x]) // 2
+                    + ((line[x - bpp] if x >= bpp else 0) + prior[x]) // 2
                 ) & 0xFF
         elif ft == 4:
             for x in range(stride):
                 line[x] = (
                     line[x]
                     + _paeth(
-                        line[x - ch] if x >= ch else 0,
+                        line[x - bpp] if x >= bpp else 0,
                         prior[x],
-                        prior[x - ch] if x >= ch else 0,
+                        prior[x - bpp] if x >= bpp else 0,
                     )
                 ) & 0xFF
         else:
             raise ValueError(f"PNG filter type {ft} at row {r}")
         out += line
         prior = bytes(line)
+    if color_type == 3:
+        # expand palette indices to RGB triplets (spec: index past the
+        # palette is an error, not black)
+        n_entries = len(plte) // 3
+        rgb = bytearray()
+        for i in out:
+            if i >= n_entries:
+                raise ValueError(
+                    f"palette index {i} past the {n_entries}-entry PLTE"
+                )
+            rgb += plte[3 * i : 3 * i + 3]
+        out = rgb
+        ch = 3
     return {
         "width": width,
         "height": height,
         "color_type": color_type,
         "channels": ch,
+        "bit_depth": depth,
         "n_pixels": width * height,
         "pixels": bytes(out),
     }

@@ -1192,10 +1192,13 @@ def test_png_decoder_rejects_corruption_and_exotic_variants():
     # IHDR layout: sig(8) + len(4) + type(4) -> data at 16: w4 h4
     # depth@24 colortype@25 comp filt interlace@28
     with pytest.raises(NotImplementedError, match="bit depth"):
-        multimodal.decode_png(retag(enc, 24, 16))
+        multimodal.decode_png(retag(enc, 24, 4))  # sub-byte depth
     with pytest.raises(NotImplementedError, match="interlaced"):
         multimodal.decode_png(retag(enc, 28, 1))
     with pytest.raises(NotImplementedError, match="color type"):
+        multimodal.decode_png(retag(enc, 25, 5))  # not a spec color type
+    # palette color type WITHOUT its PLTE chunk is corruption, not a stub
+    with pytest.raises(ValueError, match="PLTE"):
         multimodal.decode_png(retag(enc, 25, 3))
     # height lies about the pixel data -> inflated-length mismatch
     b = bytearray(enc)
@@ -1204,3 +1207,42 @@ def test_png_decoder_rejects_corruption_and_exotic_variants():
     b[16 + 13 : 16 + 17] = struct.pack(">I", zlib.crc32(b"IHDR" + data) & 0xFFFFFFFF)
     with pytest.raises(ValueError, match="expected"):
         multimodal.decode_png(bytes(b))
+
+
+def test_png_palette_and_16bit_roundtrip():
+    """r12 boundary narrowing: 8-bit palette (PLTE) images decode to
+    expanded RGB; 16-bit gray/RGB round-trip as big-endian sample
+    pairs through every filter; palette indices past the PLTE are
+    corruption (ValueError), not black pixels."""
+    import pytest
+
+    pal = [(i * 16, 255 - i, (i * 37) % 256) for i in range(16)]
+    idx = bytes((i * 5) % 16 for i in range(7 * 3))
+    m = multimodal.decode_png(
+        multimodal.encode_png(7, 3, idx, color_type=3, palette=pal)
+    )
+    assert (m["color_type"], m["channels"], m["bit_depth"]) == (3, 3, 8)
+    assert m["pixels"] == b"".join(bytes(pal[i]) for i in idx)
+
+    for ft in range(5):
+        px = bytes((i * 31 + 9) % 256 for i in range(5 * 3 * 2))
+        m = multimodal.decode_png(
+            multimodal.encode_png(5, 3, px, color_type=0, bit_depth=16,
+                                  filter_of_row=lambda r, ft=ft: ft)
+        )
+        assert (m["bit_depth"], m["pixels"]) == (16, px), f"filter {ft}"
+    px = bytes((i * 7 + 3) % 256 for i in range(6 * 4 * 3 * 2))
+    m = multimodal.decode_png(
+        multimodal.encode_png(6, 4, px, color_type=2, bit_depth=16,
+                              idat_split=2)
+    )
+    assert (m["channels"], m["bit_depth"], m["pixels"]) == (3, 16, px)
+
+    with pytest.raises(ValueError, match="past the"):
+        multimodal.decode_png(
+            multimodal.encode_png(2, 1, bytes([0, 5]), color_type=3,
+                                  palette=[(1, 2, 3), (4, 5, 6)])
+        )
+    with pytest.raises(NotImplementedError, match="depth 8 only"):
+        multimodal.encode_png(2, 1, bytes(4), color_type=3, bit_depth=16,
+                              palette=[(0, 0, 0)])
