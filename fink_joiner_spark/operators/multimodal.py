@@ -18,9 +18,10 @@ chunk list (unknown chunks skipped with the spec's odd-size pad
 byte), parses the PCM ``fmt `` chunk and extracts interleaved 8/16-bit
 frames. **PNG decode is REAL as of r12** — :func:`decode_png` walks
 the CRC-checked chunk list, inflates IDAT with stdlib zlib, and
-un-filters every scanline (all five spec filters) for 8- and 16-bit
-gray/RGB/gray+A/RGBA and 8-bit palette (PLTE) images; sub-byte
-depths and Adam7 interlacing stay out. Formats that are
+un-filters every scanline (all five spec filters) and reconstructs
+Adam7-interlaced images — every spec-legal depth/color-type
+combination decodes (1/2/4/8/16-bit gray, 8/16-bit RGB/gray+A/RGBA,
+1/2/4/8-bit palette via PLTE), so the PNG container has NO stub left. Formats that are
 entropy-coded beyond zlib (JPEG/MP3/AAC/video — genuinely need a
 codec lib) remain an honest ``NotImplementedError`` stub:
 :func:`decode_stub` keeps the deterministic fake featurizer for them
@@ -906,22 +907,98 @@ def encode_png(
     )
 
 
+# Adam7 pass grid (spec §8.2): (row_start, col_start, row_inc, col_inc)
+_ADAM7 = [
+    (0, 0, 8, 8), (0, 4, 8, 8), (4, 0, 8, 4), (0, 2, 4, 4),
+    (2, 0, 4, 2), (0, 1, 2, 2), (1, 0, 2, 1),
+]
+# spec-legal bit depths per color type
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+               4: (8, 16), 6: (8, 16)}
+
+
+def _png_unfilter(raw: bytes, pos: int, n_rows: int, row_bytes: int,
+                  fdist: int) -> tuple[bytearray, int]:
+    """Un-filter ``n_rows`` scanlines of ``row_bytes`` bytes starting at
+    ``raw[pos]`` (each prefixed by its filter-type byte); ``fdist`` is
+    the spec's filter byte distance (bytes per pixel, min 1). Returns
+    (reconstructed bytes, next position)."""
+    out = bytearray()
+    prior = bytes(row_bytes)
+    for r in range(n_rows):
+        if pos + 1 + row_bytes > len(raw):
+            raise ValueError("PNG pixel data truncated mid-scanline")
+        ft = raw[pos]
+        pos += 1
+        line = bytearray(raw[pos : pos + row_bytes])
+        pos += row_bytes
+        if ft == 0:
+            pass
+        elif ft == 1:
+            for x in range(row_bytes):
+                line[x] = (line[x] + (line[x - fdist] if x >= fdist else 0)) & 0xFF
+        elif ft == 2:
+            for x in range(row_bytes):
+                line[x] = (line[x] + prior[x]) & 0xFF
+        elif ft == 3:
+            for x in range(row_bytes):
+                line[x] = (
+                    line[x]
+                    + ((line[x - fdist] if x >= fdist else 0) + prior[x]) // 2
+                ) & 0xFF
+        elif ft == 4:
+            for x in range(row_bytes):
+                line[x] = (
+                    line[x]
+                    + _paeth(
+                        line[x - fdist] if x >= fdist else 0,
+                        prior[x],
+                        prior[x - fdist] if x >= fdist else 0,
+                    )
+                ) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {ft} at row {r}")
+        out += line
+        prior = bytes(line)
+    return out, pos
+
+
+def _png_unpack(rows: bytearray, w: int, n_rows: int, ch: int, depth: int,
+                row_bytes: int) -> bytearray:
+    """Scanline bytes -> one byte per SAMPLE (sub-byte depths unpacked
+    MSB-first, raw values unscaled; 16-bit kept as 2 bytes/sample)."""
+    if depth >= 8:
+        return rows  # already byte-aligned, row_bytes == w*ch*(depth//8)
+    per_row = w * ch
+    out = bytearray()
+    mask = (1 << depth) - 1
+    for r in range(n_rows):
+        base = r * row_bytes
+        for s in range(per_row):
+            bit = s * depth
+            byte = rows[base + (bit >> 3)]
+            shift = 8 - depth - (bit & 7)
+            out.append((byte >> shift) & mask)
+    return out
+
+
 def decode_png(payload: bytes) -> dict:
     """REAL in-container PNG decode: verify the signature, walk the
     chunk list (CRC32-checking every chunk), inflate the concatenated
-    IDAT zlib stream, and un-filter each scanline (None/Sub/Up/
-    Average/Paeth per the spec's §9 reconstruction functions). Returns
-    ``{width, height, color_type, channels, n_pixels, pixels}`` with
-    ``pixels`` the interleaved channel bytes row-major TOP-DOWN.
+    IDAT zlib stream, un-filter each scanline (None/Sub/Up/Average/
+    Paeth per the spec's §9 reconstruction functions), and reconstruct
+    Adam7-interlaced images from their seven passes. Returns
+    ``{width, height, color_type, channels, bit_depth, interlaced,
+    n_pixels, pixels}`` with ``pixels`` row-major TOP-DOWN: one byte
+    per sample (sub-byte depths unpacked MSB-first, unscaled raw
+    values; palette indices expanded through the PLTE to RGB
+    triplets), two big-endian bytes per sample at depth 16.
 
-    Palette images (color type 3 + PLTE, depth 8) decode to EXPANDED
-    RGB triplets (``channels`` = 3); 16-bit images return big-endian
-    sample pairs in ``pixels`` (``bit_depth`` = 16). Raises
-    ``NotImplementedError`` for non-PNG magic, sub-byte depths
-    (1/2/4) and Adam7 interlacing (the honest boundary) and
-    ``ValueError`` for structural corruption (bad CRC, truncated
-    chunk, wrong inflated length, unknown filter type, palette
-    index past the PLTE)."""
+    Raises ``NotImplementedError`` for non-PNG magic (JPEG/video — the
+    formats that genuinely need a codec library) and ``ValueError``
+    for structural corruption (bad CRC, truncated chunk, wrong
+    inflated length, unknown filter type, spec-illegal depth/type
+    combination, palette index past the PLTE)."""
     import zlib
 
     if len(payload) < 8 or payload[:8] != _PNG_SIG:
@@ -960,13 +1037,9 @@ def decode_png(payload: bytes) -> dict:
     width = int.from_bytes(ihdr[0:4], "big")
     height = int.from_bytes(ihdr[4:8], "big")
     depth, color_type, _comp, _filt, interlace = ihdr[8:13]
-    if interlace:
-        raise NotImplementedError("Adam7-interlaced PNGs not implemented")
+    if interlace > 1:
+        raise ValueError(f"PNG interlace method {interlace}")
     if color_type == 3:
-        if depth != 8:
-            raise NotImplementedError(
-                f"palette PNG bit depth {depth} (only 8 implemented)"
-            )
         if plte is None:
             raise ValueError("palette PNG missing its PLTE chunk")
         ch = 1
@@ -974,51 +1047,49 @@ def decode_png(payload: bytes) -> dict:
         ch = _PNG_CHANNELS.get(color_type)
         if ch is None:
             raise NotImplementedError(f"PNG color type {color_type}")
-        if depth not in (8, 16):
-            raise NotImplementedError(
-                f"PNG bit depth {depth} (8/16 implemented)"
-            )
-    bpp = ch * depth // 8
-    stride = width * bpp
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != (stride + 1) * height:
+    if depth not in _PNG_DEPTHS[color_type]:
         raise ValueError(
-            f"PNG pixel data is {len(raw)} bytes, expected "
-            f"{(stride + 1) * height}"
+            f"PNG bit depth {depth} is not spec-legal for color type "
+            f"{color_type}"
         )
-    out = bytearray()
-    prior = bytes(stride)
-    for r in range(height):
-        ft = raw[r * (stride + 1)]
-        line = bytearray(raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)])
-        if ft == 0:
-            pass
-        elif ft == 1:
-            for x in range(stride):
-                line[x] = (line[x] + (line[x - bpp] if x >= bpp else 0)) & 0xFF
-        elif ft == 2:
-            for x in range(stride):
-                line[x] = (line[x] + prior[x]) & 0xFF
-        elif ft == 3:
-            for x in range(stride):
-                line[x] = (
-                    line[x]
-                    + ((line[x - bpp] if x >= bpp else 0) + prior[x]) // 2
-                ) & 0xFF
-        elif ft == 4:
-            for x in range(stride):
-                line[x] = (
-                    line[x]
-                    + _paeth(
-                        line[x - bpp] if x >= bpp else 0,
-                        prior[x],
-                        prior[x - bpp] if x >= bpp else 0,
-                    )
-                ) & 0xFF
-        else:
-            raise ValueError(f"PNG filter type {ft} at row {r}")
-        out += line
-        prior = bytes(line)
+    unit = 2 if depth == 16 else 1  # output bytes per sample
+    fdist = max(1, ch * depth // 8)
+
+    def row_bytes(w: int) -> int:
+        return (w * ch * depth + 7) // 8
+
+    raw = zlib.decompress(bytes(idat))
+    if interlace == 0:
+        expect = height * (1 + row_bytes(width)) if width else height
+        if len(raw) != expect:
+            raise ValueError(
+                f"PNG pixel data is {len(raw)} bytes, expected {expect}"
+            )
+        rows, _ = _png_unfilter(raw, 0, height, row_bytes(width), fdist)
+        out = _png_unpack(rows, width, height, ch, depth, row_bytes(width))
+    else:
+        # Adam7: seven independently-filtered sub-images, scattered
+        # back onto the full grid by the spec's pass offsets
+        out = bytearray(width * height * ch * unit)
+        pos2 = 0
+        px_bytes = ch * unit
+        for (r0, c0, rinc, cinc) in _ADAM7:
+            w_p = (width - c0 + cinc - 1) // cinc if width > c0 else 0
+            h_p = (height - r0 + rinc - 1) // rinc if height > r0 else 0
+            if w_p == 0 or h_p == 0:
+                continue
+            rows, pos2 = _png_unfilter(raw, pos2, h_p, row_bytes(w_p), fdist)
+            samples = _png_unpack(rows, w_p, h_p, ch, depth, row_bytes(w_p))
+            for r_p in range(h_p):
+                for c_p in range(w_p):
+                    sidx = (r_p * w_p + c_p) * px_bytes
+                    didx = ((r0 + r_p * rinc) * width + (c0 + c_p * cinc)) * px_bytes
+                    out[didx : didx + px_bytes] = samples[sidx : sidx + px_bytes]
+        if pos2 != len(raw):
+            raise ValueError(
+                f"PNG pixel data is {len(raw)} bytes, expected {pos2} "
+                "(trailing bytes after the Adam7 passes)"
+            )
     if color_type == 3:
         # expand palette indices to RGB triplets (spec: index past the
         # palette is an error, not black)
@@ -1038,6 +1109,7 @@ def decode_png(payload: bytes) -> dict:
         "color_type": color_type,
         "channels": ch,
         "bit_depth": depth,
+        "interlaced": bool(interlace),
         "n_pixels": width * height,
         "pixels": bytes(out),
     }

@@ -1191,10 +1191,17 @@ def test_png_decoder_rejects_corruption_and_exotic_variants():
 
     # IHDR layout: sig(8) + len(4) + type(4) -> data at 16: w4 h4
     # depth@24 colortype@25 comp filt interlace@28
-    with pytest.raises(NotImplementedError, match="bit depth"):
-        multimodal.decode_png(retag(enc, 24, 4))  # sub-byte depth
-    with pytest.raises(NotImplementedError, match="interlaced"):
+    with pytest.raises(ValueError, match="spec-legal"):
+        multimodal.decode_png(retag(enc, 24, 3))  # depth 3 exists for no type
+    with pytest.raises(ValueError, match="spec-legal"):
+        # depth 4 is legal for gray/palette but NOT for this RGB retag
+        multimodal.decode_png(retag(retag(enc, 24, 4), 25, 2))
+    # retagging a sequential stream as interlaced breaks the Adam7
+    # pass structure -> corruption, since r12 interlace itself decodes
+    with pytest.raises(ValueError, match="truncated|trailing"):
         multimodal.decode_png(retag(enc, 28, 1))
+    with pytest.raises(ValueError, match="interlace method"):
+        multimodal.decode_png(retag(enc, 28, 2))
     with pytest.raises(NotImplementedError, match="color type"):
         multimodal.decode_png(retag(enc, 25, 5))  # not a spec color type
     # palette color type WITHOUT its PLTE chunk is corruption, not a stub
@@ -1246,3 +1253,91 @@ def test_png_palette_and_16bit_roundtrip():
     with pytest.raises(NotImplementedError, match="depth 8 only"):
         multimodal.encode_png(2, 1, bytes(4), color_type=3, bit_depth=16,
                               palette=[(0, 0, 0)])
+
+
+def _png_chunks(ihdr_tail, scanstream, plte=None):
+    """Assemble a PNG BY HAND (the test-side twin: explicit chunk
+    framing + stdlib zlib, never encode_png) from raw IHDR tail bytes
+    and an already-filtered scanline stream."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_tail)
+    if plte is not None:
+        out += chunk(b"PLTE", plte)
+    return out + chunk(b"IDAT", zlib.compress(scanstream)) + chunk(b"IEND", b"")
+
+
+def test_png_adam7_interlace_reconstruction():
+    """r12: Adam7 decode pinned against a stream the TEST scatters by
+    the spec's published pass table (pass offsets hard-coded here,
+    gathered independently by the implementation): 5x7 grayscale,
+    pixel(r, c) = r*16 + c, one pass filtered with Sub to prove
+    filtering is per-pass."""
+    import struct
+
+    w, h = 5, 7
+    pix = {(r, c): r * 16 + c for r in range(h) for c in range(w)}
+    passes = [  # the spec table, restated here as test-side truth
+        (0, 0, 8, 8), (0, 4, 8, 8), (4, 0, 8, 4), (0, 2, 4, 4),
+        (2, 0, 4, 2), (0, 1, 2, 2), (1, 0, 2, 1),
+    ]
+    stream = bytearray()
+    for pi, (r0, c0, rinc, cinc) in enumerate(passes):
+        rows = [r for r in range(r0, h, rinc)]
+        cols = [c for c in range(c0, w, cinc)]
+        if not rows or not cols:
+            continue
+        for r in rows:
+            raw = bytes(pix[(r, c)] for c in cols)
+            if pi == 6:  # filter the densest pass with Sub
+                stream.append(1)
+                stream += bytes(
+                    (raw[x] - (raw[x - 1] if x else 0)) & 0xFF
+                    for x in range(len(raw))
+                )
+            else:
+                stream.append(0)
+                stream += raw
+    ihdr = struct.pack(">II", w, h) + bytes([8, 0, 0, 0, 1])  # interlace=1
+    m = multimodal.decode_png(_png_chunks(ihdr, bytes(stream)))
+    assert m["interlaced"] and (m["width"], m["height"]) == (w, h)
+    want = bytes(pix[(r, c)] for r in range(h) for c in range(w))
+    assert m["pixels"] == want
+
+
+def test_png_subbyte_depths():
+    """r12: 1-bit gray and 4-bit palette scanlines unpack MSB-first
+    from hand-packed bytes (row padding bits ignored); a Sub-filtered
+    packed row reconstructs in the PACKED domain per the spec."""
+    import struct
+
+    # 1-bit gray, 10x2: row 0 = 1010101010, row 1 = 0110011001
+    ihdr = struct.pack(">II", 10, 2) + bytes([1, 0, 0, 0, 0])
+    stream = bytes([0, 0b10101010, 0b10000000, 0, 0b01100110, 0b01000000])
+    m = multimodal.decode_png(_png_chunks(ihdr, stream))
+    assert m["bit_depth"] == 1
+    assert m["pixels"] == bytes(
+        [1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 0, 1, 1, 0, 0, 1, 1, 0, 0, 1]
+    )
+    # 4-bit palette, 5x2, 3 entries; second row Sub-filtered on the
+    # packed bytes: raw row [0x12, 0x01, 0x20] -> filt [0x12, 0xEF, 0x1F]
+    plte = bytes([10, 11, 12, 20, 21, 22, 30, 31, 32])
+    ihdr = struct.pack(">II", 5, 2) + bytes([4, 3, 0, 0, 0])
+    row0 = bytes([0x01, 0x20, 0x10])      # indices 0,1,2,0,1
+    row1_raw = [0x12, 0x01, 0x20]          # indices 1,2,0,1,2
+    row1_filt = bytes(
+        (row1_raw[x] - (row1_raw[x - 1] if x else 0)) & 0xFF
+        for x in range(3)
+    )
+    stream = bytes([0]) + row0 + bytes([1]) + row1_filt
+    m = multimodal.decode_png(_png_chunks(ihdr, stream, plte=plte))
+    assert m["channels"] == 3 and m["bit_depth"] == 4
+    idx = [0, 1, 2, 0, 1, 1, 2, 0, 1, 2]
+    assert m["pixels"] == b"".join(plte[3 * i : 3 * i + 3] for i in idx)
