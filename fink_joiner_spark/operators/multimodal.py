@@ -15,8 +15,10 @@ spec-defined byte layout) handling BITMAPINFOHEADER files at 8 and
 24 bpp, bottom-up and top-down row order, and 4-byte row padding.
 **WAV/PCM decode is REAL too** — :func:`decode_wav` walks the RIFF
 chunk list (unknown chunks skipped with the spec's odd-size pad
-byte), parses the PCM ``fmt `` chunk and extracts interleaved 8/16-bit
-frames. **PNG decode is REAL as of r12** — :func:`decode_png` walks
+byte), parses the ``fmt `` chunk (incl. WAVE_FORMAT_EXTENSIBLE's
+SubFormat GUID) and extracts interleaved 8/16/24/32-bit integer PCM
+or 32/64-bit IEEE-float frames; only genuinely compressed tags
+(ADPCM, MP3-in-WAV) remain stubs. **PNG decode is REAL as of r12** — :func:`decode_png` walks
 the CRC-checked chunk list, inflates IDAT with stdlib zlib, and
 un-filters every scanline (all five spec filters) and reconstructs
 Adam7-interlaced images — every spec-legal depth/color-type
@@ -576,20 +578,37 @@ _WAV_FMT_PCM = "<HHIIHH"      # format tag, channels, rate, byte rate,
                               # block align, bits per sample
 
 
+# WAVE_FORMAT_EXTENSIBLE SubFormat GUID tail (KSDATAFORMAT_SUBTYPE_*):
+# the first two LE bytes carry the real format tag, the remaining 14
+# are this fixed pattern
+_WAV_EXT_GUID_TAIL = bytes.fromhex("000000001000800000aa00389b71")
+
+
 def encode_wav(
     sample_rate: int,
     channels: int,
     bits: int,
     frames: bytes,
     extra_chunks: tuple[tuple[bytes, bytes], ...] = (),
+    fmt_tag: int = 1,
+    extensible: bool = False,
 ) -> bytes:
-    """Spec-conformant canonical WAVE writer: ``RIFF`` header, 16-byte
-    PCM ``fmt `` chunk, any ``extra_chunks`` (id, body) word-aligned
+    """Spec-conformant canonical WAVE writer: ``RIFF`` header, ``fmt ``
+    chunk (16-byte PCM form, or the 40-byte WAVE_FORMAT_EXTENSIBLE
+    form when ``extensible`` — tag 0xFFFE with the real ``fmt_tag`` in
+    the SubFormat GUID), any ``extra_chunks`` (id, body) word-aligned
     with the RIFF pad byte after odd-sized bodies, then the ``data``
-    chunk holding the raw interleaved little-endian PCM frame stream.
-    """
-    if bits not in (8, 16):
-        raise NotImplementedError(f"{bits}-bit PCM encode not implemented")
+    chunk holding the raw interleaved little-endian frame stream.
+    ``fmt_tag`` 1 = integer PCM (8/16/24/32 bits), 3 = IEEE float
+    (32/64 bits)."""
+    if fmt_tag == 1:
+        if bits not in (8, 16, 24, 32):
+            raise NotImplementedError(f"{bits}-bit PCM encode not implemented")
+    elif fmt_tag == 3:
+        if bits not in (32, 64):
+            raise ValueError(f"IEEE-float WAV needs 32/64 bits, got {bits}")
+    else:
+        raise NotImplementedError(f"WAV format tag {fmt_tag} encode")
     if channels < 1:
         raise ValueError(f"channels must be >= 1, got {channels}")
     block_align = channels * bits // 8
@@ -599,9 +618,18 @@ def encode_wav(
             f"block align {block_align}"
         )
     byte_rate = sample_rate * block_align
-    fmt_body = struct.pack(
-        _WAV_FMT_PCM, 1, channels, sample_rate, byte_rate, block_align, bits
-    )
+    if extensible:
+        fmt_body = struct.pack(
+            _WAV_FMT_PCM, 0xFFFE, channels, sample_rate, byte_rate,
+            block_align, bits,
+        ) + struct.pack("<HHI", 22, bits, 0) + struct.pack(
+            "<H", fmt_tag
+        ) + _WAV_EXT_GUID_TAIL
+    else:
+        fmt_body = struct.pack(
+            _WAV_FMT_PCM, fmt_tag, channels, sample_rate, byte_rate,
+            block_align, bits,
+        )
     chunks = bytearray()
     chunks += struct.pack(_RIFF_CHUNK, b"fmt ", len(fmt_body)) + fmt_body
     for cid, body in extra_chunks:
@@ -621,13 +649,16 @@ def decode_wav(payload: bytes) -> dict:
     per the spec), parse the PCM ``fmt `` chunk, and return
     ``{sample_rate, channels, bits, block_align, n_frames, samples}``
     where ``samples`` is the flat interleaved sample sequence in file
-    order — unsigned 0..255 at 8 bits, signed little-endian at 16.
+    order — unsigned 0..255 at 8 bits, signed little-endian at
+    16/24/32 bits, Python floats for IEEE-float (tag 3, 32/64 bit).
+    WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE) unwraps the real tag from the
+    SubFormat GUID. ``fmt_tag`` in the result is the EFFECTIVE tag.
 
-    Raises ``NotImplementedError`` for non-WAVE magic and non-PCM
-    format tags (IEEE float, ADPCM, MP3-in-WAV — the honest stub
-    boundary for formats that genuinely need a codec library) and
-    ``ValueError`` for structurally broken files (truncated chunks,
-    data before fmt, misaligned frame stream).
+    Raises ``NotImplementedError`` for non-WAVE magic and genuinely
+    compressed format tags (ADPCM, MP3-in-WAV — the honest stub
+    boundary for formats that need a codec library) and ``ValueError``
+    for structurally broken files (truncated chunks, data before fmt,
+    misaligned frame stream, a malformed extensible GUID).
     """
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise NotImplementedError(
@@ -648,7 +679,9 @@ def decode_wav(payload: bytes) -> dict:
         if cid == b"fmt ":
             if size < 16:
                 raise ValueError(f"fmt chunk too small ({size} < 16)")
-            fmt = struct.unpack_from(_WAV_FMT_PCM, payload, off)
+            fmt = struct.unpack_from(_WAV_FMT_PCM, payload, off) + (
+                payload[off + 16 : off + size],
+            )
         elif cid == b"data":
             if fmt is None:
                 raise ValueError("data chunk before fmt chunk")
@@ -656,14 +689,30 @@ def decode_wav(payload: bytes) -> dict:
         off += size + (size & 1)  # word alignment pad
     if fmt is None or data is None:
         raise ValueError("missing fmt or data chunk")
-    format_tag, channels, sample_rate, _byte_rate, block_align, bits = fmt
-    if format_tag != 1:
+    format_tag, channels, sample_rate, _byte_rate, block_align, bits = fmt[:6]
+    if format_tag == 0xFFFE:
+        ext = fmt[6]
+        if len(ext) < 24:
+            raise ValueError(
+                f"extensible fmt chunk extension is {len(ext)} bytes, "
+                "need cbSize(2)+validBits(2)+mask(4)+GUID(16)"
+            )
+        guid = ext[8:24]
+        if guid[2:] != _WAV_EXT_GUID_TAIL:
+            raise ValueError(f"unknown extensible SubFormat GUID {guid.hex()}")
+        format_tag = int.from_bytes(guid[:2], "little")
+    if format_tag == 1:
+        if bits not in (8, 16, 24, 32):
+            raise NotImplementedError(f"{bits}-bit PCM decode not implemented")
+    elif format_tag == 3:
+        if bits not in (32, 64):
+            raise ValueError(f"IEEE-float WAV with {bits} bits")
+    else:
         raise NotImplementedError(
-            f"WAV format tag {format_tag} (non-PCM) not implemented — "
-            "only canonical PCM (tag 1) decodes in-container"
+            f"WAV format tag {format_tag} (compressed) not implemented — "
+            "integer PCM (1), IEEE float (3) and their extensible "
+            "wrappers decode in-container"
         )
-    if bits not in (8, 16):
-        raise NotImplementedError(f"{bits}-bit PCM decode not implemented")
     if block_align != channels * bits // 8:
         raise ValueError(
             f"block align {block_align} inconsistent with "
@@ -674,16 +723,33 @@ def decode_wav(payload: bytes) -> dict:
             f"data chunk length {len(data)} not a multiple of block "
             f"align {block_align}"
         )
-    if bits == 8:
+    if format_tag == 3:
+        code = "<f" if bits == 32 else "<d"
+        step = bits // 8
+        samples = [
+            struct.unpack_from(code, data, i)[0]
+            for i in range(0, len(data), step)
+        ]
+    elif bits == 8:
         samples = list(data)
-    else:
+    elif bits == 16:
         samples = [
             struct.unpack_from("<h", data, i)[0] for i in range(0, len(data), 2)
+        ]
+    elif bits == 24:
+        samples = [
+            int.from_bytes(data[i : i + 3], "little", signed=True)
+            for i in range(0, len(data), 3)
+        ]
+    else:  # 32-bit integer PCM
+        samples = [
+            struct.unpack_from("<i", data, i)[0] for i in range(0, len(data), 4)
         ]
     return {
         "sample_rate": sample_rate,
         "channels": channels,
         "bits": bits,
+        "fmt_tag": format_tag,
         "block_align": block_align,
         "n_frames": len(data) // block_align,
         "samples": samples,

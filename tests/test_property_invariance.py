@@ -283,7 +283,7 @@ def test_twap_time_shift_invariance(spark, rows, shift):
 _wav_cases = st.tuples(
     st.integers(1, 192_000),                      # sample rate
     st.integers(1, 8),                            # channels
-    st.sampled_from([8, 16]),                     # bits
+    st.sampled_from([8, 16, 24, 32]),             # bits
     st.integers(0, 37),                           # frame count
     st.lists(                                     # unknown chunks (odd+even)
         st.tuples(
@@ -315,8 +315,11 @@ def test_wav_codec_roundtrip_property(case):
         samples = [rnd.randrange(256) for _ in range(n)]
         frames = bytes(samples)
     else:
-        samples = [rnd.randrange(-32768, 32768) for _ in range(n)]
-        frames = b"".join(struct.pack("<h", v) for v in samples)
+        lo = -(1 << (bits - 1))
+        samples = [rnd.randrange(lo, -lo) for _ in range(n)]
+        frames = b"".join(
+            v.to_bytes(bits // 8, "little", signed=True) for v in samples
+        )
     enc = multimodal.encode_wav(rate, ch, bits, frames, extra_chunks=tuple(extra))
     # RIFF size field must cover the whole file per spec
     (riff_size,) = struct.unpack_from("<I", enc, 4)

@@ -1070,15 +1070,20 @@ def test_wav_decoder_rejects_exotic_formats():
     for bad in (b"ID3\x03" + b"\x00" * 64, b"", b"RIFF\x10\x00\x00\x00AVI "):
         with pytest.raises(NotImplementedError):
             multimodal.decode_wav(bad)
-    # IEEE-float format tag (3) → honest stub
+    # IEEE-float format tag (3) decodes as of r12 — this HAND-BUILT
+    # file doubles as the float golden vector (4 zero bytes = 0.0f)
     f32 = (
         b"RIFF" + struct.pack("<I", 40) + b"WAVE"
         + b"fmt " + struct.pack("<I", 16)
         + struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
         + b"data" + struct.pack("<I", 4) + b"\x00" * 4
     )
-    with pytest.raises(NotImplementedError, match="non-PCM"):
-        multimodal.decode_wav(f32)
+    assert multimodal.decode_wav(f32)["samples"] == [0.0]
+    # genuinely compressed tags (MP3-in-WAV, 85) stay the honest stub
+    mp3 = bytearray(f32)
+    struct.pack_into("<H", mp3, 20, 85)
+    with pytest.raises(NotImplementedError, match="compressed"):
+        multimodal.decode_wav(bytes(mp3))
     # truncated data chunk is a hard error, not a short read
     enc = multimodal.encode_wav(8000, 1, 16, struct.pack("<hh", 5, 6))
     with pytest.raises(ValueError, match="truncated"):
@@ -1341,3 +1346,58 @@ def test_png_subbyte_depths():
     assert m["channels"] == 3 and m["bit_depth"] == 4
     idx = [0, 1, 2, 0, 1, 1, 2, 0, 1, 2]
     assert m["pixels"] == b"".join(plte[3 * i : 3 * i + 3] for i in idx)
+
+
+def test_wav_wide_pcm_float_and_extensible():
+    """r12 boundary narrowing: 24/32-bit integer PCM, IEEE-float
+    (tag 3, 32/64 bit) and WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE with the
+    real tag in the SubFormat GUID) all decode; compressed tags stay
+    the honest stub; a corrupted SubFormat GUID is ValueError."""
+    import struct
+
+    import pytest
+
+    vals24 = [0, 1, -1, 8388607, -8388608, 123456]
+    frames = b"".join(v.to_bytes(3, "little", signed=True) for v in vals24)
+    m = multimodal.decode_wav(multimodal.encode_wav(44100, 2, 24, frames))
+    assert (m["samples"], m["bits"], m["n_frames"]) == (vals24, 24, 3)
+
+    vals32 = [0, 2**31 - 1, -(2**31), 42]
+    frames = b"".join(struct.pack("<i", v) for v in vals32)
+    assert multimodal.decode_wav(
+        multimodal.encode_wav(8000, 1, 32, frames)
+    )["samples"] == vals32
+
+    fvals = [0.0, 1.5, -2.25, 0.125]
+    for bits, code in ((32, "<f"), (64, "<d")):
+        frames = b"".join(struct.pack(code, v) for v in fvals)
+        m = multimodal.decode_wav(
+            multimodal.encode_wav(8000, 1, bits, frames, fmt_tag=3)
+        )
+        assert (m["samples"], m["fmt_tag"]) == (fvals, 3)
+
+    # extensible wrappers unwrap to the effective tag
+    frames = b"".join(struct.pack("<h", v) for v in [5, -6, 7, -8])
+    m = multimodal.decode_wav(
+        multimodal.encode_wav(16000, 2, 16, frames, extensible=True)
+    )
+    assert (m["samples"], m["fmt_tag"]) == ([5, -6, 7, -8], 1)
+    m = multimodal.decode_wav(
+        multimodal.encode_wav(8000, 1, 32, struct.pack("<f", 3.5),
+                              fmt_tag=3, extensible=True)
+    )
+    assert (m["samples"], m["fmt_tag"]) == ([3.5], 3)
+
+    # compressed tag 2 (ADPCM) stays NotImplementedError
+    bad = bytearray(multimodal.encode_wav(8000, 1, 16, b"\x00\x00"))
+    struct.pack_into("<H", bad, 20, 2)
+    with pytest.raises(NotImplementedError, match="compressed"):
+        multimodal.decode_wav(bytes(bad))
+    # corrupted extensible GUID is corruption, not a stub
+    enc = bytearray(
+        multimodal.encode_wav(8000, 1, 16, b"\x00\x00", extensible=True)
+    )
+    guid_at = enc.index(multimodal._WAV_EXT_GUID_TAIL)
+    enc[guid_at + 5] ^= 0xFF
+    with pytest.raises(ValueError, match="GUID"):
+        multimodal.decode_wav(bytes(enc))
