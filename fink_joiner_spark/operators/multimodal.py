@@ -11,8 +11,10 @@ sized stream of bytes, never the driver.
 The codec boundary (round 11, r10 verdict ask #3): **BMP decode is
 REAL** — :func:`decode_bmp` is a pure-struct parser (the same stance
 as ``sources/avro_wire.py``: no codec library needed for a
-spec-defined byte layout) handling BITMAPINFOHEADER files at 8 and
-24 bpp, bottom-up and top-down row order, and 4-byte row padding.
+spec-defined byte layout) handling BITMAPINFOHEADER files at
+1/4/8/16/24/32 bpp, BI_RLE8/BI_RLE4 compression, bottom-up and
+top-down row order, and 4-byte row padding; only BI_JPEG/BI_PNG
+embeddings and bitfield layouts stay out.
 **WAV/PCM decode is REAL too** — :func:`decode_wav` walks the RIFF
 chunk list (unknown chunks skipped with the spec's odd-size pad
 byte), parses the ``fmt `` chunk (incl. WAVE_FORMAT_EXTENSIBLE's
@@ -106,14 +108,24 @@ def encode_bmp(width: int, height: int, pixels: bytes, bpp: int = 8) -> bytes:
 
 def decode_bmp(payload: bytes) -> dict:
     """REAL in-container image decode: parse a BMP byte payload into
-    ``{width, height, bpp, n_pixels, pixels}`` where ``pixels`` is the
-    raw channel bytes row-major TOP-DOWN with row padding stripped
-    (w·h bytes at 8 bpp — palette indices, i.e. gray levels under an
-    identity palette; 3·w·h at 24 bpp — BGR triplets). Handles
-    bottom-up (positive height) and top-down (negative height) row
-    order. Raises ``NotImplementedError`` for non-BMP magic or
-    compressed/other-depth variants — the honest stub boundary for
-    formats that genuinely need a codec library."""
+    ``{width, height, bpp, n_pixels, pixels}`` with ``pixels`` the raw
+    channel bytes row-major TOP-DOWN, row padding stripped:
+
+    * 1/4/8 bpp — one PALETTE-INDEX byte per pixel (sub-byte indices
+      unpacked MSB-first; under :func:`encode_bmp`'s identity palette
+      the index IS the gray level), incl. BI_RLE8/BI_RLE4 compressed
+      streams (run, literal, end-of-line, end-of-bitmap and delta
+      escapes — delta-skipped pixels read as 0 per the common
+      convention, the spec leaves them undefined);
+    * 16 bpp (BI_RGB = XRGB1555) — 3 bytes per pixel, the RAW 5-bit
+      B, G, R field values (unscaled);
+    * 24 bpp — BGR triplets; 32 bpp — BGRX quads (raw, pad byte kept).
+
+    Handles bottom-up (positive height) and top-down (negative height)
+    row order. Raises ``NotImplementedError`` for non-BMP magic and
+    the genuinely-compressed variants (BI_JPEG/BI_PNG embeddings,
+    bitfield layouts) and ``ValueError`` for structural corruption
+    (truncation, RLE runs past the row, RLE on the wrong depth)."""
     if len(payload) < 54 or payload[:2] != b"BM":
         raise NotImplementedError(
             "not an uncompressed BMP payload — only the BMP codec is "
@@ -129,31 +141,72 @@ def decode_bmp(payload: bytes) -> dict:
     width, height_raw, planes, bpp, compression = struct.unpack_from(
         "<iiHHI", payload, 18
     )
-    if planes != 1 or compression != 0:
+    if planes != 1:
+        raise NotImplementedError(f"multi-plane BMP (planes={planes})")
+    if compression not in (0, 1, 2):
         raise NotImplementedError(
-            f"only BI_RGB single-plane BMPs supported (planes={planes}, "
-            f"compression={compression})"
+            f"BMP compression {compression} (BI_BITFIELDS/BI_JPEG/BI_PNG) "
+            "not implemented"
         )
     if width < 0:
         raise ValueError(f"negative BMP width {width}")
     top_down = height_raw < 0
     height = -height_raw if top_down else height_raw
-    if bpp == 8:
-        row_bytes, row_size = width, (width + 3) & ~3
+    if compression in (1, 2):
+        want_bpp = 8 if compression == 1 else 4
+        if bpp != want_bpp:
+            raise ValueError(
+                f"BI_RLE{want_bpp} requires {want_bpp} bpp, got {bpp}"
+            )
+        if top_down:
+            raise ValueError("RLE BMPs cannot be top-down per the spec")
+        rows = _bmp_rle_rows(payload, offset, width, height, compression)
+        out = bytearray()
+        for logical_r in range(height):
+            out += rows[height - 1 - logical_r]  # RLE rows are bottom-up
+        return {
+            "width": width,
+            "height": height,
+            "bpp": bpp,
+            "n_pixels": width * height,
+            "pixels": bytes(out),
+        }
+    if bpp in (1, 4):
+        row_bits = width * bpp
+        row_bytes = (row_bits + 7) // 8
+    elif bpp == 8:
+        row_bytes = width
+    elif bpp == 16:
+        row_bytes = width * 2
     elif bpp == 24:
-        row_bytes, row_size = width * 3, (width * 3 + 3) & ~3
+        row_bytes = width * 3
+    elif bpp == 32:
+        row_bytes = width * 4
     else:
         raise NotImplementedError(f"{bpp}-bpp BMP decode not implemented")
+    row_size = (row_bytes + 3) & ~3
     if offset + row_size * height > len(payload):
         raise ValueError(
             f"truncated BMP: need {offset + row_size * height} bytes, "
             f"have {len(payload)}"
         )
     out = bytearray()
+    mask = (1 << bpp) - 1 if bpp < 8 else 0
     for logical_r in range(height):
         stored_r = logical_r if top_down else height - 1 - logical_r
         start = offset + stored_r * row_size
-        out += payload[start : start + row_bytes]
+        row = payload[start : start + row_bytes]
+        if bpp in (1, 4):
+            for px in range(width):
+                bit = px * bpp
+                shift = 8 - bpp - (bit & 7)
+                out.append((row[bit >> 3] >> shift) & mask)
+        elif bpp == 16:
+            for px in range(width):
+                (v,) = struct.unpack_from("<H", row, px * 2)
+                out += bytes((v & 0x1F, (v >> 5) & 0x1F, (v >> 10) & 0x1F))
+        else:
+            out += row
     return {
         "width": width,
         "height": height,
@@ -161,6 +214,69 @@ def decode_bmp(payload: bytes) -> dict:
         "n_pixels": width * height,
         "pixels": bytes(out),
     }
+
+
+def _bmp_rle_rows(
+    payload: bytes, offset: int, width: int, height: int, compression: int
+) -> list[bytearray]:
+    """Decode a BI_RLE8/BI_RLE4 stream into ``height`` bottom-up rows
+    of ``width`` palette-index bytes. Escapes per the published
+    format: 00 00 end-of-line, 00 01 end-of-bitmap, 00 02 dx dy delta
+    (skipped pixels filled with 0), 00 n literal run (word-aligned);
+    nonzero counts repeat the next byte (RLE8) or its two alternating
+    nibbles (RLE4)."""
+    rows = [bytearray(width) for _ in range(height)]
+    pos = offset
+    r, c = 0, 0
+
+    def put(r_, c_, v):
+        if c_ >= width or r_ >= height:
+            raise ValueError(
+                f"RLE run writes outside the bitmap at row {r_} col {c_}"
+            )
+        rows[r_][c_] = v
+
+    while True:
+        if pos + 2 > len(payload):
+            raise ValueError("truncated RLE stream (no end-of-bitmap)")
+        n, v = payload[pos], payload[pos + 1]
+        pos += 2
+        if n:  # encoded run
+            for i in range(n):
+                if compression == 1:
+                    put(r, c, v)
+                else:
+                    put(r, c, (v >> 4) if i % 2 == 0 else (v & 0xF))
+                c += 1
+        elif v == 0:  # end of line
+            r, c = r + 1, 0
+        elif v == 1:  # end of bitmap
+            return rows
+        elif v == 2:  # delta: skip right/up (rows are bottom-up)
+            if pos + 2 > len(payload):
+                raise ValueError("truncated RLE delta")
+            c += payload[pos]
+            r += payload[pos + 1]
+            pos += 2
+        else:  # absolute/literal run of v pixels
+            if compression == 1:
+                need = v + (v & 1)  # pad to word
+                if pos + need > len(payload):
+                    raise ValueError("truncated RLE literal run")
+                for i in range(v):
+                    put(r, c, payload[pos + i])
+                    c += 1
+                pos += need
+            else:
+                nbytes = (v + 1) // 2
+                need = nbytes + (nbytes & 1)
+                if pos + need > len(payload):
+                    raise ValueError("truncated RLE literal run")
+                for i in range(v):
+                    byte = payload[pos + (i >> 1)]
+                    put(r, c, (byte >> 4) if i % 2 == 0 else (byte & 0xF))
+                    c += 1
+                pos += need
 
 
 _FEATURE_SCHEMA = T.StructType(

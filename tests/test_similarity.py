@@ -1401,3 +1401,76 @@ def test_wav_wide_pcm_float_and_extensible():
     enc[guid_at + 5] ^= 0xFF
     with pytest.raises(ValueError, match="GUID"):
         multimodal.decode_wav(bytes(enc))
+
+
+def _bmp_bytes(width, height, bpp, compression, body):
+    """Hand-assembled BMP (14-byte file header + 40-byte
+    BITMAPINFOHEADER, no palette — decode returns indices/raw fields),
+    the test-side twin so decoder bugs can't hide behind encode_bmp."""
+    import struct
+
+    offset = 54
+    header = struct.pack("<2sIHHI", b"BM", offset + len(body), 0, 0, offset)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, bpp, compression,
+        len(body), 2835, 2835, 0, 0,
+    )
+    return header + info + body
+
+
+def test_bmp_subbyte_16_and_32_bpp():
+    """r12: 1/4-bpp index unpack (MSB-first, 4-byte row padding),
+    16-bpp XRGB1555 field extraction, and raw 32-bpp BGRX quads —
+    all against hand-assembled spec bytes."""
+    import struct
+
+    # 4 bpp, 5x2 bottom-up: stored row 0 = logical row 1
+    body = bytes([0x12, 0x30, 0x40, 0x00,   # logical row 1: 1,2,3,0,4
+                  0xAB, 0xCD, 0xE0, 0x00])  # logical row 0: A,B,C,D,E
+    m = multimodal.decode_bmp(_bmp_bytes(5, 2, 4, 0, body))
+    assert m["pixels"] == bytes([0xA, 0xB, 0xC, 0xD, 0xE, 1, 2, 3, 0, 4])
+    # 1 bpp, 10x1: bits 1010101010 padded to 4 bytes
+    body = bytes([0b10101010, 0b10000000, 0, 0])
+    m = multimodal.decode_bmp(_bmp_bytes(10, 1, 1, 0, body))
+    assert m["pixels"] == bytes([1, 0, 1, 0, 1, 0, 1, 0, 1, 0])
+    # 16 bpp XRGB1555: B=1..31 in low bits, G mid, R high
+    v1 = (7 << 10) | (15 << 5) | 31   # r=7 g=15 b=31
+    v2 = (31 << 10) | (1 << 5) | 0
+    body = struct.pack("<HH", v1, v2)
+    m = multimodal.decode_bmp(_bmp_bytes(2, 1, 16, 0, body))
+    assert m["pixels"] == bytes([31, 15, 7, 0, 1, 31])
+    # 32 bpp BGRX raw quads
+    body = bytes([10, 20, 30, 99, 40, 50, 60, 77])
+    m = multimodal.decode_bmp(_bmp_bytes(2, 1, 32, 0, body))
+    assert m["pixels"] == body
+
+
+def test_bmp_rle_decode():
+    """r12: BI_RLE8/BI_RLE4 — encoded runs, literal runs (word-pad),
+    end-of-line, the delta escape (skipped pixels = 0), end-of-bitmap;
+    rows map bottom-up; overruns and wrong depths are hard errors."""
+    import pytest
+
+    # RLE8 4x2: stored (bottom) row: run 3x7, literal [9]; EOL;
+    # top row: delta skip 2 right, then run 2x5; EOB
+    body = bytes([
+        3, 7, 0, 3, 9, 8, 7, 0,   # run 3x7, literal n=3 [9,8,7] + pad
+        0, 0,                      # end of line
+        0, 2, 2, 0, 2, 5,          # delta (+2,+0), run 2x5
+        0, 1,                      # end of bitmap
+    ])
+    m = multimodal.decode_bmp(_bmp_bytes(6, 2, 8, 1, body))
+    # logical top-down: row 0 = stored row 1, row 1 = stored row 0
+    assert m["pixels"] == bytes([0, 0, 5, 5, 0, 0, 7, 7, 7, 9, 8, 7])
+    # RLE4 6x1: run 4 alternating 0xA,0xB then literal n=3 [C,D,E]
+    body = bytes([4, 0xAB, 0, 3, 0xCD, 0xE0, 0, 1])
+    m = multimodal.decode_bmp(_bmp_bytes(7, 1, 4, 2, body))
+    assert m["pixels"] == bytes([0xA, 0xB, 0xA, 0xB, 0xC, 0xD, 0xE])
+    # the same stream into a narrower bitmap is an overrun, not a
+    # silent clip
+    with pytest.raises(ValueError, match="outside the bitmap"):
+        multimodal.decode_bmp(_bmp_bytes(5, 1, 4, 2, body))
+    with pytest.raises(ValueError, match="requires 8 bpp"):
+        multimodal.decode_bmp(_bmp_bytes(4, 1, 4, 1, body))
+    with pytest.raises(ValueError, match="truncated RLE"):
+        multimodal.decode_bmp(_bmp_bytes(4, 2, 8, 1, bytes([3, 7, 0, 0])))
