@@ -273,10 +273,21 @@ _ROUND_CHANGED = frozenset({
     "graph_pagerank_bounded",
     # decode_ocf hardened this round (block record-count overcount is
     # now a hard error, header-sync truncation check, missing
-    # avro.schema diagnostic): same values on well-formed files, but
-    # the decode logic every row passes through changed → re-prove
+    # avro.schema diagnostic) and the codec gate widened to
+    # snappy/bzip2/xz: same values on well-formed files, but the
+    # decode logic every row passes through changed → re-prove
     "avro_ocf_roundtrip",
+    # the r12 codec-boundary sweep rewrote the decode paths these
+    # queries execute per row: decode_bmp (sub-byte/16/32 bpp + RLE
+    # branch structure), decode_wav (fmt parse now carries the
+    # extensible extension, sample extraction branched per tag/width)
+    # — values unchanged on the 8/16-bit fixtures, logic not
+    "multimodal_features", "multimodal_decode_bmp",
+    "multimodal_decode_wav", "multimodal_audio_features",
 })
+# NOT in the changed set: multimodal_decode_png / avro_ocf_split_-
+# roundtrip — brand-new this round, they land via the never-verified
+# tier ahead of rotation anyway.
 # NOT in the changed set: graph_pagerank_step / dedup_cc_clusters /
 # ext_dedup_cluster_sizes — d0f89bb touched ONLY pagerank_bounded
 # (verified against the diff); the CC loop and the one-step query are
