@@ -961,9 +961,9 @@ def decode_wav_features(df: DataFrame) -> DataFrame:
 # PNG's container is a spec-defined byte layout (8-byte signature, then
 # length/type/data/CRC32 chunks) and its compression is RFC-1950 zlib —
 # both fully decodable with the stdlib, same stance as the BMP/WAV/OCF
-# parsers. What stays honestly out: palette images (PLTE), bit depths
-# other than 8, and Adam7 interlacing (NotImplementedError below);
-# JPEG/video remain the codec-library boundary.
+# parsers. The container has no stub left: PLTE palettes, 1/2/4/8/16-bit
+# depths, and Adam7 interlacing all decode; only JPEG/video-class
+# entropy codecs remain the codec-library boundary.
 # Spec: https://www.w3.org/TR/png-3/ (chunks §5, filters §9).
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"

@@ -655,6 +655,19 @@ def _read_ocf_header(stream, chunk: int = 65536) -> tuple[str, str, bytes, int]:
     return meta[b"avro.schema"].decode(), codec, sync, pos + 16
 
 
+def _rejoin_uri(scheme: str, fs_path: str) -> str:
+    """Re-attach the URI scheme that ``pyarrow.fs.FileSystem.from_uri``
+    strips from ``FileInfo.path`` (e.g. S3 infos come back as
+    ``bucket/key``). Split dicts must carry the full URI so executor
+    tasks reconstruct the SAME filesystem — a bare ``bucket/key`` would
+    resolve to LocalFileSystem on the worker and fail. Local paths
+    (empty or ``file`` scheme) stay plain absolute paths, which
+    ``from_uri`` accepts directly."""
+    if scheme in ("", "file"):
+        return fs_path
+    return f"{scheme}://{fs_path}"
+
+
 def plan_ocf_splits(
     path: str,
     avro_schema_json: str,
@@ -665,12 +678,16 @@ def plan_ocf_splits(
     header (schema validated against the requested read schema, codec
     checked decodable), tile [header_end, file_size) into
     ``target_split_bytes`` ranges. Returns split dicts ready to become
-    a DataFrame — the driver reads only headers, never data blocks."""
+    a DataFrame — the driver reads only headers, never data blocks.
+    Each split's ``path`` is a full URI (scheme preserved) so tasks on
+    remote backends rebuild the right filesystem."""
     import fnmatch
+    from urllib.parse import urlparse
 
     from pyarrow import fs as pafs
 
     want_fields = parse_schema(avro_schema_json)
+    scheme = urlparse(path).scheme
     filesystem, fspath = pafs.FileSystem.from_uri(path)
     info = filesystem.get_file_info(fspath)
     if info.type == pafs.FileType.Directory:
@@ -699,7 +716,7 @@ def plan_ocf_splits(
             end = min(start + target_split_bytes, i.size)
             splits.append(
                 {
-                    "path": i.path,
+                    "path": _rejoin_uri(scheme, i.path),
                     "start": start,
                     "end": end,
                     "header_end": header_end,
@@ -759,8 +776,17 @@ def _decode_ocf_range(
             rel = block_start - buf_base
             if rel >= len(buf):
                 break  # range began past the last block
-            n_rec, rel = _read_long(bytes(buf), rel)
-            n_bytes, rel = _read_long(bytes(buf), rel)
+            try:
+                n_rec, rel = _read_long(bytes(buf), rel)
+                n_bytes, rel = _read_long(bytes(buf), rel)
+            except IndexError:
+                # ensure() succeeds at EOF with fewer bytes than asked;
+                # a file cut mid-varint must surface as the documented
+                # structural-corruption contract, not an IndexError.
+                raise ValueError(
+                    f"truncated OCF block header at offset {block_start} "
+                    f"in {path}"
+                ) from None
             data_at = buf_base + rel
             if not ensure(data_at + n_bytes + 16):
                 raise ValueError(
@@ -837,10 +863,13 @@ def read_ocf_split(
         for pdf in batches:
             out: list[dict] = []
             for r in pdf.itertuples(index=False):
-                filesystem, _ = pafs.FileSystem.from_uri(r.path)
+                # r.path is a full URI (scheme preserved by
+                # _rejoin_uri), so from_uri rebuilds the filesystem the
+                # driver planned against; open with the stripped path.
+                filesystem, fspath = pafs.FileSystem.from_uri(r.path)
                 out.extend(
                     _decode_ocf_range(
-                        filesystem, r.path, int(r.start), int(r.end),
+                        filesystem, fspath, int(r.start), int(r.end),
                         int(r.header_end), str(r.codec), bytes(r.sync), fields,
                     )
                 )

@@ -447,3 +447,88 @@ def test_read_ocf_split_directory_and_schema_gate(spark, tmp_path):
     assert sorted(tuple(r) for r in got.collect()) == sorted(want)
     with pytest.raises(ValueError, match="writer schema"):
         aw.plan_ocf_splits(str(tmp_path), _OCF_SCHEMA.replace('"id"', '"uid"'))
+
+
+def test_ocf_split_uri_scheme_preserved(monkeypatch, tmp_path):
+    """r12 ADVICE #1: split dicts must carry the ORIGINAL URI scheme.
+    pyarrow strips it from FileInfo.path (S3 infos come back as
+    ``bucket/key``), so a split planned against a remote backend would
+    resolve to LocalFileSystem inside the executor task and fail. Pins
+    (a) the _rejoin_uri string contract for remote + local schemes and
+    (b) end-to-end planning against a non-local filesystem (pyarrow's
+    _MockFileSystem standing in for S3/HDFS — no network in the
+    container), with the task-side decode driven off the planned
+    splits exactly as read_ocf_split's mapInPandas body does."""
+    from pyarrow import fs as pafs
+
+    from fink_joiner_spark.sources import avro_wire as aw
+
+    assert aw._rejoin_uri("s3", "bucket/key/x.avro") == "s3://bucket/key/x.avro"
+    assert aw._rejoin_uri("hdfs", "nn:8020/d/x.avro") == "hdfs://nn:8020/d/x.avro"
+    assert aw._rejoin_uri("", "/tmp/x.avro") == "/tmp/x.avro"
+    assert aw._rejoin_uri("file", "/tmp/x.avro") == "/tmp/x.avro"
+
+    rows = _ocf_rows(3, 120)
+    payload = aw.encode_ocf(_OCF_SCHEMA, rows, codec="deflate",
+                            records_per_block=16)
+    mockfs = pafs._MockFileSystem()
+    mockfs.create_dir("bucket")
+    with mockfs.open_output_stream("bucket/x.avro") as f:
+        f.write(payload)
+
+    real_from_uri = pafs.FileSystem.from_uri
+
+    class _FS:
+        @staticmethod
+        def from_uri(uri):
+            if uri.startswith("mock://"):
+                return mockfs, uri[len("mock://"):]
+            return real_from_uri(uri)
+
+    monkeypatch.setattr(pafs, "FileSystem", _FS)
+    splits = aw.plan_ocf_splits("mock://bucket/x.avro", _OCF_SCHEMA,
+                                target_split_bytes=256)
+    assert len(splits) >= 2
+    # every split path keeps the scheme the driver planned with
+    assert all(s["path"] == "mock://bucket/x.avro" for s in splits)
+    # the worker-side reconstruction (same two calls as read_ocf_split)
+    fields = aw.parse_schema(_OCF_SCHEMA)
+    got = []
+    for s in splits:
+        filesystem, fspath = _FS.from_uri(s["path"])
+        got.extend(aw._decode_ocf_range(
+            filesystem, fspath, s["start"], s["end"], s["header_end"],
+            s["codec"], s["sync"], fields))
+    assert got == rows
+    # local paths stay plain (from_uri-acceptable) absolute paths
+    p = tmp_path / "local.avro"
+    p.write_bytes(payload)
+    local = aw.plan_ocf_splits(str(p), _OCF_SCHEMA, target_split_bytes=10**9)
+    assert local[0]["path"] == str(p)
+
+
+def test_ocf_split_truncated_block_header(tmp_path):
+    """r12 ADVICE #2: a file truncated mid block-header varint must
+    surface as the documented ValueError structural-corruption
+    contract, not escape as IndexError (ensure() succeeds at EOF with
+    fewer bytes than requested)."""
+    from pyarrow import fs as pafs
+
+    from fink_joiner_spark.sources import avro_wire as aw
+
+    payload = aw.encode_ocf(_OCF_SCHEMA, _ocf_rows(0, 40),
+                            records_per_block=8)
+    sync = aw._ocf_sync(_OCF_SCHEMA)
+    block_start = payload.index(sync) + 16
+    p = tmp_path / "trunc.avro"
+    # one byte of block header: the count varint parses, the size
+    # varint runs off EOF
+    p.write_bytes(payload[: block_start + 1])
+    splits = aw.plan_ocf_splits(str(p), _OCF_SCHEMA)
+    fields = aw.parse_schema(_OCF_SCHEMA)
+    fs = pafs.LocalFileSystem()
+    with pytest.raises(ValueError, match="truncated OCF block header"):
+        for s in splits:
+            aw._decode_ocf_range(fs, s["path"], s["start"], s["end"],
+                                 s["header_end"], s["codec"], s["sync"],
+                                 fields)
