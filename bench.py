@@ -44,14 +44,20 @@ def _reset_session_state(spark) -> None:
         pass
 
 
-def _warm_interpreted_paths(spark, sf_dir: str) -> None:
+def _warm_interpreted_paths(spark, sf_dir: str, streaming: bool = True) -> None:
     """Pre-JIT the shared interpreted-expression machinery (HOF lambdas:
     transform/aggregate/zip_with, the cross-engine poly hash, CC star
     rounds, PQ encode) on a tiny sample so the FIRST heavy consumer in
     the timed loop isn't charged the once-per-JVM compilation bill.
     Measured: whichever minhash/CC query ran first paid 10-30 s of
     compiler-thread time; every later one ran in 2-5 s. Steady-state
-    throughput is what the bench compares, so the warmup is untimed."""
+    throughput is what the bench compares, so the warmup is untimed.
+
+    ``streaming=False`` (r12 verdict ask #2: proportional warm) skips
+    the stateful-streaming spin-up — a fresh-JVM RERUN of a batch query
+    never touches the micro-batch scheduler, so its ~3-4 s warm is pure
+    rerun tax there. Segment-rotation JVMs keep the full warm (the next
+    segment may hold stream queries)."""
     from pyspark.sql import functions as F
 
     from fink_joiner_spark.operators import graph, similarity
@@ -113,6 +119,9 @@ def _warm_interpreted_paths(spark, sf_dir: str) -> None:
     spark.range(4).select(
         lake.morton_key(F.col("id"), F.col("id")).alias("z")
     ).write.format("noop").mode("overwrite").save()
+    if not streaming:
+        spark.catalog.clearCache()
+        return
     # One tiny stateful streaming query: spins up the micro-batch
     # scheduler, Python state workers, and the state-store provider
     # (the first applyInPandasWithState query otherwise pays ~3-4 s).
@@ -160,8 +169,26 @@ def _loadavg() -> list[float | None]:
 
 
 def main() -> None:
+    t_proc0 = time.monotonic()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    # Wall deadline (r12 verdict ask #1: BENCH_r12 was rc=124 with
+    # parsed:null — the driver's window expired mid-suite and the whole
+    # round's perf artifact was lost, because results were only emitted
+    # at process end and the rerun layer made worst-case wall
+    # unbounded). The bench now budgets itself: once remaining wall
+    # can't cover the projected remaining queries it stops firing
+    # fresh-JVM reruns, then drops to 1 rep, then SKIPS the tail
+    # (recorded in the artifact) and finalizes cleanly with rc=0.
+    # SIGTERM/SIGALRM additionally emit the summary-so-far, so even a
+    # harder external timeout still yields a parseable artifact.
+    # 0 disables the deadline (not the signal handlers).
+    deadline_s = float(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE_S", "1800"))
+    deadline = (t_proc0 + deadline_s) if deadline_s > 0 else None
+
+    def _remaining() -> float:
+        return (deadline - time.monotonic()) if deadline else float("inf")
 
     # Load self-certification (r5 verdict ask #2): record the 1-min load
     # BEFORE Spark starts, wait (bounded) for a quiet box, and stamp the
@@ -192,17 +219,22 @@ def main() -> None:
     # Correctness runs (pytest, the driver) never set this env var and
     # keep building per call.
     fixture_cache = os.environ.get("SPARK_GRAFT_FIXTURE_CACHE")
-    cache_is_ours = fixture_cache is None
-    if cache_is_ours:
-        import atexit
-        import shutil
+    if fixture_cache is None:
+        # Stable default location (r12 verdict ask #2): the cache used
+        # to be a per-run mkdtemp removed at exit, so EVERY bench run
+        # paid the full ~210 s fixture build. Keys now cover only the
+        # setup recipe + builder modules (fixtures.py), so a persistent
+        # dir is safe — unrelated commits keep their slots, and stale
+        # same-name slots are pruned at rebuild, bounding the cache to
+        # one slot per fixture name (~1 GB total). Opt out for A/Bs
+        # with SPARK_GRAFT_FIXTURE_CACHE= (empty).
         import tempfile
 
-        fixture_cache = tempfile.mkdtemp(prefix="fjs_bench_fixture_cache_")
+        fixture_cache = os.path.join(
+            tempfile.gettempdir(), "fjs_bench_fixture_cache"
+        )
+        os.makedirs(fixture_cache, exist_ok=True)
         os.environ["SPARK_GRAFT_FIXTURE_CACHE"] = fixture_cache
-        # a full-suite cache is ~1 GB of index fixtures — don't leave
-        # one per round in /tmp (user-provided dirs are theirs to keep)
-        atexit.register(shutil.rmtree, fixture_cache, ignore_errors=True)
 
     spark = get_spark("fink_joiner_spark-bench")
     fns = queries()
@@ -225,12 +257,6 @@ def main() -> None:
             print(f"bench: no queries match {pats!r}", file=sys.stderr)
             sys.exit(1)
 
-    # warmup: JVM + parquet footer caches, so the first timed query
-    # isn't charged session startup
-    for t in ("events", "orders", "lineitem", "customer", "documents", "embeddings"):
-        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
-    _warm_interpreted_paths(spark, sf_dir)
-
     # Load robustness (round 5): the recorded per-query number is the
     # MEDIAN of N runs (default 3) — one co-tenant burst can no longer
     # inflate a query's figure, which is what made BENCH_r04's headline
@@ -240,6 +266,196 @@ def main() -> None:
     # wall >> cpu/32 across the board reads as "loaded box", not "slow
     # code". Median + cpu land in BENCH_DETAIL.json and the summary.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+
+    # ---- run state + timeout-proof finalize (r12 verdict ask #1) ----
+    # Installed BEFORE the (minutes-long) warmup so any external kill
+    # from here on still yields a parseable artifact.
+    here = os.path.dirname(os.path.abspath(__file__))
+    timings: dict[str, float] = {}
+    runs_detail: dict[str, dict] = {}
+    deadline_skipped: list[str] = []
+    _final = {"done": False, "by": None}
+    # per-query detail rows append here AS EACH QUERY COMPLETES — an
+    # external kill can lose at most the in-flight query
+    jsonl_fh = open(os.path.join(here, "BENCH_DETAIL.jsonl"), "w")
+
+    def _build_summary() -> dict:
+        ncpus = os.cpu_count() or 1
+        total = round(
+            sum(d["median"] for d in runs_detail.values()
+                if d["median"] is not None), 3)
+        # total_wall_min is the steady-state companion headline (r8):
+        # the median absorbs one bad rep but not two; jit_outliers
+        # names queries whose rep spread crossed 4× AFTER the rerun
+        # pass — i.e. genuinely bimodal work, not pollution
+        total_min = round(sum(d["min"] for d in runs_detail.values()), 3)
+        total_build = round(
+            sum(d["build_s"] for d in runs_detail.values()
+                if d.get("build_s") is not None), 3)
+        cpu_ok = bool(runs_detail) and not any(
+            "cpu_reps_sampled" in d for d in runs_detail.values())
+        total_cpu = round(
+            sum(d["cpu_sec"] for d in runs_detail.values()
+                if d.get("cpu_sec") is not None), 3)
+        jit_outliers = sorted(
+            n for n, d in runs_detail.items()
+            if len(d["runs"]) >= 2 and d["min"] > 0
+            and max(d["runs"]) / d["min"] > 4
+        )
+        outlier_reruns = sorted(
+            n for n, d in runs_detail.items() if d.get("outlier_rerun")
+        )
+        # The 13 legacy streaming demos' tracked metric (round 9): their
+        # WALL time swings ±10% between identical runs, so the family's
+        # budget is total JVM CPU (baseline 91-98 cpu-s at sf0.1,
+        # regression bar 150). Fixed name list on purpose: future
+        # stream demos get their own budget, not this one.
+        stream_family = (
+            "stream_dedup_snapshot", "stream_asof_stateful",
+            "stream_keyed_reduce", "stream_dedup_tws_retract",
+            "stream_snapshot_join_pipeline", "stream_windowed_wordcount",
+            "stream_running_count", "stream_proctime_window",
+            "stream_static_join", "stream_stream_interval_join",
+            "stream_dedup_within_watermark",
+            "stream_stream_interval_join_left", "stream_dlq_relay",
+        )
+        stream_cpu = [
+            runs_detail[n]["cpu_sec"] for n in stream_family
+            if n in runs_detail and runs_detail[n]["cpu_sec"] is not None
+        ]
+        summary = {
+            "metric": "total_query_wall_time",
+            "value": total,
+            "unit": "sec",
+            "total_wall_min": total_min,
+            "jit_outliers": jit_outliers,
+            "outlier_reruns": outlier_reruns,
+            # wall seconds spent CONSTRUCTING fixture indexes inside
+            # the lifecycle queries (eager build/maintain phase) — by
+            # design, not the production read path; the probe share is
+            # the number that matters at 100 TB
+            "fixture_build_sec": total_build,
+            "fixture_cache": bool(os.environ.get("SPARK_GRAFT_FIXTURE_CACHE")),
+            "queries": timings,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "n_queries": len(timings),
+            "reps": reps,
+            "stat": "median",
+            # contention-invariant companion headline: JVM CPU seconds
+            # are what the queries actually burned regardless of
+            # co-tenants
+            "total_jvm_cpu_sec": (total_cpu if cpu_ok else None),
+            "stream_family_cpu_sec": (
+                round(sum(stream_cpu), 3) if stream_cpu else None
+            ),
+            "cpu_sec_per_query": (
+                round(total_cpu / max(1, len(timings)), 3)
+                if cpu_ok else None
+            ),
+            "ncpus": ncpus,
+            "load_avg_start": load_avg_start,
+            "load_avg_end": _loadavg(),
+            "load_contended": load_contended,
+            "deadline_s": (deadline_s if deadline else None),
+            "elapsed_s": round(time.monotonic() - t_proc0, 1),
+            "n_deadline_skipped": len(deadline_skipped),
+        }
+        if _final["by"]:
+            summary["terminated_by"] = _final["by"]
+        return summary
+
+    def _finalize() -> None:
+        """Emit the artifact from whatever has completed: the detail
+        sidecars, then the summary + compact stdout lines the driver
+        parses. Runs exactly once — from the normal end of the suite,
+        the deadline-skip path, or a SIGTERM/SIGALRM handler."""
+        if _final["done"]:
+            return
+        _final["done"] = True
+        import signal as _sig
+
+        try:
+            _sig.alarm(0)
+        except (ValueError, OSError):
+            pass
+        summary = _build_summary()
+        detail_doc = {
+            **summary,
+            "per_query": runs_detail,
+            "deadline_skipped": deadline_skipped,
+        }
+        try:
+            jsonl_fh.flush()
+            jsonl_fh.close()
+        except (ValueError, OSError):
+            pass
+        try:
+            with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
+                json.dump(detail_doc, fh, indent=1)
+        except OSError:
+            pass
+        if not only:
+            # per-round copy (r9 ask #8); subset runs never clobber the
+            # round's full-suite detail artifact
+            try:
+                import glob
+                import re
+
+                rounds = [
+                    int(m.group(1))
+                    for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+                    if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+                ]
+                rnum = (max(rounds) + 1) if rounds else 0
+                with open(
+                    os.path.join(here, f"BENCH_DETAIL_r{rnum:02d}.json"), "w"
+                ) as fh:
+                    json.dump(detail_doc, fh, indent=1)
+            except Exception:  # noqa: BLE001 — per-round copy best-effort
+                pass
+        # The driver tail-captures stdout and parses the LAST line; emit
+        # the full dict first (whole-stdout parsers still see it), then
+        # a compact line capped ~1.5 KB: headline totals + slowest
+        # queries only.
+        print(json.dumps(summary))
+        top: dict[str, float] = {}
+        compact = dict(summary)
+        for qn, dt in sorted(timings.items(), key=lambda kv: -(kv[1] or 0)):
+            top[qn] = dt
+            compact["queries"] = top
+            if len(json.dumps(compact)) > 1500:
+                del top[qn]
+                break
+        compact["queries"] = top
+        print(json.dumps(compact))
+        sys.stdout.flush()
+
+    import signal
+
+    def _on_signal(signum, frame):  # noqa: ARG001
+        _final["by"] = {
+            signal.SIGTERM: "sigterm", signal.SIGALRM: "sigalrm",
+        }.get(signum, str(signum))
+        try:
+            _finalize()
+        finally:
+            # skip Spark/atexit teardown — the JVM may be mid-job and
+            # the artifact is already on disk/stdout
+            os._exit(0)
+
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGALRM, _on_signal)
+    if deadline:
+        # backstop only: the query loop self-checks the deadline; the
+        # alarm fires if a single query HANGS past it (+ grace so the
+        # loop's own finalize normally wins)
+        signal.alarm(int(max(60.0, deadline - time.monotonic())) + 90)
+
+    # warmup: JVM + parquet footer caches, so the first timed query
+    # isn't charged session startup
+    for t in ("events", "orders", "lineitem", "customer", "documents", "embeddings"):
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
+    _warm_interpreted_paths(spark, sf_dir)
 
     # Steady-state pre-pass: only needed when a SINGLE rep must already
     # be steady-state (reps=1). With reps >= 2 the first timed rep
@@ -295,7 +511,7 @@ def main() -> None:
     # bill).
     seg_size = int(os.environ.get("SPARK_GRAFT_BENCH_SEGMENT", "48"))
 
-    def _fresh_jvm(old_spark):
+    def _fresh_jvm(old_spark, warm_streaming: bool = True):
         from pyspark import SparkContext
         from pyspark.sql import SparkSession
 
@@ -324,13 +540,13 @@ def main() -> None:
         for t_ in ("events", "orders", "lineitem", "customer",
                    "documents", "embeddings"):
             s.read.parquet(os.path.join(sf_dir, f"{t_}.parquet")).count()
-        _warm_interpreted_paths(s, sf_dir)
+        _warm_interpreted_paths(s, sf_dir, streaming=warm_streaming)
         return s
 
-    def _measure(spark_, name, fn):
-        """``reps`` timed runs of one query. Each run is split into the
-        two phases the call structure already separates (r9 verdict ask
-        #3): ``fn(spark, sf_dir)`` executes any EAGER index
+    def _measure(spark_, name, fn, reps_run):
+        """``reps_run`` timed runs of one query. Each run is split into
+        the two phases the call structure already separates (r9 verdict
+        ask #3): ``fn(spark, sf_dir)`` executes any EAGER index
         build/maintenance work (the lifecycle queries construct their
         fixture index here, by design), and the noop save executes the
         returned plan — the probe, i.e. the production READ path. For
@@ -341,7 +557,7 @@ def main() -> None:
         probes: list[float] = []
         cpus: list[float] = []
         failed = False
-        for _ in range(reps):
+        for _ in range(reps_run):
             c0 = _jvm_cpu_seconds()
             t0 = time.perf_counter()
             try:
@@ -415,14 +631,53 @@ def main() -> None:
             and med > 1.5 * ref and med - ref > 0.5
         )
 
-    timings: dict[str, float] = {}
-    runs_detail: dict[str, dict] = {}
-    total = 0.0
-    total_cpu = 0.0
-    total_build = 0.0
-    cpu_ok = True
+    # ---- deadline-governed measurement loop (r12 verdict ask #1b) ---
+    FINALIZE_MARGIN = 45.0  # wall seconds reserved for finalize + stop
+    RERUN_COST = 90.0       # fresh JVM boot + proportional warm + reps
+    actual_walls: list[float] = []  # completed per-query wall (all reps)
+
+    def _estimate(qname: str, reps_n: int) -> float:
+        """Projected wall for one query: prior-round median × reps when
+        available, else the running mean of completed queries."""
+        ref = prior_medians.get(qname)
+        if ref is not None:
+            return ref * reps_n + 1.0
+        if actual_walls:
+            return sum(actual_walls) / len(actual_walls)
+        return 5.0
+
+    names = list(fns.items())
+
+    def _projected_tail(after_idx: int, reps_n: int) -> float:
+        return sum(_estimate(n, reps_n) for n, _ in names[after_idx + 1:])
+
     since_rotation = 0
-    for name, fn in fns.items():
+    for qi, (name, fn) in enumerate(names):
+        if deadline:
+            rem = _remaining()
+            if rem < FINALIZE_MARGIN:
+                # out of wall: record the tail as skipped and ship what
+                # completed with rc=0 — a complete artifact of a
+                # partial run beats rc=124 with nothing parseable
+                # (BENCH_r12)
+                deadline_skipped.extend(n for n, _ in names[qi:])
+                print(f"bench: deadline - skipping final "
+                      f"{len(names) - qi} queries", file=sys.stderr)
+                break
+            if rem < FINALIZE_MARGIN + _estimate(name, 1):
+                # this one alone won't fit even at 1 rep; later queries
+                # may be cheaper, keep scanning
+                deadline_skipped.append(name)
+                continue
+        # drop to 1 rep once remaining wall can't cover the projected
+        # tail at full reps — coverage beats reps near the wire (the
+        # detail row's runs list self-documents the rep count)
+        reps_eff = reps
+        if deadline and _remaining() < (
+            _estimate(name, reps) + _projected_tail(qi, reps)
+            + FINALIZE_MARGIN
+        ):
+            reps_eff = 1
         if seg_size and since_rotation >= seg_size:
             print("bench: rotating to a fresh JVM (profile-pollution "
                   "segmentation)", file=sys.stderr)
@@ -430,7 +685,8 @@ def main() -> None:
             since_rotation = 0
         since_rotation += 1
         q_load = _loadavg()[0]
-        runs, builds, probes, cpus, failed = _measure(spark, name, fn)
+        t_q0 = time.monotonic()
+        runs, builds, probes, cpus, failed = _measure(spark, name, fn, reps_eff)
         detail = {
             "median": _lower_median(runs),
             "min": min(runs),
@@ -456,7 +712,21 @@ def main() -> None:
         if prior_hit:
             prior_reruns_left -= 1
             detail["prior_round_median"] = prior_medians.get(name)
-        if (_spread_bad(runs) or prior_hit) and seg_size and not failed:
+        # A rerun costs a fresh JVM + warm + reps; near the deadline
+        # that wall belongs to the still-unmeasured tail. Gate, and
+        # record the gating so the artifact shows WHY no rerun fired
+        # (r12 verdict ask #1b: the unbounded rerun tax is what killed
+        # the r12 driver artifact).
+        rerun_affordable = (not deadline) or (
+            _remaining()
+            > _projected_tail(qi, reps) + RERUN_COST + FINALIZE_MARGIN
+        )
+        if (
+            (_spread_bad(runs) or prior_hit)
+            and seg_size and not failed and not rerun_affordable
+        ):
+            detail["rerun_gated_by_deadline"] = True
+        elif (_spread_bad(runs) or prior_hit) and seg_size and not failed:
             reason = (
                 f"rep spread {min(runs)}..{max(runs)} crossed the 4x "
                 "outlier bar"
@@ -466,9 +736,16 @@ def main() -> None:
             )
             print(f"bench {name}: {reason} - re-running in a fresh "
                   "JVM", file=sys.stderr)
-            spark = _fresh_jvm(spark)
+            # proportional warm (r12 ask #2): a batch-query rerun never
+            # touches the micro-batch scheduler — skip the streaming
+            # spin-up; stream-query reruns keep the full warm
+            spark = _fresh_jvm(
+                spark, warm_streaming=name.startswith("stream_")
+            )
             since_rotation = 0
-            runs2, builds2, probes2, cpus2, failed2 = _measure(spark, name, fn)
+            runs2, builds2, probes2, cpus2, failed2 = _measure(
+                spark, name, fn, reps_eff
+            )
             # adopt the rerun only when it BOTH beats the original's
             # median AND has sane spread itself — an outlier-in-the-
             # rerun would otherwise replace one polluted number with
@@ -511,147 +788,28 @@ def main() -> None:
         if len(cpus) < len(runs):
             # ANY rep missing its JVM-CPU sample (failed rep, or
             # /proc sampling hiccup) understates the per-query median
-            # and hence total_cpu_sec — flag per-rep, not only the
+            # and hence total_cpu_sec - flag per-rep, not only the
             # all-reps-missing case (ADVICE r5, restored r11)
-            cpu_ok = False
             detail["cpu_reps_sampled"] = len(cpus)
         dt = detail["median"]
         timings[name] = dt
         runs_detail[name] = detail
-        total += dt
-        if detail["build_s"] is not None:
-            total_build += detail["build_s"]
-        if cpus:
-            total_cpu += detail["cpu_sec"]
+        actual_walls.append(time.monotonic() - t_q0)
+        # incremental persistence (r12 ask #1a): the row is durable the
+        # moment the query completes
+        jsonl_fh.write(json.dumps({"query": name, **detail}) + "\n")
+        jsonl_fh.flush()
         # per-query progress to stderr so the final stdout line stays short
         print(f"bench {name}: median {dt}s over {runs}"
               f" cpu {detail['cpu_sec']}s"
               f" (build {detail['build_s']}s probe {detail['probe_s']}s)",
               file=sys.stderr)
 
-    ncpus = os.cpu_count() or 1
-    # JIT-outlier self-diagnosis (round 8): running ~190 DISTINCT plans
-    # in one JVM stochastically pushes a few interpreted-HOF-heavy
-    # queries off the compiled cliff — reps of the SAME query degrade
-    # progressively (measured 3.2→10.7→46.7 s with 15× real CPU, while
-    # -Xlog:codecache stayed silent, zero Full GCs, steal 0.2%, and the
-    # same query is fine standalone: C2 deopt/profile pollution, not
-    # cache, GC, or the host). The median absorbs one bad rep but not
-    # two; total_wall_min is the steady-state companion headline, and
-    # jit_outliers names the queries whose rep spread crossed 4× so a
-    # reader can attribute an inflated total without re-running.
-    total_min = round(sum(d["min"] for d in runs_detail.values()), 3)
-    # after the fresh-JVM rerun pass, a name here means the spread
-    # SURVIVED a clean JVM — i.e. genuinely bimodal work, not pollution
-    jit_outliers = sorted(
-        n for n, d in runs_detail.items()
-        if len(d["runs"]) >= 2 and d["min"] > 0 and max(d["runs"]) / d["min"] > 4
-    )
-    outlier_reruns = sorted(
-        n for n, d in runs_detail.items() if d.get("outlier_rerun")
-    )
-    # The 13 legacy streaming demos' tracked metric (round 9): their
-    # WALL time swings ±10% between identical runs (scheduler/IO-bound
-    # micro-batch orchestration — measured in the r9 2×4 conf matrix,
-    # BASELINE.md), so the r5-era ≤30 s wall target was retired in
-    # favor of the family's total JVM CPU — contention-robust and
-    # recorded here every round (baseline 91-98 cpu-s at sf0.1;
-    # regression bar 1.5× = 150 cpu-s). Fixed name list on purpose:
-    # future stream demos get their own budget, not this one.
-    _STREAM_FAMILY = (
-        "stream_dedup_snapshot", "stream_asof_stateful",
-        "stream_keyed_reduce", "stream_dedup_tws_retract",
-        "stream_snapshot_join_pipeline", "stream_windowed_wordcount",
-        "stream_running_count", "stream_proctime_window",
-        "stream_static_join", "stream_stream_interval_join",
-        "stream_dedup_within_watermark", "stream_stream_interval_join_left",
-        "stream_dlq_relay",
-    )
-    stream_cpu = [
-        runs_detail[n]["cpu_sec"] for n in _STREAM_FAMILY
-        if n in runs_detail and runs_detail[n]["cpu_sec"] is not None
-    ]
-    stream_family_cpu = round(sum(stream_cpu), 3) if stream_cpu else None
-    summary = {
-        "metric": "total_query_wall_time",
-        "value": round(total, 3),
-        "unit": "sec",
-        "total_wall_min": total_min,
-        "jit_outliers": jit_outliers,
-        "outlier_reruns": outlier_reruns,
-        # wall seconds spent CONSTRUCTING fixture indexes inside the
-        # lifecycle queries (eager build/maintain phase) — by design,
-        # not the production read path; the probe share is the number
-        # that matters at 100 TB (per-query build_s/probe_s in detail)
-        "fixture_build_sec": round(total_build, 3),
-        "fixture_cache": bool(os.environ.get("SPARK_GRAFT_FIXTURE_CACHE")),
-        "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "n_queries": len(timings),
-        "reps": reps,
-        "stat": "median",
-        # contention-invariant companion headline: JVM CPU seconds are
-        # what the queries actually burned regardless of co-tenants;
-        # cpu_sec_per_query is the load-independent per-query figure to
-        # compare across rounds when load_contended differs
-        "total_jvm_cpu_sec": (round(total_cpu, 3) if cpu_ok else None),
-        "stream_family_cpu_sec": stream_family_cpu,
-        "cpu_sec_per_query": (
-            round(total_cpu / max(1, len(timings)), 3) if cpu_ok else None
-        ),
-        "ncpus": ncpus,
-        "load_avg_start": load_avg_start,
-        "load_avg_end": _loadavg(),
-        "load_contended": load_contended,
-    }
-    # Full detail to a sidecar file (survives any stdout truncation).
-    # Per-round copy (r9 verdict ask #8): the mutable BENCH_DETAIL.json
-    # rewrote ~3,400 lines per round and drowned the git diff — emit a
-    # BENCH_DETAIL_r{N}.json alongside, N inferred from the highest
-    # existing driver BENCH_r*.json + 1 (the driver writes its file
-    # AFTER running us). BENCH_DETAIL.json itself is gitignored now.
-    here = os.path.dirname(os.path.abspath(__file__))
-    detail_doc = {**summary, "per_query": runs_detail}
-    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
-        json.dump(detail_doc, fh, indent=1)
-    if only:
-        # subset runs are measurement tooling — never clobber the
-        # round's full-suite detail artifact with a 3-query doc
-        print(json.dumps(summary))
-        spark.stop()
-        return
+    _finalize()
     try:
-        import glob
-        import re
-
-        rounds = [
-            int(m.group(1))
-            for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
-            if (m := re.search(r"BENCH_r(\d+)\.json$", p))
-        ]
-        rnum = (max(rounds) + 1) if rounds else 0
-        with open(os.path.join(here, f"BENCH_DETAIL_r{rnum:02d}.json"), "w") as fh:
-            json.dump(detail_doc, fh, indent=1)
-    except Exception:  # noqa: BLE001 — per-round copy is best-effort
+        spark.stop()
+    except Exception:  # noqa: BLE001 - artifact already emitted
         pass
-
-    # The driver tail-captures stdout and parses the LAST line; round 1's
-    # single ~3 KB line was head-truncated and unparseable.  Emit the full
-    # dict first (parsers reading whole stdout still see it), then a
-    # compact line capped well under typical tail windows: headline totals
-    # plus only the slowest queries, budgeted to ~1.5 KB.
-    print(json.dumps(summary))
-    top = {}
-    compact = dict(summary)
-    for name, dt in sorted(timings.items(), key=lambda kv: -kv[1]):
-        top[name] = dt
-        compact["queries"] = top
-        if len(json.dumps(compact)) > 1500:
-            del top[name]
-            break
-    compact["queries"] = top
-    print(json.dumps(compact))
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -55,9 +55,15 @@ def test_cache_builds_once_and_hands_out_private_copies(monkeypatch, tmp_path):
     assert len(calls) == 2
 
 
-def test_code_tree_hash_invalidates(monkeypatch, tmp_path):
-    monkeypatch.setenv("SPARK_GRAFT_FIXTURE_CACHE", str(tmp_path / "cache"))
-    os.makedirs(str(tmp_path / "cache"), exist_ok=True)
+def test_fixture_key_invalidation_contract(monkeypatch, tmp_path):
+    """r12 verdict ask #2: the key covers the setup RECIPE + the engine
+    builder modules — not the whole code tree. Pins all four edges:
+    builder-module change invalidates; setup-source change invalidates;
+    an UNRELATED code-tree change does NOT (that's what makes the
+    persistent cache pay); superseded same-name slots are pruned."""
+    cache = tmp_path / "cache"
+    monkeypatch.setenv("SPARK_GRAFT_FIXTURE_CACHE", str(cache))
+    os.makedirs(str(cache), exist_ok=True)
     calls = []
 
     def setup(w):
@@ -65,9 +71,49 @@ def test_code_tree_hash_invalidates(monkeypatch, tmp_path):
         open(os.path.join(w, "x"), "w").write("1")
 
     fixtures.fixture_dir("t3", setup, "sf")
+    assert len(calls) == 1
+    # unrelated tree change: key unchanged, cache HIT
     monkeypatch.setattr(fixtures, "_CODE_HASH", "deadbeef00000000")
     fixtures.fixture_dir("t3", setup, "sf")
-    assert len(calls) == 2, "a code change must invalidate cached fixtures"
+    assert len(calls) == 1, "unrelated commits must not invalidate"
+    # builder-module change: key changes, rebuild
+    monkeypatch.setattr(fixtures, "_MODULES_HASH", "feedface00000000")
+    fixtures.fixture_dir("t3", setup, "sf")
+    assert len(calls) == 2, "an engine-module change must invalidate"
+    # superseded slot pruned: exactly one t3.* slot remains
+    slots = [e for e in os.listdir(str(cache)) if e.startswith("t3.")]
+    assert len(slots) == 1, slots
+    # setup-source change (a different recipe): rebuild
+
+    def setup(w):  # noqa: F811 — deliberately different body
+        calls.append(w)
+        open(os.path.join(w, "x"), "w").write("2")
+
+    fixtures.fixture_dir("t3", setup, "sf")
+    assert len(calls) == 3, "a recipe change must invalidate"
+
+
+def test_fixture_key_fallback_without_source(monkeypatch, tmp_path):
+    """Setups whose source inspect can't read fall back to the
+    conservative whole-tree hash — never a stale hit."""
+    import functools
+
+    cache = tmp_path / "cache"
+    monkeypatch.setenv("SPARK_GRAFT_FIXTURE_CACHE", str(cache))
+    os.makedirs(str(cache), exist_ok=True)
+    calls = []
+
+    def raw(tag, w):
+        calls.append(w)
+        open(os.path.join(w, "x"), "w").write(tag)
+
+    setup = functools.partial(raw, "a")
+    fixtures.fixture_dir("t5", setup, "sf")
+    fixtures.fixture_dir("t5", setup, "sf")
+    assert len(calls) == 1  # cache hit under the fallback key
+    monkeypatch.setattr(fixtures, "_CODE_HASH", "deadbeef00000000")
+    fixtures.fixture_dir("t5", setup, "sf")
+    assert len(calls) == 2, "tree change must invalidate the fallback key"
 
 
 def test_copied_versioned_store_is_valid_at_new_root(
