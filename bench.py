@@ -694,6 +694,13 @@ def main() -> None:
             "build_s": _lower_median(builds),
             "probe_s": _lower_median(probes),
             "cpu_sec": _lower_median(cpus),
+            # per-rep cpu (r13): cpu_sec includes JIT compiler threads,
+            # which decay with JVM warmth — measured for
+            # stream_proctime_window: 42.9→12.3→8.8→7.0→7.0→5.7 cpu-s
+            # across 6 cold-JVM reps (BASELINE.md r13 row). The list
+            # lets a reader tell decay-slope from steady-state without
+            # re-running.
+            "cpu_runs": cpus,
             "load_at_start": q_load,
         }
         # Self-defending artifact (r9 verdict ask #2): a rep spread
@@ -767,6 +774,7 @@ def main() -> None:
                     "build_s": _lower_median(builds2),
                     "probe_s": _lower_median(probes2),
                     "cpu_sec": _lower_median(cpus2),
+                    "cpu_runs": cpus2,
                     "load_at_start": q_load,
                     "outlier_rerun": True,
                     "outlier_original": {
