@@ -37,6 +37,7 @@ from __future__ import annotations
 import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
@@ -190,6 +191,53 @@ def decode_bmp(payload: bytes) -> dict:
             f"truncated BMP: need {offset + row_size * height} bytes, "
             f"have {len(payload)}"
         )
+    pixels = _bmp_pixels(
+        payload, offset, width, height, bpp, row_bytes, row_size, top_down
+    )
+    return {
+        "width": width,
+        "height": height,
+        "bpp": bpp,
+        "n_pixels": width * height,
+        "pixels": pixels,
+    }
+
+
+def _bmp_pixels(
+    payload: bytes, offset: int, width: int, height: int, bpp: int,
+    row_bytes: int, row_size: int, top_down: bool,
+) -> bytes:
+    """Uncompressed-BMP row decode, numpy-vectorized (r12 verdict ask
+    #6 — the sub-byte unpack ran a per-byte Python loop). Rows are a
+    strided (height, row_size) view flipped for bottom-up order;
+    1/4 bpp unpack through the shared ``np.unpackbits`` kernel, 16 bpp
+    splits the XRGB1555 fields with vector shifts, 8/24/32 bpp are a
+    pad-stripping copy. Bit-identity vs :func:`_bmp_pixels_ref` pinned
+    in ``tests/test_multimodal_vectorized.py``."""
+    if width == 0 or height == 0:
+        return b""
+    base = np.frombuffer(
+        payload, dtype=np.uint8, count=row_size * height, offset=offset
+    ).reshape(height, row_size)[:, :row_bytes]
+    if not top_down:
+        base = base[::-1]
+    if bpp in (1, 4):
+        return _unpack_subbyte_rows(base, bpp, width).tobytes()
+    if bpp == 16:
+        v = np.ascontiguousarray(base).view("<u2")  # (height, width)
+        out = np.stack(
+            (v & 0x1F, (v >> 5) & 0x1F, (v >> 10) & 0x1F), axis=2
+        ).astype(np.uint8)
+        return out.tobytes()
+    return np.ascontiguousarray(base).tobytes()
+
+
+def _bmp_pixels_ref(
+    payload: bytes, offset: int, width: int, height: int, bpp: int,
+    row_bytes: int, row_size: int, top_down: bool,
+) -> bytes:
+    """Reference pure-Python row decode (pre-r13), kept as the
+    bit-identity oracle for the vectorized :func:`_bmp_pixels`."""
     out = bytearray()
     mask = (1 << bpp) - 1 if bpp < 8 else 0
     for logical_r in range(height):
@@ -207,13 +255,7 @@ def decode_bmp(payload: bytes) -> dict:
                 out += bytes((v & 0x1F, (v >> 5) & 0x1F, (v >> 10) & 0x1F))
         else:
             out += row
-    return {
-        "width": width,
-        "height": height,
-        "bpp": bpp,
-        "n_pixels": width * height,
-        "pixels": bytes(out),
-    }
+    return bytes(out)
 
 
 def _bmp_rle_rows(
@@ -1104,7 +1146,101 @@ def _png_unfilter(raw: bytes, pos: int, n_rows: int, row_bytes: int,
     """Un-filter ``n_rows`` scanlines of ``row_bytes`` bytes starting at
     ``raw[pos]`` (each prefixed by its filter-type byte); ``fdist`` is
     the spec's filter byte distance (bytes per pixel, min 1). Returns
-    (reconstructed bytes, next position)."""
+    (reconstructed bytes, next position).
+
+    numpy-vectorized (r12 verdict ask #6) — the per-byte Python loops
+    were 10-100× off on megapixel payloads. Exactness argument per
+    filter: None/Up are elementwise (uint8 addition wraps mod 256
+    natively, and a RUN of consecutive Up rows is a modular cumsum
+    along the row axis); Sub's left-neighbor chain decomposes into
+    ``fdist`` independent byte lanes, each a modular cumsum along the
+    column axis (again batched across a run of consecutive Sub rows);
+    Average/Paeth recurrences pass the left RECONSTRUCTED byte through
+    a floor-divide / min-selection, which has no closed form — those
+    rows keep the exact sequential loop. Bit-identity with the
+    reference implementation (:func:`_png_unfilter_ref`, kept for the
+    pinning test) is asserted over randomized filter mixes in
+    ``tests/test_multimodal_vectorized.py``."""
+    stride = row_bytes + 1
+    total = n_rows * stride
+    if pos + total > len(raw):
+        # error-order parity with the reference (row-by-row walk): a
+        # bad filter byte on a row BEFORE the truncation point wins
+        n_avail = max(0, (len(raw) - pos) // stride)
+        if n_avail:
+            pre = np.frombuffer(
+                raw, dtype=np.uint8, count=n_avail * stride, offset=pos
+            ).reshape(n_avail, stride)
+            bad = np.nonzero(pre[:, 0] > 4)[0]
+            if bad.size:
+                raise ValueError(
+                    f"PNG filter type {int(pre[bad[0], 0])} at row "
+                    f"{int(bad[0])}"
+                )
+        raise ValueError("PNG pixel data truncated mid-scanline")
+    if row_bytes == 0:
+        fts0 = bytes(raw[pos + r * stride] for r in range(n_rows))
+        for r, ft in enumerate(fts0):
+            if ft > 4:
+                raise ValueError(f"PNG filter type {ft} at row {r}")
+        return bytearray(), pos + total
+    arr = np.frombuffer(
+        raw, dtype=np.uint8, count=total, offset=pos
+    ).reshape(n_rows, stride)
+    fts = arr[:, 0]
+    bad = np.nonzero(fts > 4)[0]
+    if bad.size:
+        raise ValueError(
+            f"PNG filter type {int(fts[bad[0]])} at row {int(bad[0])}"
+        )
+    data = arr[:, 1:].copy()  # contiguous + writable; recon in place
+    prior = np.zeros(row_bytes, dtype=np.uint8)
+    r = 0
+    while r < n_rows:
+        ft = int(fts[r])
+        e = r + 1
+        if ft in (0, 1, 2):
+            while e < n_rows and fts[e] == ft:
+                e += 1
+        block = data[r:e]
+        if ft == 0:
+            pass
+        elif ft == 2:
+            block[0] += prior  # uint8 add wraps mod 256
+            np.cumsum(block, axis=0, dtype=np.uint8, out=block)
+        elif ft == 1:
+            for j in range(fdist):
+                lane = block[:, j::fdist]
+                np.cumsum(lane, axis=1, dtype=np.uint8, out=lane)
+        else:
+            line = bytearray(block[0].tobytes())
+            p = prior.tobytes()
+            if ft == 3:
+                for x in range(row_bytes):
+                    line[x] = (
+                        line[x]
+                        + ((line[x - fdist] if x >= fdist else 0) + p[x]) // 2
+                    ) & 0xFF
+            else:
+                for x in range(row_bytes):
+                    line[x] = (
+                        line[x]
+                        + _paeth(
+                            line[x - fdist] if x >= fdist else 0,
+                            p[x],
+                            p[x - fdist] if x >= fdist else 0,
+                        )
+                    ) & 0xFF
+            block[0] = np.frombuffer(bytes(line), dtype=np.uint8)
+        prior = data[e - 1]
+        r = e
+    return bytearray(data.tobytes()), pos + total
+
+
+def _png_unfilter_ref(raw: bytes, pos: int, n_rows: int, row_bytes: int,
+                      fdist: int) -> tuple[bytearray, int]:
+    """Reference pure-Python unfilter (pre-r13), kept as the
+    bit-identity oracle for the vectorized :func:`_png_unfilter`."""
     out = bytearray()
     prior = bytes(row_bytes)
     for r in range(n_rows):
@@ -1148,9 +1284,52 @@ def _png_unfilter(raw: bytes, pos: int, n_rows: int, row_bytes: int,
 def _png_unpack(rows: bytearray, w: int, n_rows: int, ch: int, depth: int,
                 row_bytes: int) -> bytearray:
     """Scanline bytes -> one byte per SAMPLE (sub-byte depths unpacked
-    MSB-first, raw values unscaled; 16-bit kept as 2 bytes/sample)."""
+    MSB-first, raw values unscaled; 16-bit kept as 2 bytes/sample).
+    numpy-vectorized via :func:`_unpack_subbyte_rows`; bit-identity vs
+    :func:`_png_unpack_ref` pinned in tests."""
     if depth >= 8:
         return rows  # already byte-aligned, row_bytes == w*ch*(depth//8)
+    per_row = w * ch
+    if n_rows == 0 or per_row == 0:
+        return bytearray()
+    arr = np.frombuffer(
+        bytes(rows), dtype=np.uint8, count=n_rows * row_bytes
+    ).reshape(n_rows, row_bytes)
+    return bytearray(_unpack_subbyte_rows(arr, depth, per_row).tobytes())
+
+
+def _unpack_subbyte_rows(arr, depth: int, per_row: int):
+    """(n_rows, row_bytes) uint8 -> (n_rows, per_row) uint8 of
+    ``depth``-bit samples unpacked MSB-first — the shared kernel for
+    PNG sub-byte depths and 1/4-bpp BMP rows. ``np.unpackbits`` gives
+    the bit matrix; regrouping ``depth`` consecutive bits with their
+    binary weights reconstructs each sample exactly (samples never
+    straddle bytes for depth in {1, 2, 4})."""
+    arr = np.ascontiguousarray(arr)
+    n_rows, rb = arr.shape
+    if depth == 1:
+        vals = np.unpackbits(arr, axis=1)
+    else:
+        # one strided assignment per in-byte sample position (2 for
+        # depth 4, 4 for depth 2) — every op a C loop over the whole
+        # image. (unpackbits + regroup via broadcast-multiply or
+        # packbits-per-sample both measured SLOWER than the scalar
+        # reference at megapixel scale; this form is the fast path.)
+        per_byte = 8 // depth
+        mask = (1 << depth) - 1
+        vals = np.empty((n_rows, rb * per_byte), dtype=np.uint8)
+        for k in range(per_byte):
+            shift = 8 - depth * (k + 1)
+            vals[:, k::per_byte] = (arr >> shift) & mask
+    return vals[:, :per_row]
+
+
+def _png_unpack_ref(rows: bytearray, w: int, n_rows: int, ch: int, depth: int,
+                    row_bytes: int) -> bytearray:
+    """Reference pure-Python unpack (pre-r13), kept as the bit-identity
+    oracle for the vectorized :func:`_png_unpack`."""
+    if depth >= 8:
+        return rows
     per_row = w * ch
     out = bytearray()
     mask = (1 << depth) - 1
