@@ -263,41 +263,26 @@ _R3_REGRESSED, _HISTORY_VERIFIED, _LAST_GREEN_ROUND = _correctness_history()
 # Maintained by hand at round end; superseded rows age out naturally
 # once the next CORRECTNESS file records them green.
 #
-# Round 12: lean again (r11 verdict ask #6 — the oldest-green tier
-# must drain the r5 proof cohort, so ≥30 of the 50 slots go to
-# rotation). Re-prove only what actually changed:
+# Round 13: lean (r12 verdict ask #5 — the oldest-green tier must
+# drain the r7/r8 proof cohort, ≥35 of the 50 slots to rotation).
+# Re-prove only what actually changed:
 _ROUND_CHANGED = frozenset({
-    # the r11 loop-invariant hoist (10→6 shuffles/round) shipped
-    # without a driver re-prove — the r11 verdict's "what's wrong" #1;
-    # its executed plan changed in d0f89bb and its newest green is r5
-    "graph_pagerank_bounded",
-    # decode_ocf hardened this round (block record-count overcount is
-    # now a hard error, header-sync truncation check, missing
-    # avro.schema diagnostic) and the codec gate widened to
-    # snappy/bzip2/xz: same values on well-formed files, but the
-    # decode logic every row passes through changed → re-prove
-    "avro_ocf_roundtrip",
-    # the r12 codec-boundary sweep rewrote the decode paths these
-    # queries execute per row: decode_bmp (sub-byte/16/32 bpp + RLE
-    # branch structure), decode_wav (fmt parse now carries the
-    # extensible extension, sample extraction branched per tag/width)
-    # — values unchanged on the 8/16-bit fixtures, logic not
+    # read_ocf_split's task-side path changed: split dicts now carry
+    # full URIs and the worker opens the from_uri-stripped path
+    # (ADVICE r12 #1 fix) — same bytes on local paths, different code
+    "avro_ocf_split_roundtrip",
+    # the r13 numpy vectorization rewrote the pixel kernels these
+    # queries execute per row: _bmp_pixels (all uncompressed bpp),
+    # _png_unfilter/_png_unpack — bit-identity is pytest-pinned vs the
+    # kept *_ref loops, but the executing code changed → re-prove
     "multimodal_features", "multimodal_decode_bmp",
-    "multimodal_decode_wav", "multimodal_audio_features",
+    "multimodal_decode_png",
 })
-# NOT in the changed set: multimodal_decode_png / avro_ocf_split_-
-# roundtrip — brand-new this round, they land via the never-verified
-# tier ahead of rotation anyway.
-# NOT in the changed set: graph_pagerank_step / dedup_cc_clusters /
-# ext_dedup_cluster_sizes — d0f89bb touched ONLY pagerank_bounded
-# (verified against the diff); the CC loop and the one-step query are
-# byte-identical, so they drain through the oldest-green tier.
-# NOT in the changed set: duplicated_spans' rolling path got the
-# injective UTF-8 char hash this round, but the REGISTERED
-# text_exact_dup_spans query uses the md5 path (bit-identical plan);
-# the rolling path is pytest-pinned equal to md5 on ASCII and
-# non-ASCII corpora. dedup_winnowing_rolling still hashes via ascii()
-# by design (fingerprint contract, docstring + oracle unchanged).
+# NOT in the changed set: multimodal_decode_wav /
+# multimodal_audio_features — the WAV decoder is untouched this round.
+# NOT in the changed set: avro_ocf_roundtrip — decode_ocf (the
+# whole-buffer reader) is byte-identical; only the split-range reader
+# changed. Both stay covered by pytest oracles every run regardless.
 
 
 # Every query with a green hash-match row in ANY driver round —
