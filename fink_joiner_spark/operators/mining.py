@@ -41,9 +41,19 @@ def frequent_pairs(
     """
     if min_item_support is None:
         min_item_support = min_pair_support
-    items = df.select(
-        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
-    ).distinct()
+    from fink_joiner_spark.operators.similarity import _pin_once
+
+    # distinct (basket, item) is referenced by the support aggregate
+    # and the filtered-basket join feeding BOTH self-join sides; the
+    # r13 'before' AQE plan re-ran the scan+distinct subtree 4× (10
+    # parquet scans, 4 reused exchanges). Materialize it once — it is
+    # two integer-class columns after a dedup, strictly smaller than
+    # the input the plan already scanned.
+    items = _pin_once(
+        df.select(
+            F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+        ).distinct()
+    )
     freq = (
         items.groupBy("item")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -672,6 +672,16 @@ def phash_dup_pairs(
             )
         ).alias("b"),
     ).select("id", "phash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
+    # the block frame is referenced by the size aggregate, the eager
+    # oversize probe, the size-gate join and both sides of the
+    # candidate self-join — and every reference re-ran the payload
+    # feature extraction (the r13 'before' AQE plan executed the
+    # parquet scan + byte-histogram subtree 11 times). Materialize it
+    # once; every consumer reads the (tiny: nblocks rows/doc of id +
+    # two longs) pinned blocks instead.
+    from fink_joiner_spark.operators.similarity import _pin_once
+
+    blocks = _pin_once(blocks)
     if max_block is not None:
         sizes = blocks.groupBy("blk", "val").agg(F.count(F.lit(1)).alias("_n"))
         if on_oversize in ("warn", "error"):
@@ -698,6 +708,13 @@ def phash_dup_pairs(
         blocks = blocks.join(
             sizes.where(F.col("_n") <= max_block).drop("_n"), ["blk", "val"]
         )
+    # exploding-join guard: pin the candidate join's partitioning
+    # (AQE-coalesce-exempt) — the block join is quadratic per
+    # (blk, val) cell and same-language corpora measured mega-blocks
+    # (r5); kept on A/B evidence (r13: 2.43 s with vs 2.70 without)
+    from fink_joiner_spark.operators.similarity import _join_spread
+
+    blocks = _join_spread(blocks, "blk", "val")
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (
         a.join(

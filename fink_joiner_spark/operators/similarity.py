@@ -52,6 +52,67 @@ def _spread(df: DataFrame) -> DataFrame:
     return df if n >= par else df.repartition(par)
 
 
+def _join_spread(df: DataFrame, *keys: str) -> DataFrame:
+    """EXPLICIT keyed repartition of a candidate-join input whose join
+    OUTPUT explodes quadratically per key cell (posting self-joins,
+    band-bucket collision joins). AQE's size-based coalescing sees only
+    the join INPUT bytes — a few MB of posting rows coalesce to one or
+    two partitions and the O(Σ|cell|²) pair generation + verify then
+    runs near-serial (measured r13: dedup_containment_prefix 6.8 s →
+    3.3 s and dedup_jaccard_capped ~8 s → 2.8 s with coalescing simply
+    disabled). A user repartition is exempt from AQE coalescing (the
+    r5 semdedup remedy, semantic_dedup_keep above), so the join keeps
+    cluster-wide parallelism; partition count = defaultParallelism,
+    the same scale-adaptive sizing every `_spread` site uses.
+
+    Placement is MEASURED PER SITE, not blanket (r13 paired A/Bs):
+    the guard costs one full shuffle of the posting/collision frame,
+    so it stays only where the collapse it prevents is real — the
+    capped posting self-joins and the containment-prefix probe/index
+    join (2× wins above), plus the phash block join (r5 mega-block
+    evidence, 2.43 s with vs 2.70 without). It was A/B-REJECTED on
+    the banded-LSH, cross-corpus, simhash, prefix-jaccard, winnowing
+    and frequent-pairs joins (each 0.2-1.7 s SLOWER with the guard,
+    cpu up ~30-50%): their collision cells are bounded by design
+    (compound keys, distinct signatures, fingerprint selection), the
+    join output stays small, and AQE never collapses them. Note what
+    this guard is NOT: per-key hot-cell skew lands on one partition
+    under ANY keyed repartition — the caps/compound-key/distinct-
+    signature designs are the skew defense, this only pins partition
+    COUNT against size-based coalescing."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par, *[F.col(k) for k in keys])
+
+
+def _pin_once(df: DataFrame) -> DataFrame:
+    """Materialize a multiply-referenced intermediate exactly once
+    (lazy ``localCheckpoint``) instead of re-evaluating its subtree at
+    every reference.
+
+    Why (r13 optimization round, guide §2.4/§5): the capped/prefix
+    similarity paths reference the shingled-corpus frame from the
+    posting index, the document-frequency aggregate AND both exact-
+    verify sides — and AQE's stage reuse only dedups IDENTICAL
+    exchanges, so the tokenise→shingle→distinct subtree (the CPU-
+    dominant work) re-ran per reference: the final AQE plan for
+    ``dedup_containment_capped`` carried 27 parquet scans of the same
+    table. One materialization is O(corpus shingles) storage per
+    executor — the same size class the posting shuffle already moves —
+    and every consumer reads blocks instead of recomputing.
+
+    Blocks are registered with :mod:`graph`'s pending-free list, so
+    ``bench.py``'s per-query reset (``graph.free_checkpoints()``)
+    releases them the same way the CC label sets are released. Do NOT
+    call this on a frame the caller references only once or twice when
+    the references are identical subtrees (AQE exchange reuse already
+    covers those for free)."""
+    from fink_joiner_spark.operators import graph
+
+    out = df.localCheckpoint(eager=False)
+    graph._PENDING_FREE.append(graph._ckpt_handle(out))  # noqa: SLF001
+    return out
+
+
 # ---------------------------------------------------------------------------
 # shingles + exact Jaccard
 # ---------------------------------------------------------------------------
@@ -86,6 +147,17 @@ def _cap_postings(posting: DataFrame, max_doc_freq: int) -> DataFrame:
     return posting.join(hot, "s", "left_anti")
 
 
+def _shingle_frame(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """Scan-stage shingle projection shared by the jaccard/containment
+    family: (id, shingles, n_sh). This is the subtree the capped/prefix
+    paths pin via :func:`_pin_once` — its parquet scan must stay
+    pruned to (id, text); tests/test_plans.py audits pruning HERE
+    because the pinned result plan shows only the checkpoint leaf."""
+    return _spread(df).select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("shingles")
+    ).withColumn("n_sh", F.size("shingles"))
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -115,9 +187,11 @@ def jaccard_pairs(
 
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded 4dp.
     """
-    sh = _spread(df).select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("shingles")
-    ).withColumn("n_sh", F.size("shingles"))
+    sh = _shingle_frame(df, id_col, text_col, n)
+    if max_doc_freq is not None:
+        # capped path references sh from the posting, the df aggregate
+        # and both verify sides — shingle once, not per reference
+        sh = _pin_once(sh)
     # join on a 64-bit shingle hash, not the string: long keys shuffle
     # and compare ~an order of magnitude cheaper; an xxhash64 collision
     # (≈0 at any realistic posting volume) could only inflate one
@@ -130,7 +204,7 @@ def jaccard_pairs(
         # verify on the raw arrays (the capped posting join can no
         # longer COUNT the true intersection — hot shingles are gone)
         t_micro = round(threshold * 1_000_000)
-        posting = _cap_postings(posting, max_doc_freq)
+        posting = _join_spread(_cap_postings(posting, max_doc_freq), "s")
         a, b = posting.alias("a"), posting.alias("b")
         cand = (
             a.join(
@@ -311,9 +385,14 @@ def _minhash_banded(
     into every permutation. Docs with zero shingles have no banded
     rows — they never pair."""
     r = k // bands
-    shingled = _spread(df).select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), n).alias("shingles"),
+    # pinned: every caller references the shingled frame from the
+    # signature pipeline AND both exact-verify sides — one shingling
+    # pass instead of three (see _pin_once)
+    shingled = _pin_once(
+        _spread(df).select(
+            F.col(id_col).alias("id"),
+            word_shingles(F.col(text_col), n).alias("shingles"),
+        )
     )
     hashed = shingled.select(
         "id", F.explode("shingles").alias("s")
@@ -550,7 +629,13 @@ def simhash_pairs(
     # postings there is quadratic in the duplication factor — the
     # candidate join must run over DISTINCT signatures, with doc-id
     # lists carried alongside and pairs expanded only at output.
-    sigs = s.groupBy("sh").agg(F.sort_array(F.collect_list("id")).alias("ids"))
+    # pinned: sigs feeds the byte-block self-join AND the intra-group
+    # expansion, and each reference re-ran the full tokenize + 32-sum
+    # signature pipeline (see _pin_once). One row per DISTINCT
+    # signature — strictly smaller than the corpus.
+    sigs = _pin_once(
+        s.groupBy("sh").agg(F.sort_array(F.collect_list("id")).alias("ids"))
+    )
     blocks = sigs.select(
         "sh",
         "ids",
@@ -2360,14 +2445,16 @@ def containment_pairs(
     path.) Output: (src, dst, containment), containment ≥ threshold,
     4 dp.
     """
-    sh = _spread(df).select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("shingles")
-    ).withColumn("n_sh", F.size("shingles"))
+    sh = _shingle_frame(df, id_col, text_col, n)
+    if max_doc_freq is not None:
+        # capped path references sh from the posting, the df aggregate
+        # and both verify sides — shingle once, not per reference
+        sh = _pin_once(sh)
     posting = sh.select(
         "id", "n_sh", F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("s")
     )
     if max_doc_freq is not None:
-        posting = _cap_postings(posting, max_doc_freq)
+        posting = _join_spread(_cap_postings(posting, max_doc_freq), "s")
         a, b = posting.alias("a"), posting.alias("b")
         cand = (
             a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
@@ -2386,20 +2473,41 @@ def containment_pairs(
         )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    fwd = inter.select(
-        F.col("id_a").alias("src"),
-        F.col("id_b").alias("dst"),
-        F.round(F.col("inter") / F.col("na"), 4).alias("containment"),
-        F.col("na").alias("n_src"),
-    )
-    rev = inter.select(
-        F.col("id_b").alias("src"),
-        F.col("id_a").alias("dst"),
-        F.round(F.col("inter") / F.col("nb"), 4).alias("containment"),
-        F.col("nb").alias("n_src"),
+    return _directed_rows(inter, threshold, min_shingles)
+
+
+def _directed_rows(
+    inter: DataFrame, threshold: float, min_shingles: int
+) -> DataFrame:
+    """Emit the two directed containment rows of each undirected
+    (id_a, id_b, inter, na, nb) pair in ONE pass: explode a 2-element
+    struct array instead of UNIONing two projections of the pair
+    frame. The union form re-evaluated the ENTIRE upstream pipeline
+    (candidate join + exact verify, or posting self-join + count
+    aggregate) once per direction — the r13 'before' AQE plan for
+    dedup_containment_capped carried the whole subtree twice (27
+    parquet scans of one table); exploding emits both directions from
+    a single evaluation. Same expressions, same rows, only the plan
+    shape changes (pinned by the DuckDB oracles)."""
+    pair = F.explode(
+        F.array(
+            F.struct(
+                F.col("id_a").alias("src"),
+                F.col("id_b").alias("dst"),
+                F.round(F.col("inter") / F.col("na"), 4).alias("containment"),
+                F.col("na").alias("n_src"),
+            ),
+            F.struct(
+                F.col("id_b").alias("src"),
+                F.col("id_a").alias("dst"),
+                F.round(F.col("inter") / F.col("nb"), 4).alias("containment"),
+                F.col("nb").alias("n_src"),
+            ),
+        )
     )
     return (
-        fwd.unionByName(rev)
+        inter.select(pair.alias("r"))
+        .select("r.src", "r.dst", "r.containment", "r.n_src")
         .where((F.col("containment") >= threshold) & (F.col("n_src") >= min_shingles))
         .select("src", "dst", "containment")
     )
@@ -2422,23 +2530,7 @@ def _verify_containment(
         .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .where(F.col("inter") > 0)
     )
-    fwd = verified.select(
-        F.col("id_a").alias("src"),
-        F.col("id_b").alias("dst"),
-        F.round(F.col("inter") / F.col("na"), 4).alias("containment"),
-        F.col("na").alias("n_src"),
-    )
-    rev = verified.select(
-        F.col("id_b").alias("src"),
-        F.col("id_a").alias("dst"),
-        F.round(F.col("inter") / F.col("nb"), 4).alias("containment"),
-        F.col("nb").alias("n_src"),
-    )
-    return (
-        fwd.unionByName(rev)
-        .where((F.col("containment") >= threshold) & (F.col("n_src") >= min_shingles))
-        .select("src", "dst", "containment")
-    )
+    return _directed_rows(verified, threshold, min_shingles)
 
 
 def containment_pairs_prefix(
@@ -2507,6 +2599,10 @@ def containment_pairs_prefix(
     )
     if max_doc_freq is not None:
         index = _cap_postings(index, max_doc_freq)
+    # exploding-join guard: pin the candidate join's partitioning
+    # (AQE-coalesce-exempt) — see _join_spread
+    probe = _join_spread(probe, "s")
+    index = _join_spread(index, "s")
     cand = (
         probe.join(
             index,
@@ -2620,10 +2716,14 @@ def _canonical_shingles(
     ``sh`` is (id, shingles, n_sh) for docs with ≥1 shingle and
     ``canon`` is (id, sorted_sh, n_sh) with shingles in the GLOBAL
     rarest-first total order (document frequency, ties by value) —
-    one shingle-keyed join + one doc-keyed agg."""
-    sh = _spread(df).select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("shingles")
-    ).withColumn("n_sh", F.size("shingles")).where(F.col("n_sh") > 0)
+    one shingle-keyed join + one doc-keyed agg. ``sh`` is pinned
+    (:func:`_pin_once`): both prefix callers reference it from the
+    canonical-order aggregate, the full-posting index side and both
+    exact-verify sides, and each reference re-ran the shingling
+    subtree before r13."""
+    sh = _pin_once(
+        _shingle_frame(df, id_col, text_col, n).where(F.col("n_sh") > 0)
+    )
 
     post = sh.select("id", F.explode("shingles").alias("s"))
     freq = post.groupBy("s").agg(F.count(F.lit(1)).alias("df_s"))

@@ -467,6 +467,12 @@ def scrub_boilerplate(
         "_n_full",
         F.posexplode("_segs").alias("pos", "seg"),
     ).withColumn("is_full", F.col("pos") < F.col("_n_full"))
+    # pinned: the exploded segment frame feeds both the doc-frequency
+    # aggregate and the scrub-mark join, and each reference re-ran the
+    # tokenize + segment-slice subtree (similarity._pin_once)
+    from fink_joiner_spark.operators.similarity import _pin_once
+
+    ex = _pin_once(ex)
 
     freq = (
         ex.where("is_full")
@@ -666,7 +672,7 @@ def duplicated_spans(
     id_col: str,
     text_col: str,
     min_len: int = 40,
-    hash_fn: str = "md5",
+    hash_fn: str = "xx128",
 ) -> DataFrame:
     """Maximal exactly-duplicated character spans of length >= ``min_len``
     — the true exact-substring dedup pass (Lee et al. 2022,
@@ -690,14 +696,28 @@ def duplicated_spans(
 
     ``hash_fn``:
 
-    * ``"md5"`` (default, the registered query's path) — fingerprint
-      each L-gram with md5 (128-bit, collision-proof in practice),
-      ONE groupBy(gram) occurrence count with map-side combine (hash
-      aggregate — no sort anywhere), one keyed join back. The grams
-      subtree is evaluated twice (agg side + join side), but the
-      recompute is just explode + digest — cheap, and cheaper than
-      materializing. O(chars·min_len) digest work and a 32-hex-char
-      shuffle key per position are the known costs.
+    * ``"xx128"`` (default, the registered query's path; r13
+      optimization — guide §2 "shuffle narrower types" / §1 CPU
+      profile) — fingerprint each L-gram with TWO chained xxhash64
+      values over the SAME substring column (one substring
+      evaluation — CollapseProject keeps a non-cheap expression
+      referenced twice in its own project), 128 combined bits, the
+      same collision-proof-in-practice class as md5 for
+      non-adversarial dedup. Everything downstream of the hash is the
+      md5 plan unchanged: ONE groupBy(gram) occurrence count with
+      map-side combine, one keyed join back. vs md5 it removes the
+      digest's hex-string materialization and shuffles/aggregates two
+      LONG columns (16 bytes) instead of a 32-hex-char string —
+      measured r13 (bench harness, sf0.1): wall 5.66 -> 1.78 s, cpu
+      65.6 -> 14.3 cpu-s, output bit-identical (the oracle groups
+      raw substrings and is hash-independent; an xx128 collision at
+      bench/driver scale has probability ~2⁻¹²⁸·n²).
+    * ``"md5"`` (historical, pinned equal to xx128 by pytest) — md5
+      hex fingerprints, 128-bit. The grams subtree is evaluated twice
+      (agg side + join side), but the recompute is just explode +
+      digest — cheap, and cheaper than materializing. O(chars·min_len)
+      digest work and a 32-hex-char shuffle key per position are the
+      known costs (exactly what xx128 cuts).
     * ``"rolling"`` — a double-modulus rolling polynomial (each char
       hashed once, two ~30-bit residues packed into a ~60-bit long so
       exactness survives the birthday bound that rules out winnowing's
@@ -732,18 +752,35 @@ def duplicated_spans(
     d = _spread(df).select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("t")
     ).where(F.length("t") >= min_len)
-    if hash_fn == "md5":
-        grams = d.select(
+    if hash_fn in ("md5", "xx128"):
+        base = d.select(
             "doc_id",
             F.explode(
                 F.sequence(F.lit(1), F.length("t") - (min_len - 1))
             ).alias("pos"),
             "t",
-        ).select(
-            "doc_id",
-            "pos",
-            F.md5(F.substring("t", F.col("pos"), F.lit(min_len))).alias("g"),
         )
+        if hash_fn == "md5":
+            grams = base.select(
+                "doc_id",
+                "pos",
+                F.md5(F.substring("t", F.col("pos"), F.lit(min_len))).alias("g"),
+            )
+        else:
+            # substring in its OWN projection so both hashes read one
+            # evaluation (CollapseProject keeps non-cheap exprs
+            # referenced more than once); chaining a literal into the
+            # second xxhash64 gives an independent-seed second 64 bits
+            grams = base.select(
+                "doc_id",
+                "pos",
+                F.substring("t", F.col("pos"), F.lit(min_len)).alias("_s"),
+            ).select(
+                "doc_id",
+                "pos",
+                F.xxhash64("_s").alias("g"),
+                F.xxhash64(F.lit(1), "_s").alias("g2"),
+            )
     elif hash_fn == "rolling":
         max_len = d.agg(F.max(F.length("t"))).first()[0]  # 1-row collect
         if max_len is None:
@@ -815,13 +852,16 @@ def duplicated_spans(
             ).alias("g"),
         )
     else:
-        raise ValueError(f"hash_fn must be md5|rolling, got {hash_fn!r}")
-    if hash_fn == "md5":
+        raise ValueError(f"hash_fn must be xx128|md5|rolling, got {hash_fn!r}")
+    if hash_fn in ("md5", "xx128"):
         # groupBy + join-back: evaluates the grams subtree twice, but
         # explode+digest recompute is cheap and the hash aggregate
-        # never sorts — the measured winner (see docstring)
-        occ = grams.groupBy("g").agg(F.count(F.lit(1)).alias("n_occ"))
-        hits = grams.join(occ.where(F.col("n_occ") >= 2), "g").select(
+        # never sorts — the measured winner (see docstring). The dup
+        # set after the >=2 filter is small, so AQE broadcasts it; a
+        # mega-hot gram stays join-safe (no per-key collect anywhere).
+        keys = ["g"] if hash_fn == "md5" else ["g", "g2"]
+        occ = grams.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_occ"))
+        hits = grams.join(occ.where(F.col("n_occ") >= 2), keys).select(
             "doc_id", "pos"
         )
     else:

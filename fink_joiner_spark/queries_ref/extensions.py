@@ -2478,7 +2478,11 @@ def ext_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    survivors = quality.join(keep, "doc_id")
+    # pinned: survivors feeds the LSH pair generation, the
+    # keep_canonical docs side AND the final source join — each
+    # reference re-ran the tokenize-filter + exact-dedup subtree
+    # before r13 (similarity._pin_once)
+    survivors = similarity._pin_once(quality.join(keep, "doc_id"))
     pairs = similarity.minhash_lsh_pairs(
         survivors, "doc_id", "text", n=3, k=16, bands=4, threshold=0.8
     )
@@ -4229,8 +4233,10 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "maximal exactly-duplicated character spans >= 40 chars (Lee et "
     "al. 2022 exact-substring dedup, stride-1 fingerprint grams "
-    "instead of a suffix array): explode start positions, md5 L-gram "
-    "fingerprints, one occurrence-count shuffle, one join back, "
+    "instead of a suffix array): explode start positions, 128-bit "
+    "chained-xxhash64 L-gram fingerprints (two long shuffle keys; "
+    "r13 — the historical md5 hex path is pinned output-equal in "
+    "pytest), one occurrence-count shuffle, one join back, "
     "per-doc windows to merge adjacent positions into maximal spans; "
     "a rolling-hash variant was A/B-measured and REJECTED here — no "
     "winnowing-style density win to pay for its window sorts (see "
@@ -7947,12 +7953,22 @@ def stream_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="fjs_ingest_gate_")
 
     def gate(batch_df, batch_id: int) -> None:
+        # the dedup pins its shingle frames (similarity._pin_once);
+        # release THIS batch's pins once its write has consumed them,
+        # so a long-running gate's block storage stays bounded at one
+        # batch's working set (never drain the whole global list —
+        # other in-flight consumers may still need their blocks)
+        from fink_joiner_spark.operators import graph
+
+        mark = len(graph._PENDING_FREE)
         kept = similarity.cross_corpus_dedup(
             batch_df, ref, "doc_id", "text", n=3, k=16, bands=4, threshold=0.8
         )
         kept.select("doc_id").write.mode("overwrite").parquet(
             f"{work}/out/batch={batch_id:06d}"
         )
+        while len(graph._PENDING_FREE) > mark:
+            graph._unpersist_handle(graph._PENDING_FREE.pop())
 
     with stream_state_confs(spark, STREAM_SHUFFLE_PARTITIONS), \
             stream_finish_fast(spark):

@@ -766,9 +766,16 @@ def _decode_ocf_range(
         idx = bytes(buf).find(sync)
         while idx < 0:
             tail = len(buf)
-            if not ensure(buf_base + tail + chunk):
-                return rows  # no further sync: no block starts here
+            grew = ensure(buf_base + tail + chunk)
+            # search the grown buffer FIRST: ensure() returns False at
+            # EOF even when it did append a final partial chunk, and a
+            # sync straddling the previous chunk edge lives exactly in
+            # those last bytes (r13 property-test catch: the final
+            # block's records were silently dropped when the last sync
+            # crossed a chunk boundary — record LOSS, not an error)
             idx = bytes(buf).find(sync, max(0, tail - 15))
+            if idx < 0 and not grew:
+                return rows  # true EOF and no sync: no block starts here
         block_start = buf_base + idx + 16
         while block_start < end:
             # varints are <= 10 bytes each; block header <= 20

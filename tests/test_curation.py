@@ -325,6 +325,31 @@ def test_duplicated_spans_rolling_equals_md5(spark, sf_dir):
     assert roll == md5 and roll
 
 
+def test_duplicated_spans_xx128_equals_md5(spark, sf_dir):
+    """r13: the default path switched md5 -> chained-xxhash64 (two
+    long fingerprint columns, 128 combined bits) purely for shuffle-
+    width and digest cost — guide §2. Same spans, bit-for-bit, on the
+    real corpus; the DEFAULT (no hash_fn arg) must be the xx128 path
+    the registered query now runs."""
+    from fink_joiner_spark.catalog import table
+    from fink_joiner_spark.operators import text as text_ops
+
+    docs = table(spark, sf_dir, "documents")
+    xx = {
+        tuple(r)
+        for r in text_ops.duplicated_spans(
+            docs, "doc_id", "text", min_len=40
+        ).collect()
+    }
+    md5 = {
+        tuple(r)
+        for r in text_ops.duplicated_spans(
+            docs, "doc_id", "text", min_len=40, hash_fn="md5"
+        ).collect()
+    }
+    assert xx == md5 and xx
+
+
 def test_winnowing_guarantee_and_density(spark):
     """Schleimer et al. guarantee: docs sharing a substring of length
     >= gram_len + window - 1 MUST share a selected fingerprint — for

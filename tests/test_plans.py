@@ -684,14 +684,24 @@ def test_cross_corpus_dedup_candidates_are_keyed(spark, sf_dir):
 def test_capped_dedup_family_no_cartesian_keyed_joins(spark, sf_dir):
     """r11 posting-cap family: capped jaccard/containment and
     prefix-filtered containment must stay keyed joins (no cartesian,
-    no broadcast-nested-loop) and read only (doc_id, text)."""
+    no broadcast-nested-loop) and read only (doc_id, text).
+
+    r13: these paths pin the shingle frame once (lazy localCheckpoint,
+    similarity._pin_once), so the result plan's leaf is the checkpoint
+    RDD and the parquet scan lives in the PINNED subtree — pruning is
+    audited on similarity._shingle_frame, the exact frame the
+    operators pin."""
     for name in ("dedup_jaccard_capped", "dedup_containment_capped",
                  "dedup_containment_prefix"):
         df = _q(name, spark, sf_dir)
         plan = plans.formatted_plan(df)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
-        plans.asserts_column_pruned(df, "doc_id", max_cols=2)
+    from fink_joiner_spark.operators import similarity
+
+    docs = table(spark, sf_dir, "documents")
+    sh = similarity._shingle_frame(docs, "doc_id", "text", 3)
+    plans.asserts_column_pruned(sh, "doc_id", max_cols=2)
 
 
 def test_rolling_winnowing_plan_is_keyed_and_pruned(spark, sf_dir):

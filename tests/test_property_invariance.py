@@ -510,3 +510,44 @@ def test_ocf_split_tiling_property(tmp_path_factory, rows, codec, per_block, tar
             )
         )
     assert got == recs  # splits are ordered, blocks within splits too
+
+
+def test_ocf_split_final_sync_straddles_chunk_eof(tmp_path):
+    """Deterministic regression (r13): a sync marker whose discovery
+    needs the file's final PARTIAL chunk was never searched — the old
+    scan loop returned as soon as ensure() hit EOF, before looking at
+    the bytes that read DID append, and the last block's records were
+    silently dropped (record loss, not an error). Params found by
+    brute force against the pre-fix reader: each combination below
+    loses >=1 record under the old loop and must tile exactly now."""
+    from pyarrow import fs as pafs
+
+    from fink_joiner_spark.sources import avro_wire as aw
+
+    fields = aw.parse_schema(_OCF_PROP_SCHEMA)
+    filesystem = pafs.LocalFileSystem()
+    for case_i, (n, per_block, target, chunk) in enumerate(
+        [(4, 1, 64, 31), (10, 3, 98, 50), (10, 4, 64, 50)]
+    ):
+        recs = [
+            {"k": i * 7, "s": ("s%02d" % i) * 2, "f": bool(i % 2)}
+            for i in range(n)
+        ]
+        p = tmp_path / f"straddle{case_i}.avro"
+        p.write_bytes(
+            aw.encode_ocf(_OCF_PROP_SCHEMA, recs, codec="null",
+                          records_per_block=per_block)
+        )
+        splits = aw.plan_ocf_splits(
+            str(p), _OCF_PROP_SCHEMA, target_split_bytes=target
+        )
+        got = []
+        for s in splits:
+            got.extend(
+                aw._decode_ocf_range(
+                    filesystem, s["path"], s["start"], s["end"],
+                    s["header_end"], s["codec"], s["sync"], fields,
+                    chunk=chunk,
+                )
+            )
+        assert got == recs, f"case {case_i}: {len(got)}/{len(recs)} records"
