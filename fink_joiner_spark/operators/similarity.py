@@ -70,12 +70,22 @@ def _join_spread(df: DataFrame, *keys: str) -> DataFrame:
     so it stays only where the collapse it prevents is real — the
     capped posting self-joins and the containment-prefix probe/index
     join (2× wins above), plus the phash block join (r5 mega-block
-    evidence, 2.43 s with vs 2.70 without). It was A/B-REJECTED on
-    the banded-LSH, cross-corpus, simhash, prefix-jaccard, winnowing
-    and frequent-pairs joins (each 0.2-1.7 s SLOWER with the guard,
-    cpu up ~30-50%): their collision cells are bounded by design
-    (compound keys, distinct signatures, fingerprint selection), the
-    join output stays small, and AQE never collapses them. Note what
+    evidence, 2.43 s with vs 2.70 without) — and the CANDIDATE frame
+    feeding the capped/prefix families' exact-verify joins
+    (`_verify_jaccard`/`_verify_containment`): the shingle sides
+    broadcast, so the per-pair array_intersect runs in the candidate
+    aggregate's stage, which AQE coalesces on shuffle BYTES blind to
+    that downstream compute (paired A/B: capped containment
+    7.01→4.55 s, containment-prefix 9.08→4.09 s, capped jaccard
+    5.17→3.26 s). It was A/B-REJECTED on the banded-LSH, cross-corpus,
+    simhash, prefix-jaccard, winnowing and frequent-pairs joins (each
+    0.2-1.7 s SLOWER with the guard, cpu up ~30-50%): their collision
+    cells are bounded by design (compound keys, distinct signatures,
+    fingerprint selection), the join output stays small, and AQE never
+    collapses them — and likewise REJECTED on the verify stages of
+    minhash-LSH, cross-corpus and prefix-jaccard (4 paired legs:
+    flat within the warming drift; their candidate sets are small
+    enough that the coalesced stage is not the bottleneck). Note what
     this guard is NOT: per-key hot-cell skew lands on one partition
     under ANY keyed repartition — the caps/compound-key/distinct-
     signature designs are the skew defense, this only pins partition
@@ -249,8 +259,12 @@ def _verify_jaccard(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFra
                    F.col("n_sh").alias("na"))
     bv = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"),
                    F.col("n_sh").alias("nb"))
+    # spread the candidate frame before the verify joins — the
+    # per-pair array_intersect runs in its stage and AQE's coalescing
+    # of the candidate aggregate sees only shuffle bytes (see
+    # _verify_containment)
     verified = (
-        cand.join(av, "id_a")
+        _join_spread(cand, "id_a").join(av, "id_a")
         .join(bv, "id_b")
         .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
     )
@@ -2524,8 +2538,14 @@ def _verify_containment(
                    F.col("n_sh").alias("na"))
     bv = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"),
                    F.col("n_sh").alias("nb"))
+    # the per-pair array_intersect runs in THIS frame's stage (the
+    # shingle sides broadcast), and AQE coalesces the candidate
+    # aggregate's exchange on its shuffle BYTES — blind to the verify
+    # compute downstream (same failure class _join_spread guards at
+    # join inputs; r13 paired A/B: capped containment 7.01->4.55 s,
+    # containment-prefix 9.08->4.09 s — see OPTIMIZATION_r13.md §7)
     verified = (
-        cand.join(av, "id_a")
+        _join_spread(cand, "id_a").join(av, "id_a")
         .join(bv, "id_b")
         .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .where(F.col("inter") > 0)
