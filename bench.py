@@ -289,7 +289,14 @@ def main() -> None:
     jsonl_fh = open(os.path.join(here, "BENCH_DETAIL.jsonl"), "w")
 
     def _build_summary() -> dict:
-        ncpus = os.cpu_count() or 1
+        # effective Spark core count (r13 verdict ask #7): session.py
+        # masters local[$SPARK_GRAFT_CPUS], so THAT is the number a
+        # scaling-leg artifact must carry — the r13 c8 run reported the
+        # host's 32 from os.cpu_count() while running on 8 cores.
+        try:
+            ncpus = max(1, int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+        except ValueError:
+            ncpus = 32
         total = round(
             sum(d["median"] for d in runs_detail.values()
                 if d["median"] is not None), 3)
@@ -362,6 +369,7 @@ def main() -> None:
                 if cpu_ok else None
             ),
             "ncpus": ncpus,
+            "host_cpus": os.cpu_count() or 1,
             "load_avg_start": load_avg_start,
             "load_avg_end": _loadavg(),
             "load_contended": load_contended,
@@ -619,38 +627,72 @@ def main() -> None:
             _glob.glob(os.path.join(_here, "BENCH_DETAIL_r*.json")),
             key=lambda p: int(_re.search(r"r(\d+)", os.path.basename(p)).group(1)),
         )
-        if _details:
-            with open(_details[-1]) as fh:
+        for _p in reversed(_details):
+            with open(_p) as fh:
                 _doc = json.load(fh)
             # reference only valid at the SAME scale factor — a bigger
             # sf would false-trigger every query and burn the rerun cap
-            if str(_doc.get("sf")) == str(sf):
-                for qn, qd in _doc.get("per_query", {}).items():
-                    if qd.get("median"):
-                        prior_medians[qn] = float(qd["median"])
+            if str(_doc.get("sf")) != str(sf):
+                continue
+            # skip deadline-stressed artifacts (r14): the newest
+            # committed detail can be the driver's LOW-CORE scaling
+            # leg (skipped tail, rep-throttled, inflated medians) — a
+            # reference taken under duress poisons both the rerun bar
+            # and the wall projections (observed: reps dropped to 1
+            # from query 1 with the r13 c8 artifact as reference).
+            # Fall through to the newest healthy full run instead.
+            if _doc.get("n_deadline_skipped") or _doc.get("terminated_by"):
+                continue
+            for qn, qd in _doc.get("per_query", {}).items():
+                if qd.get("median"):
+                    prior_medians[qn] = float(qd["median"])
+            break
     except Exception:  # noqa: BLE001 — reference is best-effort
         prior_medians = {}
     prior_reruns_left = 40
 
     def _prior_bad(name, runs):
+        # the prior medians were recorded at the main core count; on a
+        # uniformly slower leg (the driver's low-core scaling run) the
+        # raw 1.5× bar would flag nearly every query and burn the rerun
+        # budget on legitimate slowness — scale the reference by the
+        # observed run-over-prior calibration ratio (defined below,
+        # 1.0 until 5 queries have completed)
         ref = prior_medians.get(name)
         med = _lower_median(runs)
-        return (
-            ref is not None and med is not None
-            and med > 1.5 * ref and med - ref > 0.5
-        )
+        if ref is None or med is None:
+            return False
+        ref_c = ref * _calibration()
+        return med > 1.5 * ref_c and med - ref_c > 0.5
 
     # ---- deadline-governed measurement loop (r12 verdict ask #1b) ---
     FINALIZE_MARGIN = 45.0  # wall seconds reserved for finalize + stop
     RERUN_COST = 90.0       # fresh JVM boot + proportional warm + reps
     actual_walls: list[float] = []  # completed per-query wall (all reps)
+    # Calibration of prior-round projections (r13 verdict ask #7): the
+    # reference medians come from the newest committed detail artifact,
+    # which the 32-core run wrote — on the driver's LOW-CORE scaling
+    # leg every query runs 1-2× slower, the projection under-estimates
+    # the tail, the rep-drop governor kicks in too late, and the leg
+    # ends by SKIPPING queries (r13 c8: 17 skipped at 2054/2100 s).
+    # Track the running actual-vs-prior ratio of completed queries and
+    # scale projections by its median, so a uniformly-slower leg sees
+    # its true tail early and degrades to fewer reps (full coverage)
+    # instead of dropping coverage.
+    calib_ratios: list[float] = []
+
+    def _calibration() -> float:
+        if len(calib_ratios) < 5:
+            return 1.0
+        return sorted(calib_ratios)[len(calib_ratios) // 2]
 
     def _estimate(qname: str, reps_n: int) -> float:
-        """Projected wall for one query: prior-round median × reps when
+        """Projected wall for one query: prior-round median × reps
+        (scaled by the observed this-run/prior-run ratio) when
         available, else the running mean of completed queries."""
         ref = prior_medians.get(qname)
         if ref is not None:
-            return ref * reps_n + 1.0
+            return ref * reps_n * _calibration() + 1.0
         if actual_walls:
             return sum(actual_walls) / len(actual_walls)
         return 5.0
@@ -812,6 +854,9 @@ def main() -> None:
         timings[name] = dt
         runs_detail[name] = detail
         actual_walls.append(time.monotonic() - t_q0)
+        ref = prior_medians.get(name)
+        if ref and dt:
+            calib_ratios.append(dt / ref)
         # incremental persistence (r12 ask #1a): the row is durable the
         # moment the query completes
         jsonl_fh.write(json.dumps({"query": name, **detail}) + "\n")

@@ -66,11 +66,24 @@ def free_checkpoints() -> None:
 
 def _large_star(e: DataFrame) -> DataFrame:
     """One Large-Star round: for every node u, connect all strictly
-    LARGER neighbors to m = min(N(u) ∪ {u})."""
+    LARGER neighbors to m = min(N(u) ∪ {u}).
+
+    Shape (r14, guide §2.4): the per-group minimum is a WINDOW min
+    over partitionBy(u) instead of the historical groupBy(u) aggregate
+    joined back onto the edge set — one exchange of the symmetrized
+    edges (plus a partition-local sort) replaces two (groupBy input +
+    join probe side; the join also stops being a broadcast-build that
+    could not exist at 10¹⁰-node scale). The trailing ``distinct`` is
+    LOAD-BEARING: dedup components are cliques, Large-Star emits each
+    (v, m) once per neighbor, and the distinct collapses that
+    quadratic intermediate before Small-Star reprocesses it (removing
+    it was measured-rejected r13: CC family 13.9 → 21.8 s)."""
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    from pyspark.sql import Window
+
+    m = F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
     return (
-        sym.join(mins, "u")
+        sym.withColumn("m", m)
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -80,18 +93,32 @@ def _large_star(e: DataFrame) -> DataFrame:
 
 def _small_star(e: DataFrame) -> DataFrame:
     """One Small-Star round: orient edges toward the smaller endpoint,
-    then connect every smaller neighbor (and u itself) to the minimum."""
+    then connect every smaller neighbor (and u itself) to the minimum.
+
+    Same window-min shape as :func:`_large_star`; the leaf edges
+    (v → m) and the center edge (u → m) are emitted from ONE pass via
+    ``explode(array(struct, struct))`` (the `_directed_rows` pattern)
+    instead of a union of the joined frame with the aggregate — the
+    center-edge duplicates (one per group row) collapse map-side in
+    the trailing distinct's partial aggregate, inside the same
+    partition the window already built."""
     oriented = e.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     )
-    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
-    leaf_edges = (
-        oriented.join(mins, "u")
-        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    from pyspark.sql import Window
+
+    withm = oriented.withColumn(
+        "m", F.min("v").over(Window.partitionBy("u"))
     )
-    center_edges = mins.select(F.col("u"), F.col("m").alias("v"))
+    pair = F.explode(
+        F.array(
+            F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
+            F.struct(F.col("u").alias("u"), F.col("m").alias("v")),
+        )
+    )
     return (
-        leaf_edges.unionByName(center_edges)
+        withm.select(pair.alias("r"))
+        .select("r.u", "r.v")
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )

@@ -19,7 +19,10 @@ signatures, band buckets, and SimHash bits bit-for-bit.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
 
 from fink_joiner_spark.operators.text import MOD, char_poly_hash, tokens
 from fink_joiner_spark.versioned import clustered
@@ -94,10 +97,22 @@ def _join_spread(df: DataFrame, *keys: str) -> DataFrame:
     return df.repartition(par, *[F.col(k) for k in keys])
 
 
+# test hook (ADVICE r13): when a test assigns a list here, _pin_once
+# records the PRE-PIN frame it was handed, so plan audits (column
+# pruning at the parquet scan) can run on the exact frame each
+# registered operator builds — the pinned result plan's leaf hides it.
+_PIN_AUDIT: list | None = None
+
+
+def _pin_mode() -> str:
+    """Pin mechanism: ``persist`` (default) or ``checkpoint``
+    (``SPARK_GRAFT_PIN_MODE`` — measurement/A-B override only)."""
+    return os.environ.get("SPARK_GRAFT_PIN_MODE", "persist")
+
+
 def _pin_once(df: DataFrame) -> DataFrame:
     """Materialize a multiply-referenced intermediate exactly once
-    (lazy ``localCheckpoint``) instead of re-evaluating its subtree at
-    every reference.
+    instead of re-evaluating its subtree at every reference.
 
     Why (r13 optimization round, guide §2.4/§5): the capped/prefix
     similarity paths reference the shingled-corpus frame from the
@@ -108,18 +123,43 @@ def _pin_once(df: DataFrame) -> DataFrame:
     ``dedup_containment_capped`` carried 27 parquet scans of the same
     table. One materialization is O(corpus shingles) storage per
     executor — the same size class the posting shuffle already moves —
-    and every consumer reads blocks instead of recomputing.
+    and every consumer reads it instead of recomputing.
 
-    Blocks are registered with :mod:`graph`'s pending-free list, so
-    ``bench.py``'s per-query reset (``graph.free_checkpoints()``)
-    releases them the same way the CC label sets are released. Do NOT
-    call this on a frame the caller references only once or twice when
-    the references are identical subtrees (AQE exchange reuse already
+    Mechanism (r13 verdict ask #3, settled by r14 paired A/B — numbers
+    in OPTIMIZATION_r14.md): ``persist(MEMORY_AND_DISK)``. It gives
+    the same single-evaluation reuse as the r13 ``localCheckpoint``
+    form but KEEPS LINEAGE — at cluster scale an executor/block loss
+    recomputes the lost partitions instead of failing the query
+    (guide §5 names exactly this trade; localCheckpoint truncates the
+    plan and makes the pinned frame irrecoverable). The CC loop's
+    per-round localCheckpoint (graph.py) is NOT this helper — there
+    plan TRUNCATION is the point (the plan would otherwise grow with
+    iteration count). ``SPARK_GRAFT_PIN_MODE=checkpoint`` preserves
+    the r13 mechanism for paired measurement.
+
+    RELEASE CONTRACT (ADVICE r13): pinned storage is registered on
+    :data:`graph._PENDING_FREE` and released by
+    ``graph.free_checkpoints()`` — bench.py calls it between queries;
+    a long-lived library caller looping over the pinning operators
+    (jaccard/containment capped+prefix, minhash LSH, simhash,
+    scrub_boilerplate, phash pairs, frequent_pairs) must call it after
+    fully consuming each result, or blocks accumulate. Do NOT call
+    this on a frame the caller references only once or twice when the
+    references are identical subtrees (AQE exchange reuse already
     covers those for free)."""
     from fink_joiner_spark.operators import graph
 
-    out = df.localCheckpoint(eager=False)
-    graph._PENDING_FREE.append(graph._ckpt_handle(out))  # noqa: SLF001
+    if _PIN_AUDIT is not None:
+        _PIN_AUDIT.append(df)
+    if _pin_mode() == "checkpoint":
+        out = df.localCheckpoint(eager=False)
+        graph._PENDING_FREE.append(graph._ckpt_handle(out))  # noqa: SLF001
+        return out
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    # a persisted DataFrame exposes unpersist(blocking) just like the
+    # JVM RDD handles graph._unpersist_handle drives — same registry,
+    # same release path
+    graph._PENDING_FREE.append(out)  # noqa: SLF001
     return out
 
 

@@ -701,9 +701,14 @@ def duplicated_spans(
       profile) — fingerprint each L-gram with TWO chained xxhash64
       values over the SAME substring column (one substring
       evaluation — CollapseProject keeps a non-cheap expression
-      referenced twice in its own project), 128 combined bits, the
-      same collision-proof-in-practice class as md5 for
-      non-adversarial dedup. Everything downstream of the hash is the
+      referenced twice in its own project), 128 combined bits —
+      random-collision probability ~2⁻¹²⁸·n², negligible at any
+      corpus size, but xxhash64 is NOT cryptographic: on an
+      ADVERSARIAL corpus crafted XXH64 collisions can mark chosen
+      non-duplicate L-grams as duplicated (false-positive spans fed
+      into the dedup pass). For untrusted inputs use
+      ``hash_fn="md5"`` (preimage-resistant; ADVICE r13).
+      Everything downstream of the hash is the
       md5 plan unchanged: ONE groupBy(gram) occurrence count with
       map-side combine, one keyed join back. vs md5 it removes the
       digest's hex-string materialization and shuffles/aggregates two

@@ -263,26 +263,23 @@ _R3_REGRESSED, _HISTORY_VERIFIED, _LAST_GREEN_ROUND = _correctness_history()
 # Maintained by hand at round end; superseded rows age out naturally
 # once the next CORRECTNESS file records them green.
 #
-# Round 13: lean (r12 verdict ask #5 — the oldest-green tier must
-# drain the r7/r8 proof cohort, ≥35 of the 50 slots to rotation).
-# Re-prove only what actually changed:
+# Round 14 (r13 verdict ask #1): the r13 optimization pass changed the
+# executed plans of these queries (_pin_once / _directed_rows /
+# _join_spread / xx128 span keys / per-batch pin release), but the r13
+# driver window sampled only 3 of them — every plan-changed query must
+# get an independent driver hash-match this round, plus whatever this
+# round's own optimizations touch (maintained as edits land):
 _ROUND_CHANGED = frozenset({
-    # read_ocf_split's task-side path changed: split dicts now carry
-    # full URIs and the worker opens the from_uri-stripped path
-    # (ADVICE r12 #1 fix) — same bytes on local paths, different code
-    "avro_ocf_split_roundtrip",
-    # the r13 numpy vectorization rewrote the pixel kernels these
-    # queries execute per row: _bmp_pixels (all uncompressed bpp),
-    # _png_unfilter/_png_unpack — bit-identity is pytest-pinned vs the
-    # kept *_ref loops, but the executing code changed → re-prove
-    "multimodal_features", "multimodal_decode_bmp",
-    "multimodal_decode_png",
+    # r13 plan-changed set (VERDICT r13 "Next round" #1):
+    "dedup_containment_capped", "dedup_containment_prefix",
+    "dedup_jaccard_capped", "dedup_containment", "dedup_cross_corpus",
+    "dedup_simhash", "dedup_jaccard_prefix", "dedup_minhash_lsh",
+    "text_exact_dup_spans", "multimodal_phash_pairs",
+    "ext_frequent_pairs", "ext_curation_pipeline_e2e",
+    "text_boilerplate_scrub", "stream_ingest_gate",
 })
-# NOT in the changed set: multimodal_decode_wav /
-# multimodal_audio_features — the WAV decoder is untouched this round.
-# NOT in the changed set: avro_ocf_roundtrip — decode_ocf (the
-# whole-buffer reader) is byte-identical; only the split-range reader
-# changed. Both stay covered by pytest oracles every run regardless.
+# Round-13 entries (avro_ocf_split_roundtrip + the three vectorized
+# multimodal kernels) aged out: CORRECTNESS_r13 records them green.
 
 
 # Every query with a green hash-match row in ANY driver round —
@@ -308,6 +305,26 @@ def _driver_order() -> list[str]:
     # whose file is unreadable sort as round 0 — i.e. first, safely.
     verified = [n for n in rest if n in _EVER_VERIFIED]
     verified.sort(key=lambda n: _LAST_GREEN_ROUND.get(n, 0))
+    # The changed tier must land INSIDE the driver's 50-row window but
+    # must NOT run as a contiguous block: bench.py times queries in
+    # this same order, and a consecutive run of one HOF-dense family
+    # deterministically reproduces the r11-s2 JIT profile-pollution
+    # catastrophe (measured again r14 when the r13-changed dedup/text
+    # set briefly headed the order as a block: dedup_minhash_lsh
+    # 2.0→15.5 s, ext_curation_pipeline_e2e 4.2→104.7 s, cpu 8→64 /
+    # 13→185 cpu-s). Interleave each changed query between two
+    # rotation-tier diluents — position ≤ 3k+2 keeps any plausible
+    # changed set comfortably within the first 50 rows.
+    tail = never_verified + verified
+    if changed:
+        mixed: list[str] = []
+        ti = 0
+        for n in changed:
+            mixed.append(n)
+            mixed.extend(tail[ti:ti + 2])
+            ti += 2
+        mixed.extend(tail[ti:])
+        return regressed + mixed
     return regressed + changed + never_verified + verified
 
 

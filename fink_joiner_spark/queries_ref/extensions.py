@@ -7956,8 +7956,12 @@ def stream_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the dedup pins its shingle frames (similarity._pin_once);
         # release THIS batch's pins once its write has consumed them,
         # so a long-running gate's block storage stays bounded at one
-        # batch's working set (never drain the whole global list —
-        # other in-flight consumers may still need their blocks)
+        # batch's working set. Release by HANDLE IDENTITY, not by
+        # popping back to a length mark (ADVICE r13): a concurrent
+        # _pin_once append from another thread between the mark and the
+        # pops would have its still-needed blocks freed under it. The
+        # availableNow gate is single-writer, but the slice form costs
+        # nothing and survives a future multi-query session.
         from fink_joiner_spark.operators import graph
 
         mark = len(graph._PENDING_FREE)
@@ -7967,8 +7971,13 @@ def stream_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept.select("doc_id").write.mode("overwrite").parquet(
             f"{work}/out/batch={batch_id:06d}"
         )
-        while len(graph._PENDING_FREE) > mark:
-            graph._unpersist_handle(graph._PENDING_FREE.pop())
+        mine = graph._PENDING_FREE[mark:]
+        own = {id(h) for h in mine}
+        graph._PENDING_FREE[:] = [
+            h for h in graph._PENDING_FREE if id(h) not in own
+        ]
+        for handle in mine:
+            graph._unpersist_handle(handle)
 
     with stream_state_confs(spark, STREAM_SHUFFLE_PARTITIONS), \
             stream_finish_fast(spark):

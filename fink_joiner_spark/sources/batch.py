@@ -10,6 +10,7 @@ as-of and late-data semantics in a handful of rows.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _FIXTURE_SCHEMA = T.StructType(
@@ -44,8 +45,34 @@ OPEN_HOUSES_FIXTURE = [
 
 
 def memory_source(spark: SparkSession, rows, schema=_FIXTURE_SCHEMA) -> DataFrame:
-    """S4 — bounded in-memory source (``env.fromCollection``)."""
-    return spark.createDataFrame(rows, schema)
+    """S4 — bounded in-memory source (``env.fromCollection``).
+
+    Built as a pure-JVM literal plan (``explode`` of an array of
+    literal structs over ``spark.range(1)``) rather than
+    ``spark.createDataFrame``: the row-list path parallelizes PICKLED
+    rows into an RDD, so every execution of the query ships the rows
+    through a Python worker (r13 bench: ``s4_memory_fixture_pipeline``
+    spent ~2 s/rep on three 3-7-row sources). Literal structs live in
+    the plan itself — no driver-side row materialization at execution,
+    no Python boundary (guide §4/§5). Output rows/schema are identical
+    (pinned by tests + the s4 oracle)."""
+    if not rows:
+        return spark.createDataFrame(rows, schema)
+    fields = list(schema.fields)
+    structs = [
+        F.struct(
+            *[
+                F.lit(row[i]).cast(f.dataType).alias(f.name)
+                for i, f in enumerate(fields)
+            ]
+        )
+        for row in rows
+    ]
+    return (
+        spark.range(1)
+        .select(F.explode(F.array(*structs)).alias("_r"))
+        .select("_r.*")
+    )
 
 
 def read_files(

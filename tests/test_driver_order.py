@@ -18,15 +18,30 @@ def test_ordering_buckets():
     # regressed-at-latest-round queries must occupy the head
     n_reg = sum(1 for n in names if n in Q._R3_REGRESSED)
     assert names[:n_reg] == [n for n in names if n in Q._R3_REGRESSED]
-    # behavior-changed-this-round queries come right after: the window
-    # must re-prove them even though they may be "ever verified"
+    # behavior-changed-this-round queries land INSIDE the driver's
+    # 50-row window (the window must re-prove them even though they
+    # may be "ever verified") — but interleaved among rotation-tier
+    # diluents, never as a contiguous block: bench.py times this same
+    # order and a consecutive HOF-dense family run reproduces the
+    # r11-s2 JIT profile-pollution catastrophe (re-measured r14).
     changed = [n for n in names if n in Q._ROUND_CHANGED and n not in Q._R3_REGRESSED]
     n_chg = len(changed)
-    assert names[n_reg:n_reg + n_chg] == changed
-    # the whole changed set must land inside the driver's 50-row window
-    assert n_reg + n_chg <= 50, "changed set overflows the verification window"
-    # never-verified comes before anything ever verified (post-head)
-    tail = names[n_reg + n_chg:]
+    for n in changed:
+        assert names.index(n) < 50, f"changed query {n} outside the 50-row window"
+    # relative order of the changed tier is preserved
+    changed_positions = [names.index(n) for n in changed]
+    assert changed_positions == sorted(changed_positions)
+    # interleave: with >= 2 changed queries and enough diluents, no two
+    # changed entries may be adjacent
+    if n_chg >= 2 and len(names) >= n_reg + 3 * n_chg:
+        for a, b in zip(changed_positions, changed_positions[1:]):
+            assert b - a >= 2, (
+                f"changed queries adjacent at {a},{b} — HOF-family "
+                "clustering regenerates the r11-s2 JIT catastrophe"
+            )
+    # never-verified comes before anything ever verified among the
+    # NON-changed remainder (the rotation tiers keep their order)
+    tail = [n for n in names[n_reg:] if n not in Q._ROUND_CHANGED]
     seen_verified = False
     for n in tail:
         if n in Q._EVER_VERIFIED:

@@ -25,13 +25,31 @@ def test_pin_once_preserves_rows_and_registers_release(spark):
     # are exactly the input's
     assert pinned.count() == 1000
     assert pinned.agg(F.sum("k")).first()[0] == df.agg(F.sum("k")).first()[0]
-    # plan leaf is the checkpoint RDD — consumers reference blocks,
-    # not the original subtree
+    # default mechanism is persist (r14): consumers read the cached
+    # relation (InMemoryTableScan) while LINEAGE IS KEPT — an
+    # executor/block loss recomputes instead of failing (guide §5)
+    from fink_joiner_spark import plans
+
+    plan = plans.formatted_plan(pinned)
+    assert "InMemoryTableScan" in plan, plan
+    assert pinned.storageLevel.useMemory or pinned.storageLevel.useDisk
+    graph.free_checkpoints()
+    assert len(graph._PENDING_FREE) == 0
+    # released: the relation is no longer marked for caching
+    assert not (pinned.storageLevel.useMemory or pinned.storageLevel.useDisk)
+
+
+def test_pin_once_checkpoint_mode_truncates(spark, monkeypatch):
+    """SPARK_GRAFT_PIN_MODE=checkpoint preserves the r13 mechanism
+    (lazy localCheckpoint, lineage truncated) for paired A/Bs."""
+    monkeypatch.setenv("SPARK_GRAFT_PIN_MODE", "checkpoint")
+    df = spark.range(0, 100).select(F.col("id"), (F.col("id") % 3).alias("k"))
+    pinned = similarity._pin_once(df)
+    assert pinned.count() == 100
     from fink_joiner_spark import plans
 
     assert "ExistingRDD" in plans.formatted_plan(pinned)
     graph.free_checkpoints()
-    assert len(graph._PENDING_FREE) == 0
 
 
 def test_directed_rows_equals_union_form(spark):
@@ -69,10 +87,11 @@ def test_directed_rows_equals_union_form(spark):
 
 
 def test_capped_jaccard_single_shingle_subtree(spark):
-    """The capped path's result must be reachable from ONE pinned
-    shingle materialization: the final plan carries the checkpoint
-    leaf (Scan ExistingRDD), not repeated parquet/json scans of the
-    input."""
+    """The capped path's result must reference ONE pinned shingle
+    materialization: every consumer reads the cached relation
+    (InMemoryTableScan under the persist default; checkpoint-RDD leaf
+    under SPARK_GRAFT_PIN_MODE=checkpoint), not a re-evaluated
+    shingle subtree per reference."""
     from fink_joiner_spark import plans
 
     docs = spark.createDataFrame(
@@ -83,5 +102,5 @@ def test_capped_jaccard_single_shingle_subtree(spark):
         docs, "doc_id", "text", n=3, threshold=0.8, max_doc_freq=20
     )
     plan = plans.formatted_plan(df)
-    assert "Scan ExistingRDD" in plan, plan
+    assert "InMemoryTableScan" in plan, plan
     graph.free_checkpoints()

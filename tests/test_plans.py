@@ -686,22 +686,37 @@ def test_capped_dedup_family_no_cartesian_keyed_joins(spark, sf_dir):
     prefix-filtered containment must stay keyed joins (no cartesian,
     no broadcast-nested-loop) and read only (doc_id, text).
 
-    r13: these paths pin the shingle frame once (lazy localCheckpoint,
-    similarity._pin_once), so the result plan's leaf is the checkpoint
-    RDD and the parquet scan lives in the PINNED subtree — pruning is
-    audited on similarity._shingle_frame, the exact frame the
-    operators pin."""
+    These paths pin the shingle frame once (similarity._pin_once), so
+    the registered queries' result plans hide the scan behind the
+    pinned leaf. ADVICE r13: auditing a standalone _shingle_frame
+    would let an operator that widens its own pre-pin frame (or stops
+    going through _shingle_frame) regress silently — so the pruning
+    audit runs on the EXACT frames the operators hand to _pin_once,
+    captured via the similarity._PIN_AUDIT test hook while each
+    registered query builds its plan."""
+    from fink_joiner_spark.operators import similarity
+
+    captured: dict[str, list] = {}
     for name in ("dedup_jaccard_capped", "dedup_containment_capped",
                  "dedup_containment_prefix"):
-        df = _q(name, spark, sf_dir)
+        similarity._PIN_AUDIT = []
+        try:
+            df = _q(name, spark, sf_dir)
+            captured[name] = list(similarity._PIN_AUDIT)
+        finally:
+            similarity._PIN_AUDIT = None
         plan = plans.formatted_plan(df)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
-    from fink_joiner_spark.operators import similarity
+    from fink_joiner_spark.operators import graph
 
-    docs = table(spark, sf_dir, "documents")
-    sh = similarity._shingle_frame(docs, "doc_id", "text", 3)
-    plans.asserts_column_pruned(sh, "doc_id", max_cols=2)
+    graph.free_checkpoints()
+    for name, frames in captured.items():
+        assert frames, f"{name} no longer pins any frame — update this audit"
+        for pre_pin in frames:
+            # every pinned subtree must feed a (doc_id, text)-pruned
+            # parquet scan of the documents table
+            plans.asserts_column_pruned(pre_pin, "doc_id", max_cols=2)
 
 
 def test_rolling_winnowing_plan_is_keyed_and_pruned(spark, sf_dir):
