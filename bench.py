@@ -469,10 +469,16 @@ def main() -> None:
         signal.alarm(int(max(60.0, deadline - time.monotonic())) + 90)
 
     # warmup: JVM + parquet footer caches, so the first timed query
-    # isn't charged session startup
+    # isn't charged session startup. SPARK_GRAFT_BENCH_WARM=0 skips the
+    # interpreted-path warm (harness-contract tests that assert on
+    # artifact durability, not on timing comparability — the full warm
+    # is ~2.5 min of the sigterm test's 4-min budget and was flaking
+    # it under suite load). Timing runs MUST keep the default.
+    warm_on = os.environ.get("SPARK_GRAFT_BENCH_WARM", "1") != "0"
     for t in ("events", "orders", "lineitem", "customer", "documents", "embeddings"):
         spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
-    _warm_interpreted_paths(spark, sf_dir)
+    if warm_on:
+        _warm_interpreted_paths(spark, sf_dir)
 
     # Steady-state pre-pass: only needed when a SINGLE rep must already
     # be steady-state (reps=1). With reps >= 2 the first timed rep
@@ -557,7 +563,8 @@ def main() -> None:
         for t_ in ("events", "orders", "lineitem", "customer",
                    "documents", "embeddings"):
             s.read.parquet(os.path.join(sf_dir, f"{t_}.parquet")).count()
-        _warm_interpreted_paths(s, sf_dir, streaming=warm_streaming)
+        if warm_on:
+            _warm_interpreted_paths(s, sf_dir, streaming=warm_streaming)
         return s
 
     def _measure(spark_, name, fn, reps_run):

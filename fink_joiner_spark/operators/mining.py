@@ -52,7 +52,8 @@ def frequent_pairs(
     items = _pin_once(
         df.select(
             F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
-        ).distinct()
+        ).distinct(),
+        tag="frequent_pairs",
     )
     freq = (
         items.groupBy("item")

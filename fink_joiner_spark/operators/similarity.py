@@ -55,7 +55,7 @@ def _spread(df: DataFrame) -> DataFrame:
     return df if n >= par else df.repartition(par)
 
 
-def _join_spread(df: DataFrame, *keys: str) -> DataFrame:
+def _join_spread(df: DataFrame, *keys: str, tag: str | None = None) -> DataFrame:
     """EXPLICIT keyed repartition of a candidate-join input whose join
     OUTPUT explodes quadratically per key cell (posting self-joins,
     band-bucket collision joins). AQE's size-based coalescing sees only
@@ -93,6 +93,8 @@ def _join_spread(df: DataFrame, *keys: str) -> DataFrame:
     under ANY keyed repartition — the caps/compound-key/distinct-
     signature designs are the skew defense, this only pins partition
     COUNT against size-based coalescing."""
+    if _measure_skip("SPARK_GRAFT_SPREAD_SKIP", tag):
+        return df
     par = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(par, *[F.col(k) for k in keys])
 
@@ -104,13 +106,18 @@ def _join_spread(df: DataFrame, *keys: str) -> DataFrame:
 _PIN_AUDIT: list | None = None
 
 
-def _pin_mode() -> str:
-    """Pin mechanism: ``persist`` (default) or ``checkpoint``
-    (``SPARK_GRAFT_PIN_MODE`` — measurement/A-B override only)."""
-    return os.environ.get("SPARK_GRAFT_PIN_MODE", "persist")
+def _measure_skip(env: str, tag: str | None) -> bool:
+    """Paired-A/B site toggle (measurement tooling only, the r13
+    `_join_spread` removal discipline): ``env`` holds a comma list of
+    site tags whose pin/spread should be a no-op for this process.
+    Production and the driver never set these."""
+    if tag is None:
+        return False
+    skips = os.environ.get(env, "")
+    return tag in {s.strip() for s in skips.split(",") if s.strip()}
 
 
-def _pin_once(df: DataFrame) -> DataFrame:
+def _pin_once(df: DataFrame, tag: str | None = None) -> DataFrame:
     """Materialize a multiply-referenced intermediate exactly once
     instead of re-evaluating its subtree at every reference.
 
@@ -141,8 +148,8 @@ def _pin_once(df: DataFrame) -> DataFrame:
     :data:`graph._PENDING_FREE` and released by
     ``graph.free_checkpoints()`` — bench.py calls it between queries;
     a long-lived library caller looping over the pinning operators
-    (jaccard/containment capped+prefix, minhash LSH, simhash,
-    scrub_boilerplate, phash pairs, frequent_pairs) must call it after
+    (jaccard/containment capped, minhash LSH, scrub_boilerplate,
+    phash pairs, frequent_pairs) must call it after
     fully consuming each result, or blocks accumulate. Do NOT call
     this on a frame the caller references only once or twice when the
     references are identical subtrees (AQE exchange reuse already
@@ -151,7 +158,9 @@ def _pin_once(df: DataFrame) -> DataFrame:
 
     if _PIN_AUDIT is not None:
         _PIN_AUDIT.append(df)
-    if _pin_mode() == "checkpoint":
+    if _measure_skip("SPARK_GRAFT_PIN_SKIP", tag):
+        return df
+    if os.environ.get("SPARK_GRAFT_PIN_MODE", "persist") == "checkpoint":
         out = df.localCheckpoint(eager=False)
         graph._PENDING_FREE.append(graph._ckpt_handle(out))  # noqa: SLF001
         return out
@@ -241,7 +250,7 @@ def jaccard_pairs(
     if max_doc_freq is not None:
         # capped path references sh from the posting, the df aggregate
         # and both verify sides — shingle once, not per reference
-        sh = _pin_once(sh)
+        sh = _pin_once(sh, tag="jaccard_capped")
     # join on a 64-bit shingle hash, not the string: long keys shuffle
     # and compare ~an order of magnitude cheaper; an xxhash64 collision
     # (≈0 at any realistic posting volume) could only inflate one
@@ -254,7 +263,8 @@ def jaccard_pairs(
         # verify on the raw arrays (the capped posting join can no
         # longer COUNT the true intersection — hot shingles are gone)
         t_micro = round(threshold * 1_000_000)
-        posting = _join_spread(_cap_postings(posting, max_doc_freq), "s")
+        posting = _join_spread(_cap_postings(posting, max_doc_freq), "s",
+                               tag="capped_postings")
         a, b = posting.alias("a"), posting.alias("b")
         cand = (
             a.join(
@@ -304,7 +314,7 @@ def _verify_jaccard(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFra
     # of the candidate aggregate sees only shuffle bytes (see
     # _verify_containment)
     verified = (
-        _join_spread(cand, "id_a").join(av, "id_a")
+        _join_spread(cand, "id_a", tag="verify").join(av, "id_a")
         .join(bv, "id_b")
         .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
     )
@@ -446,7 +456,8 @@ def _minhash_banded(
         _spread(df).select(
             F.col(id_col).alias("id"),
             word_shingles(F.col(text_col), n).alias("shingles"),
-        )
+        ),
+        tag="minhash",
     )
     hashed = shingled.select(
         "id", F.explode("shingles").alias("s")
@@ -683,13 +694,15 @@ def simhash_pairs(
     # postings there is quadratic in the duplication factor — the
     # candidate join must run over DISTINCT signatures, with doc-id
     # lists carried alongside and pairs expanded only at output.
-    # pinned: sigs feeds the byte-block self-join AND the intra-group
-    # expansion, and each reference re-ran the full tokenize + 32-sum
-    # signature pipeline (see _pin_once). One row per DISTINCT
-    # signature — strictly smaller than the corpus.
-    sigs = _pin_once(
-        s.groupBy("sh").agg(F.sort_array(F.collect_list("id")).alias("ids"))
-    )
+    # NOT pinned (r14, verdict ask #4): the r13 blanket pass pinned
+    # this distinct-signature frame, but the pin never recorded a win
+    # — r13 runs were flat-to-worse (2.14→2.33/3.86) and the r14
+    # paired A/B measured REMOVAL 1.19× faster than the persist pin
+    # (2.715 vs 3.222 s; OPTIMIZATION_r14.md). The two references
+    # (byte-block self-join + intra-group expansion) re-evaluate a
+    # cheap one-aggregate subtree; materialization cost exceeded the
+    # recompute it saved.
+    sigs = s.groupBy("sh").agg(F.sort_array(F.collect_list("id")).alias("ids"))
     blocks = sigs.select(
         "sh",
         "ids",
@@ -2503,12 +2516,13 @@ def containment_pairs(
     if max_doc_freq is not None:
         # capped path references sh from the posting, the df aggregate
         # and both verify sides — shingle once, not per reference
-        sh = _pin_once(sh)
+        sh = _pin_once(sh, tag="containment_capped")
     posting = sh.select(
         "id", "n_sh", F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("s")
     )
     if max_doc_freq is not None:
-        posting = _join_spread(_cap_postings(posting, max_doc_freq), "s")
+        posting = _join_spread(_cap_postings(posting, max_doc_freq), "s",
+                               tag="capped_postings")
         a, b = posting.alias("a"), posting.alias("b")
         cand = (
             a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
@@ -2585,7 +2599,7 @@ def _verify_containment(
     # join inputs; r13 paired A/B: capped containment 7.01->4.55 s,
     # containment-prefix 9.08->4.09 s — see OPTIMIZATION_r13.md §7)
     verified = (
-        _join_spread(cand, "id_a").join(av, "id_a")
+        _join_spread(cand, "id_a", tag="verify").join(av, "id_a")
         .join(bv, "id_b")
         .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .where(F.col("inter") > 0)
@@ -2661,8 +2675,8 @@ def containment_pairs_prefix(
         index = _cap_postings(index, max_doc_freq)
     # exploding-join guard: pin the candidate join's partitioning
     # (AQE-coalesce-exempt) — see _join_spread
-    probe = _join_spread(probe, "s")
-    index = _join_spread(index, "s")
+    probe = _join_spread(probe, "s", tag="prefix_probe")
+    index = _join_spread(index, "s", tag="prefix_probe")
     cand = (
         probe.join(
             index,
@@ -2776,14 +2790,17 @@ def _canonical_shingles(
     ``sh`` is (id, shingles, n_sh) for docs with ≥1 shingle and
     ``canon`` is (id, sorted_sh, n_sh) with shingles in the GLOBAL
     rarest-first total order (document frequency, ties by value) —
-    one shingle-keyed join + one doc-keyed agg. ``sh`` is pinned
-    (:func:`_pin_once`): both prefix callers reference it from the
-    canonical-order aggregate, the full-posting index side and both
-    exact-verify sides, and each reference re-ran the shingling
-    subtree before r13."""
-    sh = _pin_once(
-        _shingle_frame(df, id_col, text_col, n).where(F.col("n_sh") > 0)
-    )
+    one shingle-keyed join + one doc-keyed agg. ``sh`` is NOT pinned
+    (r14, verdict ask #4): the r13 blanket pass pinned it, but the
+    pin never recorded a win for `dedup_jaccard_prefix` (flat r13,
+    2.88→3.08/4.48) and the r14 paired A/Bs measured the persist pin
+    1.23-1.28× SLOWER than no pin on both prefix queries (and the
+    checkpoint pin no better than no pin: 4.40/3.22 vs 3.92/3.25 s)
+    — columnar/cache materialization of the array<string> shingle
+    frame costs more than re-evaluating the projection+shingling
+    subtree per reference, which scans only (doc_id, text) and
+    parallelizes perfectly. Numbers in OPTIMIZATION_r14.md."""
+    sh = _shingle_frame(df, id_col, text_col, n).where(F.col("n_sh") > 0)
 
     post = sh.select("id", F.explode("shingles").alias("s"))
     freq = post.groupBy("s").agg(F.count(F.lit(1)).alias("df_s"))

@@ -472,7 +472,7 @@ def scrub_boilerplate(
     # tokenize + segment-slice subtree (similarity._pin_once)
     from fink_joiner_spark.operators.similarity import _pin_once
 
-    ex = _pin_once(ex)
+    ex = _pin_once(ex, tag="scrub")
 
     freq = (
         ex.where("is_full")

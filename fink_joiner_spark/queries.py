@@ -270,13 +270,22 @@ _R3_REGRESSED, _HISTORY_VERIFIED, _LAST_GREEN_ROUND = _correctness_history()
 # get an independent driver hash-match this round, plus whatever this
 # round's own optimizations touch (maintained as edits land):
 _ROUND_CHANGED = frozenset({
-    # r13 plan-changed set (VERDICT r13 "Next round" #1):
+    # r13 plan-changed set (VERDICT r13 "Next round" #1). The r14 pin
+    # mechanism change (persist instead of localCheckpoint) changed
+    # every pinning query's executed plan AGAIN, so the whole set
+    # stays current, not just carried over:
     "dedup_containment_capped", "dedup_containment_prefix",
     "dedup_jaccard_capped", "dedup_containment", "dedup_cross_corpus",
     "dedup_simhash", "dedup_jaccard_prefix", "dedup_minhash_lsh",
     "text_exact_dup_spans", "multimodal_phash_pairs",
     "ext_frequent_pairs", "ext_curation_pipeline_e2e",
     "text_boilerplate_scrub", "stream_ingest_gate",
+    # r14 plan-changed set: window-min star rounds (graph.py) rewrote
+    # the per-round CC plan these queries execute ...
+    "dedup_cc_clusters", "dedup_keep_canonical",
+    "ext_dedup_cluster_sizes",
+    # ... and memory_source became a pure-JVM literal plan
+    "s4_memory_fixture_pipeline",
 })
 # Round-13 entries (avro_ocf_split_roundtrip + the three vectorized
 # multimodal kernels) aged out: CORRECTNESS_r13 records them green.
@@ -312,17 +321,24 @@ def _driver_order() -> list[str]:
     # catastrophe (measured again r14 when the r13-changed dedup/text
     # set briefly headed the order as a block: dedup_minhash_lsh
     # 2.0→15.5 s, ext_curation_pipeline_e2e 4.2→104.7 s, cpu 8→64 /
-    # 13→185 cpu-s). Interleave each changed query between two
-    # rotation-tier diluents — position ≤ 3k+2 keeps any plausible
-    # changed set comfortably within the first 50 rows.
+    # 13→185 cpu-s). Interleave each changed query between rotation-
+    # tier diluents. Spacing is ADAPTIVE: 2 diluents per changed query
+    # when that still fits every changed entry inside the driver's
+    # 50-row window, else 1 (still non-adjacent — the property the JIT
+    # incident needs); a changed set too large even for spacing 1
+    # (>25-ish) would be a round-scoping problem no ordering can fix,
+    # so the last entries simply land where they land.
     tail = never_verified + verified
     if changed:
+        spacing = 2
+        if len(regressed) + 3 * len(changed) > 50:
+            spacing = 1
         mixed: list[str] = []
         ti = 0
         for n in changed:
             mixed.append(n)
-            mixed.extend(tail[ti:ti + 2])
-            ti += 2
+            mixed.extend(tail[ti:ti + spacing])
+            ti += spacing
         mixed.extend(tail[ti:])
         return regressed + mixed
     return regressed + changed + never_verified + verified

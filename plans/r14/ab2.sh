@@ -1,26 +1,27 @@
 #!/bin/bash
-# Paired subset A/B runner: two bench legs back-to-back through the
-# same harness (SPARK_GRAFT_BENCH_ONLY), one change between them.
-# Usage: ab.sh <tag> <queries-csv> <legA-env> <legB-env> [tree-dir]
-# Each leg env is a ;-separated list of VAR=VALUE pairs (empty = none).
+# Paired A/B runner, per-leg tree + env (extends ab.sh for cross-tree
+# comparisons: legA can run the inherited-HEAD worktree while legB runs
+# the optimized repo). Two legs back-to-back through the same harness
+# (SPARK_GRAFT_BENCH_ONLY); subset absolutes are not comparable to
+# full-suite rows.
+# Usage: ab2.sh <tag> <queries-csv> <treeA> <envA> <treeB> <envB>
+# Each env is a ;-separated list of VAR=VALUE pairs (empty = none).
 set -u
-TAG=$1; ONLY=$2; ENVA=${3:-}; ENVB=${4:-}; TREE=${5:-/root/repo}
+TAG=$1; ONLY=$2; TREEA=$3; ENVA=${4:-}; TREEB=$5; ENVB=${6:-}
 OUT=/tmp/ab_${TAG}
 run_leg() {
-  local leg=$1 envs=$2
+  local leg=$1 tree=$2 envs=$3
   local -a pre=()
   IFS=';' read -ra kv <<< "$envs"
   for p in "${kv[@]}"; do [ -n "$p" ] && pre+=("$p"); done
-  (cd "$TREE" && env "${pre[@]}" \
-     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+  (cd "$tree" && env ${pre[@]+"${pre[@]}"} \
+     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=${AB_CPUS:-32} \
      SPARK_GRAFT_BENCH_ONLY="$ONLY" \
      python bench.py > "${OUT}_${leg}.json" 2> "${OUT}_${leg}.err")
 }
-run_leg A "$ENVA"
-# cool-down so leg B does not start against leg A's decaying load
-# (observed: B legs starting at 1-min load 3.5 with 5-min avg ~9)
+run_leg A "$TREEA" "$ENVA"
 sleep 75
-run_leg B "$ENVB"
+run_leg B "$TREEB" "$ENVB"
 python - "$OUT" <<'EOF'
 import json, sys
 out = sys.argv[1]
@@ -35,6 +36,7 @@ for n in names:
     a, b = legs["A"].get(n), legs["B"].get(n)
     r = f"{b/a:.2f}" if a and b else "-"
     print(f"{n:42s} {a!s:>8s} {b!s:>8s}  {r}")
-ta, tb = sum(v for v in legs['A'].values() if v), sum(v for v in legs['B'].values() if v)
+ta = sum(v for v in legs['A'].values() if v)
+tb = sum(v for v in legs['B'].values() if v)
 print(f"{'TOTAL':42s} {ta:8.2f} {tb:8.2f}  {tb/ta:.2f}")
 EOF

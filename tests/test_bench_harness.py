@@ -43,6 +43,10 @@ def test_sigterm_midsuite_yields_parseable_artifact(tmp_path):
         # fresh cache dir: don't touch the host's persistent one
         SPARK_GRAFT_FIXTURE_CACHE=str(tmp_path / "cache"),
         SPARK_GRAFT_BENCH_MAX_LOAD="1e9",  # never stall on load here
+        # durability contract under test, not timing comparability:
+        # the full interpreted-path warm is ~2.5 min alone and flaked
+        # this test's 240 s first-row budget under suite load
+        SPARK_GRAFT_BENCH_WARM="0",
     )
     os.makedirs(str(tmp_path / "cache"), exist_ok=True)
     proc = subprocess.Popen(

@@ -686,14 +686,16 @@ def test_capped_dedup_family_no_cartesian_keyed_joins(spark, sf_dir):
     prefix-filtered containment must stay keyed joins (no cartesian,
     no broadcast-nested-loop) and read only (doc_id, text).
 
-    These paths pin the shingle frame once (similarity._pin_once), so
-    the registered queries' result plans hide the scan behind the
-    pinned leaf. ADVICE r13: auditing a standalone _shingle_frame
-    would let an operator that widens its own pre-pin frame (or stops
-    going through _shingle_frame) regress silently — so the pruning
-    audit runs on the EXACT frames the operators hand to _pin_once,
-    captured via the similarity._PIN_AUDIT test hook while each
-    registered query builds its plan."""
+    The CAPPED paths pin the shingle frame once (similarity._pin_once),
+    so their result plans hide the scan behind the pinned leaf.
+    ADVICE r13: auditing a standalone _shingle_frame would let an
+    operator that widens its own pre-pin frame (or stops going through
+    _shingle_frame) regress silently — so for them the pruning audit
+    runs on the EXACT frames the operators hand to _pin_once, captured
+    via the similarity._PIN_AUDIT test hook while each registered
+    query builds its plan. The PREFIX path no longer pins (r14 A/B
+    removed the never-won pin, verdict ask #4), so its scans are back
+    in the result plan and audited directly there."""
     from fink_joiner_spark.operators import similarity
 
     captured: dict[str, list] = {}
@@ -708,10 +710,19 @@ def test_capped_dedup_family_no_cartesian_keyed_joins(spark, sf_dir):
         plan = plans.formatted_plan(df)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+        if name == "dedup_containment_prefix":
+            # unpinned: every documents scan is visible in the result
+            # plan and must stay pruned to (doc_id, text)
+            plans.asserts_column_pruned(df, "doc_id", max_cols=2)
     from fink_joiner_spark.operators import graph
 
     graph.free_checkpoints()
     for name, frames in captured.items():
+        if name == "dedup_containment_prefix":
+            assert not frames, (
+                f"{name} pins again — restore the _PIN_AUDIT audit"
+            )
+            continue
         assert frames, f"{name} no longer pins any frame — update this audit"
         for pre_pin in frames:
             # every pinned subtree must feed a (doc_id, text)-pruned
